@@ -1,0 +1,210 @@
+package graft.model
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-partition generation parameters — the synthetic analog of the
+  * reference's drift-severity transform ladder
+  * (reference ml/utils/drift.py:37-198: GaussianBlur / ElasticTransform /
+  * ColorJitter ladders applied to MNIST batches in ml/testing.py:60-79).
+  *
+  * @param gapSigma      stddev of gaussian noise added to span offset gaps
+  *                      (analog of GaussianBlur σ ladder)
+  * @param imageTilt     extra probability mass tilting span-kind toward
+  *                      'image' (analog of ColorJitter ladder)
+  * @param swapProb      probability a span's offset jumps backward, breaking
+  *                      the monotone span order (analog of ElasticTransform)
+  * @param dupEvery      if >1, groups of this many docs share a doc_id
+  *                      (uniqueness-violation fixture)
+  * @param danglingRate  probability a media span references a media_ref
+  *                      missing from the catalog (referential fixture)
+  * @param nullKindRate  probability a span kind is null (stats fixture)
+  */
+case class PartSpec(
+    part: Int,
+    gapSigma: Double = 0.0,
+    imageTilt: Double = 0.0,
+    swapProb: Double = 0.0,
+    dupEvery: Int = 1,
+    danglingRate: Double = 0.0,
+    nullKindRate: Double = 0.0)
+
+/** Deterministic, fully-distributed synthetic generator for the interleaved
+  * text+media `docs` table (BASELINE.json `input_hint` shape) and the `media`
+  * catalog. Replaces the reference's torchvision dataset source
+  * (reference ml/utils/constants.py:4-26, ml/training.py:241-246) — no
+  * external data is allowed.
+  *
+  * Everything is pure column expressions over `spark.range(n)`: pseudo-random
+  * draws come from `xxhash64(id, tag, seed)`, so output is identical at any
+  * parallelism / partitioning (verdicts must be parallelism-invariant) and
+  * generation scales linearly to any row count with zero shuffle and full
+  * whole-stage codegen — the property that matters at 10^12 docs.
+  */
+object DocsGen {
+  val Seed = 31L // mirrors the reference's random_state=31 (ml/training.py:535-537)
+  val MediaCount = 100000L
+
+  private val vocab = Seq(
+    "drift", "batch", "window", "kernel", "latent", "vector", "span", "media",
+    "offset", "detector", "sample", "sigma", "permute", "verdict", "schema",
+    "sketch", "quantile", "anchor", "ledger", "mosaic", "quartz", "ember",
+    "willow", "cobalt")
+
+  /** Uniform(0,1) from a deterministic hash of the given columns + tag. */
+  private def u(tag: String, cols: Column*): Column =
+    (pmod(xxhash64((cols :+ lit(tag) :+ lit(Seed)): _*), lit(1000000L)).cast("double") + 0.5) / 1000000.0
+
+  /** Standard normal via Box-Muller from two hash-uniforms. */
+  private def gaussian(tag: String, cols: Column*): Column = {
+    val u1 = u(tag + "_u1", cols: _*)
+    val u2 = u(tag + "_u2", cols: _*)
+    sqrt(lit(-2.0) * log(greatest(u1, lit(1e-12)))) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
+  /** The golden drift scenario — mirror of the reference's 15 evaluation
+    * loaders (1 reference + 14 drifted, ml/testing.py:60-79) plus three
+    * constraint-violation fixture partitions. */
+  def goldenScenario: Seq[PartSpec] = {
+    val control = Seq(PartSpec(0))
+    val gauss = Seq(1.0, 2.0, 4.0, 8.0, 16.0).zipWithIndex.map { case (s, i) =>
+      PartSpec(1 + i, gapSigma = s) // GaussianBlur σ ∈ {.25,.5,1,2,4} ladder analog
+    }
+    val tilt = Seq(0.1, 0.2, 0.4, 0.8, 1.6).zipWithIndex.map { case (w, i) =>
+      PartSpec(6 + i, imageTilt = w) // ColorJitter ladder analog
+    }
+    val swap = Seq(0.05, 0.1, 0.2, 0.4).zipWithIndex.map { case (s, i) =>
+      PartSpec(11 + i, swapProb = s) // ElasticTransform ladder analog
+    }
+    val violations = Seq(
+      PartSpec(15, dupEvery = 5),
+      PartSpec(16, danglingRate = 0.10),
+      PartSpec(17, nullKindRate = 0.05))
+    control ++ gauss ++ tilt ++ swap ++ violations
+  }
+
+  /** All-clean scenario: nParts identical control partitions (bench input). */
+  def cleanScenario(nParts: Int): Seq[PartSpec] =
+    (0 until nParts).map(p => PartSpec(p))
+
+  /** Generate the docs table: `nDocs` rows spread evenly over the given
+    * partitions. Pure narrow transformation — no shuffle, no UDF. */
+  def docs(spark: SparkSession, nDocs: Long, specs: Seq[PartSpec]): DataFrame = {
+    val nParts = specs.size
+    val params = spark.createDataFrame(specs).withColumnRenamed("part", "p_part")
+
+    val base = spark.range(nDocs)
+      .withColumn("part", pmod(col("id"), lit(nParts.toLong)).cast("int"))
+      .withColumn("lid", (col("id") / nParts).cast("long")) // per-part local index
+      .join(broadcast(params), col("part") === col("p_part"))
+
+    // doc_id: unique across parts unless dupEvery>1 groups local ids.
+    val groupedLid = when(col("dupEvery") > 1, col("lid") - pmod(col("lid"), col("dupEvery")))
+      .otherwise(col("lid"))
+    val docId = format_string("doc-%03d-%09d", col("part"), groupedLid)
+
+    val id = col("id")
+    val nSpans = (lit(1) + floor(u("nspans", id) * 8)).cast("int") // 1..8 spans/doc
+
+    // per-span arrays, indexed i = 0..nSpans-1
+    val idxSeq = sequence(lit(0), nSpans - 1)
+
+    // base gap uniform [5,24] + per-part gaussian noise (σ ladder); >= 1
+    val gaps = transform(idxSeq, i =>
+      greatest(lit(1L),
+        round(lit(5) + floor(u("gap", id, i) * 20) +
+          col("gapSigma") * gaussian("gnoise", id, i))).cast("int"))
+
+    // offsets: cumulative sum of gaps (monotone strictly increasing), then
+    // swap corruption: backward jump with probability swapProb.
+    val offsets0 = transform(idxSeq, i =>
+      aggregate(slice(gaps, lit(1), i + 1), lit(0), (acc, g) => acc + g))
+    val offsets = zip_with(offsets0, idxSeq, (off, i) =>
+      when(u("swap", id, i) < col("swapProb"),
+        greatest(lit(0), off - (lit(10) + floor(u("swapj", id, i) * 50)).cast("int")))
+        .otherwise(off))
+
+    // span kind: categorical with per-part tilt toward 'image'
+    val total = lit(1.0) + col("imageTilt")
+    val cutText = lit(0.70) / total
+    val cutImage = (lit(0.90) + col("imageTilt")) / total
+    val cutAudio = (lit(0.95) + col("imageTilt")) / total
+    val kinds = transform(idxSeq, i => {
+      val uk = u("kind", id, i)
+      when(u("nullk", id, i) < col("nullKindRate"), lit(null).cast("string"))
+        .when(uk < cutText, lit("text"))
+        .when(uk < cutImage, lit("image"))
+        .when(uk < cutAudio, lit("audio"))
+        .otherwise(lit("table"))
+    })
+
+    // text: deterministic sentence for text spans (3..10 vocab words)
+    val vocabLit = typedlit(vocab)
+    val texts = zip_with(kinds, idxSeq, (k, i) =>
+      when(k === "text",
+        concat_ws(" ", transform(sequence(lit(0), (lit(3) + floor(u("tlen", id, i) * 8)).cast("int")), w =>
+          element_at(vocabLit, (floor(u("word", id, i, w) * vocab.size) + 1).cast("int")))))
+        .otherwise(lit(null).cast("string")))
+
+    // media_ref: for non-text spans; dangling refs point past the catalog
+    val mediaRefs = zip_with(kinds, idxSeq, (k, i) =>
+      when(k.isNotNull && k =!= "text",
+        when(u("dang", id, i) < col("danglingRate"),
+          format_string("m-%08d", lit(MediaCount) + floor(u("dangid", id, i) * 1000).cast("long")))
+          .otherwise(format_string("m-%08d", floor(u("mid", id, i) * MediaCount).cast("long"))))
+        .otherwise(lit(null).cast("string")))
+
+    val spans = zip_with(
+      zip_with(kinds, texts, (k, t) => struct(k.as("kind"), t.as("text"))),
+      zip_with(mediaRefs, offsets, (m, o) => struct(m.as("media_ref"), o.as("offset"))),
+      (a, b) => struct(
+        a.getField("kind").as("kind"), a.getField("text").as("text"),
+        b.getField("media_ref").as("media_ref"), b.getField("offset").as("offset")))
+
+    base.select(docId.as("doc_id"), spans.as("spans"), col("part"))
+  }
+
+  /** Media catalog: MediaCount rows, media_ref = "m-%08d". */
+  def media(spark: SparkSession, count: Long = MediaCount): DataFrame = {
+    val id = col("id")
+    spark.range(count).select(
+      format_string("m-%08d", id).as("media_ref"),
+      element_at(typedlit(Seq("image", "audio", "table")),
+        (pmod(xxhash64(id, lit("mk"), lit(Seed)), lit(3L)) + 1).cast("int")).as("media_kind"),
+      (lit(100) + pmod(xxhash64(id, lit("mb"), lit(Seed)), lit(100000L))).cast("int").as("bytes_len"))
+  }
+
+  /** Featurize: the DRS-encoder analog (reference
+    * dimensionality_reduction_api/app/dr.py:136-146 — image → latent vector).
+    * A pure-column projection from span statistics to a fixed-width
+    * `array<double>` feature vector; no shuffle, whole-stage codegen'd.
+    *
+    * Features (normalized to O(1) scale so the RBF σ heuristic is sane):
+    * 0: span count/8, 1: mean gap/30, 2: text frac, 3: image frac,
+    * 4: mean |gap − meanGap|/15 (dispersion → catches σ ladder),
+    * 5: frac of non-positive gaps (→ catches swap/ordering corruption).
+    */
+  def featurize(spansCol: Column): Column = {
+    val n = size(spansCol).cast("double")
+    val offs = transform(spansCol, s => s.getField("offset"))
+    val gapsD = when(size(spansCol) > 1,
+      zip_with(slice(offs, lit(2), size(spansCol) - 1),
+        slice(offs, lit(1), size(spansCol) - 1),
+        (b, a) => (b - a).cast("double")))
+      .otherwise(array())
+    val nGaps = greatest(size(gapsD).cast("double"), lit(1.0))
+    val meanGap = aggregate(gapsD, lit(0.0), (acc, g) => acc + g) / nGaps
+    val meanAbsDev = aggregate(gapsD, lit(0.0), (acc, g) => acc + abs(g - meanGap)) / nGaps
+    val fracNonPos = aggregate(gapsD, lit(0.0),
+      (acc, g) => acc + when(g <= 0.0, 1.0).otherwise(0.0)) / nGaps
+    val fracKind = (k: String) => aggregate(spansCol, lit(0.0),
+      (acc, s) => acc + when(s.getField("kind") === k, 1.0).otherwise(0.0)) / n
+    array(
+      n / 8.0,
+      meanGap / 30.0,
+      fracKind("text"),
+      fracKind("image"),
+      meanAbsDev / 15.0,
+      fracNonPos)
+  }
+}

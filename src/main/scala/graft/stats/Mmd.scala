@@ -1,0 +1,127 @@
+package graft.stats
+
+/** Maximum Mean Discrepancy with RBF kernel + seeded permutation test.
+  *
+  * From-scratch implementation of the statistic the reference delegates to
+  * frouros (`frouros.detectors.data_drift.MMD` with
+  * `frouros.utils.kernels.rbf_kernel`, reference ml/training.py:131-147;
+  * compare at detector_api/app/detector.py:58-60). Operates on bounded
+  * samples — exactly like the reference, which fits on a 6,000-row reference
+  * window (ml/training.py:252) and compares 10,000-row batches
+  * (ml/testing.py:61). At 100 TB scale the *sampling* is distributed (Spark
+  * side); this math runs on the bounded per-partition samples, and the
+  * permutation fan-out is distributed over `spark.range(numPermutations)`.
+  */
+object Mmd {
+
+  /** RBF kernel k(x,y) = exp(-||x-y||² / (2σ²)). */
+  @inline def rbf(x: Array[Double], y: Array[Double], sigma: Double): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
+    math.exp(-s / (2.0 * sigma * sigma))
+  }
+
+  @inline private def sqDist(x: Array[Double], y: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Median pairwise euclidean distance — the σ heuristic
+    * (reference ml/training.py:123-129: `sigma = median(pdist(X_ref))`).
+    * Exact median over the given (bounded, pre-sampled) rows. */
+  def medianHeuristicSigma(x: Array[Array[Double]], maxRows: Int = 2000): Double = {
+    val xs = if (x.length > maxRows) x.take(maxRows) else x
+    val n = xs.length
+    if (n < 2) return 1.0
+    val dists = new Array[Double](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        dists(k) = math.sqrt(sqDist(xs(i), xs(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    java.util.Arrays.sort(dists)
+    val m = dists.length
+    val med = if (m % 2 == 1) dists(m / 2) else 0.5 * (dists(m / 2 - 1) + dists(m / 2))
+    if (med <= 0) 1.0 else med
+  }
+
+  /** Unbiased MMD² estimator between samples X (ref) and Y (prod):
+    * 1/(m(m-1)) Σ_{i≠j} k(xi,xj) + 1/(n(n-1)) Σ_{i≠j} k(yi,yj) − 2/(mn) Σ k(xi,yj).
+    * Floored at 0 for the reported distance (can be slightly negative). */
+  def mmd2(x: Array[Array[Double]], y: Array[Array[Double]], sigma: Double): Double = {
+    val m = x.length
+    val n = y.length
+    if (m < 2 || n < 2) return 0.0
+    var kxx = 0.0
+    var i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m) { kxx += rbf(x(i), x(j), sigma); j += 1 }
+      i += 1
+    }
+    var kyy = 0.0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) { kyy += rbf(y(i), y(j), sigma); j += 1 }
+      i += 1
+    }
+    var kxy = 0.0
+    i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) { kxy += rbf(x(i), y(j), sigma); j += 1 }
+      i += 1
+    }
+    2.0 * kxx / (m.toDouble * (m - 1)) +
+      2.0 * kyy / (n.toDouble * (n - 1)) -
+      2.0 * kxy / (m.toDouble * n)
+  }
+
+  /** MMD distance (sqrt of max(mmd², 0)) — reported like frouros's
+    * `DistanceResult.distance`. */
+  def distance(x: Array[Array[Double]], y: Array[Array[Double]], sigma: Double): Double =
+    math.sqrt(math.max(0.0, mmd2(x, y, sigma)))
+
+  /** One permutation's statistic: pool = ref ++ prod rows, shuffled with a
+    * seed derived from (randomState, permId), re-split at the original sizes.
+    * Deterministic regardless of task placement. */
+  def permutedStat(pool: Array[Array[Double]], m: Int, sigma: Double,
+                   randomState: Long, permId: Long): Double = {
+    val seed = randomState * 0x9E3779B97F4A7C15L + permId
+    val idx = StatMath.permutation(pool.length, seed)
+    val px = new Array[Array[Double]](m)
+    val py = new Array[Array[Double]](pool.length - m)
+    var i = 0
+    while (i < m) { px(i) = pool(idx(i)); i += 1 }
+    while (i < pool.length) { py(i - m) = pool(idx(i)); i += 1 }
+    distance(px, py, sigma)
+  }
+
+  /** Full permutation test run locally (used in unit tests and for tiny
+    * partition counts; the engine fans permutations out over spark.range).
+    * p = (1 + #{perm >= observed}) / (P + 1) — add-one corrected, standard
+    * for permutation tests (reference: frouros PermutationTestDistanceBased,
+    * 100 perms, seed 31, ml/training.py:136-144). */
+  def permutationTest(x: Array[Array[Double]], y: Array[Array[Double]], sigma: Double,
+                      numPermutations: Int = 100, randomState: Long = 31L): (Double, Double) = {
+    val obs = distance(x, y, sigma)
+    val pool = x ++ y
+    var ge = 0
+    var p = 0
+    while (p < numPermutations) {
+      if (permutedStat(pool, x.length, sigma, randomState, p.toLong) >= obs) ge += 1
+      p += 1
+    }
+    (obs, (1.0 + ge) / (numPermutations + 1.0))
+  }
+}
