@@ -1,0 +1,125 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Constraint checks over the docs table. Each emits distributed violation
+  * rows (never collected in full) plus per-partition violation counts for the
+  * verdicts. Violation rows generalize the reference's boolean per-batch
+  * verdict (detector_api/app/detector.py:62-69) into row-level evidence.
+  */
+object ConstraintChecks {
+
+  /** Uniqueness of doc_id (E5) via explicit two-stage salted aggregation:
+    * stage 1 groups on (doc_id, salt) — map-side partials land on 16
+    * different reducers even for a pathologically hot doc_id — stage 2 sums
+    * the salted partials per doc_id. This is the "salted repartition +
+    * hash-dedup" the north rule names; AQE skew handling backs it up at
+    * runtime. Returns (violations, per-part duplicate-doc counts). */
+  def uniqueness(docs: DataFrame, runId: String, salts: Int = 16): (Dataset[Violation], Map[Int, Long]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stage1 = docs
+      .select($"part", $"doc_id",
+        pmod(xxhash64($"doc_id", lit("salt")), lit(salts.toLong)).as("salt"))
+      .groupBy($"doc_id", $"salt")
+      .agg(count(lit(1)).as("c"), min($"part").as("part"))
+    val dups = stage1
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n"), min($"part").as("part"))
+      .filter($"n" > 1)
+      .cache()
+    val violations = dups
+      .select(lit(runId).as("run_id"), $"part".cast("int").as("part"),
+        lit("unique_doc_id").as("check_id"), $"doc_id",
+        concat(lit("duplicate doc_id x"), $"n").as("detail"))
+      .as[Violation]
+    val perPart = dups.groupBy($"part").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (violations, perPart)
+  }
+
+  /** Referential integrity of span.media_ref against the media catalog (E6):
+    * explode media spans → LEFT ANTI join vs media. The catalog side is
+    * broadcast when small (explicit hint below `broadcastMedia`), else Spark
+    * plans a shuffled join and AQE converts/splits at runtime — the
+    * skew-safe default for a 10^12-row probe side. */
+  def referential(docs: DataFrame, media: DataFrame, runId: String,
+                  broadcastMedia: Boolean = true): (Dataset[Violation], Map[Int, Long]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val refs = docs
+      .select($"part", $"doc_id", explode($"spans").as("s"))
+      .filter($"s.media_ref".isNotNull)
+      .select($"part", $"doc_id", $"s.media_ref".as("media_ref"))
+    val cat = media.select($"media_ref")
+    val dangling = refs
+      .join(if (broadcastMedia) broadcast(cat) else cat, Seq("media_ref"), "left_anti")
+      .cache()
+    val violations = dangling
+      .select(lit(runId).as("run_id"), $"part",
+        lit("ref_media").as("check_id"), $"doc_id",
+        concat(lit("dangling media_ref "), $"media_ref").as("detail"))
+      .as[Violation]
+    val perPart = dangling.groupBy($"part").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (violations, perPart)
+  }
+
+  /** Strictly-increasing span offsets — the order-significance invariant
+    * (per-row span-sequence contract; reference preserves span order through
+    * its whole pipeline, ml/utils/autoencoder.py:243-244). Pure column
+    * predicate over the spans array; no shuffle until the tiny count. */
+  def spanOrderViolation: Column =
+    exists(
+      zip_with(slice(col("spans"), lit(2), size(col("spans")) - 1),
+        slice(col("spans"), lit(1), size(col("spans")) - 1),
+        (b, a) => b.getField("offset") <= a.getField("offset")),
+      x => x)
+
+  def spanOrder(docs: DataFrame, runId: String): (Dataset[Violation], Map[Int, Long]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bad = docs.filter(spanOrderViolation).cache()
+    val violations = bad
+      .select(lit(runId).as("run_id"), $"part",
+        lit("span_order").as("check_id"), $"doc_id",
+        lit("non-monotone span offsets").as("detail"))
+      .as[Violation]
+    val perPart = bad.groupBy($"part").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (violations, perPart)
+  }
+
+  /** Null span-kind violations (schema completeness fixture). */
+  def nullKind(docs: DataFrame, runId: String): (Dataset[Violation], Map[Int, Long]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bad = docs
+      .filter(exists(col("spans"), s => s.getField("kind").isNull))
+      .cache()
+    val violations = bad
+      .select(lit(runId).as("run_id"), $"part",
+        lit("null_kind").as("check_id"), $"doc_id",
+        lit("span with null kind").as("detail"))
+      .as[Violation]
+    val perPart = bad.groupBy($"part").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    (violations, perPart)
+  }
+
+  /** Per-row span-sequence equality vs a reference copy of the table (E14):
+    * joins on doc_id and compares the spans arrays positionally (Spark array
+    * equality is order-sensitive). Returns docs whose sequence differs. */
+  def spanSequenceEquality(docs: DataFrame, reference: DataFrame, runId: String): Dataset[Violation] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.alias("a")
+      .join(reference.alias("b"), Seq("doc_id"))
+      .filter(!(col("a.spans") <=> col("b.spans")))
+      .select(lit(runId).as("run_id"), col("a.part").as("part"),
+        lit("span_seq_equality").as("check_id"), col("doc_id"),
+        lit("span sequence differs from reference").as("detail"))
+      .as[Violation]
+  }
+}

@@ -1,0 +1,122 @@
+package graft.checks
+
+import org.apache.spark.sql.SparkSession
+import graft.sketch.KllOps
+import graft.stats.{Mmd, StatMath}
+
+/** Distribution-drift checks between the fitted reference window and each
+  * production partition. All four share the reference's fit/compare/verdict
+  * contract (detector_api/app/detector.py:44-69): statistic → p-value →
+  * `is_drift = p_value <= alpha`.
+  *
+  * KS / χ² / PSI run on the per-partition SUMMARIES (KLL sketches, exact
+  * category counts) produced by the single full-data stats pass — no second
+  * scan of the table. MMD runs on the bounded per-partition samples with the
+  * permutation test fanned out over `spark.range`, mirroring the reference's
+  * multiprocessing permutation pool (ml/training.py:528-534) as Spark tasks.
+  */
+object DriftChecks {
+
+  /** KS test on the offset distribution (E7). D from the two KLL CDFs on a
+    * merged quantile grid; p via Kolmogorov asymptotics on sketch row counts. */
+  def ks(runId: String, alpha: Double, ref: RefState,
+         summaries: Map[Int, PartSummary]): Seq[Verdict] =
+    summaries.toSeq.sortBy(_._1).map { case (part, s) =>
+      val d = KllOps.ksD(ref.kllBytes, s.offsetKll)
+      val p = StatMath.ksPValue(d, KllOps.n(ref.kllBytes), KllOps.n(s.offsetKll))
+      Verdict.now(runId, part, "ks_offset", alpha, d, p, None,
+        Map("n_ref" -> KllOps.n(ref.kllBytes).toDouble,
+          "n_prod" -> KllOps.n(s.offsetKll).toDouble), ref.snapshotId)
+    }
+
+  /** Chi-squared homogeneity test on the span-kind histogram (E8). Exact
+    * counts from the stats pass; p via the regularized incomplete gamma. */
+  def chi2(runId: String, alpha: Double, ref: RefState,
+           summaries: Map[Int, PartSummary]): Seq[Verdict] = {
+    val cats = (ref.kindHist.keySet ++ summaries.values.flatMap(_.kindHist.keySet)).toSeq.sorted
+    val refCounts = cats.map(c => ref.kindHist.getOrElse(c, 0L)).toArray
+    summaries.toSeq.sortBy(_._1).map { case (part, s) =>
+      val prodCounts = cats.map(c => s.kindHist.getOrElse(c, 0L)).toArray
+      val (stat, p) = StatMath.chi2TwoSample(refCounts, prodCounts)
+      Verdict.now(runId, part, "chi2_kind", alpha, stat, p, None,
+        cats.zip(prodCounts).map { case (c, n) => s"count_$c" -> n.toDouble }.toMap,
+        ref.snapshotId)
+    }
+  }
+
+  /** PSI on the offset distribution (E9): bucket edges = deciles of the
+    * REFERENCE sketch; both proportion vectors read straight off the two KLL
+    * CDFs — no extra data pass. PSI has no p-value; standard practice gates
+    * on the index itself (>0.2 = major shift), so we emit p = 1 - min(psi/0.2, 1)
+    * purely to fit the verdict shape, and the distance carries the PSI. */
+  def psi(runId: String, alpha: Double, ref: RefState,
+          summaries: Map[Int, PartSummary], buckets: Int = 10): Seq[Verdict] = {
+    val qs = Array.tabulate(buckets - 1)(i => (i + 1).toDouble / buckets)
+    val edges = KllOps.quantiles(ref.kllBytes, qs)
+    val refCdf = KllOps.cdf(ref.kllBytes)
+    def props(cdf: Double => Double): Array[Double] = {
+      val cum = edges.map(cdf) :+ 1.0
+      cum.zip(0.0 +: cum.dropRight(1)).map { case (hi, lo) => math.max(hi - lo, 0.0) }
+    }
+    val refProps = props(refCdf)
+    summaries.toSeq.sortBy(_._1).map { case (part, s) =>
+      val prodProps = props(KllOps.cdf(s.offsetKll))
+      val v = StatMath.psi(refProps, prodProps)
+      val pseudoP = 1.0 - math.min(v / 0.2, 1.0)
+      Verdict.now(runId, part, "psi_offset", alpha, v, pseudoP, None,
+        Map("psi" -> v, "buckets" -> buckets.toDouble), ref.snapshotId)
+    }
+  }
+
+  /** MMD + permutation test (E10) on bounded per-partition feature samples vs
+    * the fitted reference sample — frouros MMD verbatim in semantics
+    * (fit: ml/training.py:131-147; compare: detector_api/app/detector.py:58-60;
+    * 100-permutation test seeded with random_state=31: ml/training.py:136-144).
+    *
+    * Distributed shape: samples are broadcast; `spark.range(parts × (P+1))`
+    * fans one task row per (partition, permutation); permId 0 is the observed
+    * statistic (identity split). Permutation seeds derive from (randomState,
+    * part, permId) so p-values are reproducible at any parallelism.
+    */
+  def mmd(spark: SparkSession, runId: String, alpha: Double, ref: RefState,
+          samples: Map[Int, Array[Array[Double]]],
+          numPermutations: Int = 100, randomState: Long = 31L): Seq[Verdict] = {
+    import spark.implicits._
+    val parts = samples.keys.toSeq.sorted
+    val bc = spark.sparkContext.broadcast((ref.refSample, ref.sigma, samples))
+    val perPart = numPermutations + 1
+    val stats = spark.range(parts.size.toLong * perPart)
+      .as[Long]
+      .mapPartitions { ids =>
+        val (refSample, sigma, prodSamples) = bc.value
+        ids.map { id =>
+          val part = parts((id / perPart).toInt)
+          val permId = id % perPart
+          val prod = prodSamples(part)
+          val stat =
+            if (permId == 0L) Mmd.distance(refSample, prod, sigma)
+            else {
+              val pool = refSample ++ prod
+              // seed mixes part so each partition gets an independent stream
+              Mmd.permutedStat(pool, refSample.length, sigma,
+                randomState * 1000003L + part, permId - 1)
+            }
+          (part, permId, stat)
+        }
+      }
+      .collect()
+
+    val byPart = stats.groupBy(_._1)
+    parts.map { part =>
+      val rows = byPart(part)
+      val obs = rows.find(_._2 == 0L).get._3
+      val ge = rows.count(r => r._2 > 0L && r._3 >= obs)
+      val p = ge.toDouble / numPermutations // plain proportion — see Mmd.permutationTest
+
+      Verdict.now(runId, part, "mmd_features", alpha, obs, p, None,
+        Map("sigma" -> ref.sigma, "n_ref" -> ref.refSample.length.toDouble,
+          "n_prod" -> samples(part).length.toDouble,
+          "permutations" -> numPermutations.toDouble), ref.snapshotId)
+    }
+  }
+}

@@ -1,0 +1,48 @@
+package graft.checks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.DocsGen
+import graft.stats.Mmd
+
+/** Fit the detector state on a reference window — the analog of the
+  * reference's `fit_detector` (ml/training.py:116-148): σ = median pairwise
+  * distance over the reference sample (lines 123-129), then store the
+  * reference sample + distribution summaries; persisted like the pickled
+  * detector (ml/training.py:445-460, loaded at detector_api/app/detector.py:38-42).
+  */
+object Fit {
+
+  /** Fit on a reference window (all rows of `refDocs`). One stats pass +
+    * one bounded sampling pass. */
+  def fit(refDocs: DataFrame, snapshotId: Long = 0L, maxSample: Int = 2000,
+          prefilterFrac: Double = 1.0): RefState = {
+    val summaries = PartStats.compute(refDocs.withColumn("part", lit(0)))
+    val s = summaries(0)
+    val sample = PartStats.sampleFeatures(
+      refDocs.withColumn("part", lit(0)), DocsGen.featurize, maxSample, prefilterFrac)(0)
+    val sigma = Mmd.medianHeuristicSigma(sample, maxRows = 2000)
+    RefState(sigma, sample, s.offsetKll, s.kindHist, s.nDocs, s.nSpans, snapshotId)
+  }
+
+  /** Persist fitted state to a parquet `ref_state` table (FIXTURES.md §2). */
+  def save(spark: SparkSession, state: RefState, path: String): Unit = {
+    import spark.implicits._
+    Seq((state.sigma, state.refSample.map(_.toSeq).toSeq, state.kllBytes,
+      state.kindHist, state.nDocs, state.nSpans, state.snapshotId))
+      .toDF("sigma", "ref_sample", "kll_sketch", "kind_hist", "n_docs", "n_spans", "snapshot_id")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def load(spark: SparkSession, path: String): RefState = {
+    val r = spark.read.parquet(path).head()
+    RefState(
+      sigma = r.getAs[Double]("sigma"),
+      refSample = r.getAs[Seq[Seq[Double]]]("ref_sample").map(_.toArray).toArray,
+      kllBytes = r.getAs[Array[Byte]]("kll_sketch"),
+      kindHist = r.getAs[Map[String, Long]]("kind_hist"),
+      nDocs = r.getAs[Long]("n_docs"),
+      nSpans = r.getAs[Long]("n_spans"),
+      snapshotId = r.getAs[Long]("snapshot_id"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.checks
+
+/** Verdict row — one per (run, partition, check). Field shape mirrors the
+  * reference's `DistanceBasedResponse` {alpha, datetime, is_drift, p_value,
+  * distance} (reference detector_api/app/schemas/drift.py:26-51, built at
+  * detector_api/app/detector.py:62-69), extended with the validation-engine
+  * fields (passed, metrics, lineage). */
+case class Verdict(
+    run_id: String,
+    part: Int,
+    check_id: String,
+    alpha: Double,
+    datetime: String, // UTC "dd/MM/yyyy HH:mm:ss.SSSSSS" — reference detector.py:64-66
+    ts: java.sql.Timestamp,
+    distance: Double,
+    p_value: Double,
+    is_drift: Boolean, // p_value <= alpha — reference detector.py:68
+    passed: Boolean, // constraint: no violations; drift: !is_drift
+    metrics: Map[String, Double],
+    snapshot_id: Long)
+
+/** One row per violating document (duplicates, dangling refs, bad span order,
+  * null kinds). */
+case class Violation(
+    run_id: String,
+    part: Int,
+    check_id: String,
+    doc_id: String,
+    detail: String)
+
+/** Fitted reference-window state — the analog of the reference's pickled
+  * frouros detector (fit at ml/training.py:116-148, loaded at
+  * detector_api/app/detector.py:38-42). Holds everything `compare` needs:
+  * the RBF σ (median heuristic), a bounded reference feature sample, the
+  * offset-distribution KLL sketch, and the span-kind histogram. */
+case class RefState(
+    sigma: Double,
+    refSample: Array[Array[Double]],
+    kllBytes: Array[Byte],
+    kindHist: Map[String, Long],
+    nDocs: Long,
+    nSpans: Long,
+    snapshotId: Long)
+
+object Verdict {
+  val TimestampFormat = "dd/MM/yyyy HH:mm:ss.SSSSSS"
+
+  /** Build a verdict with the current UTC wall-clock, reference-format string. */
+  def now(runId: String, part: Int, checkId: String, alpha: Double,
+          distance: Double, pValue: Double, passedConstraint: Option[Boolean],
+          metrics: Map[String, Double], snapshotId: Long): Verdict = {
+    val nowInst = java.time.Instant.now()
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(TimestampFormat)
+      .withZone(java.time.ZoneOffset.UTC)
+    val isDrift = pValue <= alpha
+    Verdict(runId, part, checkId, alpha, fmt.format(nowInst),
+      java.sql.Timestamp.from(nowInst), distance, pValue, isDrift,
+      passedConstraint.getOrElse(!isDrift), metrics, snapshotId)
+  }
+}

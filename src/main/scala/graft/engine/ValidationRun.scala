@@ -1,0 +1,117 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.checks._
+import graft.model.DocsGen
+
+/** Run configuration. α defaults to the reference's offline-eval value 0.01
+  * (ml/testing.py:183); the API default there is 0.05 (schemas/drift.py:13). */
+case class RunConfig(
+    runId: String,
+    alpha: Double = 0.01,
+    numPermutations: Int = 100,
+    randomState: Long = 31L,
+    maxSample: Int = 2000,
+    samplePrefilterFrac: Double = 1.0,
+    salts: Int = 16)
+
+/** The full constraint+drift validation pass — the engine's flagship job.
+  *
+  * Orchestrates (per SURVEY.md §2b): column stats E2-E4, uniqueness E5,
+  * referential E6, span-order/sequence E14, and the four drift checks E7-E10,
+  * emitting the reference-shaped verdict rows (E11) and violation rows.
+  * Pass structure over the big table (everything else runs on tiny
+  * summaries):
+  *   1. stats pass   — explode+aggregate, sketches merged partial/final
+  *   2. sample pass  — bounded deterministic per-part feature sample (MMD)
+  *   3. uniqueness   — salted two-stage count on (doc_id)
+  *   4. referential  — anti-join of media spans vs catalog
+  *   5. span order   — narrow filter
+  * plus the permutation fan-out on broadcast samples (no table scan).
+  */
+object ValidationRun {
+
+  case class Results(verdicts: Dataset[Verdict], violations: Dataset[Violation],
+                     summaries: Map[Int, PartSummary])
+
+  def run(docs: DataFrame, media: DataFrame, ref: RefState, cfg: RunConfig,
+          broadcastMedia: Boolean = true): Results = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    // 1. one-pass per-partition stats (KLL + HLL + exact kind histogram)
+    val summaries = PartStats.compute(docs)
+    val parts = summaries.keys.toSeq.sorted
+
+    // 2. bounded per-part feature samples for MMD
+    val samples = PartStats.sampleFeatures(
+      docs, DocsGen.featurize, cfg.maxSample, cfg.samplePrefilterFrac)
+
+    // 3-5. constraint checks (violations stay distributed)
+    val (uniqViol, uniqCounts) = ConstraintChecks.uniqueness(docs, cfg.runId, cfg.salts)
+    val (refViol, refCounts) = ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia)
+    val (ordViol, ordCounts) = ConstraintChecks.spanOrder(docs, cfg.runId)
+    val (nkViol, nkCounts) = ConstraintChecks.nullKind(docs, cfg.runId)
+
+    def constraintVerdicts(checkId: String, counts: Map[Int, Long]): Seq[Verdict] =
+      parts.map { p =>
+        val n = counts.getOrElse(p, 0L)
+        Verdict.now(cfg.runId, p, checkId, cfg.alpha, n.toDouble, 1.0,
+          Some(n == 0L), Map("violations" -> n.toDouble), ref.snapshotId)
+      }
+
+    val statsVerdicts = parts.map { p =>
+      val s = summaries(p)
+      Verdict.now(cfg.runId, p, "stats", cfg.alpha, 0.0, 1.0, Some(true), Map(
+        "count" -> s.nDocs.toDouble,
+        "n_spans" -> s.nSpans.toDouble,
+        "approx_distinct_doc_id" -> s.approxDistinctDocIds.toDouble,
+        "null_kind_rate" -> (if (s.nSpans == 0) 0.0 else s.nullKindSpans.toDouble / s.nSpans),
+        "offset_p50" -> graft.sketch.KllOps.quantiles(s.offsetKll, Array(0.5))(0),
+        "offset_p99" -> graft.sketch.KllOps.quantiles(s.offsetKll, Array(0.99))(0)),
+        ref.snapshotId)
+    }
+
+    val verdicts: Seq[Verdict] =
+      statsVerdicts ++
+        constraintVerdicts("unique_doc_id", uniqCounts) ++
+        constraintVerdicts("ref_media", refCounts) ++
+        constraintVerdicts("span_order", ordCounts) ++
+        constraintVerdicts("null_kind", nkCounts) ++
+        DriftChecks.ks(cfg.runId, cfg.alpha, ref, summaries) ++
+        DriftChecks.chi2(cfg.runId, cfg.alpha, ref, summaries) ++
+        DriftChecks.psi(cfg.runId, cfg.alpha, ref, summaries) ++
+        DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref, samples,
+          cfg.numPermutations, cfg.randomState)
+
+    val violations = uniqViol.union(refViol).union(ordViol).union(nkViol)
+    Results(spark.createDataset(verdicts), violations, summaries)
+  }
+
+  /** Resumable variant: skips partitions that already have verdicts for this
+    * snapshot in the results table (checkpoint/resume, E12 — the analog of
+    * the reference's persisted fitted state, detector_api/app/detector.py:38-42).
+    * Appends results per run; a killed run resumes by rerunning with the same
+    * paths. Returns the partitions actually validated this invocation. */
+  def runResumable(spark: SparkSession, docs: DataFrame, media: DataFrame,
+                   ref: RefState, cfg: RunConfig,
+                   resultsPath: String, violationsPath: String,
+                   limitParts: Option[Int] = None): Seq[Int] = {
+    import spark.implicits._
+    val allParts = docs.select("part").distinct().as[Int].collect().sorted.toSeq
+    val done: Set[Int] =
+      try spark.read.parquet(resultsPath)
+        .filter($"snapshot_id" === ref.snapshotId && $"check_id" === "stats")
+        .select("part").distinct().as[Int].collect().toSet
+      catch { case _: Throwable => Set.empty }
+    val todoAll = allParts.filterNot(done)
+    val todo = limitParts.map(todoAll.take).getOrElse(todoAll)
+    if (todo.isEmpty) return Seq.empty
+    val subset = docs.filter($"part".isin(todo: _*))
+    val res = run(subset, media, ref, cfg)
+    res.verdicts.write.mode("append").partitionBy("part").parquet(resultsPath)
+    res.violations.write.mode("append").parquet(violationsPath)
+    todo
+  }
+}

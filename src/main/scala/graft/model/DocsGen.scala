@@ -93,8 +93,11 @@ object DocsGen {
     val nParts = specs.size
     val params = spark.createDataFrame(specs).withColumnRenamed("part", "p_part")
 
+    // row id → spec index (round-robin) → that spec's part number
+    val partOf = typedlit(specs.map(_.part))
     val base = spark.range(nDocs)
-      .withColumn("part", pmod(col("id"), lit(nParts.toLong)).cast("int"))
+      .withColumn("part",
+        element_at(partOf, (pmod(col("id"), lit(nParts.toLong)) + 1).cast("int")))
       .withColumn("lid", (col("id") / nParts).cast("long")) // per-part local index
       .join(broadcast(params), col("part") === col("p_part"))
 

@@ -109,9 +109,10 @@ object Mmd {
 
   /** Full permutation test run locally (used in unit tests and for tiny
     * partition counts; the engine fans permutations out over spark.range).
-    * p = (1 + #{perm >= observed}) / (P + 1) — add-one corrected, standard
-    * for permutation tests (reference: frouros PermutationTestDistanceBased,
-    * 100 perms, seed 31, ml/training.py:136-144). */
+    * p = #{perm >= observed} / P — the plain proportion, matching the
+    * reference's semantics (frouros PermutationTestDistanceBased with 100
+    * perms trips verdicts at α=0.01 in ml/testing.py:183, which requires p
+    * to reach below 1/(P+1); seed 31 per ml/training.py:535-537). */
   def permutationTest(x: Array[Array[Double]], y: Array[Array[Double]], sigma: Double,
                       numPermutations: Int = 100, randomState: Long = 31L): (Double, Double) = {
     val obs = distance(x, y, sigma)
@@ -122,6 +123,6 @@ object Mmd {
       if (permutedStat(pool, x.length, sigma, randomState, p.toLong) >= obs) ge += 1
       p += 1
     }
-    (obs, (1.0 + ge) / (numPermutations + 1.0))
+    (obs, ge.toDouble / numPermutations)
   }
 }

@@ -1,0 +1,118 @@
+package graft.checks
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.{RunConfig, ValidationRun}
+import graft.model.DocsGen
+
+/** The golden drift scenario — mirror of the reference's evaluation suite
+  * (ml/testing.py:60-126): a control batch plus severity ladders, with
+  * qualitative expected outcomes on the verdicts. */
+class GoldenScenarioSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val specs = DocsGen.goldenScenario
+  lazy val docs = DocsGen.docs(spark, 18000, specs).cache()
+  lazy val media = DocsGen.media(spark).cache()
+  lazy val ref = Fit.fit(docs.filter($"part" === 0), snapshotId = 1L)
+  lazy val results = ValidationRun.run(docs, media, ref,
+    RunConfig(runId = "golden", alpha = 0.01, maxSample = 600, numPermutations = 50))
+  lazy val verdicts: Map[(Int, String), Verdict] =
+    results.verdicts.collect().map(v => (v.part, v.check_id) -> v).toMap
+
+  val driftChecks = Seq("ks_offset", "chi2_kind", "psi_offset", "mmd_features")
+
+  test("control partition: no drift on any check (reference loader => no-drift)") {
+    driftChecks.foreach { c =>
+      val v = verdicts((0, c))
+      assert(!v.is_drift, s"control tripped $c: p=${v.p_value} d=${v.distance}")
+    }
+  }
+
+  test("control partition: all constraint checks pass") {
+    Seq("unique_doc_id", "ref_media", "span_order", "null_kind").foreach { c =>
+      assert(verdicts((0, c)).passed, s"control failed $c")
+    }
+  }
+
+  test("gap-noise ladder: KS distance monotone above noise floor, strong rungs drift") {
+    // weakest rungs sit below statistical noise — the reference tolerates
+    // this (FIXTURES.md: "weakest rung may legitimately not trip")
+    val ds = (1 to 5).map(p => verdicts((p, "ks_offset")).distance)
+    assert(ds(2) <= ds(3) && ds(3) <= ds(4), s"strong rungs not monotone: $ds")
+    assert(ds(4) > ds(0) * 2, s"ladder top should dominate bottom: $ds")
+    assert(verdicts((5, "ks_offset")).is_drift, "strongest sigma rung must trip KS")
+    assert(verdicts((4, "ks_offset")).is_drift)
+  }
+
+  test("kind-tilt ladder: chi2 distance monotone, all rungs drift") {
+    val ds = (6 to 10).map(p => verdicts((p, "chi2_kind")).distance)
+    assert(ds == ds.sorted, s"chi2 not monotone along tilt ladder: $ds")
+    (6 to 10).foreach(p => assert(verdicts((p, "chi2_kind")).is_drift, s"tilt part $p"))
+  }
+
+  test("kind-tilt ladder: PSI on offsets stays calm, chi2 owns the signal") {
+    // tilt changes kinds, not offsets: PSI(offset) should not blow up
+    (6 to 10).foreach { p =>
+      assert(verdicts((p, "psi_offset")).distance < 0.1,
+        s"psi(offset) on tilt part $p = ${verdicts((p, "psi_offset")).distance}")
+    }
+  }
+
+  test("swap ladder: KS distance monotone, strong rungs drift") {
+    val ds = (11 to 14).map(p => verdicts((p, "ks_offset")).distance)
+    assert(ds == ds.sorted, s"KS D not monotone along swap ladder: $ds")
+    assert(verdicts((14, "ks_offset")).is_drift)
+  }
+
+  test("swap ladder: span-order constraint fails exactly on swap parts") {
+    (11 to 14).foreach(p => assert(!verdicts((p, "span_order")).passed, s"part $p"))
+    (0 to 10).foreach(p => assert(verdicts((p, "span_order")).passed, s"part $p"))
+  }
+
+  test("MMD: strong shifts drift, distances exceed control") {
+    val d0 = verdicts((0, "mmd_features")).distance
+    Seq(5, 9, 10, 14).foreach { p =>
+      val v = verdicts((p, "mmd_features"))
+      assert(v.is_drift, s"MMD part $p p=${v.p_value}")
+      assert(v.distance > d0)
+    }
+  }
+
+  test("duplicate fixture: uniqueness fails only there, with violation rows") {
+    assert(!verdicts((15, "unique_doc_id")).passed)
+    (0 to 14).foreach(p => assert(verdicts((p, "unique_doc_id")).passed, s"part $p"))
+    val viol = results.violations.filter($"check_id" === "unique_doc_id").collect()
+    assert(viol.nonEmpty && viol.forall(_.part == 15))
+  }
+
+  test("dangling fixture: referential fails only there, with violation rows") {
+    assert(!verdicts((16, "ref_media")).passed)
+    (0 to 15).foreach(p => assert(verdicts((p, "ref_media")).passed, s"part $p"))
+    val viol = results.violations.filter($"check_id" === "ref_media").collect()
+    assert(viol.nonEmpty && viol.forall(_.part == 16))
+  }
+
+  test("null-kind fixture: fails only there; stats null rate reflects it") {
+    assert(!verdicts((17, "null_kind")).passed)
+    (0 to 16).foreach(p => assert(verdicts((p, "null_kind")).passed, s"part $p"))
+    val nullRate = verdicts((17, "stats")).metrics("null_kind_rate")
+    assert(nullRate > 0.02 && nullRate < 0.10, s"null rate $nullRate")
+    assert(verdicts((0, "stats")).metrics("null_kind_rate") == 0.0)
+  }
+
+  test("verdict rows carry the reference response shape") {
+    val v = verdicts((5, "mmd_features"))
+    assert(v.alpha == 0.01)
+    assert(v.is_drift == (v.p_value <= v.alpha)) // detector.py:68
+    assert(v.datetime.matches("""\d{2}/\d{2}/\d{4} \d{2}:\d{2}:\d{2}\.\d{6}"""))
+    assert(v.snapshot_id == 1L)
+  }
+
+  test("stats verdicts: counts and approx-distinct within HLL error") {
+    val s = verdicts((1, "stats")).metrics
+    assert(s("count") == 1000.0)
+    assert(math.abs(s("approx_distinct_doc_id") - 1000.0) / 1000.0 < 0.05)
+  }
+}

@@ -1,0 +1,106 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.checks.Fit
+import graft.model.DocsGen
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("snapshot catalog: commit, pin, append, re-pin") {
+    val dir = Files.createTempDirectory("snap").toString
+    val docs1 = DocsGen.docs(spark, 600, DocsGen.cleanScenario(3))
+    val s1 = SnapshotCatalog.commit(dir, docs1)
+    assert(s1.snapshotId == 1L && s1.parts == Seq(0, 1, 2))
+    assert(SnapshotCatalog.read(spark, dir, 1L).count() == 600)
+
+    // append more partitions -> snapshot 2 sees them, snapshot 1 still pinned
+    val docs2 = DocsGen.docs(spark, 400, Seq(graft.model.PartSpec(3), graft.model.PartSpec(4)))
+    val s2 = SnapshotCatalog.commit(dir, docs2)
+    assert(s2.snapshotId == 2L && s2.parts == Seq(0, 1, 2, 3, 4))
+    assert(SnapshotCatalog.read(spark, dir, 2L).count() == 1000)
+    assert(SnapshotCatalog.read(spark, dir, 1L).count() == 600)
+    assert(SnapshotCatalog.currentSnapshotId(dir).contains(2L))
+  }
+
+  test("resumable run: kill after k partitions, rerun skips them, results identical") {
+    val tmp = Files.createTempDirectory("resume")
+    val resultsPath = s"$tmp/results"
+    val violationsPath = s"$tmp/violations"
+    val docs = DocsGen.docs(spark, 3000, DocsGen.goldenScenario.take(6)).cache()
+    val media = DocsGen.media(spark)
+    val ref = Fit.fit(docs.filter($"part" === 0), snapshotId = 7L, maxSample = 300)
+    val cfg = RunConfig(runId = "r1", maxSample = 300, numPermutations = 20)
+
+    // "killed" first invocation: only 2 partitions get validated
+    val first = ValidationRun.runResumable(spark, docs, media, ref, cfg,
+      resultsPath, violationsPath, limitParts = Some(2))
+    assert(first == Seq(0, 1))
+
+    // resume: must skip 0,1 and do the rest
+    val second = ValidationRun.runResumable(spark, docs, media, ref,
+      cfg.copy(runId = "r2"), resultsPath, violationsPath)
+    assert(second == Seq(2, 3, 4, 5))
+
+    // third run: nothing left
+    val third = ValidationRun.runResumable(spark, docs, media, ref,
+      cfg.copy(runId = "r3"), resultsPath, violationsPath)
+    assert(third.isEmpty)
+
+    // final results: exactly one stats verdict per partition, all checks present
+    val results = spark.read.parquet(resultsPath)
+    val statsPerPart = results.filter($"check_id" === "stats")
+      .groupBy("part").count().as[(Int, Long)].collect().toMap
+    assert(statsPerPart == (0 to 5).map(_ -> 1L).toMap)
+    assert(results.select("check_id").distinct().count() == 9)
+
+    // checks agree between a resumed run and a single clean run:
+    // exact for deterministic paths (chi2 on exact counts, seeded MMD);
+    // tolerance for KLL-sketch distances (sketch compaction is randomized,
+    // so bitwise equality across different merge orders is not guaranteed)
+    val clean = ValidationRun.run(docs, media, ref, cfg.copy(runId = "clean"))
+    def grab(df: org.apache.spark.sql.DataFrame, check: String) =
+      df.filter($"check_id" === check)
+        .select($"part", $"distance", $"p_value", $"is_drift")
+        .as[(Int, Double, Double, Boolean)].collect().sortBy(_._1)
+    assert(grab(clean.verdicts.toDF(), "chi2_kind")
+      .sameElements(grab(results, "chi2_kind")))
+    assert(grab(clean.verdicts.toDF(), "mmd_features")
+      .sameElements(grab(results, "mmd_features")))
+    val ksClean = grab(clean.verdicts.toDF(), "ks_offset")
+    val ksResumed = grab(results, "ks_offset")
+    ksClean.zip(ksResumed).foreach { case ((p1, d1, _, _), (p2, d2, _, _)) =>
+      assert(p1 == p2 && math.abs(d1 - d2) < 0.02, s"part $p1: $d1 vs $d2")
+    }
+  }
+
+  test("verdicts are parallelism-invariant (local shuffle-partition change)") {
+    val docs = DocsGen.docs(spark, 2000, DocsGen.goldenScenario.take(3))
+    val media = DocsGen.media(spark)
+    val ref = Fit.fit(docs.filter($"part" === 0), snapshotId = 1L, maxSample = 200)
+    val cfg = RunConfig(runId = "pi", maxSample = 200, numPermutations = 20)
+    def strip(r: ValidationRun.Results) = r.verdicts.collect()
+      .map(v => (v.part, v.check_id, v.distance, v.p_value, v.is_drift, v.passed))
+      .sortBy(t => (t._1, t._2))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val a = strip(ValidationRun.run(docs, media, ref, cfg))
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    val b = try strip(ValidationRun.run(docs.repartition(11), media, ref, cfg))
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert(a.length == b.length)
+    a.zip(b).foreach { case ((p1, c1, d1, pv1, dr1, ps1), (p2, c2, d2, pv2, dr2, ps2)) =>
+      assert(p1 == p2 && c1 == c2, s"row order: ($p1,$c1) vs ($p2,$c2)")
+      assert(ps1 == ps2, s"passed flipped for ($p1,$c1)")
+      if (c1 == "ks_offset" || c1 == "psi_offset")
+        // KLL sketch compaction is randomized → compare within tolerance
+        assert(math.abs(d1 - d2) < 0.02, s"($p1,$c1): $d1 vs $d2")
+      else {
+        assert(d1 == d2, s"($p1,$c1): $d1 vs $d2")
+        assert(pv1 == pv2 && dr1 == dr2, s"($p1,$c1): p $pv1 vs $pv2")
+      }
+    }
+  }
+}
