@@ -1,0 +1,192 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SQL-expressible engine operators run against the driver's TPC-H-ish
+  * testdata, each with a DuckDB oracle (SURVEY.md §5.7 / FIXTURES.md §5).
+  * Every aggregate / computed column is aliased identically to the oracle SQL
+  * (the driver's compare hashes values under sorted column names).
+  *
+  * These mirror the engine checks: E2/E3 stats, E5 uniqueness, E6 referential,
+  * E7 KS, E8 chi-squared contingency, E9 PSI, E15 top-k.
+  */
+object TpchQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** E2/E3: one-pass column stats on lineitem. */
+  def statsLineitem(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("cnt"),
+      count($"l_quantity").as("cnt_quantity"),
+      countDistinct($"l_partkey").as("distinct_partkey"),
+      countDistinct($"l_suppkey").as("distinct_suppkey"),
+      min($"l_quantity").as("min_qty"),
+      max($"l_quantity").as("max_qty"),
+      round(sum($"l_quantity"), 4).as("sum_qty"))
+  }
+
+  /** E5: uniqueness via explicit two-stage salted aggregation (the engine's
+    * skew-safe pattern), reduced to SQL-checkable totals. */
+  def uniqueOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stage1 = t(s, dir, "orders")
+      .select($"o_orderkey", pmod(xxhash64($"o_orderkey", lit("salt")), lit(16L)).as("salt"))
+      .groupBy($"o_orderkey", $"salt").agg(count(lit(1)).as("c"))
+    val perKey = stage1.groupBy($"o_orderkey").agg(sum($"c").as("n"))
+    perKey.agg(
+      count(lit(1)).as("distinct_keys"),
+      sum($"n").as("total"),
+      sum(when($"n" > 1, 1L).otherwise(0L)).as("dup_keys"))
+  }
+
+  /** E6: referential integrity orders.o_custkey → customer.c_custkey via
+    * broadcast LEFT ANTI join (violations counted). */
+  def refOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dangling = t(s, dir, "orders")
+      .join(broadcast(t(s, dir, "customer").select($"c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_anti")
+    dangling.agg(count(lit(1)).as("dangling_orders"))
+  }
+
+  /** E8: chi-squared contingency table — l_returnflag counts per shipdate
+    * year (the categorical-drift windows). */
+  def chi2ReturnflagYears(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .groupBy(year($"l_shipdate").as("yr"), $"l_returnflag".as("flag"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"yr", $"flag")
+  }
+
+  /** E9 bucket counts: fixed-width buckets of l_quantity. */
+  def psiQuantityBuckets(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .select(least(floor($"l_quantity" / 5.0), lit(9.0)).cast("int").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy($"bucket")
+  }
+
+  /** E9: full PSI of the l_quantity distribution between two l_shipdate year
+    * windows, computed end-to-end in the engine (proportions from exact
+    * bucket counts). Single-row result, rounded for cross-engine FP parity. */
+  def psiQuantityYears(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select(least(floor($"l_quantity" / 5.0), lit(9.0)).cast("int").as("bucket"),
+        (year($"l_shipdate") >= 1996).as("is_prod"))
+    val counts = li.groupBy($"bucket")
+      .agg(sum(when(!$"is_prod", 1L).otherwise(0L)).as("c_ref"),
+        sum(when($"is_prod", 1L).otherwise(0L)).as("c_prod"))
+    val tot = counts.agg(sum($"c_ref").as("t_ref"), sum($"c_prod").as("t_prod"))
+    counts.crossJoin(tot)
+      .select((greatest($"c_ref" / $"t_ref", lit(1e-6))).as("p"),
+        (greatest($"c_prod" / $"t_prod", lit(1e-6))).as("q"))
+      .agg(round(sum(($"q" - $"p") * log($"q" / $"p")), 6).as("psi"))
+  }
+
+  /** E7: two-sample KS D-statistic of l_quantity between two shipdate-year
+    * windows, from exact empirical CDFs via window cumulative sums. */
+  def ksQuantityYears(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_quantity".as("q"), (year($"l_shipdate") >= 1996).as("is_prod"))
+    val counts = li.groupBy($"q")
+      .agg(sum(when(!$"is_prod", 1L).otherwise(0L)).as("c_ref"),
+        sum(when($"is_prod", 1L).otherwise(0L)).as("c_prod"))
+    val w = Window.orderBy($"q").rowsBetween(Window.unboundedPreceding, 0)
+    val tot = counts.agg(sum($"c_ref").as("t_ref"), sum($"c_prod").as("t_prod"))
+    counts
+      .withColumn("cum_ref", sum($"c_ref").over(w))
+      .withColumn("cum_prod", sum($"c_prod").over(w))
+      .crossJoin(tot)
+      .select(abs($"cum_ref" / $"t_ref" - $"cum_prod" / $"t_prod").as("d"))
+      .agg(round(max($"d"), 6).as("ks_d"))
+  }
+
+  /** E15: top-k with a deterministic tiebreak. */
+  def topkOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  /** Streaming-shaped batch aggregation: tumbling 1-hour windows over events
+    * (the batch-equivalent oracle of ops.StreamingOps.hourlyEventCounts). */
+  def eventsHourlyAgg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(date_trunc("hour", $"ts").as("hr"), $"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_v"))
+      .orderBy($"hr", $"event_type")
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "stats_lineitem" ->
+      """SELECT count(*) AS cnt, count(l_quantity) AS cnt_quantity,
+         count(DISTINCT l_partkey) AS distinct_partkey,
+         count(DISTINCT l_suppkey) AS distinct_suppkey,
+         min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+         round(sum(l_quantity), 4) AS sum_qty FROM lineitem""",
+    "unique_orders" ->
+      """SELECT count(DISTINCT o_orderkey) AS distinct_keys,
+         count(*) AS total,
+         (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) AS dup_keys
+         FROM orders""",
+    "ref_orders_customer" ->
+      """SELECT count(*) AS dangling_orders FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""",
+    "chi2_returnflag_years" ->
+      """SELECT year(l_shipdate) AS yr, l_returnflag AS flag, count(*) AS cnt
+         FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+    "psi_quantity_buckets" ->
+      """SELECT CAST(least(floor(l_quantity / 5.0), 9) AS INT) AS bucket, count(*) AS cnt
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+    "psi_quantity_years" ->
+      """WITH b AS (SELECT CAST(least(floor(l_quantity / 5.0), 9) AS INT) AS bucket,
+                    (year(l_shipdate) >= 1996) AS is_prod FROM lineitem),
+         c AS (SELECT bucket,
+                 sum(CASE WHEN is_prod THEN 0 ELSE 1 END) AS c_ref,
+                 sum(CASE WHEN is_prod THEN 1 ELSE 0 END) AS c_prod FROM b GROUP BY 1),
+         t AS (SELECT sum(c_ref) AS t_ref, sum(c_prod) AS t_prod FROM c)
+         SELECT round(sum((greatest(c_prod * 1.0 / t_prod, 1e-6) - greatest(c_ref * 1.0 / t_ref, 1e-6))
+                * ln(greatest(c_prod * 1.0 / t_prod, 1e-6) / greatest(c_ref * 1.0 / t_ref, 1e-6))), 6) AS psi
+         FROM c, t""",
+    "ks_quantity_years" ->
+      """WITH c AS (SELECT l_quantity AS q,
+                 sum(CASE WHEN year(l_shipdate) >= 1996 THEN 0 ELSE 1 END) AS c_ref,
+                 sum(CASE WHEN year(l_shipdate) >= 1996 THEN 1 ELSE 0 END) AS c_prod
+               FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(c_ref) AS t_ref, sum(c_prod) AS t_prod FROM c),
+         cum AS (SELECT q,
+                 sum(c_ref) OVER (ORDER BY q) AS cum_ref,
+                 sum(c_prod) OVER (ORDER BY q) AS cum_prod FROM c)
+         SELECT round(max(abs(cum_ref * 1.0 / t_ref - cum_prod * 1.0 / t_prod)), 6) AS ks_d
+         FROM cum, t""",
+    "topk_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    "events_hourly_agg" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
+         round(sum(value), 4) AS sum_v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_lineitem" -> (statsLineitem _),
+    "unique_orders" -> (uniqueOrders _),
+    "ref_orders_customer" -> (refOrdersCustomer _),
+    "chi2_returnflag_years" -> (chi2ReturnflagYears _),
+    "psi_quantity_buckets" -> (psiQuantityBuckets _),
+    "psi_quantity_years" -> (psiQuantityYears _),
+    "ks_quantity_years" -> (ksQuantityYears _),
+    "topk_orders" -> (topkOrders _),
+    "events_hourly_agg" -> (eventsHourlyAgg _))
+}

@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline. Each scales the
+  * same way: per-row signatures are narrow projections (codegen'd), candidate
+  * generation is a key-partitioned shuffle on SMALL keys (band hashes /
+  * simhash chunks), and exact verification runs only on candidate pairs —
+  * never an all-pairs product.
+  */
+object Dedup {
+
+  /** Exact dedup via hash-groupBy (content hash of the given columns).
+    * Returns one survivor per group (min tiebreak) — duplicates dropped. */
+  def dropExact(df: DataFrame, contentCols: Seq[String], tiebreak: String): DataFrame = {
+    val h = xxhash64(contentCols.map(col) :+ lit("exact-dedup"): _*)
+    // two aggregations on the content hash (partial-merged, skew-tolerant);
+    // a window would sort whole partitions for no benefit
+    val survivors = df.withColumn("__h", h)
+      .groupBy(col("__h")).agg(min(col(tiebreak)).as(tiebreak))
+    df.withColumn("__h", h)
+      .join(survivors, Seq("__h", tiebreak), "left_semi")
+      .drop("__h")
+  }
+
+  /** Exact duplicate groups: content hash → group size (> 1 only). */
+  def exactDupGroups(df: DataFrame, contentCols: Seq[String]): DataFrame =
+    df.groupBy(xxhash64(contentCols.map(col) :+ lit("exact-dedup"): _*).as("content_hash"))
+      .agg(count(lit(1)).as("cnt"), min(col(df.columns.head)).as("example"))
+      .filter(col("cnt") > 1)
+
+  /** MinHash signature of a shingle array: k independent hash slots, slot i =
+    * min over shingles of xxhash64(shingle, i). */
+  def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(shinglesCol, s => xxhash64(s, i))))
+
+  /** LSH band keys from a MinHash signature: `bands` bands of `rows` slots,
+    * each hashed to one key. Docs sharing ≥1 band key become candidates. */
+  def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"), xxhash64(to_json(slice(signature, b * rows + 1, lit(rows)))).as("bh")))
+
+  /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
+    * @param threshold  exact shingle-set Jaccard cutoff applied to candidates
+    * Pipeline: shingle → minhash → band keys → explode → self-join within
+    * (band, hash) buckets → exact verify. The self-join key space is the
+    * band-hash domain, so the shuffle is by bucket, never all-pairs. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = 0.7, numHashes: Int = 32,
+                      bands: Int = 8, shingleN: Int = 3): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = sig
+      .select(col("id"), col("sh"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
+    val cands = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cands
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard over ALL pairs sharing at least one shingle —
+    * inverted-index join (shingle → posting list), correct but heavier than
+    * LSH; the candidate key is the shingle itself. Use for small/medium
+    * corpora or as ground truth for the LSH variant. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val posting = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val inter = posting.as("a").join(posting.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n").as("n_a"), col("b.n").as("n_b"))
+      .agg(count(lit(1)).cast("double").as("inter"))
+    inter
+      .withColumn("jaccard", round(col("inter") / (col("n_a") + col("n_b") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash of a token array: bit b of the result is the sign of
+    * Σ_tokens (bit b of xxhash64(token) ? +1 : −1). Pure column expression. */
+  def simhash(tokensCol: Column): Column = {
+    val bitSums = transform(sequence(lit(0), lit(63)), b =>
+      aggregate(tokensCol, lit(0L), (acc, t) =>
+        acc + when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
+    aggregate(bitSums, lit(0L), (acc, s) =>
+      shiftleft(acc, 1) + when(s > 0L, 1L).otherwise(0L))
+  }
+
+  /** SimHash near-duplicate pairs within a Hamming radius, via the standard
+    * chunk trick: split 64 bits into `chunks` pieces; pairs within Hamming
+    * distance < chunks must share ≥1 exact chunk (pigeonhole) — so the join
+    * key is a 16-bit chunk value, never all-pairs. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash(TextOps.tokens(col(textCol))).as("sim"))
+    val width = 64 / chunks
+    val chunked = sh.select(col("id"), col("sim"),
+        explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
+          struct(c.as("c"),
+            call_function("shiftright", col("sim"), c * width)
+              .bitwiseAND((1L << width) - 1).as("v")))).as("ck"))
+      .select(col("id"), col("sim"), col("ck.c"), col("ck.v"))
+    chunked.as("a").join(chunked.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
+    * bucketed by random-hyperplane LSH (see Similarity.hyperplaneBucket) so
+    * the self-join is per-bucket. */
+  def embeddingCosineDups(df: DataFrame, idCol: String, embCol: String,
+                          threshold: Double = 0.95, planes: Int = 12): DataFrame = {
+    val b = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      Similarity.hyperplaneBucket(col(embCol), planes).as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(Similarity.cosine(col("a.emb"), col("b.emb")), 6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

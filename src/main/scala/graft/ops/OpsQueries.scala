@@ -1,0 +1,169 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.RollingHash.rolling_hash
+
+/** Driver-facing queries for the training-data pipeline operators, over the
+  * `documents` / `embeddings` / `events` testdata tables. SQL-expressible
+  * ones carry DuckDB oracles; sketch/LSH ones are rows-only (the driver
+  * records a weaker check) and are separately unit-tested for correctness.
+  *
+  * The near-dup queries inject deterministic near-duplicates (a perturbed
+  * copy of every 25th doc) so the operators demonstrably FIND pairs — the
+  * raw corpus has no duplicates.
+  */
+object OpsQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ perturbed near-copies (doc_id + 1,000,000, one word changed). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dups = d.filter(col("doc_id") % 25 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" perturbed")).as("text"))
+    d.select(col("doc_id"), col("text")).union(dups)
+  }
+
+  def dedupExactStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).agg(
+      countDistinct(col("text")).as("distinct_texts"),
+      count(lit(1)).as("total"))
+
+  def dedupExactGroups(s: SparkSession, dir: String): DataFrame =
+    // duplicate the corpus once so groups exist, then find them by md5
+    docs(s, dir).select(col("text")).union(docs(s, dir).select(col("text")))
+      .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+      .agg(count(lit(1)).as("dup_groups"), sum(col("cnt")).as("dup_rows"))
+
+  def textStats(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        length(col("text")).as("chars"),
+        TextOps.tokenCountArith(col("text")).as("tokens"))
+      .orderBy(col("doc_id"))
+
+  def langDistribution(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("lang"))
+
+  def fingerprintMd5(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), md5(lower(col("text"))).as("fp"))
+      .orderBy(col("doc_id"))
+
+  def similarityTopK(s: SparkSession, dir: String): DataFrame = {
+    val queryVec = embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.bruteForceTopK(
+      embs(s, dir).filter(col("vec_id") =!= 0), "vec_id", "embedding", queryVec, 10)
+  }
+
+  // ---- rows-only (sketch / LSH / stub operators) ----
+
+  def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLshPairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashPairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  def embCosineDups(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val dups = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.001).as("embedding"))
+    Dedup.embeddingCosineDups(e.union(dups), "vec_id", "embedding",
+        threshold = 0.98, planes = 10)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val queryVec = embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec, k = 10, planes = 5, probes = 6)
+  }
+
+  def langIdDetect(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), col("lang"),
+        TextOps.langId(col("text")).as("detected"))
+      .orderBy(col("doc_id"))
+
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"),
+        TextOps.subwordCount(col("text")).as("n_subwords"))
+      .orderBy(col("doc_id"))
+
+  def fingerprintRolling(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"), rolling_hash(lower(col("text"))).as("fp"))
+      .orderBy(col("doc_id"))
+
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 500)).toDF()
+      .orderBy(col("media_ref"))
+
+  def eventsStreamHourly(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.runFileStream(s, s"$dir/events.parquet",
+        queryName = s"stream_out_${System.nanoTime()}")
+      .orderBy(col("hr"), col("event_type"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_stats" -> (dedupExactStats _),
+    "dedup_exact_groups" -> (dedupExactGroups _),
+    "text_stats" -> (textStats _),
+    "lang_distribution" -> (langDistribution _),
+    "fingerprint_md5" -> (fingerprintMd5 _),
+    "similarity_topk" -> (similarityTopK _),
+    "dedup_minhash_pairs" -> (minhashLshPairs _),
+    "dedup_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
+    "dedup_simhash_pairs" -> (simhashPairs _),
+    "dedup_emb_cosine" -> (embCosineDups _),
+    "ann_lsh_topk" -> (annLshTopK _),
+    "lang_id_detect" -> (langIdDetect _),
+    "quality_scores" -> (qualityScores _),
+    "fingerprint_rolling" -> (fingerprintRolling _),
+    "media_features" -> (mediaFeatures _),
+    "events_stream_hourly" -> (eventsStreamHourly _))
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact_stats" ->
+      "SELECT count(DISTINCT text) AS distinct_texts, count(*) AS total FROM documents",
+    "dedup_exact_groups" ->
+      """WITH u AS (SELECT text FROM documents UNION ALL SELECT text FROM documents),
+         g AS (SELECT md5(text) AS h, count(*) AS cnt FROM u GROUP BY 1 HAVING count(*) > 1)
+         SELECT count(*) AS dup_groups, sum(cnt) AS dup_rows FROM g""",
+    "text_stats" ->
+      """SELECT doc_id, length(text) AS chars,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS tokens
+         FROM documents ORDER BY doc_id""",
+    "lang_distribution" ->
+      "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang",
+    "fingerprint_md5" ->
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    "similarity_topk" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS e,
+                    generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+         x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id <> 0),
+         dots AS (SELECT x.vec_id, sum(x.e * q.e) AS dot,
+                    sqrt(sum(x.e * x.e)) AS nx, sqrt(sum(q.e * q.e)) AS nq
+                  FROM x JOIN q USING (i) GROUP BY x.vec_id)
+         SELECT vec_id, round(dot / (nx * nq), 4) AS cos FROM dots
+         ORDER BY cos DESC, vec_id LIMIT 10""")
+}

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — one narrow projection per row against
+  * a broadcast query vector (scales linearly, no shuffle except the final
+  * top-k). Scale path: random-hyperplane LSH buckets so candidate generation
+  * touches only the query's bucket(s) instead of the full corpus.
+  */
+object Similarity {
+
+  /** Cosine similarity of two array<numeric> columns (pure column expr —
+    * zip_with product + aggregate sums, whole-stage codegen'd). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(a, lit(0.0), (s, v) => s + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (s, v) => s + v * v))
+    dot / (na * nb)
+  }
+
+  /** Deterministic pseudo-random hyperplane component r(plane, dim) ∈ [-1,1). */
+  private def planeWeight(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim, lit("hyperplane")), lit(2000000L)).cast("double") - 1000000.0) / 1000000.0
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a long.
+    * Same hash family for indexing and querying — cosine-similar vectors land
+    * in the same bucket with high probability. */
+  def hyperplaneBucket(emb: Column, planes: Int = 12): Column = {
+    val dims = size(emb)
+    val signs = transform(sequence(lit(0), lit(planes - 1)), p => {
+      val dot = aggregate(
+        zip_with(emb, sequence(lit(0), dims - 1), (v, i) => v * planeWeight(p, i)),
+        lit(0.0), (s, v) => s + v)
+      when(dot >= 0.0, 1L).otherwise(0L)
+    })
+    aggregate(signs, lit(0L), (acc, s) => shiftleft(acc, 1) + s)
+  }
+
+  /** Brute-force cosine top-k against one query vector (broadcast). */
+  def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
+                     query: Array[Double], k: Int): DataFrame = {
+    val q = typedlit(query.toSeq)
+    df.select(col(idCol), round(cosine(col(embCol).cast("array<double>"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates restricted to the query's hyperplane
+    * bucket, then exact cosine rank. `probes > 1` additionally searches
+    * buckets at Hamming distance 1 (multi-probe) for recall. */
+  def lshTopK(df: DataFrame, idCol: String, embCol: String,
+              query: Array[Double], k: Int, planes: Int = 12, probes: Int = 1): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val qBucket = spark.range(1)
+      .select(hyperplaneBucket(typedlit(query.toSeq), planes))
+      .head().getLong(0)
+    val targets: Seq[Long] =
+      if (probes <= 1) Seq(qBucket)
+      else qBucket +: (0 until planes).map(b => qBucket ^ (1L << b))
+    val q = typedlit(query.toSeq)
+    df.select(col(idCol), col(embCol).cast("array<double>").as("emb"),
+        hyperplaneBucket(col(embCol), planes).as("bucket"))
+      .filter(col("bucket").isin(targets: _*))
+      .select(col(idCol), round(cosine(col("emb"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs brute-force top-k neighbors per row for a SMALL table
+    * (ground truth for LSH recall tests). */
+  def allPairsTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(embCol).cast("array<double>").as("emb_a"))
+    val b = df.select(col(idCol).as("id_b"), col(embCol).cast("array<double>").as("emb_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"), round(cosine(col("emb_a"), col("emb_b")), 4).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+  }
+}

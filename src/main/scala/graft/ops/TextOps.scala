@@ -1,0 +1,82 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for the training-data pipeline: tokenization,
+  * quality scoring, language ID, fingerprinting. All pure column expressions
+  * (whole-stage codegen, no shuffle) — per-row projections scale linearly. */
+object TextOps {
+
+  /** Whitespace tokens (lowercased). */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Token count by pure arithmetic (oracle-friendly: identical in any SQL
+    * engine): separators + 1 on single-space-joined text. */
+  def tokenCountArith(text: Column): Column =
+    when(length(text) === 0, 0)
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
+
+  /** BPE-ish subword count: word-boundary pieces + digit runs + punctuation,
+    * approximating a byte-pair tokenizer's granularity. */
+  def subwordCount(text: Column): Column =
+    size(filter(split(lower(text), "(?<=[a-z])(?=[^a-z])|(?<=[0-9])(?=[^0-9])|\\s+"),
+      t => length(t) > 0))
+
+  /** Quality score in [0,1]: combines length band, stopword ratio, punct
+    * ratio, mean token length — the classic cheap pretraining-quality
+    * heuristics. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = greatest(size(toks).cast("double"), lit(1.0))
+    val stop = typedlit(Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))
+    val stopRatio = size(filter(toks, t => array_contains(stop, t))).cast("double") / nTok
+    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double")
+    val punctRatio = punct / greatest(length(text).cast("double"), lit(1.0))
+    val meanTokLen = length(regexp_replace(text, "\\s+", "")).cast("double") / nTok
+    val lenScore = least(nTok / 64.0, lit(1.0)) // reward docs up to ~64 tokens
+    val stopScore = least(stopRatio * 5.0, lit(1.0)) // some stopwords = natural language
+    val punctScore = greatest(lit(1.0) - punctRatio * 5.0, lit(0.0))
+    val tokLenScore = when(meanTokLen.between(2.5, 9.0), 1.0).otherwise(0.4)
+    round((lenScore * 0.3 + stopScore * 0.25 + punctScore * 0.25 + tokLenScore * 0.2), 6)
+  }
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
+    * heuristic. Public common function words only. */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "it", "that", "was", "for", "with", "as"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por", "un", "una"),
+    "de" -> Seq("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "des", "im", "ein"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "une", "du", "est", "que"))
+
+  /** Heuristic language ID: CJK codepoint share decides 'zh'; otherwise the
+    * stopword profile with the highest hit ratio wins; 'und' when nothing
+    * matches. Pure column expression. */
+  def langId(text: Column): Column = {
+    val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", "")).cast("double")
+    val cjkRatio = cjk / greatest(length(text).cast("double"), lit(1.0))
+    val toks = tokens(text)
+    val nTok = greatest(size(toks).cast("double"), lit(1.0))
+    val scores = profiles.map { case (lang, words) =>
+      val wl = typedlit(words)
+      lang -> (size(filter(toks, t => array_contains(wl, t))).cast("double") / nTok)
+    }
+    val best = scores.tail.foldLeft(struct(lit(scores.head._1).as("lang"), scores.head._2.as("s"))) {
+      case (acc, (lang, sc)) =>
+        when(sc > acc.getField("s"), struct(lit(lang).as("lang"), sc.as("s"))).otherwise(acc)
+    }
+    when(cjkRatio > 0.2, "zh")
+      .when(best.getField("s") >= 0.05, best.getField("lang"))
+      .otherwise("und")
+  }
+
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+          concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+}

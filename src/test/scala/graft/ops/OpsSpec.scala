@@ -1,0 +1,214 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.RollingHash
+
+class TextOpsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("tokens and counts") {
+    val df = Seq("Hello  world foo", "", "one").toDF("t")
+    val got = df.select(size(TextOps.tokens($"t"))).as[Int].collect()
+    assert(got.sameElements(Array(3, 0, 1)))
+  }
+
+  test("langId on natural sentences") {
+    val df = Seq(
+      ("en", "the cat sat on the mat and it was happy with the sun"),
+      ("es", "el perro corre en la casa y los gatos duermen por la noche"),
+      ("de", "der hund und die katze sind mit dem kind im haus und das ist gut"),
+      ("fr", "le chien et le chat sont dans la maison avec les enfants du village"),
+      ("zh", "这是一个中文句子用来测试语言识别"),
+      ("und", "xqz blorp fnargle wibble")).toDF("truth", "t")
+    val got = df.select($"truth", TextOps.langId($"t").as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"expected ${r.getString(0)} got ${r.getString(1)}"))
+  }
+
+  test("qualityScore: natural text beats garbage") {
+    val df = Seq(
+      "the quick brown fox jumps over the lazy dog and it is a fine day for running in the park",
+      "!!!! #### $$$$ %%%% ^^^^ &&&&").toDF("t")
+    val s = df.select(TextOps.qualityScore($"t")).as[Double].collect()
+    assert(s(0) > s(1) + 0.3, s"natural=${s(0)} garbage=${s(1)}")
+  }
+
+  test("shingles: 3-grams of a 5-token doc") {
+    val got = Seq("a b c d e").toDF("t")
+      .select(TextOps.shingles($"t", 3)).as[Seq[String]].head()
+    assert(got == Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("rolling hash expression: correct value, codegen path, null safety") {
+    // hand value: "ab" = 97*B + 98
+    val expected = 97L * RollingHash.B + 98L
+    val got = Seq("ab").toDF("t")
+      .select(RollingHash.rolling_hash($"t")).as[Long].head()
+    assert(got == expected)
+    // equal strings hash equal, different differ; nulls propagate
+    val df = Seq(Some("hello world"), Some("hello worlD"), None).toDF("t")
+      .select(RollingHash.rolling_hash($"t").as("h"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) != rows(1).getLong(0))
+    assert(rows(2).isNullAt(0))
+    // survives a filter+agg pipeline (i.e. inside wholestage codegen)
+    val n = Seq.fill(100)("same text").toDF("t")
+      .select(RollingHash.rolling_hash($"t").as("h"))
+      .groupBy($"h").count().collect()
+    assert(n.length == 1 && n(0).getLong(1) == 100)
+  }
+}
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  val base = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the old river bank tonight"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer rules and physical plans"),
+    (4L, "the quick brown fox jumps over the lazy dog near the old river bank today"), // exact dup of 1
+    (5L, "another unrelated document mentioning quantile sketches and hyperloglog counters"))
+
+  test("exact dedup: drops exact duplicates only") {
+    val df = base.toDF("id", "text")
+    val out = Dedup.dropExact(df, Seq("text"), "id")
+    assert(out.count() == 4)
+    assert(out.select("id").as[Long].collect().sorted.sameElements(Array(1L, 2L, 3L, 5L)))
+    val groups = Dedup.exactDupGroups(df, Seq("text")).collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("cnt") == 2)
+  }
+
+  test("ngram jaccard: finds the near-dup pair, not unrelated docs") {
+    val pairs = Dedup.ngramJaccardPairs(base.toDF("id", "text"), "id", "text", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pairs.map(p => (p._1, p._2)) == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs.find(p => p._1 == 1 && p._2 == 4).get._3 == 1.0) // exact dup
+  }
+
+  test("minhash LSH: full recall of jaccard>=0.7 pairs on this corpus") {
+    val exact = Dedup.ngramJaccardPairs(base.toDF("id", "text"), "id", "text", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(base.toDF("id", "text"), "id", "text", 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact, s"lsh=$lsh exact=$exact")
+  }
+
+  test("simhash: exact dups hamming 0; near-dups close; unrelated far") {
+    val pairs = Dedup.simhashPairs(base.toDF("id", "text"), "id", "text",
+      maxHamming = 64, chunks = 4).as[(Long, Long, Int)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 4L)) == 0)
+    assert(pairs((1L, 2L)) <= 8)
+    assert(pairs.getOrElse((1L, 3L), 65) > 8 || !pairs.contains((1L, 3L)))
+  }
+
+  test("embedding cosine dups: finds perturbed copy, skips orthogonal") {
+    val e = Seq(
+      (1L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (2L, Seq(0.999, 0.01, 0.0, 0.0)), // near-dup of 1
+      (3L, Seq(0.0, 1.0, 0.0, 0.0)),
+      (4L, Seq(0.0, 0.0, 1.0, 0.0))).toDF("id", "emb")
+    val pairs = Dedup.embeddingCosineDups(e, "id", "emb", threshold = 0.98, planes = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("cosine: hand values") {
+    val df = Seq((Seq(1.0, 0.0), Seq(1.0, 0.0)), (Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (Seq(1.0, 1.0), Seq(1.0, 0.0))).toDF("a", "b")
+    val got = df.select(round(Similarity.cosine($"a", $"b"), 6)).as[Double].collect()
+    assert(got(0) == 1.0 && got(1) == 0.0 && math.abs(got(2) - 0.707107) < 1e-6)
+  }
+
+  test("brute-force topk: self-consistent ordering vs manual compute") {
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val topk = Similarity.bruteForceTopK(embs.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, 5).as[(Long, Double)].collect()
+    assert(topk.length == 5)
+    assert(topk.map(_._2).sameElements(topk.map(_._2).sorted.reverse))
+    // manual check of the top-1 against a driver-side computation
+    val all = embs.filter($"vec_id" =!= 0)
+      .select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map(p => p._1 * p._2).sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val best = all.map { case (id, e) =>
+      (id, math.rint(cos(e.toArray, q) * 10000) / 10000) }
+      .maxBy(t => (t._2, -t._1))
+    assert(topk(0)._1 == best._1, s"top1 ${topk(0)} vs manual $best")
+  }
+
+  test("LSH topk: results are a subset of correct cosines, ranked correctly") {
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val lsh = Similarity.lshTopK(embs.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, k = 5, planes = 4, probes = 5)
+      .as[(Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    assert(lsh.map(_._2).sameElements(lsh.map(_._2).sorted.reverse))
+    // every returned cosine must equal the brute-force cosine for that id
+    val bf = Similarity.bruteForceTopK(embs.filter($"vec_id" =!= 0),
+      "vec_id", "embedding", q, 10000).as[(Long, Double)].collect().toMap
+    lsh.foreach { case (id, c) => assert(math.abs(bf(id) - c) < 1e-9) }
+  }
+}
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("synthetic media: binary payloads, deterministic") {
+    val m = Multimodal.syntheticMedia(spark, 50).collect()
+    assert(m.length == 50)
+    assert(m.forall(_.payload.length == 64))
+    val m2 = Multimodal.syntheticMedia(spark, 50).collect()
+    assert(m.map(_.payload.toSeq).sameElements(m2.map(_.payload.toSeq)))
+  }
+
+  test("feature extraction: batch shape and determinism through mapPartitions") {
+    val f = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 50).repartition(7))
+      .collect().sortBy(_.media_ref)
+    assert(f.length == 50)
+    assert(f.forall(_.features.length == 8))
+    assert(f.forall(x => x.features.forall(v => v >= 0.0 && v <= 1.0)))
+    val f2 = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 50))
+      .collect().sortBy(_.media_ref)
+    assert(f.map(_.checksum).sameElements(f2.map(_.checksum)))
+  }
+
+  test("frame sampling keeps every stride-th byte") {
+    val out = Multimodal.frameSample(Multimodal.syntheticMedia(spark, 3), 8)
+      .select($"sampled_frames").as[Seq[Array[Byte]]].head()
+    assert(out.length == 8) // 64 bytes / stride 8
+    assert(out.forall(_.length == 1))
+  }
+}
+
+class StreamingOpsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("streaming hourly agg equals the batch equivalent") {
+    val streamed = StreamingOps.runFileStream(spark,
+        "/root/testdata/sf0.001/events.parquet", "stream_spec")
+      .orderBy($"hr", $"event_type")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    val batch = graft.entry.TpchQueries.eventsHourlyAgg(spark, "/root/testdata/sf0.001")
+      .as[(java.sql.Timestamp, String, Long, Double)].collect()
+    assert(streamed.sameElements(batch))
+    assert(streamed.nonEmpty)
+  }
+}
