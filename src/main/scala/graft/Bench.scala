@@ -1,24 +1,120 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.checks.{Fit, RefState}
+import graft.engine.{RunConfig, SnapshotCatalog, ValidationRun}
+import graft.model.DocsGen
+
+/** Benchmark main — prints ONE JSON line.
+  *
+  * Headline metric (BASELINE.json): validated docs/sec for the FULL
+  * constraint+drift pass (stats + uniqueness + referential + span-order +
+  * null-kind + KS/χ²/PSI/MMD) over the interleaved docs table, plus
+  * throughput at TWO parallelism levels (N=8 and 4N=32 cores, shuffle
+  * partitions matched) on the SAME parquet input — the sandbox evidence for
+  * the ≥0.8 scaling-efficiency criterion (no real cluster; see BASELINE.md).
+  *
+  * SF convention: SF=1 → 108M docs, so the driver's sf0.1 dir → 10.8M docs
+  * (~49M spans). Input is written once (snapshot-committed parquet); both
+  * levels read identical files. One discarded warm-up pass at the hi level
+  * (JIT is process-wide, so the later lo session is already warm); timed
+  * passes take the MIN of two runs to damp sandbox-VM noise. Fit (the
+  * reference-window training analog) is excluded from the timed compare pass,
+  * mirroring the reference's offline fit / online compare split
+  * (ml/training.py fit vs detector_api compare).
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private def session(cores: Int): SparkSession = {
+    val s = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-bench-$cores")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  /** The timed unit: the full validation pass over a pre-committed snapshot. */
+  private def fullPass(spark: SparkSession, table: String, snapshotId: Long,
+                       ref: RefState, outDir: String, nDocs: Long): Long = {
+    import spark.implicits._
+    val docs = SnapshotCatalog.read(spark, table, snapshotId)
+    val media = DocsGen.media(spark)
+    // constant runId keeps the pass's plans literal-identical across runs, so
+    // Spark's codegen cache is hit instead of recompiling ~10 plans per pass
+    // (driver-side serial time that would otherwise dominate at small SF)
+    // explicit prefilter fraction (known docs/part) → sampling overlaps stats
+    val frac = math.min(1.0, 3.0 * 1000 * 18 / nDocs)
+    val res = ValidationRun.run(docs, media, ref,
+      RunConfig(runId = "bench", maxSample = 1000, samplePrefilterFrac = frac))
+    res.verdicts.write.mode("overwrite").parquet(s"$outDir/results")
+    res.violations.write.mode("overwrite").parquet(s"$outDir/violations")
+    res.summaries.values.map(_.nDocs).sum
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val hiCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val loCores = math.max(hiCores / 4, 1)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
+    val nDocs = math.max(18000L, (108000000 * sf).toLong)
+    val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
+
+    // ---- setup (untimed): generate + snapshot-commit input, fit ref state
+    val setup = session(hiCores)
+    val table = s"$work/docs"
+    val snap = SnapshotCatalog.commit(table, DocsGen.docs(setup, nDocs, DocsGen.goldenScenario))
+    val ref = {
+      import setup.implicits._
+      Fit.fit(setup.read.parquet(s"$table/data").filter($"part" === 0),
+        snapshotId = snap.snapshotId, maxSample = 1000)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // ---- hi level: one warm-up pass, then min of two timed passes
+    fullPass(setup, table, snap.snapshotId, ref, s"$work/warm", nDocs)
+    var docsCounted = 0L
+    val hiTimes = (1 to 2).map { i =>
+      val (n, t) = time(fullPass(setup, table, snap.snapshotId, ref, s"$work/hi$i", nDocs))
+      docsCounted = n
+      t
+    }
+    val tHi = hiTimes.min
+    val phases = ValidationRun.lastTimings.toMap // from the last hi pass
+    // headline TPC-H-style queries on the driver's sf dir (hi level)
+    val tpch = Seq("stats_lineitem", "chi2_returnflag_years", "ks_quantity_years",
+      "unique_orders", "ref_orders_customer").map { q =>
+      val (_, t) = time(graft.entry.TpchQueries.queries(q)(setup, sfDir).collect())
+      q -> t
+    }
+    setup.stop()
+
+    // ---- lo level on the SAME input (fresh session; JIT already warm)
+    val lo = session(loCores)
+    val tLo = (1 to 2).map { i =>
+      time(fullPass(lo, table, snap.snapshotId, ref, s"$work/lo$i", nDocs))._2
+    }.min
+    lo.stop()
+
+    val thrHi = docsCounted / tHi
+    val thrLo = docsCounted / tLo
+    val eff = thrHi / (thrLo * (hiCores.toDouble / loCores))
+    val queries = (Seq("full_pass" -> tHi, "full_pass_lo" -> tLo) ++
+      phases.toSeq.sortBy(_._1).map { case (k, v) => s"phase_$k" -> v } ++ tpch)
+      .map { case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    println(
+      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${math.rint(eff * 1000) / 1000}}""")
   }
 }

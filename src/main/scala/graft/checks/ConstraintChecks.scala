@@ -16,7 +16,12 @@ object ConstraintChecks {
     * the salted partials per doc_id. This is the "salted repartition +
     * hash-dedup" the north rule names; AQE skew handling backs it up at
     * runtime. Returns (violations, per-part duplicate-doc counts). */
-  def uniqueness(docs: DataFrame, runId: String, salts: Int = 16): (Dataset[Violation], Map[Int, Long]) = {
+  /** Per-part byproducts of the uniqueness shuffle: exact distinct keys and
+    * total docs come for free once doc_ids are grouped — no separate
+    * HLL/count pass needed when this check runs. */
+  case class UniquenessStats(dupKeys: Long, distinctKeys: Long, totalDocs: Long)
+
+  def uniqueness(docs: DataFrame, runId: String, salts: Int = 16): (Dataset[Violation], Map[Int, UniquenessStats]) = {
     val spark = docs.sparkSession
     import spark.implicits._
     val stage1 = docs
@@ -24,18 +29,22 @@ object ConstraintChecks {
         pmod(xxhash64($"doc_id", lit("salt")), lit(salts.toLong)).as("salt"))
       .groupBy($"doc_id", $"salt")
       .agg(count(lit(1)).as("c"), min($"part").as("part"))
-    val dups = stage1
+    val perKey = stage1
       .groupBy($"doc_id")
       .agg(sum($"c").as("n"), min($"part").as("part"))
-      .filter($"n" > 1)
       .cache()
-    val violations = dups
+    val violations = perKey
+      .filter($"n" > 1)
       .select(lit(runId).as("run_id"), $"part".cast("int").as("part"),
         lit("unique_doc_id").as("check_id"), $"doc_id",
         concat(lit("duplicate doc_id x"), $"n").as("detail"))
       .as[Violation]
-    val perPart = dups.groupBy($"part").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perPart = perKey.groupBy($"part")
+      .agg(sum(when($"n" > 1, 1L).otherwise(0L)).as("dups"),
+        count(lit(1)).as("distinct"), sum($"n").as("total"))
+      .collect()
+      .map(r => r.getInt(0) -> UniquenessStats(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
     (violations, perPart)
   }
 
@@ -106,6 +115,39 @@ object ConstraintChecks {
     val perPart = bad.groupBy($"part").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     (violations, perPart)
+  }
+
+  /** Fused span-integrity pass: span-order AND null-kind violations from ONE
+    * scan (both are narrow per-row predicates over the spans array — no
+    * reason to pay two table reads). Returns violations plus per-(part,check)
+    * counts. */
+  def spanIntegrity(docs: DataFrame, runId: String): (Dataset[Violation], Map[(Int, String), Long]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nullKindViolation = exists(col("spans"), s => s.getField("kind").isNull)
+    val flagged = docs
+      .select($"part", $"doc_id",
+        spanOrderViolation.as("ord"), nullKindViolation.as("nk"))
+      .filter($"ord" || $"nk")
+      .cache()
+    val violations = flagged
+      .select($"part", $"doc_id", explode(filter(array(
+        when($"ord", "span_order").otherwise(lit(null).cast("string")),
+        when($"nk", "null_kind").otherwise(lit(null).cast("string"))),
+        x => x.isNotNull)).as("check_id"))
+      .select(lit(runId).as("run_id"), $"part", $"check_id", $"doc_id",
+        when($"check_id" === "span_order", "non-monotone span offsets")
+          .otherwise("span with null kind").as("detail"))
+      .as[Violation]
+    val perPartCheck = flagged
+      .groupBy($"part")
+      .agg(sum(when($"ord", 1L).otherwise(0L)).as("n_ord"),
+        sum(when($"nk", 1L).otherwise(0L)).as("n_nk"))
+      .collect()
+      .flatMap(r => Seq((r.getInt(0), "span_order") -> r.getLong(1),
+        (r.getInt(0), "null_kind") -> r.getLong(2)))
+      .toMap
+    (violations, perPartCheck)
   }
 
   /** Per-row span-sequence equality vs a reference copy of the table (E14):

@@ -80,28 +80,46 @@ object DriftChecks {
     */
   def mmd(spark: SparkSession, runId: String, alpha: Double, ref: RefState,
           samples: Map[Int, Array[Array[Double]]],
-          numPermutations: Int = 100, randomState: Long = 31L): Seq[Verdict] = {
+          numPermutations: Int = 100, randomState: Long = 31L,
+          permsPerTask: Int = 13): Seq[Verdict] = {
     import spark.implicits._
     val parts = samples.keys.toSeq.sorted
     val bc = spark.sparkContext.broadcast((ref.refSample, ref.sigma, samples))
-    val perPart = numPermutations + 1
-    val stats = spark.range(parts.size.toLong * perPart)
-      .as[Long]
-      .mapPartitions { ids =>
+    val perPart = numPermutations + 1 // permId 0 = observed (identity split)
+    // task chunks: (part, permStart, permEnd). Each task materializes the
+    // pooled kernel matrix ONCE and evaluates its chunk of permutations as
+    // pure reindexed sums — no exp() per permutation. This is the engine's
+    // answer to the reference's chunked kernel + multiprocessing permutation
+    // pool (ml/training.py:145, 528-534): the kernel work is O(pool²) per
+    // task-chunk, permutation work is adds only, and chunks fan out over all
+    // executors via spark.range-style task parallelism.
+    val chunks = for {
+      part <- parts
+      s <- 0 until perPart by permsPerTask
+    } yield (part, s, math.min(s + permsPerTask, perPart))
+    val stats = spark.createDataset(chunks)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
         val (refSample, sigma, prodSamples) = bc.value
-        ids.map { id =>
-          val part = parts((id / perPart).toInt)
-          val permId = id % perPart
-          val prod = prodSamples(part)
-          val stat =
-            if (permId == 0L) Mmd.distance(refSample, prod, sigma)
-            else {
-              val pool = refSample ++ prod
-              // seed mixes part so each partition gets an independent stream
-              Mmd.permutedStat(pool, refSample.length, sigma,
-                randomState * 1000003L + part, permId - 1)
-            }
-          (part, permId, stat)
+        var cachedPart = Int.MinValue
+        var kMat: Array[Float] = null
+        var nPool = 0
+        it.flatMap { case (part, s, e) =>
+          if (part != cachedPart) {
+            val pool = refSample ++ prodSamples(part)
+            kMat = Mmd.kernelMatrix(pool, sigma)
+            nPool = pool.length
+            cachedPart = part
+          }
+          val m = refSample.length
+          (s until e).map { permId =>
+            val idx =
+              if (permId == 0) Array.tabulate(nPool)(identity)
+              else graft.stats.StatMath.permutation(nPool,
+                // seed mixes part so each partition gets an independent stream
+                (randomState * 1000003L + part) * 0x9E3779B97F4A7C15L + (permId - 1))
+            (part, permId.toLong, Mmd.statFromMatrix(kMat, nPool, m, idx))
+          }
         }
       }
       .collect()

@@ -17,10 +17,12 @@ object Fit {
     * one bounded sampling pass. */
   def fit(refDocs: DataFrame, snapshotId: Long = 0L, maxSample: Int = 2000,
           prefilterFrac: Double = 1.0): RefState = {
-    val summaries = PartStats.compute(refDocs.withColumn("part", lit(0)))
+    // same fused one-pass aggregate as the validation run — the reference
+    // sample MUST be featurized identically to the production samples
+    val (summaries, samples) = PartStats.computeFused(
+      refDocs.withColumn("part", lit(0)), maxSample)
     val s = summaries(0)
-    val sample = PartStats.sampleFeatures(
-      refDocs.withColumn("part", lit(0)), DocsGen.featurize, maxSample, prefilterFrac)(0)
+    val sample = samples(0)
     val sigma = Mmd.medianHeuristicSigma(sample, maxRows = 2000)
     RefState(sigma, sample, s.offsetKll, s.kindHist, s.nDocs, s.nSpans, snapshotId)
   }

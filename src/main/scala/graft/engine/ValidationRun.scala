@@ -32,27 +32,76 @@ case class RunConfig(
   */
 object ValidationRun {
 
+  /** Small driver-side pool for submitting independent Spark jobs in
+    * parallel (the executors do the work; these threads mostly wait). */
+  private lazy val jobPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(8, r => {
+        val t = new Thread(r, "graft-job-submit")
+        t.setDaemon(true)
+        t
+      }))
+
   case class Results(verdicts: Dataset[Verdict], violations: Dataset[Violation],
                      summaries: Map[Int, PartSummary])
+
+  /** Wall-clock of each phase of the MOST RECENT run (bench introspection). */
+  val lastTimings: scala.collection.concurrent.TrieMap[String, Double] =
+    scala.collection.concurrent.TrieMap.empty
+
+  private def timed[T](phase: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    val dt = (System.nanoTime() - t0) / 1e9
+    lastTimings.put(phase, dt)
+    if (sys.env.contains("GRAFT_TIMING"))
+      System.err.println(f"[graft-timing] $phase%-16s $dt%.3f s")
+    r
+  }
 
   def run(docs: DataFrame, media: DataFrame, ref: RefState, cfg: RunConfig,
           broadcastMedia: Boolean = true): Results = {
     val spark = docs.sparkSession
     import spark.implicits._
+    import scala.concurrent.{Await, Future, ExecutionContext}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ValidationRun.jobPool
 
-    // 1. one-pass per-partition stats (KLL + HLL + exact kind histogram)
-    val summaries = PartStats.compute(docs)
-    val parts = summaries.keys.toSeq.sorted
-
-    // 2. bounded per-part feature samples for MMD
-    val samples = PartStats.sampleFeatures(
-      docs, DocsGen.featurize, cfg.maxSample, cfg.samplePrefilterFrac)
+    // Independent check jobs are launched CONCURRENTLY from driver threads —
+    // Spark's scheduler interleaves their tasks across all cores, so the
+    // pass's wall-clock is the max of the scan-bound phases, not their sum.
+    // (Sequential submission leaves cores idle in every job's tail.)
 
     // 3-5. constraint checks (violations stay distributed)
-    val (uniqViol, uniqCounts) = ConstraintChecks.uniqueness(docs, cfg.runId, cfg.salts)
-    val (refViol, refCounts) = ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia)
-    val (ordViol, ordCounts) = ConstraintChecks.spanOrder(docs, cfg.runId)
-    val (nkViol, nkCounts) = ConstraintChecks.nullKind(docs, cfg.runId)
+    val fUniq = Future(timed("uniqueness")(
+      ConstraintChecks.uniqueness(docs, cfg.runId, cfg.salts)))
+    val fRef = Future(timed("referential")(
+      ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia)))
+    val fIntegrity = Future(timed("span_integrity")(
+      ConstraintChecks.spanIntegrity(docs, cfg.runId)))
+
+    // 1+2. stats and MMD-sampling both run through the custom DocStatsAgg
+    // (one scan each, no explode). They are split into two CONCURRENT jobs —
+    // sampling is the light one, so the MMD permutation fan-out (which only
+    // needs the samples) starts while the heavy stats scan is still running:
+    // the critical path is max(stats, sample+mmd, constraints), not a chain.
+    val fSampleMmd = Future {
+      val samples = timed("mmd_sample")(PartStats.computeFused(
+        docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeSample)._2)
+      timed("mmd_fanout")(DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref, samples,
+        cfg.numPermutations, cfg.randomState)) -> samples
+    }
+    val (summaries, _) = timed("stats")(
+      PartStats.computeFused(docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeStats))
+    val parts = summaries.keys.toSeq.sorted
+    val (mmdVerdicts, samples) = Await.result(fSampleMmd, Duration.Inf)
+
+    val (uniqViol, uniqStats) = Await.result(fUniq, Duration.Inf)
+    val (refViol, refCounts) = Await.result(fRef, Duration.Inf)
+    val (intViol, intCounts) = Await.result(fIntegrity, Duration.Inf)
+    val uniqCounts = uniqStats.map { case (p, s) => p -> s.dupKeys }
+    val ordCounts = intCounts.collect { case ((p, "span_order"), n) => p -> n }
+    val nkCounts = intCounts.collect { case ((p, "null_kind"), n) => p -> n }
 
     def constraintVerdicts(checkId: String, counts: Map[Int, Long]): Seq[Verdict] =
       parts.map { p =>
@@ -66,7 +115,9 @@ object ValidationRun {
       Verdict.now(cfg.runId, p, "stats", cfg.alpha, 0.0, 1.0, Some(true), Map(
         "count" -> s.nDocs.toDouble,
         "n_spans" -> s.nSpans.toDouble,
-        "approx_distinct_doc_id" -> s.approxDistinctDocIds.toDouble,
+        // exact distinct — free byproduct of the uniqueness shuffle (E3's
+        // HLL path is available via PartStats.compute(includeHll = true))
+        "distinct_doc_id" -> uniqStats.get(p).map(_.distinctKeys.toDouble).getOrElse(-1.0),
         "null_kind_rate" -> (if (s.nSpans == 0) 0.0 else s.nullKindSpans.toDouble / s.nSpans),
         "offset_p50" -> graft.sketch.KllOps.quantiles(s.offsetKll, Array(0.5))(0),
         "offset_p99" -> graft.sketch.KllOps.quantiles(s.offsetKll, Array(0.99))(0)),
@@ -82,10 +133,9 @@ object ValidationRun {
         DriftChecks.ks(cfg.runId, cfg.alpha, ref, summaries) ++
         DriftChecks.chi2(cfg.runId, cfg.alpha, ref, summaries) ++
         DriftChecks.psi(cfg.runId, cfg.alpha, ref, summaries) ++
-        DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref, samples,
-          cfg.numPermutations, cfg.randomState)
+        mmdVerdicts
 
-    val violations = uniqViol.union(refViol).union(ordViol).union(nkViol)
+    val violations = uniqViol.union(refViol).union(intViol)
     Results(spark.createDataset(verdicts), violations, summaries)
   }
 

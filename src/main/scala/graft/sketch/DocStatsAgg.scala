@@ -1,0 +1,300 @@
+package graft.sketch
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
+import org.apache.datasketches.kll.KllDoublesSketch
+import org.apache.datasketches.memory.Memory
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.BinaryLike
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{BinaryType, DataType}
+import scala.collection.mutable
+
+/** Everything-in-one-pass per-partition statistics aggregate (Deequ-style
+  * single-scan metric computation, from scratch).
+  *
+  * One `groupBy(part).agg(docStats($"spans", h))` computes, per partition:
+  *   - doc count, span count, null-kind span count
+  *   - span-kind histogram (exact)
+  *   - KLL quantile sketch of span offsets
+  *   - a BOUNDED deterministic feature sample: the `maxSample` docs with the
+  *     smallest sampling hash, with the 6-dim drift feature vector computed
+  *     imperatively inside the aggregate (only for rows that beat the current
+  *     heap bound — the DRS-featurizer analog, see DocsGen.featurize)
+  *
+  * vs the naive plan (explode → two aggs + a second sampling scan) this is
+  * ONE scan with NO explode and a shuffle of O(tasks × parts × bufferBytes):
+  * the shape that survives 10^12 rows. Buffers are manually serialized
+  * (fixed codec, no kryo) for the partial→final merge.
+  */
+case class DocStatsAgg(
+    spansChild: Expression,
+    hashChild: Expression,
+    maxSample: Int = 1000,
+    mode: Int = DocStatsAgg.ModeBoth, // ModeStats skips sampling, ModeSample skips stats
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[DocStatsBuffer] with BinaryLike[Expression] {
+
+  override def left: Expression = spansChild
+  override def right: Expression = hashChild
+
+  override def createAggregationBuffer(): DocStatsBuffer = new DocStatsBuffer(maxSample)
+
+  private val doStats = mode != DocStatsAgg.ModeSample
+  private val doSample = mode != DocStatsAgg.ModeStats
+
+  override def update(buf: DocStatsBuffer, input: InternalRow): DocStatsBuffer = {
+    val spans = spansChild.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (spans == null) return buf
+    val h = hashChild.eval(input).asInstanceOf[Long]
+    buf.updateDoc(spans, h, doStats, doSample)
+    buf
+  }
+
+  override def merge(buf: DocStatsBuffer, other: DocStatsBuffer): DocStatsBuffer = {
+    buf.mergeIn(other)
+    buf
+  }
+
+  override def eval(buf: DocStatsBuffer): Any = buf.serialize()
+  override def serialize(buf: DocStatsBuffer): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): DocStatsBuffer =
+    DocStatsBuffer.deserialize(bytes)
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def withNewMutableAggBufferOffset(offset: Int): DocStatsAgg =
+    copy(mutableAggBufferOffset = offset)
+  override def withNewInputAggBufferOffset(offset: Int): DocStatsAgg =
+    copy(inputAggBufferOffset = offset)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): DocStatsAgg =
+    copy(spansChild = l, hashChild = r)
+  override def prettyName: String = "doc_stats_agg"
+}
+
+object DocStatsAgg {
+  val ModeBoth = 0
+  val ModeStats = 1
+  val ModeSample = 2
+
+  /** Column API: spans array + sampling hash → binary-encoded DocStatsResult. */
+  def docStats(spans: Column, hash: Column, maxSample: Int = 1000,
+               mode: Int = ModeBoth): Column =
+    ColumnBridge.toColumn(DocStatsAgg(
+      ColumnBridge.toExpr(spans), ColumnBridge.toExpr(hash), maxSample, mode)
+      .toAggregateExpression())
+}
+
+/** Decoded result of DocStatsAgg (driver-side). */
+case class DocStatsResult(
+    nDocs: Long,
+    nSpans: Long,
+    nullKindSpans: Long,
+    kindHist: Map[String, Long],
+    kllBytes: Array[Byte],
+    sample: Array[Array[Double]])
+
+/** Mutable aggregation buffer. Span struct layout: (kind, text, media_ref,
+  * offset) — must match graft.model.DocModel.spanType field order. */
+final class DocStatsBuffer(val maxSample: Int) {
+  var nDocs = 0L
+  var nSpans = 0L
+  var nullKindSpans = 0L
+  // kind counts keyed by UTF8String (copied once on first sight) — linear
+  // scan over the handful of kinds, ZERO per-span String allocation
+  private var kindKeys = new Array[org.apache.spark.unsafe.types.UTF8String](8)
+  private var kindVals = new Array[Long](8)
+  private var nKinds = 0
+  var kll: KllDoublesSketch = KllDoublesSketch.newHeapInstance(200)
+  // bounded sample: keep maxSample entries with SMALLEST hash; max-heap by h
+  // (tiebreak: elementwise feature compare — allocation-free, deterministic)
+  private val sampleOrd: Ordering[(Long, Array[Double])] =
+    new Ordering[(Long, Array[Double])] {
+      def compare(a: (Long, Array[Double]), b: (Long, Array[Double])): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) return c
+        val (fa, fb) = (a._2, b._2)
+        var i = 0
+        while (i < fa.length && i < fb.length) {
+          val cc = java.lang.Double.compare(fa(i), fb(i))
+          if (cc != 0) return cc
+          i += 1
+        }
+        Integer.compare(fa.length, fb.length)
+      }
+    }
+  val sample: mutable.PriorityQueue[(Long, Array[Double])] =
+    mutable.PriorityQueue.empty(sampleOrd)
+
+  private def bumpKind(k: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    var i = 0
+    while (i < nKinds) {
+      if (kindKeys(i).equals(k)) { kindVals(i) += 1L; return }
+      i += 1
+    }
+    if (nKinds == kindKeys.length) {
+      kindKeys = java.util.Arrays.copyOf(kindKeys, nKinds * 2)
+      kindVals = java.util.Arrays.copyOf(kindVals, nKinds * 2)
+    }
+    kindKeys(nKinds) = k.clone() // copy out of the transient row buffer
+    kindVals(nKinds) = 1L
+    nKinds += 1
+  }
+
+  def kindCounts: Map[String, Long] =
+    (0 until nKinds).map(i => kindKeys(i).toString -> kindVals(i)).toMap
+
+  def setKindCount(k: String, c: Long): Unit = {
+    bumpKind(org.apache.spark.unsafe.types.UTF8String.fromString(k))
+    kindVals(nKinds - 1) = c
+  }
+
+  def updateDoc(spans: org.apache.spark.sql.catalyst.util.ArrayData, h: Long,
+                doStats: Boolean = true, doSample: Boolean = true): Unit = {
+    val n = spans.numElements()
+    nDocs += 1
+    nSpans += n
+    if (doStats) {
+      var i = 0
+      while (i < n) {
+        val s = spans.getStruct(i, 4)
+        if (s.isNullAt(0)) nullKindSpans += 1
+        else bumpKind(s.getUTF8String(0))
+        kll.update(s.getInt(3).toDouble)
+        i += 1
+      }
+    }
+    if (doSample && (sample.size < maxSample || h < sample.head._1)) {
+      sample.enqueue((h, features(spans)))
+      if (sample.size > maxSample) sample.dequeue()
+    }
+  }
+
+  /** Imperative twin of graft.model.DocsGen.featurize — MUST stay in sync:
+    * [n/8, meanGap/30, fracText, fracImage, meanAbsDev/15, fracNonPos]. */
+  private def features(spans: org.apache.spark.sql.catalyst.util.ArrayData): Array[Double] = {
+    val n = spans.numElements()
+    var text = 0.0
+    var image = 0.0
+    var i = 0
+    var prevOff = 0
+    var sumGap = 0.0
+    val nGaps = math.max(n - 1, 1)
+    val gaps = new Array[Double](math.max(n - 1, 0))
+    while (i < n) {
+      val s = spans.getStruct(i, 4)
+      if (!s.isNullAt(0)) {
+        val k = s.getUTF8String(0).toString
+        if (k == "text") text += 1 else if (k == "image") image += 1
+      }
+      val off = s.getInt(3)
+      if (i > 0) {
+        gaps(i - 1) = (off - prevOff).toDouble
+        sumGap += gaps(i - 1)
+      }
+      prevOff = off
+      i += 1
+    }
+    val meanGap = sumGap / nGaps
+    var absDev = 0.0
+    var nonPos = 0.0
+    i = 0
+    while (i < gaps.length) {
+      absDev += math.abs(gaps(i) - meanGap)
+      if (gaps(i) <= 0.0) nonPos += 1
+      i += 1
+    }
+    Array(n / 8.0, meanGap / 30.0, text / n, image / n,
+      (absDev / nGaps) / 15.0, nonPos / nGaps)
+  }
+
+  def mergeIn(other: DocStatsBuffer): Unit = {
+    nDocs += other.nDocs
+    nSpans += other.nSpans
+    nullKindSpans += other.nullKindSpans
+    var i = 0
+    while (i < other.nKinds) {
+      var j = 0
+      var found = false
+      while (j < nKinds && !found) {
+        if (kindKeys(j).equals(other.kindKeys(i))) {
+          kindVals(j) += other.kindVals(i); found = true
+        }
+        j += 1
+      }
+      if (!found) {
+        if (nKinds == kindKeys.length) {
+          kindKeys = java.util.Arrays.copyOf(kindKeys, nKinds * 2)
+          kindVals = java.util.Arrays.copyOf(kindVals, nKinds * 2)
+        }
+        kindKeys(nKinds) = other.kindKeys(i)
+        kindVals(nKinds) = other.kindVals(i)
+        nKinds += 1
+      }
+      i += 1
+    }
+    kll.merge(other.kll)
+    other.sample.foreach { e =>
+      if (sample.size < maxSample || e._1 < sample.head._1) {
+        sample.enqueue(e)
+        if (sample.size > maxSample) sample.dequeue()
+      }
+    }
+  }
+
+  def serialize(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(maxSample)
+    out.writeLong(nDocs); out.writeLong(nSpans); out.writeLong(nullKindSpans)
+    val kc = kindCounts
+    out.writeInt(kc.size)
+    kc.toSeq.sortBy(_._1).foreach { case (k, c) =>
+      out.writeUTF(k); out.writeLong(c)
+    }
+    val kllBytes = kll.toByteArray
+    out.writeInt(kllBytes.length); out.write(kllBytes)
+    out.writeInt(sample.size)
+    sample.toSeq.sortBy(e => (e._1, e._2.mkString(","))).foreach { case (h, f) =>
+      out.writeLong(h)
+      out.writeInt(f.length)
+      f.foreach(out.writeDouble)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+}
+
+object DocStatsBuffer {
+  def deserialize(bytes: Array[Byte]): DocStatsBuffer = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = new DocStatsBuffer(in.readInt())
+    buf.nDocs = in.readLong(); buf.nSpans = in.readLong(); buf.nullKindSpans = in.readLong()
+    val nk = in.readInt()
+    (0 until nk).foreach { _ =>
+      val k = in.readUTF(); buf.setKindCount(k, in.readLong())
+    }
+    val kllLen = in.readInt()
+    val kllBytes = new Array[Byte](kllLen)
+    in.readFully(kllBytes)
+    buf.kll = KllDoublesSketch.heapify(Memory.wrap(kllBytes))
+    val ns = in.readInt()
+    (0 until ns).foreach { _ =>
+      val h = in.readLong()
+      val fl = in.readInt()
+      buf.sample.enqueue((h, Array.fill(fl)(in.readDouble())))
+    }
+    buf
+  }
+
+  def decodeResult(bytes: Array[Byte]): DocStatsResult = {
+    val buf = deserialize(bytes)
+    DocStatsResult(buf.nDocs, buf.nSpans, buf.nullKindSpans,
+      buf.kindCounts.toMap, buf.kll.toByteArray,
+      // ascending hash order (deterministic)
+      buf.sample.toArray.sortBy(e => (e._1, e._2.mkString(","))).map(_._2))
+  }
+}

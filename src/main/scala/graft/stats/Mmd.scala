@@ -92,6 +92,63 @@ object Mmd {
   def distance(x: Array[Array[Double]], y: Array[Array[Double]], sigma: Double): Double =
     math.sqrt(math.max(0.0, mmd2(x, y, sigma)))
 
+  /** Full pooled kernel matrix (float, symmetric, row-major). Computing it
+    * ONCE per task and reindexing per permutation removes the exp() from the
+    * permutation loop — the permutation test then costs additions only. */
+  def kernelMatrix(pool: Array[Array[Double]], sigma: Double): Array[Float] = {
+    val n = pool.length
+    val k = new Array[Float](n * n)
+    var i = 0
+    while (i < n) {
+      k(i * n + i) = 1.0f
+      var j = i + 1
+      while (j < n) {
+        val v = rbf(pool(i), pool(j), sigma).toFloat
+        k(i * n + j) = v
+        k(j * n + i) = v
+        j += 1
+      }
+      i += 1
+    }
+    k
+  }
+
+  /** MMD distance from a precomputed pooled kernel matrix and an index
+    * permutation: first m permuted indices = X, rest = Y. Double accumulators
+    * over float entries. */
+  def statFromMatrix(k: Array[Float], nPool: Int, m: Int, idx: Array[Int]): Double = {
+    val n2 = nPool - m
+    if (m < 2 || n2 < 2) return 0.0
+    var sxx = 0.0
+    var i = 0
+    while (i < m) {
+      val ri = idx(i) * nPool
+      var j = i + 1
+      while (j < m) { sxx += k(ri + idx(j)); j += 1 }
+      i += 1
+    }
+    var syy = 0.0
+    i = m
+    while (i < nPool) {
+      val ri = idx(i) * nPool
+      var j = i + 1
+      while (j < nPool) { syy += k(ri + idx(j)); j += 1 }
+      i += 1
+    }
+    var sxy = 0.0
+    i = 0
+    while (i < m) {
+      val ri = idx(i) * nPool
+      var j = m
+      while (j < nPool) { sxy += k(ri + idx(j)); j += 1 }
+      i += 1
+    }
+    val mmd2 = 2.0 * sxx / (m.toDouble * (m - 1)) +
+      2.0 * syy / (n2.toDouble * (n2 - 1)) -
+      2.0 * sxy / (m.toDouble * n2)
+    math.sqrt(math.max(0.0, mmd2))
+  }
+
   /** One permutation's statistic: pool = ref ++ prod rows, shuffled with a
     * seed derived from (randomState, permId), re-split at the original sizes.
     * Deterministic regardless of task placement. */

@@ -110,9 +110,11 @@ class GoldenScenarioSpec extends AnyFunSuite {
     assert(v.snapshot_id == 1L)
   }
 
-  test("stats verdicts: counts and approx-distinct within HLL error") {
+  test("stats verdicts: counts and exact distinct (uniqueness byproduct)") {
     val s = verdicts((1, "stats")).metrics
     assert(s("count") == 1000.0)
-    assert(math.abs(s("approx_distinct_doc_id") - 1000.0) / 1000.0 < 0.05)
+    assert(s("distinct_doc_id") == 1000.0)
+    // dup fixture: 1000 docs in groups of 5 -> 200 distinct
+    assert(verdicts((15, "stats")).metrics("distinct_doc_id") == 200.0)
   }
 }
