@@ -69,7 +69,8 @@ object Bench {
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val loCores = math.max(hiCores / 4, 1)
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.1)
-    val nDocs = math.max(18000L, (108000000 * sf).toLong)
+    val nDocs = sys.env.get("SPARK_GRAFT_DOCS").map(_.toLong)
+      .getOrElse(math.max(18000L, (108000000 * sf).toLong))
     val work = java.nio.file.Files.createTempDirectory("graft-bench").toString
 
     // ---- setup (untimed): generate + snapshot-commit input, fit ref state
@@ -82,15 +83,18 @@ object Bench {
         snapshotId = snap.snapshotId, maxSample = 1000)
     }
 
-    // ---- hi level: one warm-up pass, then min of two timed passes
+    // ---- hi level: one warm-up pass, then timed passes
     fullPass(setup, table, snap.snapshotId, ref, s"$work/warm", nDocs)
     var docsCounted = 0L
-    val hiTimes = (1 to 2).map { i =>
-      val (n, t) = time(fullPass(setup, table, snap.snapshotId, ref, s"$work/hi$i", nDocs))
+    def hiPass(s2: SparkSession, i: Int): Double = {
+      val (n, t) = time(fullPass(s2, table, snap.snapshotId, ref, s"$work/hi$i", nDocs))
       docsCounted = n
       t
     }
-    val tHi = hiTimes.min
+    // The sandbox VM's throughput swings several-fold over minutes, so hi
+    // runs are split around the lo block and both take min-of-N: a noise
+    // burst then penalizes both levels instead of biasing the ratio.
+    val hiFirst = (1 to 2).map(hiPass(setup, _))
     val phases = ValidationRun.lastTimings.toMap // from the last hi pass
     // headline TPC-H-style queries on the driver's sf dir (hi level)
     val tpch = Seq("stats_lineitem", "chi2_returnflag_years", "ks_quantity_years",
@@ -102,10 +106,22 @@ object Bench {
 
     // ---- lo level on the SAME input (fresh session; JIT already warm)
     val lo = session(loCores)
-    val tLo = (1 to 2).map { i =>
+    val tLo = (1 to 3).map { i =>
       time(fullPass(lo, table, snap.snapshotId, ref, s"$work/lo$i", nDocs))._2
     }.min
     lo.stop()
+
+    // final hi run after the lo block (interleaving, see above)
+    val setup2 = session(hiCores)
+    val hiLast = hiPass(setup2, 3)
+    setup2.stop()
+    val tHi = (hiFirst :+ hiLast).min
+
+    // clean up the multi-GB temp input/output
+    try {
+      import scala.sys.process._
+      Seq("rm", "-rf", work).!
+    } catch { case _: Throwable => }
 
     val thrHi = docsCounted / tHi
     val thrLo = docsCounted / tLo

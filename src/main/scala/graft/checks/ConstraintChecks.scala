@@ -57,10 +57,11 @@ object ConstraintChecks {
                   broadcastMedia: Boolean = true): (Dataset[Violation], Map[Int, Long]) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // explode the media_ref FIELD array (not the struct array): the parquet
+    // scan then reads only the media_ref subfield bytes (nested pruning)
     val refs = docs
-      .select($"part", $"doc_id", explode($"spans").as("s"))
-      .filter($"s.media_ref".isNotNull)
-      .select($"part", $"doc_id", $"s.media_ref".as("media_ref"))
+      .select($"part", $"doc_id", explode(col("spans.media_ref")).as("media_ref"))
+      .filter($"media_ref".isNotNull)
     val cat = media.select($"media_ref")
     val dangling = refs
       .join(if (broadcastMedia) broadcast(cat) else cat, Seq("media_ref"), "left_anti")

@@ -77,8 +77,6 @@ object ValidationRun {
       ConstraintChecks.uniqueness(docs, cfg.runId, cfg.salts)))
     val fRef = Future(timed("referential")(
       ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia)))
-    val fIntegrity = Future(timed("span_integrity")(
-      ConstraintChecks.spanIntegrity(docs, cfg.runId)))
 
     // 1+2. stats and MMD-sampling both run through the custom DocStatsAgg
     // (one scan each, no explode). They are split into two CONCURRENT jobs —
@@ -98,10 +96,17 @@ object ValidationRun {
 
     val (uniqViol, uniqStats) = Await.result(fUniq, Duration.Inf)
     val (refViol, refCounts) = Await.result(fRef, Duration.Inf)
-    val (intViol, intCounts) = Await.result(fIntegrity, Duration.Inf)
     val uniqCounts = uniqStats.map { case (p, s) => p -> s.dupKeys }
-    val ordCounts = intCounts.collect { case ((p, "span_order"), n) => p -> n }
-    val nkCounts = intCounts.collect { case ((p, "null_kind"), n) => p -> n }
+    // span-integrity counts come FREE from the stats pass; violation ROWS are
+    // materialized from the dirty partitions only — partition pruning makes
+    // this near-zero when the table is clean (the common case at scale)
+    val ordCounts = summaries.collect { case (p, s) if s.ordViolationDocs > 0 => p -> s.ordViolationDocs }
+    val nkCounts = summaries.collect { case (p, s) if s.nullKindDocs > 0 => p -> s.nullKindDocs }
+    val dirtyParts = (ordCounts.keySet ++ nkCounts.keySet).toSeq
+    val intViol: Dataset[Violation] =
+      if (dirtyParts.isEmpty) spark.emptyDataset[Violation]
+      else timed("integrity_rows")(ConstraintChecks.spanIntegrity(
+        docs.filter($"part".isin(dirtyParts: _*)), cfg.runId)._1)
 
     def constraintVerdicts(checkId: String, counts: Map[Int, Long]): Seq[Verdict] =
       parts.map { p =>

@@ -7,7 +7,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.trees.BinaryLike
+
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types.{BinaryType, DataType}
 import scala.collection.mutable
@@ -30,16 +30,19 @@ import scala.collection.mutable
   * (fixed codec, no kryo) for the partial→final merge.
   */
 case class DocStatsAgg(
-    spansChild: Expression,
+    kindsChild: Expression, // array<string>: spans.kind
+    offsetsChild: Expression, // array<int>: spans.offset
     hashChild: Expression,
     maxSample: Int = 1000,
     mode: Int = DocStatsAgg.ModeBoth, // ModeStats skips sampling, ModeSample skips stats
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[DocStatsBuffer] with BinaryLike[Expression] {
+  extends TypedImperativeAggregate[DocStatsBuffer]
+  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
 
-  override def left: Expression = spansChild
-  override def right: Expression = hashChild
+  override def first: Expression = kindsChild
+  override def second: Expression = offsetsChild
+  override def third: Expression = hashChild
 
   override def createAggregationBuffer(): DocStatsBuffer = new DocStatsBuffer(maxSample)
 
@@ -47,10 +50,11 @@ case class DocStatsAgg(
   private val doSample = mode != DocStatsAgg.ModeStats
 
   override def update(buf: DocStatsBuffer, input: InternalRow): DocStatsBuffer = {
-    val spans = spansChild.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    if (spans == null) return buf
+    val kinds = kindsChild.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val offsets = offsetsChild.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (kinds == null || offsets == null) return buf
     val h = hashChild.eval(input).asInstanceOf[Long]
-    buf.updateDoc(spans, h, doStats, doSample)
+    buf.updateDoc(kinds, offsets, h, doStats, doSample)
     buf
   }
 
@@ -70,8 +74,8 @@ case class DocStatsAgg(
     copy(mutableAggBufferOffset = offset)
   override def withNewInputAggBufferOffset(offset: Int): DocStatsAgg =
     copy(inputAggBufferOffset = offset)
-  override protected def withNewChildrenInternal(l: Expression, r: Expression): DocStatsAgg =
-    copy(spansChild = l, hashChild = r)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): DocStatsAgg =
+    copy(kindsChild = f, offsetsChild = s, hashChild = t)
   override def prettyName: String = "doc_stats_agg"
 }
 
@@ -80,11 +84,16 @@ object DocStatsAgg {
   val ModeStats = 1
   val ModeSample = 2
 
-  /** Column API: spans array + sampling hash → binary-encoded DocStatsResult. */
-  def docStats(spans: Column, hash: Column, maxSample: Int = 1000,
+  /** Column API: spans.kind + spans.offset arrays + sampling hash →
+    * binary-encoded DocStatsResult. Consuming the two FIELD arrays (not the
+    * whole struct array) lets parquet nested-column pruning skip the heavy
+    * text/media_ref bytes — the scans become bandwidth-proportional to the
+    * two small fields. */
+  def docStats(kinds: Column, offsets: Column, hash: Column, maxSample: Int = 1000,
                mode: Int = ModeBoth): Column =
     ColumnBridge.toColumn(DocStatsAgg(
-      ColumnBridge.toExpr(spans), ColumnBridge.toExpr(hash), maxSample, mode)
+      ColumnBridge.toExpr(kinds), ColumnBridge.toExpr(offsets),
+      ColumnBridge.toExpr(hash), maxSample, mode)
       .toAggregateExpression())
 }
 
@@ -93,6 +102,8 @@ case class DocStatsResult(
     nDocs: Long,
     nSpans: Long,
     nullKindSpans: Long,
+    ordViolationDocs: Long,
+    nullKindDocs: Long,
     kindHist: Map[String, Long],
     kllBytes: Array[Byte],
     sample: Array[Array[Double]])
@@ -103,6 +114,8 @@ final class DocStatsBuffer(val maxSample: Int) {
   var nDocs = 0L
   var nSpans = 0L
   var nullKindSpans = 0L
+  var ordViolationDocs = 0L // docs with non-monotone span offsets
+  var nullKindDocs = 0L // docs with >=1 null-kind span
   // kind counts keyed by UTF8String (copied once on first sight) — linear
   // scan over the handful of kinds, ZERO per-span String allocation
   private var kindKeys = new Array[org.apache.spark.unsafe.types.UTF8String](8)
@@ -152,31 +165,43 @@ final class DocStatsBuffer(val maxSample: Int) {
     kindVals(nKinds - 1) = c
   }
 
-  def updateDoc(spans: org.apache.spark.sql.catalyst.util.ArrayData, h: Long,
+  def updateDoc(kinds: org.apache.spark.sql.catalyst.util.ArrayData,
+                offsets: org.apache.spark.sql.catalyst.util.ArrayData, h: Long,
                 doStats: Boolean = true, doSample: Boolean = true): Unit = {
-    val n = spans.numElements()
+    val n = kinds.numElements()
     nDocs += 1
     nSpans += n
     if (doStats) {
       var i = 0
+      var prevOff = Int.MinValue
+      var ord = false
+      var nk = false
       while (i < n) {
-        val s = spans.getStruct(i, 4)
-        if (s.isNullAt(0)) nullKindSpans += 1
-        else bumpKind(s.getUTF8String(0))
-        kll.update(s.getInt(3).toDouble)
+        if (kinds.isNullAt(i)) { nullKindSpans += 1; nk = true }
+        else bumpKind(kinds.getUTF8String(i))
+        val off = offsets.getInt(i)
+        if (i > 0 && off <= prevOff) ord = true
+        prevOff = off
+        kll.update(off.toDouble)
         i += 1
       }
+      if (ord) ordViolationDocs += 1
+      if (nk) nullKindDocs += 1
     }
     if (doSample && (sample.size < maxSample || h < sample.head._1)) {
-      sample.enqueue((h, features(spans)))
+      sample.enqueue((h, features(kinds, offsets)))
       if (sample.size > maxSample) sample.dequeue()
     }
   }
 
   /** Imperative twin of graft.model.DocsGen.featurize — MUST stay in sync:
     * [n/8, meanGap/30, fracText, fracImage, meanAbsDev/15, fracNonPos]. */
-  private def features(spans: org.apache.spark.sql.catalyst.util.ArrayData): Array[Double] = {
-    val n = spans.numElements()
+  private val TEXT = org.apache.spark.unsafe.types.UTF8String.fromString("text")
+  private val IMAGE = org.apache.spark.unsafe.types.UTF8String.fromString("image")
+
+  private def features(kinds: org.apache.spark.sql.catalyst.util.ArrayData,
+                       offsets: org.apache.spark.sql.catalyst.util.ArrayData): Array[Double] = {
+    val n = kinds.numElements()
     var text = 0.0
     var image = 0.0
     var i = 0
@@ -185,12 +210,11 @@ final class DocStatsBuffer(val maxSample: Int) {
     val nGaps = math.max(n - 1, 1)
     val gaps = new Array[Double](math.max(n - 1, 0))
     while (i < n) {
-      val s = spans.getStruct(i, 4)
-      if (!s.isNullAt(0)) {
-        val k = s.getUTF8String(0).toString
-        if (k == "text") text += 1 else if (k == "image") image += 1
+      if (!kinds.isNullAt(i)) {
+        val k = kinds.getUTF8String(i)
+        if (k.equals(TEXT)) text += 1 else if (k.equals(IMAGE)) image += 1
       }
-      val off = s.getInt(3)
+      val off = offsets.getInt(i)
       if (i > 0) {
         gaps(i - 1) = (off - prevOff).toDouble
         sumGap += gaps(i - 1)
@@ -215,6 +239,8 @@ final class DocStatsBuffer(val maxSample: Int) {
     nDocs += other.nDocs
     nSpans += other.nSpans
     nullKindSpans += other.nullKindSpans
+    ordViolationDocs += other.ordViolationDocs
+    nullKindDocs += other.nullKindDocs
     var i = 0
     while (i < other.nKinds) {
       var j = 0
@@ -250,6 +276,7 @@ final class DocStatsBuffer(val maxSample: Int) {
     val out = new DataOutputStream(bos)
     out.writeInt(maxSample)
     out.writeLong(nDocs); out.writeLong(nSpans); out.writeLong(nullKindSpans)
+    out.writeLong(ordViolationDocs); out.writeLong(nullKindDocs)
     val kc = kindCounts
     out.writeInt(kc.size)
     kc.toSeq.sortBy(_._1).foreach { case (k, c) =>
@@ -273,6 +300,7 @@ object DocStatsBuffer {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new DocStatsBuffer(in.readInt())
     buf.nDocs = in.readLong(); buf.nSpans = in.readLong(); buf.nullKindSpans = in.readLong()
+    buf.ordViolationDocs = in.readLong(); buf.nullKindDocs = in.readLong()
     val nk = in.readInt()
     (0 until nk).foreach { _ =>
       val k = in.readUTF(); buf.setKindCount(k, in.readLong())
@@ -293,6 +321,7 @@ object DocStatsBuffer {
   def decodeResult(bytes: Array[Byte]): DocStatsResult = {
     val buf = deserialize(bytes)
     DocStatsResult(buf.nDocs, buf.nSpans, buf.nullKindSpans,
+      buf.ordViolationDocs, buf.nullKindDocs,
       buf.kindCounts.toMap, buf.kll.toByteArray,
       // ascending hash order (deterministic)
       buf.sample.toArray.sortBy(e => (e._1, e._2.mkString(","))).map(_._2))

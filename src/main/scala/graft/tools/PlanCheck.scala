@@ -1,0 +1,60 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.model.DocsGen
+
+/** Prints the executed plans of the engine's hot paths so the scale
+  * properties can be AUDITED, not assumed:
+  *   - partition pruning on snapshot-pinned reads (PartitionFilters)
+  *   - nested-column pruning (ReadSchema must not include spans.text for the
+  *     stats pass when slimmed)
+  *   - ObjectHashAggregate partial/final for the custom aggregates
+  *   - BroadcastHashJoin for the referential anti-join
+  */
+object PlanCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val work = java.nio.file.Files.createTempDirectory("plan").toString
+    DocsGen.docs(spark, 5000, DocsGen.goldenScenario)
+      .write.partitionBy("part").parquet(s"$work/docs")
+    val docs = spark.read.parquet(s"$work/docs")
+    def interesting(plan: Any): String =
+      plan.toString.split("\n")
+        .filter(l => l.contains("ReadSchema") || l.contains("PartitionFilters") ||
+          l.contains("PushedFilters") || l.contains("Join") ||
+          l.contains("Aggregate") || l.contains("Exchange"))
+        .map(_.trim.take(600)).mkString("\n")
+
+    println("=== DocStatsAgg stats pass (field-array inputs, nested pruning) ===")
+    println(interesting(docs.groupBy($"part")
+      .agg(graft.sketch.DocStatsAgg.docStats(col("spans.kind"), col("spans.offset"),
+        xxhash64($"doc_id"), 100))
+      .queryExecution.executedPlan))
+
+    println("\n=== explode + field access (nested pruning reference) ===")
+    println(interesting(docs.select($"part", explode($"spans").as("s"))
+      .select($"part", $"s.kind", $"s.offset").groupBy($"part", $"kind").count()
+      .queryExecution.executedPlan))
+
+    println("\n=== partition pruning ===")
+    println(interesting(docs.filter($"part" === 3).select($"doc_id")
+      .queryExecution.executedPlan))
+
+    println("\n=== referential anti-join ===")
+    val media = DocsGen.media(spark, 1000)
+    println(interesting(graft.checks.ConstraintChecks.referential(docs, media, "pc")
+      ._1.queryExecution.executedPlan))
+
+    println("\n=== uniqueness two-stage ===")
+    println(interesting(graft.checks.ConstraintChecks.uniqueness(docs, "pc")
+      ._1.queryExecution.executedPlan))
+    spark.stop()
+  }
+}
