@@ -40,7 +40,8 @@ object Fit {
     val r = spark.read.parquet(path).head()
     RefState(
       sigma = r.getAs[Double]("sigma"),
-      refSample = r.getAs[Seq[Seq[Double]]]("ref_sample").map(_.toArray).toArray,
+      refSample = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("ref_sample")
+        .map(_.toArray).toArray,
       kllBytes = r.getAs[Array[Byte]]("kll_sketch"),
       kindHist = r.getAs[Map[String, Long]]("kind_hist"),
       nDocs = r.getAs[Long]("n_docs"),

@@ -55,12 +55,17 @@ object DocsGen {
   private def u(tag: String, cols: Column*): Column =
     (pmod(xxhash64((cols :+ lit(tag) :+ lit(Seed)): _*), lit(1000000L)).cast("double") + 0.5) / 1000000.0
 
-  /** Standard normal via Box-Muller from two hash-uniforms. */
-  private def gaussian(tag: String, cols: Column*): Column = {
-    val u1 = u(tag + "_u1", cols: _*)
-    val u2 = u(tag + "_u2", cols: _*)
-    sqrt(lit(-2.0) * log(greatest(u1, lit(1e-12)))) * cos(lit(2.0 * math.Pi) * u2)
-  }
+  /** Slice a 16-bit uniform out of a 64-bit hash column: bits [16b, 16b+16).
+    * One xxhash64 yields FOUR independent uniforms — higher-order-function
+    * lambdas evaluate interpreted, so hash calls are the generator's unit of
+    * cost and must be amortized. */
+  private def uBits(h: Column, b: Int): Column =
+    (shiftright(h, 16 * b).bitwiseAND(0xFFFFL).cast("double") + 0.5) / 65536.0
+
+  /** Standard normal via Box-Muller from two 16-bit slices of a hash. */
+  private def gaussianBits(h: Column, b1: Int, b2: Int): Column =
+    sqrt(lit(-2.0) * log(greatest(uBits(h, b1), lit(1e-12)))) *
+      cos(lit(2.0 * math.Pi) * uBits(h, b2))
 
   /** The golden drift scenario — mirror of the reference's 15 evaluation
     * loaders (1 reference + 14 drifted, ml/testing.py:60-79) plus three
@@ -109,22 +114,36 @@ object DocsGen {
     val id = col("id")
     val nSpans = (lit(1) + floor(u("nspans", id) * 8)).cast("int") // 1..8 spans/doc
 
-    // per-span arrays, indexed i = 0..nSpans-1
+    // per-span arrays, indexed i = 0..nSpans-1. Each span draws THREE 64-bit
+    // hashes (hA/hB/hC) and slices 16-bit uniforms out of them — higher-order
+    // lambdas run interpreted, so hash-call count dominates generation cost.
     val idxSeq = sequence(lit(0), nSpans - 1)
+    val hA = transform(idxSeq, i => xxhash64(id, i, lit("A"), lit(Seed)))
+    val hB = transform(idxSeq, i => xxhash64(id, i, lit("B"), lit(Seed)))
+    val hC = transform(idxSeq, i => xxhash64(id, i, lit("C"), lit(Seed)))
 
-    // base gap uniform [5,24] + per-part gaussian noise (σ ladder); >= 1
-    val gaps = transform(idxSeq, i =>
+    // base gap uniform [5,24] + per-part gaussian noise (σ ladder); >= 1.
+    // floor(x+0.5) instead of round(): Round's interpreted eval goes through
+    // BigDecimal + Double.toString per span; Box-Muller skipped when σ=0.
+    val gaps = transform(hA, h => {
+      val base = lit(5) + floor(uBits(h, 0) * 20)
       greatest(lit(1L),
-        round(lit(5) + floor(u("gap", id, i) * 20) +
-          col("gapSigma") * gaussian("gnoise", id, i))).cast("int"))
+        when(col("gapSigma") === 0.0, base)
+          .otherwise(floor(base + col("gapSigma") * gaussianBits(h, 1, 2) + 0.5)))
+        .cast("int")
+    })
 
-    // offsets: cumulative sum of gaps (monotone strictly increasing), then
-    // swap corruption: backward jump with probability swapProb.
-    val offsets0 = transform(idxSeq, i =>
-      aggregate(slice(gaps, lit(1), i + 1), lit(0), (acc, g) => acc + g))
-    val offsets = zip_with(offsets0, idxSeq, (off, i) =>
-      when(u("swap", id, i) < col("swapProb"),
-        greatest(lit(0), off - (lit(10) + floor(u("swapj", id, i) * 50)).cast("int")))
+    // offsets: cumulative sum of gaps (monotone strictly increasing) built in
+    // ONE aggregate fold — a per-element slice-and-sum lambda would re-eval
+    // the whole gaps expression per element (interpreted HOFs have no CSE:
+    // O(n²) hash calls per doc). Then swap corruption: backward jump with
+    // probability swapProb.
+    val offsets0 = aggregate(gaps, array().cast("array<int>"),
+      (acc, g) => concat(acc, array(
+        when(size(acc) === 0, g).otherwise(element_at(acc, size(acc)) + g))))
+    val offsets = zip_with(offsets0, hB, (off, h) =>
+      when(uBits(h, 1) < col("swapProb"),
+        greatest(lit(0), off - (lit(10) + floor(uBits(h, 2) * 50)).cast("int")))
         .otherwise(off))
 
     // span kind: categorical with per-part tilt toward 'image'
@@ -132,30 +151,33 @@ object DocsGen {
     val cutText = lit(0.70) / total
     val cutImage = (lit(0.90) + col("imageTilt")) / total
     val cutAudio = (lit(0.95) + col("imageTilt")) / total
-    val kinds = transform(idxSeq, i => {
-      val uk = u("kind", id, i)
-      when(u("nullk", id, i) < col("nullKindRate"), lit(null).cast("string"))
+    val kinds = zip_with(hA, hB, (ha, hb) => {
+      val uk = uBits(ha, 3)
+      when(uBits(hb, 0) < col("nullKindRate"), lit(null).cast("string"))
         .when(uk < cutText, lit("text"))
         .when(uk < cutImage, lit("image"))
         .when(uk < cutAudio, lit("audio"))
         .otherwise(lit("table"))
     })
 
-    // text: deterministic sentence for text spans (3..10 vocab words)
+    // text spans: 4 deterministic vocab words from one hash's slices
     val vocabLit = typedlit(vocab)
-    val texts = zip_with(kinds, idxSeq, (k, i) =>
+    val word = (h: Column, b: Int) =>
+      element_at(vocabLit, (pmod(shiftright(h, 16 * b), lit(vocab.size.toLong)) + 1).cast("int"))
+    val texts = zip_with(kinds, hC, (k, h) =>
       when(k === "text",
-        concat_ws(" ", transform(sequence(lit(0), (lit(3) + floor(u("tlen", id, i) * 8)).cast("int")), w =>
-          element_at(vocabLit, (floor(u("word", id, i, w) * vocab.size) + 1).cast("int")))))
+        concat_ws(" ", word(h, 0), word(h, 1), word(h, 2), word(h, 3)))
         .otherwise(lit(null).cast("string")))
 
     // media_ref: for non-text spans; dangling refs point past the catalog
-    val mediaRefs = zip_with(kinds, idxSeq, (k, i) =>
-      when(k.isNotNull && k =!= "text",
-        when(u("dang", id, i) < col("danglingRate"),
-          format_string("m-%08d", lit(MediaCount) + floor(u("dangid", id, i) * 1000).cast("long")))
-          .otherwise(format_string("m-%08d", floor(u("mid", id, i) * MediaCount).cast("long"))))
-        .otherwise(lit(null).cast("string")))
+    val mediaRefs = zip_with(kinds, zip_with(hB, hC, (b, c) => struct(b.as("b"), c.as("c"))),
+      (k, h) =>
+        when(k.isNotNull && k =!= "text",
+          when(uBits(h.getField("b"), 3) < col("danglingRate"),
+            format_string("m-%08d", lit(MediaCount) +
+              pmod(h.getField("c"), lit(1000L))))
+            .otherwise(format_string("m-%08d", pmod(h.getField("c"), lit(MediaCount)))))
+          .otherwise(lit(null).cast("string")))
 
     val spans = zip_with(
       zip_with(kinds, texts, (k, t) => struct(k.as("kind"), t.as("text"))),

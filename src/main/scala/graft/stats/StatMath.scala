@@ -128,9 +128,24 @@ object StatMath {
     (stat, chi2Sf(stat, df))
   }
 
-  /** Kolmogorov distribution survival function Q_KS(x) = 2 Σ (-1)^{k-1} e^{-2k²x²}. */
+  /** Kolmogorov distribution survival function
+    * Q_KS(x) = 2 Σ (-1)^{k-1} e^{-2k²x²}. For small x that series converges
+    * slowly, so the Jacobi-theta dual form is used there:
+    * CDF(x) = (√(2π)/x) Σ e^{-(2k-1)²π²/(8x²)}. */
   def kolmogorovSf(x: Double): Double = {
     if (x <= 0) return 1.0
+    if (x < 1.0) {
+      var cdf = 0.0
+      var k = 1
+      var term = 0.0
+      do {
+        val a = (2 * k - 1) * math.Pi / x
+        term = math.exp(-a * a / 8.0)
+        cdf += term
+        k += 1
+      } while (k <= 20 && term > 1e-18)
+      return math.max(0.0, math.min(1.0, 1.0 - math.sqrt(2.0 * math.Pi) / x * cdf))
+    }
     var sum = 0.0
     var k = 1
     var term = 0.0
@@ -138,7 +153,7 @@ object StatMath {
       term = 2.0 * math.pow(-1.0, (k - 1).toDouble) * math.exp(-2.0 * k * k * x * x)
       sum += term
       k += 1
-    } while (k <= 100 && math.abs(term) > 1e-12)
+    } while (k <= 100 && math.abs(term) > 1e-15)
     math.max(0.0, math.min(1.0, sum))
   }
 
