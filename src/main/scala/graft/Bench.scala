@@ -26,6 +26,12 @@ import graft.model.DocsGen
   */
 object Bench {
 
+  // layout knobs (see BASELINE.md "bandwidth probe"): fused single-scan
+  // stats+sample and zstd input are the defaults; GRAFT_FUSED=0 /
+  // GRAFT_CODEC=snappy restore the round-1 layout for A/B comparison.
+  private val fused = sys.env.getOrElse("GRAFT_FUSED", "1") == "1"
+  private val codec = sys.env.getOrElse("GRAFT_CODEC", "zstd")
+
   private def time[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -61,7 +67,8 @@ object Bench {
     // explicit prefilter fraction (known docs/part) → sampling overlaps stats
     val frac = math.min(1.0, 3.0 * 1000 * 18 / nDocs.toDouble)
     val res = ValidationRun.run(docs, media, ref,
-      RunConfig(runId = "bench", maxSample = 1000, samplePrefilterFrac = frac))
+      RunConfig(runId = "bench", maxSample = 1000, samplePrefilterFrac = frac,
+        fusedScan = fused))
     res.verdicts.write.mode("overwrite").parquet(s"$outDir/results")
     res.violations.write.mode("overwrite").parquet(s"$outDir/violations")
     res.summaries.values.map(_.nDocs).sum
@@ -79,7 +86,8 @@ object Bench {
     // ---- setup (untimed): generate + snapshot-commit input, fit ref state
     val setup = session(hiCores)
     val table = s"$work/docs"
-    val snap = SnapshotCatalog.commit(table, DocsGen.docs(setup, nDocs, DocsGen.goldenScenario))
+    val snap = SnapshotCatalog.commit(table,
+      DocsGen.docs(setup, nDocs, DocsGen.goldenScenario), codec)
     val ref = {
       import setup.implicits._
       Fit.fit(setup.read.parquet(s"$table/data").filter($"part" === 0),
@@ -153,6 +161,6 @@ object Bench {
       .mkString("{", ",", "}")
     val effMmd = (tMmdLo / tMmdHi) / (hiCores.toDouble / loCores)
     println(
-      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${math.rint(eff * 1000) / 1000},"mmd_fanout_sec_hi":${math.rint(tMmdHi * 1000) / 1000},"mmd_fanout_sec_lo":${math.rint(tMmdLo * 1000) / 1000},"compute_scaling_efficiency":${math.rint(effMmd * 1000) / 1000}}""")
+      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${math.rint(eff * 1000) / 1000},"mmd_fanout_sec_hi":${math.rint(tMmdHi * 1000) / 1000},"mmd_fanout_sec_lo":${math.rint(tMmdLo * 1000) / 1000},"compute_scaling_efficiency":${math.rint(effMmd * 1000) / 1000}}""")
   }
 }

@@ -23,10 +23,14 @@ object SnapshotCatalog {
   private def snapDir(table: String): Path = Paths.get(table, "_snapshots")
 
   /** Append a new snapshot: writes `df` (must carry an int `part` column)
-    * partitioned by part under data/, then commits manifest v(N+1). */
-  def commit(table: String, df: DataFrame): Snapshot = {
+    * partitioned by part under data/, then commits manifest v(N+1).
+    * `codec`: parquet compression. zstd trades plentiful CPU for scarce
+    * memory/disk bandwidth — the right default for scan-bound validation
+    * passes (see BASELINE.md bandwidth probe); snappy kept for compat. */
+  def commit(table: String, df: DataFrame, codec: String = "zstd"): Snapshot = {
     val spark = df.sparkSession
-    df.write.mode("append").partitionBy("part").parquet(s"$table/data")
+    df.write.mode("append").option("compression", codec)
+      .partitionBy("part").parquet(s"$table/data")
     val parts = spark.read.parquet(s"$table/data")
       .select("part").distinct().collect().map(_.getInt(0)).sorted.toSeq
     val id = currentSnapshotId(table).getOrElse(0L) + 1L

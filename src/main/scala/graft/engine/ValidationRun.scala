@@ -14,7 +14,8 @@ case class RunConfig(
     randomState: Long = 31L,
     maxSample: Int = 2000,
     samplePrefilterFrac: Double = 1.0,
-    salts: Int = 16)
+    salts: Int = 16,
+    fusedScan: Boolean = false)
 
 /** The full constraint+drift validation pass — the engine's flagship job.
   *
@@ -79,20 +80,32 @@ object ValidationRun {
       ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia)))
 
     // 1+2. stats and MMD-sampling both run through the custom DocStatsAgg
-    // (one scan each, no explode). They are split into two CONCURRENT jobs —
-    // sampling is the light one, so the MMD permutation fan-out (which only
-    // needs the samples) starts while the heavy stats scan is still running:
-    // the critical path is max(stats, sample+mmd, constraints), not a chain.
-    val fSampleMmd = Future {
-      val samples = timed("mmd_sample")(PartStats.computeFused(
-        docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeSample)._2)
-      timed("mmd_fanout")(DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref, samples,
-        cfg.numPermutations, cfg.randomState)) -> samples
+    // (one scan each, no explode). Two layouts, both bandwidth-motivated:
+    //  - fusedScan: ONE scan computes stats AND samples (ModeBoth) — half the
+    //    kind/offset bytes read; the MMD fan-out (pure compute on broadcast
+    //    samples) chains after it. Best when scans are bandwidth-bound.
+    //  - split: two CONCURRENT jobs — sampling is the light one, so the MMD
+    //    fan-out starts while the heavy stats scan is still running; the
+    //    critical path is max(stats, sample+mmd), not a chain.
+    val (summaries, _, mmdVerdicts) = if (cfg.fusedScan) {
+      val (sm, sp) = timed("stats")(PartStats.computeFused(
+        docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeBoth))
+      val mv = timed("mmd_fanout")(DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref,
+        sp, cfg.numPermutations, cfg.randomState))
+      (sm, sp, mv)
+    } else {
+      val fSampleMmd = Future {
+        val sp = timed("mmd_sample")(PartStats.computeFused(
+          docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeSample)._2)
+        timed("mmd_fanout")(DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref, sp,
+          cfg.numPermutations, cfg.randomState)) -> sp
+      }
+      val (sm, _) = timed("stats")(
+        PartStats.computeFused(docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeStats))
+      val (mv, sp) = Await.result(fSampleMmd, Duration.Inf)
+      (sm, sp, mv)
     }
-    val (summaries, _) = timed("stats")(
-      PartStats.computeFused(docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeStats))
     val parts = summaries.keys.toSeq.sorted
-    val (mmdVerdicts, samples) = Await.result(fSampleMmd, Duration.Inf)
 
     val (uniqViol, uniqStats) = Await.result(fUniq, Duration.Inf)
     val (refViol, refCounts) = Await.result(fRef, Duration.Inf)

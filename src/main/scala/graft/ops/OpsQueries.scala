@@ -115,6 +115,14 @@ object OpsQueries {
     Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 500)).toDF()
       .orderBy(col("media_ref"))
 
+  def eventsStreamDrift(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.runDriftStream(s, s"$dir/events.parquet",
+        refProps = Array.fill(10)(0.1), windowDuration = "1 day",
+        queryName = s"stream_drift_${System.nanoTime()}")
+      .select(col("event_type"), col("window_start"), col("n"),
+        round(col("psi"), 6).as("psi"), col("is_drift"))
+      .orderBy(col("event_type"), col("window_start"))
+
   def eventsStreamHourly(s: SparkSession, dir: String): DataFrame =
     StreamingOps.runFileStream(s, s"$dir/events.parquet",
         queryName = s"stream_out_${System.nanoTime()}")
@@ -136,7 +144,8 @@ object OpsQueries {
     "quality_scores" -> (qualityScores _),
     "fingerprint_rolling" -> (fingerprintRolling _),
     "media_features" -> (mediaFeatures _),
-    "events_stream_hourly" -> (eventsStreamHourly _))
+    "events_stream_hourly" -> (eventsStreamHourly _),
+    "events_stream_drift" -> (eventsStreamDrift _))
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact_stats" ->
@@ -165,5 +174,26 @@ object OpsQueries {
                     sqrt(sum(x.e * x.e)) AS nx, sqrt(sum(q.e * q.e)) AS nq
                   FROM x JOIN q USING (i) GROUP BY x.vec_id)
          SELECT vec_id, round(dot / (nx * nq), 4) AS cos FROM dots
-         ORDER BY cos DESC, vec_id LIMIT 10""")
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+    "events_stream_drift" ->
+      """WITH e AS (SELECT event_type, date_trunc('day', ts) AS window_start,
+               CAST(least(greatest(floor(value / 10.0), 0), 9) AS INT) AS bucket FROM events),
+         k AS (SELECT DISTINCT event_type, window_start FROM e),
+         b AS (SELECT CAST(range AS INT) AS bucket FROM range(10)),
+         c AS (SELECT event_type, window_start, bucket, count(*) AS cnt FROM e GROUP BY 1, 2, 3),
+         f AS (SELECT k.event_type, k.window_start, b.bucket, coalesce(c.cnt, 0) AS cnt
+               FROM k CROSS JOIN b
+               LEFT JOIN c ON c.event_type = k.event_type
+                 AND c.window_start = k.window_start AND c.bucket = b.bucket),
+         t AS (SELECT event_type, window_start, sum(cnt) AS n FROM f GROUP BY 1, 2),
+         s AS (SELECT f.event_type, f.window_start,
+                 sum((greatest(f.cnt * 1.0 / t.n, 1e-6) - 0.1)
+                     * ln(greatest(f.cnt * 1.0 / t.n, 1e-6) / 0.1)) AS psi_raw
+               FROM f JOIN t ON t.event_type = f.event_type
+                 AND t.window_start = f.window_start
+               GROUP BY 1, 2)
+         SELECT s.event_type, s.window_start, CAST(t.n AS BIGINT) AS n,
+           round(s.psi_raw, 6) AS psi, (s.psi_raw > 0.2) AS is_drift
+         FROM s JOIN t ON t.event_type = s.event_type AND t.window_start = s.window_start
+         ORDER BY s.event_type, s.window_start""")
 }

@@ -1,8 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface of the engine: the same windowed validation
@@ -30,6 +30,153 @@ object StreamingOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
       .select(col("w.start").as("hr"), col("event_type"), col("cnt"), col("sum_v"))
+
+  // ---- custom-state streaming drift (flatMapGroupsWithState) ----
+
+  /** Keyed bucket row after projection. `ts` carries the watermark tag —
+    * the event-time attribute must survive the projection for the
+    * event-time timeout to be analyzable. */
+  case class BucketEvent(ts: java.sql.Timestamp, event_type: String,
+                         window_start: java.sql.Timestamp,
+                         window_ms: Long, bucket: Int)
+  /** Custom state: the running value-histogram of one (event_type, window). */
+  case class Hist(counts: Array[Long])
+  /** Emitted verdict — reference-shaped (distance + is_drift), `is_final` set
+    * when the watermark has closed the window (state evicted). */
+  case class StreamDriftVerdict(event_type: String, window_start: java.sql.Timestamp,
+                                n: Long, psi: Double, is_drift: Boolean, is_final: Boolean)
+
+  /** Continuous drift detection with CUSTOM per-key state: for every
+    * (event_type, event-time window), a `flatMapGroupsWithState` operator
+    * maintains a running histogram of `value` buckets and emits a PSI-vs-
+    * reference verdict after each update; when the event-time watermark passes
+    * the window end, the state times out, the FINAL verdict is emitted and
+    * the state is evicted — bounded memory over an unbounded stream.
+    *
+    * This is the streaming twin of DriftChecks.psi: same bucket proportions →
+    * StatMath.psi → gate at `psiThreshold` (0.2 = the standard "major shift"
+    * gate, mirroring the reference's verdict contract
+    * detector_api/app/detector.py:62-69 of statistic → boolean).
+    *
+    * State size is O(keys-in-flight × buckets) — keys leave via timeout, so a
+    * 10^12-event stream holds only the open windows' histograms per executor.
+    */
+  def driftPerWindow(events: DataFrame, refProps: Array[Double],
+                     bucketWidth: Double = 10.0,
+                     windowDuration: String = "1 hour",
+                     watermarkDelay: String = "2 hours",
+                     psiThreshold: Double = 0.2): Dataset[StreamDriftVerdict] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nBuckets = refProps.length
+    val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+    val delayMillis = delayMs.days.toLong * 86400000L + delayMs.microseconds / 1000L
+    val keyed = events
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"), col("event_type"),
+        window(col("ts"), windowDuration).getField("start").as("window_start"),
+        (unix_millis(window(col("ts"), windowDuration).getField("end")) + delayMillis)
+          .as("window_ms"), // timeout target: window end + watermark delay
+        least(greatest(floor(col("value") / bucketWidth), lit(0)), lit(nBuckets - 1))
+          .cast("int").as("bucket"))
+      .as[BucketEvent]
+
+    def verdict(key: (String, java.sql.Timestamp), h: Hist, isFinal: Boolean): StreamDriftVerdict = {
+      val n = h.counts.sum
+      val prodProps = if (n == 0) Array.fill(nBuckets)(0.0)
+        else h.counts.map(_.toDouble / n)
+      val psi = graft.stats.StatMath.psi(refProps, prodProps)
+      StreamDriftVerdict(key._1, key._2, n, psi, psi > psiThreshold, isFinal)
+    }
+
+    keyed
+      .groupByKey(e => (e.event_type, e.window_start))
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, java.sql.Timestamp), rows: Iterator[BucketEvent], state: GroupState[Hist]) =>
+          if (state.hasTimedOut) {
+            val fin = verdict(key, state.get, isFinal = true)
+            state.remove()
+            Iterator.single(fin)
+          } else {
+            val h = state.getOption.getOrElse(Hist(new Array[Long](nBuckets)))
+            var timeoutAt = 0L
+            rows.foreach { e => h.counts(e.bucket) += 1L; timeoutAt = e.window_ms }
+            state.update(h)
+            // evict once the watermark passes window end (+ delay already added)
+            state.setTimeoutTimestamp(math.max(timeoutAt,
+              state.getCurrentWatermarkMs() + 1))
+            Iterator.single(verdict(key, h, isFinal = false))
+          }
+      }
+  }
+
+  /** Batch twin of [[driftPerWindow]] — identical bucketization and PSI math
+    * over a static DataFrame (the equivalence oracle for tests). */
+  def driftPerWindowBatch(events: DataFrame, refProps: Array[Double],
+                          bucketWidth: Double = 10.0,
+                          windowDuration: String = "1 hour",
+                          psiThreshold: Double = 0.2): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val nBuckets = refProps.length
+    events
+      // parquet files written without tz info surface as TIMESTAMP_NTZ; the
+      // streaming path forces TimestampType via eventSchema — align the twin
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("event_type"),
+        window(col("ts"), windowDuration).getField("start").as("window_start"),
+        least(greatest(floor(col("value") / bucketWidth), lit(0)), lit(nBuckets - 1))
+          .cast("int").as("bucket"))
+      .groupBy($"event_type", $"window_start", $"bucket").count()
+      .groupBy($"event_type", $"window_start")
+      .agg(collect_list(struct($"bucket".as("_1"), $"count".as("_2"))).as("hist"))
+      .select($"event_type".as("_1"), $"window_start".as("_2"), $"hist".as("_3"))
+      .as[(String, java.sql.Timestamp, Seq[(Int, Long)])]
+      .map { case (et, ws, hist) =>
+        val counts = new Array[Long](nBuckets)
+        hist.foreach { case (b, c) => counts(b) += c }
+        val n = counts.sum
+        val props = if (n == 0) Array.fill(nBuckets)(0.0) else counts.map(_.toDouble / n)
+        val psi = graft.stats.StatMath.psi(refProps, props)
+        StreamDriftVerdict(et, ws, n, psi, psi > psiThreshold, is_final = true)
+      }
+      .toDF()
+  }
+
+  /** Drive [[driftPerWindow]] over a parquet path as a file stream, then
+    * advance the watermark with a far-future sentinel event so every window
+    * times out and emits its FINAL verdict. Returns the final verdicts. */
+  def runDriftStream(spark: SparkSession, parquetPath: String, refProps: Array[Double],
+                     bucketWidth: Double = 10.0, windowDuration: String = "1 hour",
+                     queryName: String = "stream_drift"): DataFrame = {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-drift")
+    val p = java.nio.file.Paths.get(parquetPath)
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).filter(_.toString.endsWith(".parquet"))
+        .forEach(f => java.nio.file.Files.copy(f, srcDir.resolve(f.getFileName)))
+    else java.nio.file.Files.copy(p, srcDir.resolve(p.getFileName))
+
+    val src = spark.readStream.schema(eventSchema).parquet(srcDir.toString)
+    val q = driftPerWindow(src, refProps, bucketWidth, windowDuration)
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    // sentinel batch: one event 10 years ahead — pushes the event-time
+    // watermark past every real window's timeout, closing all state
+    val maxTs = spark.read.parquet(srcDir.toString)
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 315360000000L)
+    Seq((Long.MaxValue, sentinel, 0L, "___sentinel", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(srcDir.toString)
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+      .filter(col("is_final") && col("event_type") =!= "___sentinel")
+  }
 
   /** Run the streaming aggregation over a parquet path as a file stream,
     * draining everything available into an in-memory table; returns the

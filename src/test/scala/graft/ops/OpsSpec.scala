@@ -211,4 +211,50 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.sameElements(batch))
     assert(streamed.nonEmpty)
   }
+
+  // uniform reference over 10 value-buckets of width 10
+  private val refUniform = Array.fill(10)(0.1)
+
+  test("flatMapGroupsWithState drift: final verdicts equal the batch twin") {
+    val streamed = StreamingOps.runDriftStream(spark,
+        "/root/testdata/sf0.001/events.parquet", refUniform,
+        windowDuration = "1 day", queryName = "drift_spec")
+      .select($"event_type", $"window_start", $"n", round($"psi", 9).as("psi"), $"is_drift")
+      .orderBy($"event_type", $"window_start")
+      .collect()
+    val batch = StreamingOps.driftPerWindowBatch(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+        refUniform, windowDuration = "1 day")
+      .select($"event_type", $"window_start", $"n", round($"psi", 9).as("psi"), $"is_drift")
+      .orderBy($"event_type", $"window_start")
+      .collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} vs batch ${batch.length}")
+    streamed.zip(batch).foreach { case (s, b) => assert(s == b, s"$s != $b") }
+  }
+
+  test("flatMapGroupsWithState drift: shifted window flags, matching ref does not") {
+    import java.sql.Timestamp
+    val base = Timestamp.valueOf("2024-06-01 00:00:00").getTime
+    // window A: values matching the uniform reference; window B: all mass in
+    // one bucket (severe shift)
+    val rows = (0 until 1000).map { i =>
+      (i.toLong, new Timestamp(base + i * 1000L), 0L, "ok", (i % 10) * 10.0 + 5.0, "")
+    } ++ (0 until 1000).map { i =>
+      (1000L + i, new Timestamp(base + 7200000L + i * 1000L), 0L, "shifted", 95.0, "")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("drift-in").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(dir)
+    val out = StreamingOps.runDriftStream(spark, dir, refUniform,
+        queryName = "drift_spec2")
+      .select($"event_type", $"psi", $"is_drift", $"n").collect()
+    val ok = out.filter(_.getString(0) == "ok").head
+    val shifted = out.filter(_.getString(0) == "shifted").head
+    assert(!ok.getBoolean(2), s"uniform window flagged: psi=${ok.getDouble(1)}")
+    assert(shifted.getBoolean(2), s"shifted window not flagged: psi=${shifted.getDouble(1)}")
+    assert(shifted.getDouble(1) > ok.getDouble(1) * 10)
+    assert(ok.getLong(3) == 1000L && shifted.getLong(3) == 1000L)
+  }
 }
