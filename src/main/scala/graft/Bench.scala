@@ -69,8 +69,10 @@ object Bench {
     val res = ValidationRun.run(docs, media, ref,
       RunConfig(runId = "bench", maxSample = 1000, samplePrefilterFrac = frac,
         fusedScan = fused))
-    res.verdicts.write.mode("overwrite").parquet(s"$outDir/results")
-    res.violations.write.mode("overwrite").parquet(s"$outDir/violations")
+    val (_, tV) = time(res.verdicts.write.mode("overwrite").parquet(s"$outDir/results"))
+    val (_, tW) = time(res.violations.write.mode("overwrite").parquet(s"$outDir/violations"))
+    ValidationRun.lastTimings.put("write_verdicts", tV)
+    ValidationRun.lastTimings.put("write_violations", tW)
     res.summaries.values.map(_.nDocs).sum
   }
 
@@ -94,19 +96,10 @@ object Bench {
         snapshotId = snap.snapshotId, maxSample = 1000)
     }
 
-    // ---- hi level: one warm-up pass, then timed passes
+    // ---- warm-up pass (discarded; JIT is process-wide)
     fullPass(setup, table, snap.snapshotId, ref, s"$work/warm", nDocs)
     var docsCounted = 0L
-    def hiPass(s2: SparkSession, i: Int): Double = {
-      val (n, t) = time(fullPass(s2, table, snap.snapshotId, ref, s"$work/hi$i", nDocs))
-      docsCounted = n
-      t
-    }
-    // The sandbox VM's throughput swings several-fold over minutes, so hi
-    // runs are split around the lo block and both take min-of-N: a noise
-    // burst then penalizes both levels instead of biasing the ratio.
-    val hiFirst = (1 to 2).map(hiPass(setup, _))
-    val phases = ValidationRun.lastTimings.toMap // from the last hi pass
+
     // headline TPC-H-style queries on the driver's sf dir (hi level)
     val tpch = Seq("stats_lineitem", "chi2_returnflag_years", "ks_quantity_years",
       "unique_orders", "ref_orders_customer").map { q =>
@@ -120,31 +113,44 @@ object Bench {
     // parquet scans, which saturate this single box's memory bandwidth well
     // below 32 cores — a physical ceiling a real multi-node cluster does not
     // share (each executor node brings its own DRAM). This phase isolates
-    // the engine's task-parallel compute path.
-    // small samples keep each task's kernel matrix cache-resident (~2.5MB),
-    // so the probe measures task-parallel compute, not DRAM streaming
+    // the engine's task-parallel compute path (batched-bitmask permutation
+    // evaluation — sequential matrix streaming, compute-bound).
     val probeRef = ref.copy(refSample = ref.refSample.take(400))
     val probeSamples = (0 until 18).map(p => p -> probeRef.refSample).toMap
     def mmdProbe(s2: SparkSession): Double =
-      (1 to 2).map { _ =>
-        time(graft.checks.DriftChecks.mmd(s2, "probe", 0.01, probeRef, probeSamples,
-          numPermutations = 6000, permsPerTask = 100))._2
-      }.min
+      time(graft.checks.DriftChecks.mmd(s2, "probe", 0.01, probeRef, probeSamples,
+        numPermutations = 6000, permsPerTask = 100))._2
 
-    // ---- lo level on the SAME input (fresh session; JIT already warm)
-    val lo = session(loCores)
-    val tLo = (1 to 3).map { i =>
-      time(fullPass(lo, table, snap.snapshotId, ref, s"$work/lo$i", nDocs))._2
-    }.min
-    val tMmdLo = mmdProbe(lo)
-    lo.stop()
-
-    // final hi run after the lo block (interleaving, see above)
-    val setup2 = session(hiCores)
-    val hiLast = hiPass(setup2, 3)
-    val tMmdHi = mmdProbe(setup2)
-    setup2.stop()
-    val tHi = (hiFirst :+ hiLast).min
+    // ---- timed passes, PAIRED: the sandbox VM's throughput swings
+    // several-fold over minutes, so hi and lo passes alternate back-to-back
+    // (hi,lo,hi,lo,…) and each level takes its min across rounds — a noise
+    // burst then hits adjacent hi and lo passes alike instead of biasing one
+    // whole level's block. Fresh session per level switch (one SparkContext
+    // per JVM); Spark's codegen cache and the JIT survive the switch.
+    val rounds = sys.env.getOrElse("GRAFT_ROUNDS", "3").toInt
+    var tHis = List.empty[Double]
+    var tLos = List.empty[Double]
+    var tMmdHis = List.empty[Double]
+    var tMmdLos = List.empty[Double]
+    var bestPhases: Map[String, Double] = Map.empty
+    (1 to rounds).foreach { i =>
+      val hi = session(hiCores)
+      val (n, tH) = time(fullPass(hi, table, snap.snapshotId, ref, s"$work/hi$i", nDocs))
+      docsCounted = n
+      if (tHis.isEmpty || tH < tHis.min) bestPhases = ValidationRun.lastTimings.toMap
+      tHis ::= tH
+      tMmdHis ::= mmdProbe(hi)
+      hi.stop()
+      val lo = session(loCores)
+      tLos ::= time(fullPass(lo, table, snap.snapshotId, ref, s"$work/lo$i", nDocs))._2
+      tMmdLos ::= mmdProbe(lo)
+      lo.stop()
+    }
+    val tHi = tHis.min
+    val tLo = tLos.min
+    val tMmdHi = tMmdHis.min
+    val tMmdLo = tMmdLos.min
+    val phases = bestPhases
 
     // clean up the multi-GB temp input/output
     try {

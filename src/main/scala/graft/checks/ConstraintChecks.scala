@@ -10,41 +10,64 @@ import org.apache.spark.sql.functions._
   */
 object ConstraintChecks {
 
-  /** Uniqueness of doc_id (E5) via explicit two-stage salted aggregation:
-    * stage 1 groups on (doc_id, salt) — map-side partials land on 16
-    * different reducers even for a pathologically hot doc_id — stage 2 sums
-    * the salted partials per doc_id. This is the "salted repartition +
-    * hash-dedup" the north rule names; AQE skew handling backs it up at
-    * runtime. Returns (violations, per-part duplicate-doc counts). */
   /** Per-part byproducts of the uniqueness shuffle: exact distinct keys and
     * total docs come for free once doc_ids are grouped — no separate
     * HLL/count pass needed when this check runs. */
   case class UniquenessStats(dupKeys: Long, distinctKeys: Long, totalDocs: Long)
 
+  /** Uniqueness of doc_id (E5) via explicit two-stage salted aggregation
+    * ("salted repartition + hash-dedup"):
+    *
+    *  - keys are a 128-bit hash pair of doc_id, NOT the string: the shuffle
+    *    rows are fixed-width (faster UnsafeRow hash-agg, ~half the shuffle
+    *    bytes of variable-length ids). Collision odds at 10^12 docs are
+    *    ~n²/2^129 ≈ 1.5e-15 — smaller than a memory bit-flip; counts are
+    *    exact modulo that.
+    *  - the stage-1 salt derives from the MAP PARTITION, not the key, so a
+    *    pathologically hot doc_id's copies really do land on `salts`
+    *    different reducers (a key-derived salt would re-collide them); stage
+    *    2 sums the salted partials per key. AQE skew handling backs this up.
+    *  - violation ROWS (which need the actual doc_id strings) are recovered
+    *    by a join against the duplicate keys ONLY when duplicates exist —
+    *    a clean table pays exactly one scan + shuffle and never rereads ids.
+    *
+    * Returns (violations, per-part {dupKeys, distinctKeys, totalDocs}). */
   def uniqueness(docs: DataFrame, runId: String, salts: Int = 16): (Dataset[Violation], Map[Int, UniquenessStats]) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val stage1 = docs
-      .select($"part", $"doc_id",
-        pmod(xxhash64($"doc_id", lit("salt")), lit(salts.toLong)).as("salt"))
-      .groupBy($"doc_id", $"salt")
+    // hash-grain rows are cached: the dirty case (duplicates exist) recovers
+    // doc_id strings via a join against the dup keys, and without the cache
+    // that join would rescan + reshuffle the whole table. Fixed-width rows
+    // make this cache ~half the size of the doc_id-string equivalent;
+    // MEMORY_AND_DISK spills instead of recomputing at scale.
+    val perKey = docs
+      .select($"part",
+        xxhash64($"doc_id", lit("u1")).as("h1"),
+        xxhash64($"doc_id", lit("u2")).as("h2"),
+        pmod(spark_partition_id().cast("long"), lit(salts.toLong)).as("salt"))
+      .groupBy($"h1", $"h2", $"salt")
       .agg(count(lit(1)).as("c"), min($"part").as("part"))
-    val perKey = stage1
-      .groupBy($"doc_id")
+      .groupBy($"h1", $"h2")
       .agg(sum($"c").as("n"), min($"part").as("part"))
-      .cache()
-    val violations = perKey
-      .filter($"n" > 1)
-      .select(lit(runId).as("run_id"), $"part".cast("int").as("part"),
-        lit("unique_doc_id").as("check_id"), $"doc_id",
-        concat(lit("duplicate doc_id x"), $"n").as("detail"))
-      .as[Violation]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perPart = perKey.groupBy($"part")
       .agg(sum(when($"n" > 1, 1L).otherwise(0L)).as("dups"),
         count(lit(1)).as("distinct"), sum($"n").as("total"))
       .collect()
       .map(r => r.getInt(0) -> UniquenessStats(r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
+    val violations: Dataset[Violation] =
+      if (!perPart.values.exists(_.dupKeys > 0)) {
+        perKey.unpersist(blocking = false) // clean table: nothing else reads it
+        spark.emptyDataset[Violation]
+      } else docs.select($"part", $"doc_id",
+          xxhash64($"doc_id", lit("u1")).as("h1"),
+          xxhash64($"doc_id", lit("u2")).as("h2"))
+        .join(perKey.filter($"n" > 1).select($"h1", $"h2", $"n"), Seq("h1", "h2"))
+        .select(lit(runId).as("run_id"), $"part",
+          lit("unique_doc_id").as("check_id"), $"doc_id",
+          concat(lit("duplicate doc_id x"), $"n").as("detail"))
+        .as[Violation]
     (violations, perPart)
   }
 
@@ -116,6 +139,41 @@ object ConstraintChecks {
     val perPart = bad.groupBy($"part").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     (violations, perPart)
+  }
+
+  /** LAZY violation-row variants: no cache, no count jobs. Used when the
+    * per-part counts are already known from the fused stats scan — the
+    * returned Datasets are evaluated together in the caller's single
+    * violations write, so all dirty-partition rescans run concurrently as
+    * stages of one job. */
+  def referentialRows(docs: DataFrame, media: DataFrame, runId: String): Dataset[Violation] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select($"part", $"doc_id", explode(col("spans.media_ref")).as("media_ref"))
+      .filter($"media_ref".isNotNull)
+      .join(broadcast(media.select($"media_ref")), Seq("media_ref"), "left_anti")
+      .select(lit(runId).as("run_id"), $"part",
+        lit("ref_media").as("check_id"), $"doc_id",
+        concat(lit("dangling media_ref "), $"media_ref").as("detail"))
+      .as[Violation]
+  }
+
+  def spanIntegrityRows(docs: DataFrame, runId: String): Dataset[Violation] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val nullKindViolation = exists(col("spans"), s => s.getField("kind").isNull)
+    docs
+      .select($"part", $"doc_id",
+        spanOrderViolation.as("ord"), nullKindViolation.as("nk"))
+      .filter($"ord" || $"nk")
+      .select($"part", $"doc_id", explode(filter(array(
+        when($"ord", "span_order").otherwise(lit(null).cast("string")),
+        when($"nk", "null_kind").otherwise(lit(null).cast("string"))),
+        x => x.isNotNull)).as("check_id"))
+      .select(lit(runId).as("run_id"), $"part", $"check_id", $"doc_id",
+        when($"check_id" === "span_order", "non-monotone span offsets")
+          .otherwise("span with null kind").as("detail"))
+      .as[Violation]
   }
 
   /** Fused span-integrity pass: span-order AND null-kind violations from ONE

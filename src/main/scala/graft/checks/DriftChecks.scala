@@ -81,7 +81,7 @@ object DriftChecks {
   def mmd(spark: SparkSession, runId: String, alpha: Double, ref: RefState,
           samples: Map[Int, Array[Array[Double]]],
           numPermutations: Int = 100, randomState: Long = 31L,
-          permsPerTask: Int = 13): Seq[Verdict] = {
+          permsPerTask: Int = 64): Seq[Verdict] = {
     import spark.implicits._
     val parts = samples.keys.toSeq.sorted
     val bc = spark.sparkContext.broadcast((ref.refSample, ref.sigma, samples))
@@ -104,21 +104,28 @@ object DriftChecks {
         var cachedPart = Int.MinValue
         var kMat: Array[Float] = null
         var nPool = 0
+        var sTotal = 0.0
         it.flatMap { case (part, s, e) =>
           if (part != cachedPart) {
             val pool = refSample ++ prodSamples(part)
             kMat = Mmd.kernelMatrix(pool, sigma)
             nPool = pool.length
+            sTotal = Mmd.upperTriangleSum(kMat, nPool)
             cachedPart = part
           }
           val m = refSample.length
-          (s until e).map { permId =>
-            val idx =
+          // batch-of-64 bitmask evaluation: one sequential matrix pass per 64
+          // permutations instead of one random-access pass per permutation —
+          // see Mmd.statsBatchFromMatrix
+          (s until e).grouped(64).flatMap { grp =>
+            val perms = grp.map { permId =>
               if (permId == 0) Array.tabulate(nPool)(identity)
               else graft.stats.StatMath.permutation(nPool,
                 // seed mixes part so each partition gets an independent stream
                 (randomState * 1000003L + part) * 0x9E3779B97F4A7C15L + (permId - 1))
-            (part, permId.toLong, Mmd.statFromMatrix(kMat, nPool, m, idx))
+            }.toArray
+            val stats = Mmd.statsBatchFromMatrix(kMat, nPool, m, sTotal, perms)
+            grp.zip(stats).map { case (permId, st) => (part, permId.toLong, st) }
           }
         }
       }

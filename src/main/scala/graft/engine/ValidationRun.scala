@@ -73,11 +73,21 @@ object ValidationRun {
     // pass's wall-clock is the max of the scan-bound phases, not their sum.
     // (Sequential submission leaves cores idle in every job's tail.)
 
-    // 3-5. constraint checks (violations stay distributed)
+    // 3. uniqueness (violations stay distributed)
     val fUniq = Future(timed("uniqueness")(
       ConstraintChecks.uniqueness(docs, cfg.runId, cfg.salts)))
-    val fRef = Future(timed("referential")(
-      ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia)))
+    // 4. referential (E6). Two layouts:
+    //  - fused + broadcastable catalog: dangling-ref COUNTING rides the stats
+    //    scan (broadcast media set checked inside DocStatsAgg) — no separate
+    //    pass over the table; violation ROWS are materialized afterwards from
+    //    the dirty partitions only (partition-pruned anti-join, zero-cost on
+    //    a clean table).
+    //  - otherwise: standalone anti-join pass (the shuffled-join path is the
+    //    only option when the catalog can't be broadcast).
+    val fuseRef = cfg.fusedScan && broadcastMedia
+    val fRef = if (fuseRef) None else Some(Future(timed("referential")(
+      ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia))))
+    val mediaSet = if (fuseRef) Some(PartStats.broadcastMediaSet(media)) else None
 
     // 1+2. stats and MMD-sampling both run through the custom DocStatsAgg
     // (one scan each, no explode). Two layouts, both bandwidth-motivated:
@@ -89,7 +99,7 @@ object ValidationRun {
     //    critical path is max(stats, sample+mmd), not a chain.
     val (summaries, _, mmdVerdicts) = if (cfg.fusedScan) {
       val (sm, sp) = timed("stats")(PartStats.computeFused(
-        docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeBoth))
+        docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeBoth, mediaSet))
       val mv = timed("mmd_fanout")(DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref,
         sp, cfg.numPermutations, cfg.randomState))
       (sm, sp, mv)
@@ -108,7 +118,22 @@ object ValidationRun {
     val parts = summaries.keys.toSeq.sorted
 
     val (uniqViol, uniqStats) = Await.result(fUniq, Duration.Inf)
-    val (refViol, refCounts) = Await.result(fRef, Duration.Inf)
+    val (refViol, refCounts) = fRef match {
+      case Some(f) => Await.result(f, Duration.Inf)
+      case None =>
+        // counts came from the fused scan; violation rows build LAZILY from
+        // the dirty partitions only (pruned rescan — no-op on a clean table,
+        // evaluated together with the other violation branches in the
+        // caller's single write job)
+        val counts = summaries.collect {
+          case (p, s) if s.danglingRefSpans > 0 => p -> s.danglingRefSpans
+        }.toMap
+        val viol: Dataset[Violation] =
+          if (counts.isEmpty) spark.emptyDataset[Violation]
+          else ConstraintChecks.referentialRows(
+            docs.filter($"part".isin(counts.keys.toSeq: _*)), media, cfg.runId)
+        (viol, counts)
+    }
     val uniqCounts = uniqStats.map { case (p, s) => p -> s.dupKeys }
     // span-integrity counts come FREE from the stats pass; violation ROWS are
     // materialized from the dirty partitions only — partition pruning makes
@@ -118,8 +143,8 @@ object ValidationRun {
     val dirtyParts = (ordCounts.keySet ++ nkCounts.keySet).toSeq
     val intViol: Dataset[Violation] =
       if (dirtyParts.isEmpty) spark.emptyDataset[Violation]
-      else timed("integrity_rows")(ConstraintChecks.spanIntegrity(
-        docs.filter($"part".isin(dirtyParts: _*)), cfg.runId)._1)
+      else ConstraintChecks.spanIntegrityRows(
+        docs.filter($"part".isin(dirtyParts: _*)), cfg.runId)
 
     def constraintVerdicts(checkId: String, counts: Map[Int, Long]): Seq[Verdict] =
       parts.map { p =>

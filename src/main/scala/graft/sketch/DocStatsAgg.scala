@@ -33,28 +33,37 @@ case class DocStatsAgg(
     kindsChild: Expression, // array<string>: spans.kind
     offsetsChild: Expression, // array<int>: spans.offset
     hashChild: Expression,
+    mediaRefsChild: Expression, // array<string>: spans.media_ref (or null literal)
     maxSample: Int = 1000,
     mode: Int = DocStatsAgg.ModeBoth, // ModeStats skips sampling, ModeSample skips stats
+    // valid media_refs, broadcast once per run; when set, the same scan also
+    // counts dangling media_refs (fused referential check, E6 broadcast path)
+    mediaSet: Option[org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]]] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DocStatsBuffer]
-  with org.apache.spark.sql.catalyst.trees.TernaryLike[Expression] {
+  with org.apache.spark.sql.catalyst.trees.QuaternaryLike[Expression] {
 
   override def first: Expression = kindsChild
   override def second: Expression = offsetsChild
   override def third: Expression = hashChild
+  override def fourth: Expression = mediaRefsChild
 
   override def createAggregationBuffer(): DocStatsBuffer = new DocStatsBuffer(maxSample)
 
   private val doStats = mode != DocStatsAgg.ModeSample
   private val doSample = mode != DocStatsAgg.ModeStats
+  @transient private lazy val validRefs = mediaSet.map(_.value).orNull
 
   override def update(buf: DocStatsBuffer, input: InternalRow): DocStatsBuffer = {
     val kinds = kindsChild.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val offsets = offsetsChild.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     if (kinds == null || offsets == null) return buf
     val h = hashChild.eval(input).asInstanceOf[Long]
-    buf.updateDoc(kinds, offsets, h, doStats, doSample)
+    val refs =
+      if (validRefs == null) null
+      else mediaRefsChild.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    buf.updateDoc(kinds, offsets, h, doStats, doSample, refs, validRefs)
     buf
   }
 
@@ -74,8 +83,9 @@ case class DocStatsAgg(
     copy(mutableAggBufferOffset = offset)
   override def withNewInputAggBufferOffset(offset: Int): DocStatsAgg =
     copy(inputAggBufferOffset = offset)
-  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): DocStatsAgg =
-    copy(kindsChild = f, offsetsChild = s, hashChild = t)
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                 t: Expression, q: Expression): DocStatsAgg =
+    copy(kindsChild = f, offsetsChild = s, hashChild = t, mediaRefsChild = q)
   override def prettyName: String = "doc_stats_agg"
 }
 
@@ -85,15 +95,22 @@ object DocStatsAgg {
   val ModeSample = 2
 
   /** Column API: spans.kind + spans.offset arrays + sampling hash →
-    * binary-encoded DocStatsResult. Consuming the two FIELD arrays (not the
+    * binary-encoded DocStatsResult. Consuming the FIELD arrays (not the
     * whole struct array) lets parquet nested-column pruning skip the heavy
-    * text/media_ref bytes — the scans become bandwidth-proportional to the
-    * two small fields. */
+    * text bytes — the scans become bandwidth-proportional to the consumed
+    * fields. When `mediaSet` is given, `mediaRefs` (spans.media_ref) is also
+    * consumed and dangling refs counted in the same pass. */
   def docStats(kinds: Column, offsets: Column, hash: Column, maxSample: Int = 1000,
-               mode: Int = ModeBoth): Column =
+               mode: Int = ModeBoth,
+               mediaRefs: Option[Column] = None,
+               mediaSet: Option[org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]]] = None): Column =
     ColumnBridge.toColumn(DocStatsAgg(
       ColumnBridge.toExpr(kinds), ColumnBridge.toExpr(offsets),
-      ColumnBridge.toExpr(hash), maxSample, mode)
+      ColumnBridge.toExpr(hash),
+      mediaRefs.map(ColumnBridge.toExpr)
+        .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(
+          null, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))),
+      maxSample, mode, mediaSet)
       .toAggregateExpression())
 }
 
@@ -104,6 +121,8 @@ case class DocStatsResult(
     nullKindSpans: Long,
     ordViolationDocs: Long,
     nullKindDocs: Long,
+    danglingRefSpans: Long,
+    danglingRefDocs: Long,
     kindHist: Map[String, Long],
     kllBytes: Array[Byte],
     sample: Array[Array[Double]])
@@ -116,6 +135,8 @@ final class DocStatsBuffer(val maxSample: Int) {
   var nullKindSpans = 0L
   var ordViolationDocs = 0L // docs with non-monotone span offsets
   var nullKindDocs = 0L // docs with >=1 null-kind span
+  var danglingRefSpans = 0L // media_refs missing from the catalog (fused E6)
+  var danglingRefDocs = 0L // docs with >=1 dangling media_ref
   // kind counts keyed by UTF8String (copied once on first sight) — linear
   // scan over the handful of kinds, ZERO per-span String allocation
   private var kindKeys = new Array[org.apache.spark.unsafe.types.UTF8String](8)
@@ -167,10 +188,24 @@ final class DocStatsBuffer(val maxSample: Int) {
 
   def updateDoc(kinds: org.apache.spark.sql.catalyst.util.ArrayData,
                 offsets: org.apache.spark.sql.catalyst.util.ArrayData, h: Long,
-                doStats: Boolean = true, doSample: Boolean = true): Unit = {
+                doStats: Boolean = true, doSample: Boolean = true,
+                mediaRefs: org.apache.spark.sql.catalyst.util.ArrayData = null,
+                validRefs: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = null): Unit = {
     val n = kinds.numElements()
     nDocs += 1
     nSpans += n
+    if (mediaRefs != null && validRefs != null) {
+      var i = 0
+      var bad = false
+      val nr = mediaRefs.numElements()
+      while (i < nr) {
+        if (!mediaRefs.isNullAt(i) && !validRefs.contains(mediaRefs.getUTF8String(i))) {
+          danglingRefSpans += 1; bad = true
+        }
+        i += 1
+      }
+      if (bad) danglingRefDocs += 1
+    }
     if (doStats) {
       var i = 0
       var prevOff = Int.MinValue
@@ -241,6 +276,8 @@ final class DocStatsBuffer(val maxSample: Int) {
     nullKindSpans += other.nullKindSpans
     ordViolationDocs += other.ordViolationDocs
     nullKindDocs += other.nullKindDocs
+    danglingRefSpans += other.danglingRefSpans
+    danglingRefDocs += other.danglingRefDocs
     var i = 0
     while (i < other.nKinds) {
       var j = 0
@@ -277,6 +314,7 @@ final class DocStatsBuffer(val maxSample: Int) {
     out.writeInt(maxSample)
     out.writeLong(nDocs); out.writeLong(nSpans); out.writeLong(nullKindSpans)
     out.writeLong(ordViolationDocs); out.writeLong(nullKindDocs)
+    out.writeLong(danglingRefSpans); out.writeLong(danglingRefDocs)
     val kc = kindCounts
     out.writeInt(kc.size)
     kc.toSeq.sortBy(_._1).foreach { case (k, c) =>
@@ -301,6 +339,7 @@ object DocStatsBuffer {
     val buf = new DocStatsBuffer(in.readInt())
     buf.nDocs = in.readLong(); buf.nSpans = in.readLong(); buf.nullKindSpans = in.readLong()
     buf.ordViolationDocs = in.readLong(); buf.nullKindDocs = in.readLong()
+    buf.danglingRefSpans = in.readLong(); buf.danglingRefDocs = in.readLong()
     val nk = in.readInt()
     (0 until nk).foreach { _ =>
       val k = in.readUTF(); buf.setKindCount(k, in.readLong())
@@ -322,6 +361,7 @@ object DocStatsBuffer {
     val buf = deserialize(bytes)
     DocStatsResult(buf.nDocs, buf.nSpans, buf.nullKindSpans,
       buf.ordViolationDocs, buf.nullKindDocs,
+      buf.danglingRefSpans, buf.danglingRefDocs,
       buf.kindCounts.toMap, buf.kll.toByteArray,
       // ascending hash order (deterministic)
       buf.sample.toArray.sortBy(e => (e._1, e._2.mkString(","))).map(_._2))

@@ -110,6 +110,34 @@ class GoldenScenarioSpec extends AnyFunSuite {
     assert(v.snapshot_id == 1L)
   }
 
+  test("fused scan (stats+sample+referential in one pass) matches the split path") {
+    val fused = ValidationRun.run(docs, media, ref,
+      RunConfig(runId = "golden-fused", alpha = 0.01, maxSample = 600,
+        numPermutations = 50, fusedScan = true))
+    val fv = fused.verdicts.collect().map(v => (v.part, v.check_id) -> v).toMap
+    // exact checks are bit-identical across the two layouts; KLL-derived
+    // distances (ks/psi on offsets) may differ within sketch rank error,
+    // because KLL merge order differs between the scan layouts
+    val sketchBased = Set("ks_offset", "psi_offset")
+    verdicts.keys.foreach { k =>
+      val (a, b) = (verdicts(k), fv(k))
+      if (sketchBased(k._2)) {
+        assert(math.abs(a.distance - b.distance) < 0.02,
+          s"$k distance ${a.distance} vs ${b.distance}")
+      } else {
+        assert(a.distance == b.distance, s"$k distance ${a.distance} vs ${b.distance}")
+        assert(a.p_value == b.p_value, s"$k p ${a.p_value} vs ${b.p_value}")
+      }
+      assert(a.passed == b.passed && a.is_drift == b.is_drift, s"$k verdict flags")
+    }
+    // dangling violation rows materialize identically from the pruned rescan
+    val fViol = fused.violations.filter($"check_id" === "ref_media")
+      .select("doc_id", "detail").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val sViol = results.violations.filter($"check_id" === "ref_media")
+      .select("doc_id", "detail").collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(fViol.nonEmpty && fViol.sameElements(sViol))
+  }
+
   test("stats verdicts: counts and exact distinct (uniqueness byproduct)") {
     val s = verdicts((1, "stats")).metrics
     assert(s("count") == 1000.0)

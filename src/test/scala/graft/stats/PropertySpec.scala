@@ -73,6 +73,27 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("batched bitmask permutation evaluation matches per-permutation path") {
+    (1 to 10).foreach { round =>
+      val x = vecs(20, 3); val y = vecs(25, 3)
+      val pool = x ++ y
+      val n = pool.length
+      val k = Mmd.kernelMatrix(pool, 1.0)
+      val sTotal = Mmd.upperTriangleSum(k, n)
+      // mix of identity + seeded permutations, batch width up to 64
+      val perms = Array.tabulate(math.min(64, 3 + round * 6)) { b =>
+        if (b == 0) Array.tabulate(n)(identity)
+        else StatMath.permutation(n, round * 1000L + b)
+      }
+      val batch = Mmd.statsBatchFromMatrix(k, n, x.length, sTotal, perms)
+      perms.zipWithIndex.foreach { case (p, b) =>
+        val single = Mmd.statFromMatrix(k, n, x.length, p)
+        assert(math.abs(batch(b) - single) < 1e-9,
+          s"round=$round b=$b ${batch(b)} vs $single")
+      }
+    }
+  }
+
   test("sketch merge: KLL merge associativity within rank error") {
     val spark = graft.SparkTestBase.spark
     import org.apache.datasketches.kll.KllDoublesSketch
