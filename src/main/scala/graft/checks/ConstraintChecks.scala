@@ -40,15 +40,26 @@ object ConstraintChecks {
     // that join would rescan + reshuffle the whole table. Fixed-width rows
     // make this cache ~half the size of the doc_id-string equivalent;
     // MEMORY_AND_DISK spills instead of recomputing at scale.
-    val perKey = docs
-      .select($"part",
-        xxhash64($"doc_id", lit("u1")).as("h1"),
-        xxhash64($"doc_id", lit("u2")).as("h2"),
-        pmod(spark_partition_id().cast("long"), lit(salts.toLong)).as("salt"))
-      .groupBy($"h1", $"h2", $"salt")
-      .agg(count(lit(1)).as("c"), min($"part").as("part"))
-      .groupBy($"h1", $"h2")
-      .agg(sum($"c").as("n"), min($"part").as("part"))
+    // salts = 0 selects a SINGLE-shuffle aggregation: for count-like aggs,
+    // Spark's map-side partial aggregation already bounds any hot key's
+    // reducer input by the map-task count, so the explicit salt stage buys
+    // nothing but a second full shuffle. The salted two-stage stays the
+    // default (north-rule operator; also right for non-combinable variants).
+    val keyed = docs.select($"part",
+      xxhash64($"doc_id", lit("u1")).as("h1"),
+      xxhash64($"doc_id", lit("u2")).as("h2"))
+    // maxp rides along so the dup-recovery rescan can prune to the part
+    // range actually containing duplicates (a key's copies all lie within
+    // [its min part, its max part])
+    val perKey = (if (salts <= 0) keyed
+        .groupBy($"h1", $"h2")
+        .agg(count(lit(1)).as("n"), min($"part").as("part"), max($"part").as("maxp"))
+      else keyed
+        .withColumn("salt", pmod(spark_partition_id().cast("long"), lit(salts.toLong)))
+        .groupBy($"h1", $"h2", $"salt")
+        .agg(count(lit(1)).as("c"), min($"part").as("part"), max($"part").as("mx"))
+        .groupBy($"h1", $"h2")
+        .agg(sum($"c").as("n"), min($"part").as("part"), max($"mx").as("maxp")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perPart = perKey.groupBy($"part")
       .agg(sum(when($"n" > 1, 1L).otherwise(0L)).as("dups"),
@@ -60,14 +71,22 @@ object ConstraintChecks {
       if (!perPart.values.exists(_.dupKeys > 0)) {
         perKey.unpersist(blocking = false) // clean table: nothing else reads it
         spark.emptyDataset[Violation]
-      } else docs.select($"part", $"doc_id",
-          xxhash64($"doc_id", lit("u1")).as("h1"),
-          xxhash64($"doc_id", lit("u2")).as("h2"))
-        .join(perKey.filter($"n" > 1).select($"h1", $"h2", $"n"), Seq("h1", "h2"))
-        .select(lit(runId).as("run_id"), $"part",
-          lit("unique_doc_id").as("check_id"), $"doc_id",
-          concat(lit("duplicate doc_id x"), $"n").as("detail"))
-        .as[Violation]
+      } else {
+        // prune the doc_id rescan to the part range holding duplicates —
+        // a localized bad batch (the common dirty case) rescans only itself
+        val r = perKey.filter($"n" > 1)
+          .agg(min($"part"), max($"maxp")).head()
+        val (loP, hiP) = (r.getInt(0), r.getInt(1))
+        docs.filter($"part".between(loP, hiP))
+          .select($"part", $"doc_id",
+            xxhash64($"doc_id", lit("u1")).as("h1"),
+            xxhash64($"doc_id", lit("u2")).as("h2"))
+          .join(perKey.filter($"n" > 1).select($"h1", $"h2", $"n"), Seq("h1", "h2"))
+          .select(lit(runId).as("run_id"), $"part",
+            lit("unique_doc_id").as("check_id"), $"doc_id",
+            concat(lit("duplicate doc_id x"), $"n").as("detail"))
+          .as[Violation]
+      }
     (violations, perPart)
   }
 

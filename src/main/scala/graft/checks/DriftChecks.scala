@@ -78,6 +78,26 @@ object DriftChecks {
     * statistic (identity split). Permutation seeds derive from (randomState,
     * part, permId) so p-values are reproducible at any parallelism.
     */
+  /** Executor-process-wide cache of pooled kernel matrices, keyed by
+    * (broadcast id, part): all task threads in the JVM share ONE read-only
+    * matrix per partition instead of each building a private copy — the
+    * per-run working set drops from threads×matrix to parts×matrix (cache-
+    * resident), and rebuild cost is paid once per executor. The engine
+    * analog of the reference's per-process singleton detector cache
+    * (detector_api/app/utils.py:4-14). Cleared wholesale when a new run's
+    * broadcast shows up. */
+  private object KernelCache {
+    private val map = new java.util.concurrent.ConcurrentHashMap[(Long, Int), (Array[Float], Int, Double)]
+    @volatile private var currentBcId = -1L
+    def get(bcId: Long, part: Int,
+            build: () => (Array[Float], Int, Double)): (Array[Float], Int, Double) = {
+      if (bcId != currentBcId) synchronized {
+        if (bcId != currentBcId) { map.clear(); currentBcId = bcId }
+      }
+      map.computeIfAbsent((bcId, part), _ => build())
+    }
+  }
+
   def mmd(spark: SparkSession, runId: String, alpha: Double, ref: RefState,
           samples: Map[Int, Array[Array[Double]]],
           numPermutations: Int = 100, randomState: Long = 31L,
@@ -97,22 +117,19 @@ object DriftChecks {
       part <- parts
       s <- 0 until perPart by permsPerTask
     } yield (part, s, math.min(s + permsPerTask, perPart))
+    // createDataset slices the local Seq into defaultParallelism CONTIGUOUS
+    // ranges — consecutive chunks share a part, so each task rebuilds the
+    // kernel matrix at most once or twice. (A round-robin repartition here
+    // interleaves parts and forces a rebuild every other chunk.)
     val stats = spark.createDataset(chunks)
-      .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
         val (refSample, sigma, prodSamples) = bc.value
-        var cachedPart = Int.MinValue
-        var kMat: Array[Float] = null
-        var nPool = 0
-        var sTotal = 0.0
         it.flatMap { case (part, s, e) =>
-          if (part != cachedPart) {
+          val (kMat, nPool, sTotal) = KernelCache.get(bc.id, part, () => {
             val pool = refSample ++ prodSamples(part)
-            kMat = Mmd.kernelMatrix(pool, sigma)
-            nPool = pool.length
-            sTotal = Mmd.upperTriangleSum(kMat, nPool)
-            cachedPart = part
-          }
+            val k = Mmd.kernelMatrix(pool, sigma)
+            (k, pool.length, Mmd.upperTriangleSum(k, pool.length))
+          })
           val m = refSample.length
           // batch-of-64 bitmask evaluation: one sequential matrix pass per 64
           // permutations instead of one random-access pass per permutation —

@@ -19,6 +19,9 @@ import org.apache.spark.sql.functions._
   * @param danglingRate  probability a media span references a media_ref
   *                      missing from the catalog (referential fixture)
   * @param nullKindRate  probability a span kind is null (stats fixture)
+  * @param hotKeyFrac    fraction of the partition's docs collapsed onto ONE
+  *                      hot doc_id (skew fixture: exercises the salted
+  *                      uniqueness stage + AQE on a pathologically hot key)
   */
 case class PartSpec(
     part: Int,
@@ -27,7 +30,8 @@ case class PartSpec(
     swapProb: Double = 0.0,
     dupEvery: Int = 1,
     danglingRate: Double = 0.0,
-    nullKindRate: Double = 0.0)
+    nullKindRate: Double = 0.0,
+    hotKeyFrac: Double = 0.0)
 
 /** Deterministic, fully-distributed synthetic generator for the interleaved
   * text+media `docs` table (BASELINE.json `input_hint` shape) and the `media`
@@ -106,10 +110,13 @@ object DocsGen {
       .withColumn("lid", (col("id") / nParts).cast("long")) // per-part local index
       .join(broadcast(params), col("part") === col("p_part"))
 
-    // doc_id: unique across parts unless dupEvery>1 groups local ids.
+    // doc_id: unique across parts unless dupEvery>1 groups local ids, or
+    // hotKeyFrac>0 collapses a draw of docs onto one hot id (skew fixture).
     val groupedLid = when(col("dupEvery") > 1, col("lid") - pmod(col("lid"), col("dupEvery")))
       .otherwise(col("lid"))
-    val docId = format_string("doc-%03d-%09d", col("part"), groupedLid)
+    val docId = when(col("hotKeyFrac") > 0.0 && u("hot", col("id")) < col("hotKeyFrac"),
+      format_string("doc-%03d-hot", col("part")))
+      .otherwise(format_string("doc-%03d-%09d", col("part"), groupedLid))
 
     val id = col("id")
     val nSpans = (lit(1) + floor(u("nspans", id) * 8)).cast("int") // 1..8 spans/doc

@@ -42,6 +42,24 @@ class ConstraintSpec extends AnyFunSuite {
     assert(graft.sketch.KllOps.n(loaded.kllBytes) == graft.sketch.KllOps.n(ref.kllBytes))
   }
 
+  test("skew fixture: salted uniqueness correct on a pathologically hot doc_id") {
+    // ~30% of one partition's docs collapse onto a single hot id
+    // (FIXTURES.md skewed variant); the other partition stays clean
+    val docs = DocsGen.docs(spark, 20000,
+      Seq(graft.model.PartSpec(0, hotKeyFrac = 0.3), graft.model.PartSpec(1))).cache()
+    val hotN = docs.filter($"doc_id" === "doc-000-hot").count()
+    assert(hotN > 2000 && hotN < 4000, s"hot key draw $hotN")
+    val (viol, stats) = ConstraintChecks.uniqueness(docs, "t", salts = 16)
+    assert(stats(0).dupKeys == 1L, s"${stats(0)}") // exactly the hot key
+    assert(stats(1).dupKeys == 0L)
+    assert(stats(0).totalDocs == 10000L && stats(1).totalDocs == 10000L)
+    assert(stats(0).distinctKeys == 10000L - hotN + 1)
+    val v = viol.collect()
+    assert(v.length == hotN && v.forall(_.doc_id == "doc-000-hot"))
+    assert(v.head.detail == s"duplicate doc_id x$hotN")
+    docs.unpersist()
+  }
+
   test("uniqueness salting preserves group counts (property)") {
     val df = Seq("a", "a", "a", "b", "c", "c").zipWithIndex
       .map { case (k, i) => (k, i % 2) }.toDF("doc_id", "part")
