@@ -28,3 +28,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
+// Benchmark/run JVMs: fixed pre-touched heap. This sandbox kernel's page
+// faults cost ~9 CPU-seconds/GB of system time (measured ~100x a normal
+// kernel), so on-demand heap growth + G1 uncommit/recommit cycles inject
+// multi-second sys-time storms into timed passes. Paying all faults once at
+// JVM start (untimed setup) removes them. Not applied to test forks.
+run / javaOptions ++= Seq(
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+AlwaysPreTouch",
+)

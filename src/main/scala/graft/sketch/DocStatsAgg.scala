@@ -145,7 +145,7 @@ final class DocStatsBuffer(val maxSample: Int) {
   var kll: KllDoublesSketch = KllDoublesSketch.newHeapInstance(200)
   // bounded sample: keep maxSample entries with SMALLEST hash; max-heap by h
   // (tiebreak: elementwise feature compare — allocation-free, deterministic)
-  private val sampleOrd: Ordering[(Long, Array[Double])] =
+  val sampleOrd: Ordering[(Long, Array[Double])] =
     new Ordering[(Long, Array[Double])] {
       def compare(a: (Long, Array[Double]), b: (Long, Array[Double])): Int = {
         val c = java.lang.Long.compare(a._1, b._1)
@@ -323,7 +323,12 @@ final class DocStatsBuffer(val maxSample: Int) {
     val kllBytes = kll.toByteArray
     out.writeInt(kllBytes.length); out.write(kllBytes)
     out.writeInt(sample.size)
-    sample.toSeq.sortBy(e => (e._1, e._2.mkString(","))).foreach { case (h, f) =>
+    // UNSORTED: both consumers are order-insensitive (deserialize re-enqueues
+    // into the heap; decodeResult sorts itself). The previous stringified
+    // sortBy tiebreak here (Double.toString per COMPARISON — Scala sortBy
+    // re-evaluates the key function each compare) measured as ~half the whole
+    // scan's CPU in JFR (FloatingDecimal dtoa + ThreadLocal churn).
+    sample.foreach { case (h, f) =>
       out.writeLong(h)
       out.writeInt(f.length)
       f.foreach(out.writeDouble)
@@ -363,7 +368,7 @@ object DocStatsBuffer {
       buf.ordViolationDocs, buf.nullKindDocs,
       buf.danglingRefSpans, buf.danglingRefDocs,
       buf.kindCounts.toMap, buf.kll.toByteArray,
-      // ascending hash order (deterministic)
-      buf.sample.toArray.sortBy(e => (e._1, e._2.mkString(","))).map(_._2))
+      // ascending hash order (deterministic, allocation-free tiebreak)
+      buf.sample.toArray.sorted(buf.sampleOrd).map(_._2))
   }
 }
