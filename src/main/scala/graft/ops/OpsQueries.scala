@@ -102,7 +102,7 @@ object OpsQueries {
 
   def qualityScores(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
-        TextOps.qualityScore(col("text")).as("quality"),
+        floor(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("quality_micros"),
         size(TextOps.tokens(col("text"))).as("n_tokens"),
         TextOps.subwordCount(col("text")).as("n_subwords"))
       .orderBy(col("doc_id"))
@@ -175,6 +175,69 @@ object OpsQueries {
                   FROM x JOIN q USING (i) GROUP BY x.vec_id)
          SELECT vec_id, round(dot / (nx * nq), 4) AS cos FROM dots
          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // streaming twin: complete-mode replay over the full file equals the
+    // batch hourly aggregate, so the batch SQL oracles the stream operator
+    "events_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
+         round(sum(value), 4) AS sum_v
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    // subword pieces re-expressed for RE2 (no lookbehind): a piece is
+    // punct* followed by a letter run or digit run, or a pure punct run —
+    // equivalent to the engine's boundary-split on this grammar
+    "quality_scores" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
+             length(replace(text, ' ', '')) AS nosp,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS n_stop,
+             length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
+             len(list_filter(regexp_extract_all(lower(text),
+                 '[^a-z0-9\s]*[a-z]+|[^a-z0-9\s]*[0-9]+|[^a-z0-9\s]+'), x -> len(x) > 0)) AS n_subwords
+           FROM documents)
+         SELECT doc_id,
+           CAST(floor(( least(greatest(n_tokens,1) / 64.0, 1.0)*0.3
+                + least((n_stop * 1.0 / greatest(n_tokens,1))*5.0, 1.0)*0.25
+                + greatest(1.0 - (punct * 1.0 / greatest(length(text),1))*5.0, 0.0)*0.25
+                + (CASE WHEN (nosp * 1.0 / greatest(n_tokens,1)) BETWEEN 2.5 AND 9.0
+                        THEN 1.0 ELSE 0.4 END)*0.2) * 1000000) AS BIGINT) AS quality_micros,
+           n_tokens, n_subwords
+         FROM t ORDER BY doc_id""",
+    // fold order: first profile attaining the max wins (strict-greater
+    // replacement in the engine keeps the earliest max)
+    "lang_id_detect" ->
+      """WITH t AS (SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x)>0) AS toks,
+             length(text) AS L,
+             length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk
+           FROM documents),
+         s AS (SELECT doc_id, lang,
+           cjk*1.0/greatest(L,1) AS cjk_ratio,
+           greatest(len(toks),1)*1.0 AS n,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','it','that','was','for','with','as'], x)))*1.0 AS en,
+           len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','las','por','un','una'], x)))*1.0 AS es,
+           len(list_filter(toks, x -> list_contains(['der','die','und','das','von','zu','mit','den','ist','des','im','ein'], x)))*1.0 AS de,
+           len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','en','un','une','du','est','que'], x)))*1.0 AS fr
+          FROM t)
+         SELECT doc_id, lang,
+          CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+               WHEN greatest(en,es,de,fr)/n >= 0.05 THEN
+                 CASE WHEN en >= greatest(es,de,fr) THEN 'en'
+                      WHEN es >= greatest(de,fr) THEN 'es'
+                      WHEN de >= fr THEN 'de' ELSE 'fr' END
+               ELSE 'und' END AS detected
+         FROM s ORDER BY doc_id""",
+    // polynomial rolling hash replayed with HUGEINT wrap-around arithmetic
+    "fingerprint_rolling" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+                     ELSE h END AS BIGINT) AS fp
+         FROM (
+           SELECT doc_id,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 [CAST(ord(x) AS HUGEINT) for x in split(lower(text), '')]),
+               (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT) AS h
+           FROM documents) ORDER BY doc_id""",
     "events_stream_drift" ->
       """WITH e AS (SELECT event_type, date_trunc('day', ts) AS window_start,
                CAST(least(greatest(floor(value / 10.0), 0), 9) AS INT) AS bucket FROM events),

@@ -39,7 +39,12 @@ object TextOps {
     val stopScore = least(stopRatio * 5.0, lit(1.0)) // some stopwords = natural language
     val punctScore = greatest(lit(1.0) - punctRatio * 5.0, lit(0.0))
     val tokLenScore = when(meanTokLen.between(2.5, 9.0), 1.0).otherwise(0.4)
-    round((lenScore * 0.3 + stopScore * 0.25 + punctScore * 0.25 + tokLenScore * 0.2), 6)
+    // RAW double, deliberately un-rounded: the score lands on exact .5 ties
+    // at fixed decimals (dyadic sub-scores), where Spark's BigDecimal-based
+    // round/bround and DuckDB's FP-based round disagree per-value. Consumers
+    // needing a stable cross-engine representation truncate to micros
+    // (floor(q*1e6)) — tie-free and bit-reproducible, see OpsQueries.
+    lenScore * 0.3 + stopScore * 0.25 + punctScore * 0.25 + tokLenScore * 0.2
   }
 
   /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
