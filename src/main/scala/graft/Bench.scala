@@ -82,6 +82,15 @@ object Bench {
     res.summaries.values.map(_.nDocs).sum
   }
 
+  /** Delete a pass's output dir right after timing: each pass writes ~GBs of
+    * verdict/violation parquet, and letting them pile up churns the page
+    * cache — on this sandbox kernel page reclaim injects multi-second
+    * sys-time storms into later passes. */
+  private def rmrf(dir: String): Unit = {
+    import scala.sys.process._
+    try Seq("rm", "-rf", dir).! catch { case _: Throwable => }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -147,11 +156,35 @@ object Bench {
       tHis ::= tH
       tMmdHis ::= mmdProbe(hi)
       hi.stop()
+      rmrf(s"$work/hi$i")
       val lo = session(loCores)
       tLos ::= time(fullPass(lo, table, snap.snapshotId, ref, s"$work/lo$i", nDocs))._2
       tMmdLos ::= mmdProbe(lo)
       lo.stop()
+      rmrf(s"$work/lo$i")
     }
+    // second scaling pair at (loCores/4 → loCores), i.e. 2→8 by default:
+    // on this single VM, total DRAM bandwidth stops growing past ~8 threads
+    // (see membw fields), so the 8→32 pair measures the box's memory system,
+    // not the engine. The low pair sits below the bandwidth ceiling at both
+    // levels — the regime every executor NODE of a real cluster runs in.
+    val n2Cores = math.max(loCores / 4, 1)
+    val tN2 = sys.env.get("GRAFT_SKIP_N2") match {
+      case Some("1") => Double.NaN
+      case _ =>
+        val n2 = session(n2Cores)
+        val t = time(fullPass(n2, table, snap.snapshotId, ref, s"$work/n2", nDocs))._2
+        n2.stop()
+        rmrf(s"$work/n2")
+        t
+    }
+    // DRAM-ceiling probe: aggregate streaming bandwidth at both thread counts
+    // (one discarded warm call per level pre-touches the probe arrays; page
+    // faults on this kernel would otherwise dominate the first measurement)
+    graft.tools.MemBw.gbps(loCores, 2L << 30)
+    val membwLo = graft.tools.MemBw.gbps(loCores)
+    graft.tools.MemBw.gbps(hiCores, 2L << 30)
+    val membwHi = graft.tools.MemBw.gbps(hiCores)
     val tHi = tHis.min
     val tLo = tLos.min
     val tMmdHi = tMmdHis.min
@@ -167,12 +200,19 @@ object Bench {
     val thrHi = docsCounted / tHi
     val thrLo = docsCounted / tLo
     val eff = thrHi / (thrLo * (hiCores.toDouble / loCores))
-    val queries = (Seq("full_pass" -> tHi, "full_pass_lo" -> tLo) ++
+    val thrN2 = docsCounted / tN2
+    val effN2 = (thrLo / thrN2) / (loCores.toDouble / n2Cores)
+    val queries = (Seq("full_pass" -> tHi, "full_pass_lo" -> tLo,
+      "full_pass_n2" -> tN2) ++
       phases.toSeq.sortBy(_._1).map { case (k, v) => s"phase_$k" -> v } ++ tpch)
+      .filterNot(_._2.isNaN)
       .map { case (k, v) => s""""$k":${math.rint(v * 1000) / 1000}""" }
       .mkString("{", ",", "}")
     val effMmd = (tMmdLo / tMmdHi) / (hiCores.toDouble / loCores)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val n2Fields = if (tN2.isNaN) "" else
+      s""""throughput_n2_docs_per_sec":${math.rint(thrN2)},"cores_n2":$n2Cores,"scaling_efficiency_n2_to_lo":${r3(effN2)},"""
     println(
-      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${math.rint(eff * 1000) / 1000},"mmd_fanout_sec_hi":${math.rint(tMmdHi * 1000) / 1000},"mmd_fanout_sec_lo":${math.rint(tMmdLo * 1000) / 1000},"compute_scaling_efficiency":${math.rint(effMmd * 1000) / 1000}}""")
+      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${r3(eff)},$n2Fields"membw_gbps_lo_threads":${r3(membwLo)},"membw_gbps_hi_threads":${r3(membwHi)},"mmd_fanout_sec_hi":${r3(tMmdHi)},"mmd_fanout_sec_lo":${r3(tMmdLo)},"compute_scaling_efficiency":${r3(effMmd)}}""")
   }
 }

@@ -35,11 +35,6 @@ object ConstraintChecks {
   def uniqueness(docs: DataFrame, runId: String, salts: Int = 16): (Dataset[Violation], Map[Int, UniquenessStats]) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // hash-grain rows are cached: the dirty case (duplicates exist) recovers
-    // doc_id strings via a join against the dup keys, and without the cache
-    // that join would rescan + reshuffle the whole table. Fixed-width rows
-    // make this cache ~half the size of the doc_id-string equivalent;
-    // MEMORY_AND_DISK spills instead of recomputing at scale.
     // salts = 0 selects a SINGLE-shuffle aggregation: for count-like aggs,
     // Spark's map-side partial aggregation already bounds any hot key's
     // reducer input by the map-task count, so the explicit salt stage buys
@@ -51,7 +46,7 @@ object ConstraintChecks {
     // maxp rides along so the dup-recovery rescan can prune to the part
     // range actually containing duplicates (a key's copies all lie within
     // [its min part, its max part])
-    val perKey = (if (salts <= 0) keyed
+    val perKey = if (salts <= 0) keyed
         .groupBy($"h1", $"h2")
         .agg(count(lit(1)).as("n"), min($"part").as("part"), max($"part").as("maxp"))
       else keyed
@@ -59,29 +54,36 @@ object ConstraintChecks {
         .groupBy($"h1", $"h2", $"salt")
         .agg(count(lit(1)).as("c"), min($"part").as("part"), max($"part").as("mx"))
         .groupBy($"h1", $"h2")
-        .agg(sum($"c").as("n"), min($"part").as("part"), max($"mx").as("maxp")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perPart = perKey.groupBy($"part")
+        .agg(sum($"c").as("n"), min($"part").as("part"), max($"mx").as("maxp"))
+    // ONE consumer of the hash-grain stream — no 10^12-key persist. The
+    // dirty-part RANGE (min part / max maxp over dup keys) rides the same
+    // aggregation, so dup recovery needs no second look at perKey either.
+    val perPartRows = perKey.groupBy($"part")
       .agg(sum(when($"n" > 1, 1L).otherwise(0L)).as("dups"),
-        count(lit(1)).as("distinct"), sum($"n").as("total"))
+        count(lit(1)).as("distinct"), sum($"n").as("total"),
+        max(when($"n" > 1, $"maxp")).as("max_dup_part"))
       .collect()
+    val perPart = perPartRows
       .map(r => r.getInt(0) -> UniquenessStats(r.getLong(1), r.getLong(2), r.getLong(3)))
       .toMap
     val violations: Dataset[Violation] =
-      if (!perPart.values.exists(_.dupKeys > 0)) {
-        perKey.unpersist(blocking = false) // clean table: nothing else reads it
-        spark.emptyDataset[Violation]
-      } else {
-        // prune the doc_id rescan to the part range holding duplicates —
-        // a localized bad batch (the common dirty case) rescans only itself
-        val r = perKey.filter($"n" > 1)
-          .agg(min($"part"), max($"maxp")).head()
-        val (loP, hiP) = (r.getInt(0), r.getInt(1))
+      if (!perPart.values.exists(_.dupKeys > 0)) spark.emptyDataset[Violation]
+      else {
+        // Recover doc_id strings from a rescan PRUNED to the part range that
+        // holds duplicates. All copies of every dup key lie inside the range
+        // (by construction of part/maxp), so an in-range window count equals
+        // the key's global count — no join against the full key stream, and
+        // a clean table never builds one. Lazy: evaluated with the caller's
+        // single violations write job.
+        val loP = perPartRows.collect { case r if r.getLong(1) > 0 => r.getInt(0) }.min
+        val hiP = perPartRows.flatMap(r => Option(r.get(4)).map(_ => r.getInt(4))).max
+        val w = org.apache.spark.sql.expressions.Window.partitionBy($"h1", $"h2")
         docs.filter($"part".between(loP, hiP))
           .select($"part", $"doc_id",
             xxhash64($"doc_id", lit("u1")).as("h1"),
             xxhash64($"doc_id", lit("u2")).as("h2"))
-          .join(perKey.filter($"n" > 1).select($"h1", $"h2", $"n"), Seq("h1", "h2"))
+          .withColumn("n", count(lit(1)).over(w))
+          .filter($"n" > 1)
           .select(lit(runId).as("run_id"), $"part",
             lit("unique_doc_id").as("check_id"), $"doc_id",
             concat(lit("duplicate doc_id x"), $"n").as("detail"))

@@ -36,9 +36,10 @@ case class DocStatsAgg(
     mediaRefsChild: Expression, // array<string>: spans.media_ref (or null literal)
     maxSample: Int = 1000,
     mode: Int = DocStatsAgg.ModeBoth, // ModeStats skips sampling, ModeSample skips stats
-    // valid media_refs, broadcast once per run; when set, the same scan also
-    // counts dangling media_refs (fused referential check, E6 broadcast path)
-    mediaSet: Option[org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]]] = None,
+    // valid media_ref HASHES, broadcast once per run; when set, the same scan
+    // also counts dangling media_refs (fused referential check, E6 broadcast
+    // path) via allocation-free primitive-hash membership probes
+    mediaSet: Option[org.apache.spark.broadcast.Broadcast[LongHashSet]] = None,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DocStatsBuffer]
@@ -103,7 +104,7 @@ object DocStatsAgg {
   def docStats(kinds: Column, offsets: Column, hash: Column, maxSample: Int = 1000,
                mode: Int = ModeBoth,
                mediaRefs: Option[Column] = None,
-               mediaSet: Option[org.apache.spark.broadcast.Broadcast[java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]]] = None): Column =
+               mediaSet: Option[org.apache.spark.broadcast.Broadcast[LongHashSet]] = None): Column =
     ColumnBridge.toColumn(DocStatsAgg(
       ColumnBridge.toExpr(kinds), ColumnBridge.toExpr(offsets),
       ColumnBridge.toExpr(hash),
@@ -138,8 +139,14 @@ final class DocStatsBuffer(val maxSample: Int) {
   var danglingRefSpans = 0L // media_refs missing from the catalog (fused E6)
   var danglingRefDocs = 0L // docs with >=1 dangling media_ref
   // kind counts keyed by UTF8String (copied once on first sight) — linear
-  // scan over the handful of kinds, ZERO per-span String allocation
+  // scan over the handful of kinds, ZERO per-span String allocation.
+  // kindPrefixes/kindLens cache each key's (first-8-bytes, byteLen): for
+  // keys <= 8 bytes (every realistic span kind) length+prefix equality IS
+  // equality, so the per-span probe never touches the key bytes again —
+  // JFR showed ByteArrayMethods.arrayEquals as a top-3 scan frame before.
   private var kindKeys = new Array[org.apache.spark.unsafe.types.UTF8String](8)
+  private var kindPrefixes = new Array[Long](8)
+  private var kindLens = new Array[Int](8)
   private var kindVals = new Array[Long](8)
   private var nKinds = 0
   var kll: KllDoublesSketch = KllDoublesSketch.newHeapInstance(200)
@@ -164,16 +171,23 @@ final class DocStatsBuffer(val maxSample: Int) {
     mutable.PriorityQueue.empty(sampleOrd)
 
   private def bumpKind(k: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    val len = k.numBytes()
+    val p = k.getPrefix
     var i = 0
     while (i < nKinds) {
-      if (kindKeys(i).equals(k)) { kindVals(i) += 1L; return }
+      if (kindLens(i) == len && kindPrefixes(i) == p &&
+          (len <= 8 || kindKeys(i).equals(k))) { kindVals(i) += 1L; return }
       i += 1
     }
     if (nKinds == kindKeys.length) {
       kindKeys = java.util.Arrays.copyOf(kindKeys, nKinds * 2)
+      kindPrefixes = java.util.Arrays.copyOf(kindPrefixes, nKinds * 2)
+      kindLens = java.util.Arrays.copyOf(kindLens, nKinds * 2)
       kindVals = java.util.Arrays.copyOf(kindVals, nKinds * 2)
     }
     kindKeys(nKinds) = k.clone() // copy out of the transient row buffer
+    kindPrefixes(nKinds) = p
+    kindLens(nKinds) = len
     kindVals(nKinds) = 1L
     nKinds += 1
   }
@@ -190,7 +204,7 @@ final class DocStatsBuffer(val maxSample: Int) {
                 offsets: org.apache.spark.sql.catalyst.util.ArrayData, h: Long,
                 doStats: Boolean = true, doSample: Boolean = true,
                 mediaRefs: org.apache.spark.sql.catalyst.util.ArrayData = null,
-                validRefs: java.util.HashSet[org.apache.spark.unsafe.types.UTF8String] = null): Unit = {
+                validRefs: LongHashSet = null): Unit = {
     val n = kinds.numElements()
     nDocs += 1
     nSpans += n
@@ -199,7 +213,8 @@ final class DocStatsBuffer(val maxSample: Int) {
       var bad = false
       val nr = mediaRefs.numElements()
       while (i < nr) {
-        if (!mediaRefs.isNullAt(i) && !validRefs.contains(mediaRefs.getUTF8String(i))) {
+        if (!mediaRefs.isNullAt(i) &&
+            !validRefs.contains(LongHashSet.hashUtf8(mediaRefs.getUTF8String(i)))) {
           danglingRefSpans += 1; bad = true
         }
         i += 1
@@ -230,9 +245,12 @@ final class DocStatsBuffer(val maxSample: Int) {
   }
 
   /** Imperative twin of graft.model.DocsGen.featurize — MUST stay in sync:
-    * [n/8, meanGap/30, fracText, fracImage, meanAbsDev/15, fracNonPos]. */
+    * [n/8, meanGap/30, fracText, fracImage, meanAbsDev/15, fracNonPos].
+    * Kind match via (len, prefix) — definitive for <=8-byte strings. */
   private val TEXT = org.apache.spark.unsafe.types.UTF8String.fromString("text")
   private val IMAGE = org.apache.spark.unsafe.types.UTF8String.fromString("image")
+  private val TEXT_P = TEXT.getPrefix
+  private val IMAGE_P = IMAGE.getPrefix
 
   private def features(kinds: org.apache.spark.sql.catalyst.util.ArrayData,
                        offsets: org.apache.spark.sql.catalyst.util.ArrayData): Array[Double] = {
@@ -247,7 +265,9 @@ final class DocStatsBuffer(val maxSample: Int) {
     while (i < n) {
       if (!kinds.isNullAt(i)) {
         val k = kinds.getUTF8String(i)
-        if (k.equals(TEXT)) text += 1 else if (k.equals(IMAGE)) image += 1
+        val len = k.numBytes()
+        if (len == 4 && k.getPrefix == TEXT_P) text += 1
+        else if (len == 5 && k.getPrefix == IMAGE_P) image += 1
       }
       val off = offsets.getInt(i)
       if (i > 0) {
@@ -291,9 +311,13 @@ final class DocStatsBuffer(val maxSample: Int) {
       if (!found) {
         if (nKinds == kindKeys.length) {
           kindKeys = java.util.Arrays.copyOf(kindKeys, nKinds * 2)
+          kindPrefixes = java.util.Arrays.copyOf(kindPrefixes, nKinds * 2)
+          kindLens = java.util.Arrays.copyOf(kindLens, nKinds * 2)
           kindVals = java.util.Arrays.copyOf(kindVals, nKinds * 2)
         }
         kindKeys(nKinds) = other.kindKeys(i)
+        kindPrefixes(nKinds) = other.kindKeys(i).getPrefix
+        kindLens(nKinds) = other.kindKeys(i).numBytes()
         kindVals(nKinds) = other.kindVals(i)
         nKinds += 1
       }
