@@ -15,7 +15,13 @@ case class RunConfig(
     maxSample: Int = 2000,
     samplePrefilterFrac: Double = 1.0,
     salts: Int = 16,
-    fusedScan: Boolean = false)
+    fusedScan: Boolean = false,
+    // when set, each check's violation rows are written to
+    // <sink>/src=<check>/ AS SOON AS that check's counts are known, from the
+    // same driver threads that ran the check — the (potentially large)
+    // violation materialization then overlaps the remaining check phases
+    // instead of serializing after them. run() returns after all writes.
+    violationsSink: Option[String] = None)
 
 /** The full constraint+drift validation pass — the engine's flagship job.
   *
@@ -73,9 +79,20 @@ object ValidationRun {
     // pass's wall-clock is the max of the scan-bound phases, not their sum.
     // (Sequential submission leaves cores idle in every job's tail.)
 
+    // eager per-check violation writes (no-op without a sink)
+    val sinkWrites = new java.util.concurrent.ConcurrentLinkedQueue[Future[Unit]]()
+    def sinkWrite(name: String, ds: => Dataset[Violation]): Unit =
+      cfg.violationsSink.foreach { sink =>
+        sinkWrites.add(Future(timed(s"write_viol_$name")(
+          ds.write.mode("overwrite").parquet(s"$sink/src=$name"))))
+      }
+
     // 3. uniqueness (violations stay distributed)
-    val fUniq = Future(timed("uniqueness")(
-      ConstraintChecks.uniqueness(docs, cfg.runId, cfg.salts)))
+    val fUniq = Future(timed("uniqueness") {
+      val r = ConstraintChecks.uniqueness(docs, cfg.runId, cfg.salts)
+      sinkWrite("unique", r._1)
+      r
+    })
     // 4. referential (E6). Two layouts:
     //  - fused + broadcastable catalog: dangling-ref COUNTING rides the stats
     //    scan (broadcast media set checked inside DocStatsAgg) — no separate
@@ -85,9 +102,32 @@ object ValidationRun {
     //  - otherwise: standalone anti-join pass (the shuffled-join path is the
     //    only option when the catalog can't be broadcast).
     val fuseRef = cfg.fusedScan && broadcastMedia
-    val fRef = if (fuseRef) None else Some(Future(timed("referential")(
-      ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia))))
+    val fRef = if (fuseRef) None else Some(Future(timed("referential") {
+      val r = ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia)
+      sinkWrite("ref", r._1)
+      r
+    }))
     val mediaSet = if (fuseRef) Some(PartStats.broadcastMediaSet(media)) else None
+
+    // violation-row builders for the stats-derived checks (lazy datasets;
+    // pruned to dirty partitions — no-ops on a clean table)
+    def refViolOf(summaries: Map[Int, PartSummary]): (Dataset[Violation], Map[Int, Long]) = {
+      val counts = summaries.collect {
+        case (p, s) if s.danglingRefSpans > 0 => p -> s.danglingRefSpans
+      }.toMap
+      val viol: Dataset[Violation] =
+        if (counts.isEmpty) spark.emptyDataset[Violation]
+        else ConstraintChecks.referentialRows(
+          docs.filter($"part".isin(counts.keys.toSeq: _*)), media, cfg.runId)
+      (viol, counts)
+    }
+    def intViolOf(summaries: Map[Int, PartSummary]): Dataset[Violation] = {
+      val dirty = summaries.collect {
+        case (p, s) if s.ordViolationDocs > 0 || s.nullKindDocs > 0 => p
+      }.toSeq
+      if (dirty.isEmpty) spark.emptyDataset[Violation]
+      else ConstraintChecks.spanIntegrityRows(docs.filter($"part".isin(dirty: _*)), cfg.runId)
+    }
 
     // 1+2. stats and MMD-sampling both run through the custom DocStatsAgg
     // (one scan each, no explode). Two layouts, both bandwidth-motivated:
@@ -100,6 +140,10 @@ object ValidationRun {
     val (summaries, _, mmdVerdicts) = if (cfg.fusedScan) {
       val (sm, sp) = timed("stats")(PartStats.computeFused(
         docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeBoth, mediaSet))
+      // launch the stats-derived violation writes BEFORE the MMD fan-out so
+      // the dirty-partition rescans overlap it (and the uniqueness tail)
+      sinkWrite("ref", refViolOf(sm)._1)
+      sinkWrite("integrity", intViolOf(sm))
       val mv = timed("mmd_fanout")(DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref,
         sp, cfg.numPermutations, cfg.randomState))
       (sm, sp, mv)
@@ -112,6 +156,7 @@ object ValidationRun {
       }
       val (sm, _) = timed("stats")(
         PartStats.computeFused(docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeStats))
+      sinkWrite("integrity", intViolOf(sm))
       val (mv, sp) = Await.result(fSampleMmd, Duration.Inf)
       (sm, sp, mv)
     }
@@ -122,17 +167,8 @@ object ValidationRun {
       case Some(f) => Await.result(f, Duration.Inf)
       case None =>
         // counts came from the fused scan; violation rows build LAZILY from
-        // the dirty partitions only (pruned rescan — no-op on a clean table,
-        // evaluated together with the other violation branches in the
-        // caller's single write job)
-        val counts = summaries.collect {
-          case (p, s) if s.danglingRefSpans > 0 => p -> s.danglingRefSpans
-        }.toMap
-        val viol: Dataset[Violation] =
-          if (counts.isEmpty) spark.emptyDataset[Violation]
-          else ConstraintChecks.referentialRows(
-            docs.filter($"part".isin(counts.keys.toSeq: _*)), media, cfg.runId)
-        (viol, counts)
+        // the dirty partitions only (pruned rescan — no-op on a clean table)
+        refViolOf(summaries)
     }
     val uniqCounts = uniqStats.map { case (p, s) => p -> s.dupKeys }
     // span-integrity counts come FREE from the stats pass; violation ROWS are
@@ -140,11 +176,7 @@ object ValidationRun {
     // this near-zero when the table is clean (the common case at scale)
     val ordCounts = summaries.collect { case (p, s) if s.ordViolationDocs > 0 => p -> s.ordViolationDocs }
     val nkCounts = summaries.collect { case (p, s) if s.nullKindDocs > 0 => p -> s.nullKindDocs }
-    val dirtyParts = (ordCounts.keySet ++ nkCounts.keySet).toSeq
-    val intViol: Dataset[Violation] =
-      if (dirtyParts.isEmpty) spark.emptyDataset[Violation]
-      else ConstraintChecks.spanIntegrityRows(
-        docs.filter($"part".isin(dirtyParts: _*)), cfg.runId)
+    val intViol: Dataset[Violation] = intViolOf(summaries)
 
     def constraintVerdicts(checkId: String, counts: Map[Int, Long]): Seq[Verdict] =
       parts.map { p =>
@@ -178,7 +210,13 @@ object ValidationRun {
         DriftChecks.psi(cfg.runId, cfg.alpha, ref, summaries) ++
         mmdVerdicts
 
-    val violations = uniqViol.union(refViol).union(intViol)
+    // with a sink, every branch is already written (await the overlapped
+    // writes before returning so callers see complete output); without one,
+    // hand back the lazy union for the caller's own single write job
+    sinkWrites.forEach(f => Await.result(f, Duration.Inf))
+    val violations =
+      if (cfg.violationsSink.isDefined) spark.emptyDataset[Violation]
+      else uniqViol.union(refViol).union(intViol)
     Results(spark.createDataset(verdicts), violations, summaries)
   }
 

@@ -77,6 +77,26 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("violationsSink writes the same rows as the lazy union, per check") {
+    val tmp = Files.createTempDirectory("sink")
+    val docs = DocsGen.docs(spark, 3600, DocsGen.goldenScenario).cache()
+    val media = DocsGen.media(spark)
+    val ref = Fit.fit(docs.filter($"part" === 0), snapshotId = 9L, maxSample = 200)
+    val cfg = RunConfig(runId = "s1", maxSample = 200, numPermutations = 10,
+      fusedScan = true)
+    val lazyRows = ValidationRun.run(docs, media, ref, cfg)
+      .violations.collect().map(v => (v.check_id, v.part, v.doc_id)).sorted
+    assert(lazyRows.nonEmpty)
+    val res2 = ValidationRun.run(docs, media, ref,
+      cfg.copy(violationsSink = Some(s"$tmp/v")))
+    assert(res2.violations.isEmpty) // sink mode: nothing left to write
+    val sunk = spark.read.parquet(s"$tmp/v")
+      .select("check_id", "part", "doc_id")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).sorted
+    assert(sunk.toSeq == lazyRows.toSeq)
+    docs.unpersist()
+  }
+
   test("verdicts are parallelism-invariant (local shuffle-partition change)") {
     val docs = DocsGen.docs(spark, 2000, DocsGen.goldenScenario.take(3))
     val media = DocsGen.media(spark)
