@@ -38,6 +38,15 @@ object Bench {
     (r, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Process (user+sys) CPU seconds from /proc/self/stat — pass-level CPU
+    * accounting distinguishes "cores idle" (scheduling/waves) from "work
+    * inflated" (contention) when a level scales poorly. */
+  private def cpuSec(): Double = {
+    val p = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/self/stat"))).split(" ")
+    (p(13).toDouble + p(14).toDouble) / 100.0
+  }
+
   private def session(cores: Int): SparkSession = {
     val s = SparkSession.builder()
       .master(s"local[$cores]")
@@ -52,10 +61,11 @@ object Bench {
       // default 4MB openCostInBytes pads them into ~cores/2 splits and
       // starves the hi level — cheap opens + smaller split target restore
       // ≥2 tasks/core (measured: scan cpuUtil 0.5 → 0.9 at local[32])
-      .config("spark.sql.files.openCostInBytes", (256 * 1024).toString)
-      // ~4 task waves per scan at local[32]: straggler-resilient without
-      // per-task overhead dominating (tasks stay >100ms at SF=0.1)
-      .config("spark.sql.files.maxPartitionBytes", (16 * 1024 * 1024).toString)
+      // one ~3MB generated file per task: the dirty-part violation rescans
+      // read a single part dir (~32 files) — larger split targets collapsed
+      // them to ~7 tasks and capped those phases' scaling at local[32]
+      .config("spark.sql.files.openCostInBytes", (64 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes", (4 * 1024 * 1024).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -146,44 +156,57 @@ object Bench {
     // whole level's block. Fresh session per level switch (one SparkContext
     // per JVM); Spark's codegen cache and the JIT survive the switch.
     val rounds = sys.env.getOrElse("GRAFT_ROUNDS", "3").toInt
+    // levels interleave within each round (hi,lo,n2,hi,lo,n2,…) and each
+    // level takes its min across rounds — a VM noise burst then hits
+    // adjacent levels alike instead of biasing one whole level's block.
+    // n2 = quarter of lo (2 cores by default): the second scaling pair
+    // (n2→lo) exercises the regime where per-core shared-resource pressure
+    // is far from any ceiling — the regime each executor NODE of a real
+    // cluster runs in; min-of-rounds like the others (a single n2 shot
+    // measured noise, not the engine).
+    val n2Cores = math.max(loCores / 4, 1)
+    val skipN2 = sys.env.get("GRAFT_SKIP_N2").contains("1")
     var tHis = List.empty[Double]
     var tLos = List.empty[Double]
+    var tN2s = List.empty[Double]
     var tMmdHis = List.empty[Double]
     var tMmdLos = List.empty[Double]
+    var cpuHi = Double.NaN
+    var cpuLo = Double.NaN
     var bestPhases: Map[String, Double] = Map.empty
     var bestPhasesLo: Map[String, Double] = Map.empty
     (1 to rounds).foreach { i =>
       val hi = session(hiCores)
+      val c0 = cpuSec()
       val (n, tH) = time(fullPass(hi, table, snap.snapshotId, ref, s"$work/hi$i", nDocs))
       docsCounted = n
-      if (tHis.isEmpty || tH < tHis.min) bestPhases = ValidationRun.lastTimings.toMap
+      if (tHis.isEmpty || tH < tHis.min) {
+        bestPhases = ValidationRun.lastTimings.toMap
+        cpuHi = cpuSec() - c0
+      }
       tHis ::= tH
       tMmdHis ::= mmdProbe(hi)
       hi.stop()
       rmrf(s"$work/hi$i")
       val lo = session(loCores)
+      val c1 = cpuSec()
       val tL = time(fullPass(lo, table, snap.snapshotId, ref, s"$work/lo$i", nDocs))._2
-      if (tLos.isEmpty || tL < tLos.min) bestPhasesLo = ValidationRun.lastTimings.toMap
+      if (tLos.isEmpty || tL < tLos.min) {
+        bestPhasesLo = ValidationRun.lastTimings.toMap
+        cpuLo = cpuSec() - c1
+      }
       tLos ::= tL
       tMmdLos ::= mmdProbe(lo)
       lo.stop()
       rmrf(s"$work/lo$i")
-    }
-    // second scaling pair at (loCores/4 → loCores), i.e. 2→8 by default:
-    // on this single VM, total DRAM bandwidth stops growing past ~8 threads
-    // (see membw fields), so the 8→32 pair measures the box's memory system,
-    // not the engine. The low pair sits below the bandwidth ceiling at both
-    // levels — the regime every executor NODE of a real cluster runs in.
-    val n2Cores = math.max(loCores / 4, 1)
-    val tN2 = sys.env.get("GRAFT_SKIP_N2") match {
-      case Some("1") => Double.NaN
-      case _ =>
+      if (!skipN2) {
         val n2 = session(n2Cores)
-        val t = time(fullPass(n2, table, snap.snapshotId, ref, s"$work/n2", nDocs))._2
+        tN2s ::= time(fullPass(n2, table, snap.snapshotId, ref, s"$work/n2_$i", nDocs))._2
         n2.stop()
-        rmrf(s"$work/n2")
-        t
+        rmrf(s"$work/n2_$i")
+      }
     }
+    val tN2 = if (tN2s.isEmpty) Double.NaN else tN2s.min
     // DRAM-ceiling probe: aggregate streaming bandwidth at both thread counts
     // (one discarded warm call per level pre-touches the probe arrays; page
     // faults on this kernel would otherwise dominate the first measurement)
@@ -220,7 +243,9 @@ object Bench {
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val n2Fields = if (tN2.isNaN) "" else
       s""""throughput_n2_docs_per_sec":${math.rint(thrN2)},"cores_n2":$n2Cores,"scaling_efficiency_n2_to_lo":${r3(effN2)},"""
+    val cpuFields =
+      s""""cpu_util_hi":${r3(cpuHi / (tHi * hiCores))},"cpu_util_lo":${r3(cpuLo / (tLo * loCores))},"cpu_sec_hi":${r3(cpuHi)},"cpu_sec_lo":${r3(cpuLo)},"""
     println(
-      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${r3(eff)},$n2Fields"membw_gbps_lo_threads":${r3(membwLo)},"membw_gbps_hi_threads":${r3(membwHi)},"mmd_fanout_sec_hi":${r3(tMmdHi)},"mmd_fanout_sec_lo":${r3(tMmdLo)},"compute_scaling_efficiency":${r3(effMmd)}}""")
+      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${r3(eff)},$n2Fields$cpuFields"membw_gbps_lo_threads":${r3(membwLo)},"membw_gbps_hi_threads":${r3(membwHi)},"mmd_fanout_sec_hi":${r3(tMmdHi)},"mmd_fanout_sec_lo":${r3(tMmdLo)},"compute_scaling_efficiency":${r3(effMmd)}}""")
   }
 }

@@ -55,15 +55,20 @@ object Dedup {
     val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    // candidate generation is SLIM (id, band, band-hash): the band self-join
+    // shuffles 20 bytes/row, not shingle arrays. Shingles re-join only for
+    // the (small) candidate pairs during exact verification.
     val banded = sig
-      .select(col("id"), col("sh"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band"), col("bk.bh"))
-    val cands = banded.as("a").join(banded.as("b"),
+      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bh"))
+    val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val cands = candIds
+      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
     cands
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
