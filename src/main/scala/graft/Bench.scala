@@ -96,7 +96,8 @@ object Bench {
     // remaining check phases — run() returns only after all writes finish
     val res = ValidationRun.run(docs, media, ref,
       RunConfig(runId = "bench", maxSample = 1000, samplePrefilterFrac = frac,
-        fusedScan = fused, violationsSink = Some(s"$outDir/violations")))
+        fusedScan = fused, violationsSink = Some(s"$outDir/violations"),
+        concurrentChecks = sys.env.getOrElse("GRAFT_CONC", "1") == "1"))
     val (_, tV) = time(res.verdicts.write.mode("overwrite").parquet(s"$outDir/results"))
     ValidationRun.lastTimings.put("write_verdicts", tV)
     res.summaries.values.map(_.nDocs).sum

@@ -21,7 +21,12 @@ case class RunConfig(
     // same driver threads that ran the check — the (potentially large)
     // violation materialization then overlaps the remaining check phases
     // instead of serializing after them. run() returns after all writes.
-    violationsSink: Option[String] = None)
+    violationsSink: Option[String] = None,
+    // false = run the check jobs one after another, each getting the whole
+    // cluster to itself. On kernels where scheduler/futex pressure grows
+    // superlinearly with runnable threads, stacking concurrent jobs inflates
+    // TOTAL CPU; sequential trades tail idle-time for uninflated work.
+    concurrentChecks: Boolean = true)
 
 /** The full constraint+drift validation pass — the engine's flagship job.
   *
@@ -79,16 +84,21 @@ object ValidationRun {
     // pass's wall-clock is the max of the scan-bound phases, not their sum.
     // (Sequential submission leaves cores idle in every job's tail.)
 
+    // concurrentChecks=false degrades every Future below to inline
+    // execution in call order — one job at a time, full cluster each
+    def maybeFuture[T](body: => T): Future[T] =
+      if (cfg.concurrentChecks) Future(body) else Future.successful(body)
+
     // eager per-check violation writes (no-op without a sink)
     val sinkWrites = new java.util.concurrent.ConcurrentLinkedQueue[Future[Unit]]()
     def sinkWrite(name: String, ds: => Dataset[Violation]): Unit =
       cfg.violationsSink.foreach { sink =>
-        sinkWrites.add(Future(timed(s"write_viol_$name")(
+        sinkWrites.add(maybeFuture(timed(s"write_viol_$name")(
           ds.write.mode("overwrite").parquet(s"$sink/src=$name"))))
       }
 
     // 3. uniqueness (violations stay distributed)
-    val fUniq = Future(timed("uniqueness") {
+    val fUniq = maybeFuture(timed("uniqueness") {
       val r = ConstraintChecks.uniqueness(docs, cfg.runId, cfg.salts)
       sinkWrite("unique", r._1)
       r
@@ -102,7 +112,7 @@ object ValidationRun {
     //  - otherwise: standalone anti-join pass (the shuffled-join path is the
     //    only option when the catalog can't be broadcast).
     val fuseRef = cfg.fusedScan && broadcastMedia
-    val fRef = if (fuseRef) None else Some(Future(timed("referential") {
+    val fRef = if (fuseRef) None else Some(maybeFuture(timed("referential") {
       val r = ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia)
       sinkWrite("ref", r._1)
       r
@@ -148,7 +158,7 @@ object ValidationRun {
         sp, cfg.numPermutations, cfg.randomState))
       (sm, sp, mv)
     } else {
-      val fSampleMmd = Future {
+      val fSampleMmd = maybeFuture {
         val sp = timed("mmd_sample")(PartStats.computeFused(
           docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeSample)._2)
         timed("mmd_fanout")(DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref, sp,

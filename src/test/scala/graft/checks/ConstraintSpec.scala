@@ -27,6 +27,36 @@ class ConstraintSpec extends AnyFunSuite {
     assert(ConstraintChecks.spanSequenceEquality(tweaked, docs, "t").count() == docs.count())
   }
 
+  test("span_flags: compiled integrity flags match hand cases and DocStatsAgg counts") {
+    import graft.functions.SpanFlags
+    val rows = Seq(
+      ("ok", Seq("text", "image"), Seq(1, 5), 0),
+      ("empty", Seq.empty[String], Seq.empty[Int], 0),
+      ("single", Seq("text"), Seq(3), 0),
+      ("eq_off", Seq("text", "text"), Seq(4, 4), SpanFlags.OrdBit), // equal = violation
+      ("backward", Seq("text", "text", "text"), Seq(4, 9, 2), SpanFlags.OrdBit),
+      ("nullkind", Seq(null, "text"), Seq(1, 2), SpanFlags.NullKindBit),
+      ("both", Seq("text", null), Seq(5, 5), SpanFlags.OrdBit | SpanFlags.NullKindBit))
+    val df = rows.map(r => (r._1, r._2, r._3)).toDF("id", "kinds", "offs")
+    val got = df.select($"id",
+        SpanFlags.span_flags($"kinds", $"offs").as("fl"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    rows.foreach { case (id, _, _, want) => assert(got(id) == want, id) }
+
+    // parity with the fused scan's counters on a generated dirty table
+    val docs = graft.model.DocsGen.docs(spark, 2000,
+      Seq(graft.model.PartSpec(0, swapProb = 0.3, nullKindRate = 0.1))).cache()
+    val (sm, _) = PartStats.computeFused(docs, 10)
+    val byFlags = docs.select(
+        SpanFlags.span_flags(col("spans.kind"), col("spans.offset")).as("fl"))
+      .agg(sum(when(($"fl".bitwiseAND(SpanFlags.OrdBit)) =!= 0, 1L).otherwise(0L)),
+        sum(when(($"fl".bitwiseAND(SpanFlags.NullKindBit)) =!= 0, 1L).otherwise(0L)))
+      .head()
+    assert(byFlags.getLong(0) == sm(0).ordViolationDocs)
+    assert(byFlags.getLong(1) == sm(0).nullKindDocs)
+    docs.unpersist()
+  }
+
   test("fit state round-trips through the ref_state parquet table") {
     val docs = DocsGen.docs(spark, 500, DocsGen.cleanScenario(1))
     val ref = Fit.fit(docs, snapshotId = 42L, maxSample = 100)
