@@ -97,6 +97,35 @@ class EngineSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("concurrentChecks=false produces identical verdicts and sink rows") {
+    val tmp = Files.createTempDirectory("seq")
+    val docs = DocsGen.docs(spark, 3600, DocsGen.goldenScenario).cache()
+    val media = DocsGen.media(spark)
+    val ref = Fit.fit(docs.filter($"part" === 0), snapshotId = 11L, maxSample = 200)
+    val cfg = RunConfig(runId = "c1", maxSample = 200, numPermutations = 10,
+      fusedScan = true)
+    def strip(sink: String, c: RunConfig) = {
+      val r = ValidationRun.run(docs, media, ref, c.copy(violationsSink = Some(sink)))
+      val verdicts = r.verdicts.collect()
+        .map(v => (v.part, v.check_id, v.distance, v.p_value, v.passed)).sorted.toSeq
+      val rows = spark.read.parquet(sink).select("check_id", "part", "doc_id")
+        .collect().map(x => (x.getString(0), x.getInt(1), x.getString(2))).sorted.toSeq
+      (verdicts, rows)
+    }
+    val (va, ra) = strip(s"$tmp/a", cfg)
+    val (vb, rb) = strip(s"$tmp/b", cfg.copy(concurrentChecks = false))
+    assert(va.length == vb.length)
+    va.zip(vb).foreach { case ((p1, c1, d1, pv1, ps1), (p2, c2, d2, pv2, ps2)) =>
+      assert(p1 == p2 && c1 == c2)
+      if (c1 == "ks_offset" || c1 == "psi_offset")
+        // KLL sketch compaction is randomized → compare within tolerance
+        assert(math.abs(d1 - d2) < 0.02, s"($p1,$c1): $d1 vs $d2")
+      else assert(d1 == d2 && pv1 == pv2 && ps1 == ps2, s"($p1,$c1)")
+    }
+    assert(ra == rb && ra.nonEmpty)
+    docs.unpersist()
+  }
+
   test("verdicts are parallelism-invariant (local shuffle-partition change)") {
     val docs = DocsGen.docs(spark, 2000, DocsGen.goldenScenario.take(3))
     val media = DocsGen.media(spark)
