@@ -121,38 +121,47 @@ object DriftChecks {
     // ranges — consecutive chunks share a part, so each task rebuilds the
     // kernel matrix at most once or twice. (A round-robin repartition here
     // interleaves parts and forces a rebuild every other chunk.)
-    val stats = spark.createDataset(chunks)
+    // each task emits one PARTIAL row per (part, chunk): the observed stat
+    // (if permId 0 was in the chunk) plus this chunk's count of perm-stats ≥
+    // observed — the observed statistic is recomputed from the shared kernel
+    // matrix (identity split, cheap) so chunks are self-contained. Driver
+    // traffic is O(chunks), never O(parts × permutations): the shape that
+    // holds when a snapshot has 10^5+ partitions.
+    val partials = spark.createDataset(chunks)
       .mapPartitions { it =>
         val (refSample, sigma, prodSamples) = bc.value
-        it.flatMap { case (part, s, e) =>
+        it.map { case (part, s, e) =>
           val (kMat, nPool, sTotal) = KernelCache.get(bc.id, part, () => {
             val pool = refSample ++ prodSamples(part)
             val k = Mmd.kernelMatrix(pool, sigma)
             (k, pool.length, Mmd.upperTriangleSum(k, pool.length))
           })
           val m = refSample.length
+          val obs = Mmd.statsBatchFromMatrix(kMat, nPool, m, sTotal,
+            Array(Array.tabulate(nPool)(identity)))(0)
           // batch-of-64 bitmask evaluation: one sequential matrix pass per 64
           // permutations instead of one random-access pass per permutation —
           // see Mmd.statsBatchFromMatrix
-          (s until e).grouped(64).flatMap { grp =>
+          var ge = 0
+          (math.max(s, 1) until e).grouped(64).foreach { grp =>
             val perms = grp.map { permId =>
-              if (permId == 0) Array.tabulate(nPool)(identity)
-              else graft.stats.StatMath.permutation(nPool,
+              graft.stats.StatMath.permutation(nPool,
                 // seed mixes part so each partition gets an independent stream
                 (randomState * 1000003L + part) * 0x9E3779B97F4A7C15L + (permId - 1))
             }.toArray
-            val stats = Mmd.statsBatchFromMatrix(kMat, nPool, m, sTotal, perms)
-            grp.zip(stats).map { case (permId, st) => (part, permId.toLong, st) }
+            Mmd.statsBatchFromMatrix(kMat, nPool, m, sTotal, perms)
+              .foreach(st => if (st >= obs) ge += 1)
           }
+          (part, obs, ge)
         }
       }
       .collect()
 
-    val byPart = stats.groupBy(_._1)
+    val byPart = partials.groupBy(_._1)
     parts.map { part =>
       val rows = byPart(part)
-      val obs = rows.find(_._2 == 0L).get._3
-      val ge = rows.count(r => r._2 > 0L && r._3 >= obs)
+      val obs = rows.head._2
+      val ge = rows.map(_._3).sum
       val p = ge.toDouble / numPermutations // plain proportion — see Mmd.permutationTest
 
       Verdict.now(runId, part, "mmd_features", alpha, obs, p, None,

@@ -238,9 +238,14 @@ object ValidationRun {
   def runResumable(spark: SparkSession, docs: DataFrame, media: DataFrame,
                    ref: RefState, cfg: RunConfig,
                    resultsPath: String, violationsPath: String,
-                   limitParts: Option[Int] = None): Seq[Int] = {
+                   limitParts: Option[Int] = None,
+                   knownParts: Option[Seq[Int]] = None): Seq[Int] = {
     import spark.implicits._
-    val allParts = docs.select("part").distinct().as[Int].collect().sorted.toSeq
+    // partition list comes from the snapshot manifest when the caller has
+    // one (knownParts) — `select(part).distinct` would scan the whole table
+    // just to plan the run, unacceptable at 10^12 rows
+    val allParts = knownParts.map(_.sorted).getOrElse(
+      docs.select("part").distinct().as[Int].collect().sorted.toSeq)
     val done: Set[Int] =
       try spark.read.parquet(resultsPath)
         .filter($"snapshot_id" === ref.snapshotId && $"check_id" === "stats")
@@ -250,7 +255,10 @@ object ValidationRun {
     val todo = limitParts.map(todoAll.take).getOrElse(todoAll)
     if (todo.isEmpty) return Seq.empty
     val subset = docs.filter($"part".isin(todo: _*))
-    val res = run(subset, media, ref, cfg)
+    // the append-per-run layout below owns violation persistence; a caller's
+    // violationsSink (overwrite-per-check semantics) would clobber earlier
+    // resumed batches, so it is ignored here
+    val res = run(subset, media, ref, cfg.copy(violationsSink = None))
     res.verdicts.write.mode("append").partitionBy("part").parquet(resultsPath)
     res.violations.write.mode("append").parquet(violationsPath)
     todo

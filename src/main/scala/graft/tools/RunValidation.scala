@@ -42,7 +42,8 @@ object RunValidation {
 
     val cfg = RunConfig(runId = s"run-${snap.snapshotId}")
     val validated = ValidationRun.runResumable(spark, docs, media, ref, cfg,
-      s"$workDir/results", s"$workDir/violations")
+      s"$workDir/results", s"$workDir/violations",
+      knownParts = Some(snap.parts)) // from the manifest — no planning scan
     println(s"validated partitions: ${validated.mkString(",")}")
 
     val results = spark.read.parquet(s"$workDir/results")
