@@ -227,6 +227,37 @@ object OpsQueries {
                       WHEN de >= fr THEN 'de' ELSE 'fr' END
                ELSE 'und' END AS detected
          FROM s ORDER BY doc_id""",
+    // the synthetic media pipeline is fully deterministic (md5-derived
+    // payload bytes), so the whole extract — byte unpacking, 8-dim feature
+    // sums (bit-exact: same fold order), rolling-hash checksum — replays in
+    // SQL. Oracles the multimodal plumbing end to end.
+    "media_features" ->
+      """WITH m AS (
+           SELECT range AS id, printf('m-%08d', range) AS media_ref,
+             ['image','audio','video'][CAST(range % 3 AS INT) + 1] AS media_kind,
+             md5(range || '-0') || md5(range || '-1') ||
+             md5(range || '-2') || md5(range || '-3') AS hex
+           FROM range(500)),
+         b AS (
+           SELECT id, media_ref, media_kind,
+             list_transform(range(64), p ->
+               (strpos('0123456789abcdef', substr(hex, 2*p + 1, 1)) - 1) * 16 +
+               (strpos('0123456789abcdef', substr(hex, 2*p + 2, 1)) - 1)) AS bytes
+           FROM m),
+         f AS (
+           SELECT id, media_ref, media_kind, bytes,
+             list_transform(range(8), d ->
+               list_sum(list_transform(range(8), j ->
+                 bytes[CAST(d + 8*j AS INT) + 1] / 255.0)) / 8.0) AS features,
+             list_reduce(list_prepend(CAST(0 AS HUGEINT),
+                 list_transform(bytes, x -> CAST(x AS HUGEINT))),
+               (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT) AS h
+           FROM b)
+         SELECT media_ref, media_kind, 64 AS n_bytes,
+           CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
+                     ELSE h END AS BIGINT) AS checksum,
+           features
+         FROM f ORDER BY media_ref""",
     // polynomial rolling hash replayed with HUGEINT wrap-around arithmetic
     "fingerprint_rolling" ->
       """SELECT doc_id,
