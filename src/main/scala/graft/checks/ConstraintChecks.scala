@@ -71,19 +71,29 @@ object ConstraintChecks {
       else {
         // Recover doc_id strings from a rescan PRUNED to the part range that
         // holds duplicates. All copies of every dup key lie inside the range
-        // (by construction of part/maxp), so an in-range window count equals
-        // the key's global count — no join against the full key stream, and
-        // a clean table never builds one. Lazy: evaluated with the caller's
-        // single violations write job.
+        // (by construction of part/maxp), so in-range counts equal the keys'
+        // global counts — no retained state from the full key stream, and a
+        // clean table never runs this. Dup keys re-aggregate with the SAME
+        // salted two-stage shape (skew-safe for a pathologically hot id),
+        // then a key join attributes rows — AQE can skew-split or
+        // broadcast-convert a join at runtime, which a window over (h1,h2)
+        // cannot. Lazy: evaluated with the caller's violations write job.
         val loP = perPartRows.collect { case r if r.getLong(1) > 0 => r.getInt(0) }.min
-        val hiP = perPartRows.flatMap(r => Option(r.get(4)).map(_ => r.getInt(4))).max
-        val w = org.apache.spark.sql.expressions.Window.partitionBy($"h1", $"h2")
-        docs.filter($"part".between(loP, hiP))
+        val hiP = perPartRows.collect { case r if !r.isNullAt(4) => r.getInt(4) }.max
+        val ranged = docs.filter($"part".between(loP, hiP))
           .select($"part", $"doc_id",
             xxhash64($"doc_id", lit("u1")).as("h1"),
             xxhash64($"doc_id", lit("u2")).as("h2"))
-          .withColumn("n", count(lit(1)).over(w))
+        val dupKeys = (if (salts <= 0) ranged.groupBy($"h1", $"h2")
+            .agg(count(lit(1)).as("n"))
+          else ranged
+            .withColumn("salt", pmod(spark_partition_id().cast("long"), lit(salts.toLong)))
+            .groupBy($"h1", $"h2", $"salt")
+            .agg(count(lit(1)).as("c"))
+            .groupBy($"h1", $"h2")
+            .agg(sum($"c").as("n")))
           .filter($"n" > 1)
+        ranged.join(dupKeys, Seq("h1", "h2"))
           .select(lit(runId).as("run_id"), $"part",
             lit("unique_doc_id").as("check_id"), $"doc_id",
             concat(lit("duplicate doc_id x"), $"n").as("detail"))

@@ -151,8 +151,11 @@ object ValidationRun {
       val (sm, sp) = timed("stats")(PartStats.computeFused(
         docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeBoth, mediaSet))
       // launch the stats-derived violation writes BEFORE the MMD fan-out so
-      // the dirty-partition rescans overlap it (and the uniqueness tail)
-      sinkWrite("ref", refViolOf(sm)._1)
+      // the dirty-partition rescans overlap it (and the uniqueness tail).
+      // ref rows come from the fused counts ONLY when the referential check
+      // actually rode this scan — otherwise the standalone fRef future owns
+      // src=ref and writing an empty overwrite here would clobber it
+      if (fuseRef) sinkWrite("ref", refViolOf(sm)._1)
       sinkWrite("integrity", intViolOf(sm))
       val mv = timed("mmd_fanout")(DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref,
         sp, cfg.numPermutations, cfg.randomState))

@@ -13,13 +13,6 @@ import graft.checks.PartStats
   * Usage: ScanProbe <cores> <passes> <dataDir>
   */
 object ScanProbe {
-  private def cpuTimes(): (Double, Double) = {
-    val parts = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/self/stat"))).split(" ")
-    val hz = 100.0
-    (parts(13).toDouble / hz, parts(14).toDouble / hz)
-  }
-
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val passes = args(1).toInt
@@ -34,11 +27,11 @@ object ScanProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(dir)
     (1 to passes).foreach { i =>
-      val (u0, s0) = cpuTimes()
+      val (u0, s0) = ProcStat.cpuTimes()
       val t0 = System.nanoTime()
       val (sm, _) = PartStats.computeFused(docs, 1000, graft.sketch.DocStatsAgg.ModeBoth)
       val wall = (System.nanoTime() - t0) / 1e9
-      val (u1, s1) = cpuTimes()
+      val (u1, s1) = ProcStat.cpuTimes()
       val nd = sm.values.map(_.nDocs).sum
       println(f"pass $i cores=$cores wall=$wall%.2f user=${u1 - u0}%.1f sys=${s1 - s0}%.1f cpuUtil=${(u1 - u0 + s1 - s0) / wall / cores}%.2f docs=$nd")
     }

@@ -8,12 +8,6 @@ import org.apache.spark.sql.SparkSession
   * inflation comes from. Usage: UniqProbe <cores> <passes> <dataDir> [salts]
   */
 object UniqProbe {
-  private def cpuTimes(): (Double, Double) = {
-    val p = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/self/stat"))).split(" ")
-    (p(13).toDouble / 100.0, p(14).toDouble / 100.0)
-  }
-
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val passes = args(1).toInt
@@ -28,11 +22,11 @@ object UniqProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = spark.read.parquet(dir)
     (1 to passes).foreach { i =>
-      val (u0, s0) = cpuTimes()
+      val (u0, s0) = ProcStat.cpuTimes()
       val t0 = System.nanoTime()
       val (_, stats) = graft.checks.ConstraintChecks.uniqueness(docs, s"probe$i", salts)
       val wall = (System.nanoTime() - t0) / 1e9
-      val (u1, s1) = cpuTimes()
+      val (u1, s1) = ProcStat.cpuTimes()
       println(f"pass $i cores=$cores salts=$salts wall=$wall%.2f user=${u1 - u0}%.1f sys=${s1 - s0}%.1f cpuUtil=${(u1 - u0 + s1 - s0) / wall / cores}%.2f dups=${stats.values.map(_.dupKeys).sum}")
     }
     spark.stop()

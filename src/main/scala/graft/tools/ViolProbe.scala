@@ -7,12 +7,6 @@ import org.apache.spark.sql.functions._
   * ConstraintChecks.spanIntegrityRows scan+write (the full pass's
   * non-scaling phase) for profiling. Usage: ViolProbe <cores> <passes> <dataDir> */
 object ViolProbe {
-  private def cpuTimes(): (Double, Double) = {
-    val p = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get("/proc/self/stat"))).split(" ")
-    (p(13).toDouble / 100.0, p(14).toDouble / 100.0)
-  }
-
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val passes = args(1).toInt
@@ -29,13 +23,13 @@ object ViolProbe {
     val docs = spark.read.parquet(dir)
     val out = java.nio.file.Files.createTempDirectory("violprobe").toString
     (1 to passes).foreach { i =>
-      val (u0, s0) = cpuTimes()
+      val (u0, s0) = ProcStat.cpuTimes()
       val t0 = System.nanoTime()
       graft.checks.ConstraintChecks
         .spanIntegrityRows(docs.filter($"part".between(11, 17)), s"probe$i")
         .write.mode("overwrite").parquet(s"$out/v$i")
       val wall = (System.nanoTime() - t0) / 1e9
-      val (u1, s1) = cpuTimes()
+      val (u1, s1) = ProcStat.cpuTimes()
       println(f"pass $i cores=$cores wall=$wall%.2f user=${u1 - u0}%.1f sys=${s1 - s0}%.1f cpuUtil=${(u1 - u0 + s1 - s0) / wall / cores}%.2f")
     }
     spark.stop()
