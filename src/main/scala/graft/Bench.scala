@@ -127,6 +127,8 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    val benchT0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - benchT0) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val hiCores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val loCores = math.max(hiCores / 4, 1)
@@ -186,6 +188,11 @@ object Bench {
     // whole level's block. Fresh session per level switch (one SparkContext
     // per JVM); Spark's codegen cache and the JIT survive the switch.
     val rounds = sys.env.getOrElse("GRAFT_ROUNDS", "3").toInt
+    // wall-clock budget for the whole bench (setup included): later rounds
+    // are skipped rather than risk an external timeout killing the process
+    // before the one JSON line is printed — min-of-fewer-rounds beats no
+    // result. Generous default; driver-side harnesses can tighten it.
+    val budgetS = sys.env.getOrElse("GRAFT_TIME_BUDGET_S", "2400").toDouble
     // levels interleave within each round (hi,lo,n2,hi,lo,n2,…) and each
     // level takes its min across rounds — a VM noise burst then hits
     // adjacent levels alike instead of biasing one whole level's block.
@@ -205,7 +212,13 @@ object Bench {
     var cpuLo = Double.NaN
     var bestPhases: Map[String, Double] = Map.empty
     var bestPhasesLo: Map[String, Double] = Map.empty
+    var maxRoundS = 0.0
     (1 to rounds).foreach { i =>
+      // skip further rounds once fitting another one (sized like the worst
+      // completed round) could blow the budget
+      if (i > 1 && elapsedS + maxRoundS > budgetS * 0.9) ()
+      else {
+      val roundT0 = System.nanoTime()
       val hi = session(hiCores)
       val c0 = cpuSec()
       val (n, tH) = time(fullPass(hi, table, snap.snapshotId, ref, s"$work/hi$i", nDocs))
@@ -234,6 +247,8 @@ object Bench {
         tN2s ::= time(fullPass(n2, table, snap.snapshotId, ref, s"$work/n2_$i", nDocs))._2
         n2.stop()
         rmrf(s"$work/n2_$i")
+      }
+      maxRoundS = math.max(maxRoundS, (System.nanoTime() - roundT0) / 1e9)
       }
     }
     val tN2 = if (tN2s.isEmpty) Double.NaN else tN2s.min
