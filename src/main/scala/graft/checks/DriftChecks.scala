@@ -79,22 +79,32 @@ object DriftChecks {
     * part, permId) so p-values are reproducible at any parallelism.
     */
   /** Executor-process-wide cache of pooled kernel matrices, keyed by
-    * (broadcast id, part): all task threads in the JVM share ONE read-only
+    * (run token, part): all task threads in the JVM share ONE read-only
     * matrix per partition instead of each building a private copy — the
     * per-run working set drops from threads×matrix to parts×matrix (cache-
     * resident), and rebuild cost is paid once per executor. The engine
     * analog of the reference's per-process singleton detector cache
-    * (detector_api/app/utils.py:4-14). Cleared wholesale when a new run's
-    * broadcast shows up. */
+    * (detector_api/app/utils.py:4-14).
+    *
+    * The token is a fresh UUID per mmd() call (broadcast ids are NOT unique
+    * across SparkContexts in one JVM — a bench's next session could collide
+    * and silently serve a previous run's matrices); a token change clears
+    * the cache wholesale, and an LRU bound caps residency so a snapshot with
+    * 10^5 partitions cannot OOM the executor. Cached tuple carries the
+    * chunk-invariant observed statistic too. */
   private object KernelCache {
-    private val map = new java.util.concurrent.ConcurrentHashMap[(Long, Int), (Array[Float], Int, Double)]
-    @volatile private var currentBcId = -1L
-    def get(bcId: Long, part: Int,
-            build: () => (Array[Float], Int, Double)): (Array[Float], Int, Double) = {
-      if (bcId != currentBcId) synchronized {
-        if (bcId != currentBcId) { map.clear(); currentBcId = bcId }
+    private val MaxEntries = 64
+    private val map = new java.util.concurrent.ConcurrentHashMap[(String, Int), (Array[Float], Int, Double, Double)]
+    @volatile private var currentToken = ""
+    def get(token: String, part: Int,
+            build: () => (Array[Float], Int, Double, Double)): (Array[Float], Int, Double, Double) = {
+      if (token != currentToken) synchronized {
+        if (token != currentToken) { map.clear(); currentToken = token }
       }
-      map.computeIfAbsent((bcId, part), _ => build())
+      // coarse residency bound: tasks take contiguous chunk ranges, so a
+      // wholesale clear on overflow only costs a handful of rebuilds
+      if (map.size() > MaxEntries) map.clear()
+      map.computeIfAbsent((token, part), _ => build())
     }
   }
 
@@ -127,18 +137,23 @@ object DriftChecks {
     // matrix (identity split, cheap) so chunks are self-contained. Driver
     // traffic is O(chunks), never O(parts × permutations): the shape that
     // holds when a snapshot has 10^5+ partitions.
+    val runToken = java.util.UUID.randomUUID().toString
     val partials = spark.createDataset(chunks)
       .mapPartitions { it =>
         val (refSample, sigma, prodSamples) = bc.value
         it.map { case (part, s, e) =>
-          val (kMat, nPool, sTotal) = KernelCache.get(bc.id, part, () => {
+          val m = refSample.length
+          // the chunk-invariant observed statistic is computed once at
+          // matrix-build time and cached with the matrix — recomputing it
+          // per chunk would re-stream the whole O(n²) matrix each time
+          val (kMat, nPool, sTotal, obs) = KernelCache.get(runToken, part, () => {
             val pool = refSample ++ prodSamples(part)
             val k = Mmd.kernelMatrix(pool, sigma)
-            (k, pool.length, Mmd.upperTriangleSum(k, pool.length))
+            val sT = Mmd.upperTriangleSum(k, pool.length)
+            val ob = Mmd.statsBatchFromMatrix(k, pool.length, m, sT,
+              Array(Array.tabulate(pool.length)(identity)))(0)
+            (k, pool.length, sT, ob)
           })
-          val m = refSample.length
-          val obs = Mmd.statsBatchFromMatrix(kMat, nPool, m, sTotal,
-            Array(Array.tabulate(nPool)(identity)))(0)
           // batch-of-64 bitmask evaluation: one sequential matrix pass per 64
           // permutations instead of one random-access pass per permutation —
           // see Mmd.statsBatchFromMatrix

@@ -56,8 +56,11 @@ object Dedup {
       .filter(size(col("sh")) > 0)
     val sig = sh.withColumn("sig", minhashSignature(col("sh"), numHashes))
     // candidate generation is SLIM (id, band, band-hash): the band self-join
-    // shuffles 20 bytes/row, not shingle arrays. Shingles re-join only for
-    // the (small) candidate pairs during exact verification.
+    // shuffles 20 bytes/row, not shingle arrays. For exact verification the
+    // raw TEXT re-joins for only the candidate rows and is re-shingled
+    // there — shingling O(candidates) rows twice beats re-running the
+    // full-corpus shingle subtree per join branch (Spark does not share the
+    // un-cached `sh` plan between branches).
     val banded = sig
       .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bh"))
@@ -66,9 +69,13 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val txt = df.select(col(idCol).as("id"), col(textCol).as("t"))
     val cands = candIds
-      .join(sh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(txt.select(col("id").as("id_a"), col("t").as("t_a")), Seq("id_a"))
+      .join(txt.select(col("id").as("id_b"), col("t").as("t_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        TextOps.shingles(col("t_a"), shingleN).as("sh_a"),
+        TextOps.shingles(col("t_b"), shingleN).as("sh_b"))
     cands
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /

@@ -188,7 +188,7 @@ object OpsQueries {
       """WITH t AS (
            SELECT doc_id, text,
              len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
-             length(replace(text, ' ', '')) AS nosp,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nosp,
              len(list_filter(string_split_regex(lower(text), '\s+'),
                  x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS n_stop,
              length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct,
@@ -259,16 +259,25 @@ object OpsQueries {
            features
          FROM f ORDER BY media_ref""",
     // polynomial rolling hash replayed with HUGEINT wrap-around arithmetic
+    // over UTF-8 BYTES (hex(encode(..)) pair-unpacking) — the engine hashes
+    // bytes, and a per-character ord() fold would diverge on non-ASCII text
     "fingerprint_rolling" ->
-      """SELECT doc_id,
+      """WITH b AS (
+           SELECT doc_id, lower(hex(encode(lower(text)))) AS hx FROM documents),
+         v AS (
+           SELECT doc_id,
+             list_transform(range(CAST(length(hx) / 2 AS INT)), p ->
+               CAST((strpos('0123456789abcdef', substr(hx, 2*p + 1, 1)) - 1) * 16 +
+                    (strpos('0123456789abcdef', substr(hx, 2*p + 2, 1)) - 1) AS HUGEINT)) AS bytes
+           FROM b)
+         SELECT doc_id,
            CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
                      ELSE h END AS BIGINT) AS fp
          FROM (
            SELECT doc_id,
-             list_reduce(list_prepend(CAST(0 AS HUGEINT),
-                 [CAST(ord(x) AS HUGEINT) for x in split(lower(text), '')]),
+             list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes),
                (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT) AS h
-           FROM documents) ORDER BY doc_id""",
+           FROM v) ORDER BY doc_id""",
     "events_stream_drift" ->
       """WITH e AS (SELECT event_type, date_trunc('day', ts) AS window_start,
                CAST(least(greatest(floor(value / 10.0), 0), 9) AS INT) AS bucket FROM events),

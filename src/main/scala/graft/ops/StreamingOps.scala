@@ -153,10 +153,13 @@ object StreamingOps {
     import spark.implicits._
     val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-drift")
     val p = java.nio.file.Paths.get(parquetPath)
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).filter(_.toString.endsWith(".parquet"))
+    if (java.nio.file.Files.isDirectory(p)) {
+      // Files.list must be closed (it holds the directory handle open)
+      val ls = java.nio.file.Files.list(p)
+      try ls.filter(_.toString.endsWith(".parquet"))
         .forEach(f => java.nio.file.Files.copy(f, srcDir.resolve(f.getFileName)))
-    else java.nio.file.Files.copy(p, srcDir.resolve(p.getFileName))
+      finally ls.close()
+    } else java.nio.file.Files.copy(p, srcDir.resolve(p.getFileName))
 
     val src = spark.readStream.schema(eventSchema).parquet(srcDir.toString)
     val q = driftPerWindow(src, refProps, bucketWidth, windowDuration)
@@ -174,6 +177,13 @@ object StreamingOps {
       .write.mode("append").parquet(srcDir.toString)
     q.processAllAvailable()
     q.stop()
+    // the memory sink holds the rows; the staged input copy (a full
+    // duplicate of the source parquet) can go now rather than accumulate
+    // one temp dir per invocation in a long-lived JVM
+    try {
+      import scala.sys.process._
+      Seq("rm", "-rf", srcDir.toString).!
+    } catch { case _: Throwable => }
     spark.table(queryName)
       .filter(col("is_final") && col("event_type") =!= "___sentinel")
   }
@@ -201,6 +211,10 @@ object StreamingOps {
       .start()
     q.processAllAvailable()
     q.stop()
+    if (dir != parquetPath) try { // drop the staged single-file copy
+      import scala.sys.process._
+      Seq("rm", "-rf", dir).!
+    } catch { case _: Throwable => }
     spark.table(queryName)
   }
 }

@@ -10,9 +10,10 @@ package graft.sketch
   * collision budget; the exact anti-join path remains for audits.
   */
 final class LongHashSet(expected: Int) extends Serializable {
-  // fail fast instead of wrapping: a catalog near 2^30 entries has no
-  // business being broadcast (use the shuffled anti-join path)
-  require(expected >= 0 && expected < (1 << 30),
+  // fail fast instead of wrapping: a catalog near 2^29 entries (4+ GB of
+  // table) has no business being broadcast (use the shuffled anti-join
+  // path), and larger `expected` would overflow the power-of-two sizing
+  require(expected >= 0 && expected < (1 << 29),
     s"LongHashSet sized for broadcastable catalogs, got $expected entries")
   private val cap: Int = {
     var c = 16
