@@ -215,9 +215,11 @@ object Bench {
     var maxRoundS = 0.0
     (1 to rounds).foreach { i =>
       // skip further rounds once fitting another one (sized like the worst
-      // completed round) could blow the budget
+      // completed round) could blow the budget; a round that dies (storm-
+      // induced OOM/ENOSPC) forfeits its samples but the bench still prints
+      // its one JSON line from the rounds that completed
       if (i > 1 && elapsedS + maxRoundS > budgetS * 0.9) ()
-      else {
+      else try {
       val roundT0 = System.nanoTime()
       val hi = session(hiCores)
       val c0 = cpuSec()
@@ -249,6 +251,11 @@ object Bench {
         rmrf(s"$work/n2_$i")
       }
       maxRoundS = math.max(maxRoundS, (System.nanoTime() - roundT0) / 1e9)
+      } catch {
+        // swallow only when a full earlier round already supplied every
+        // level's sample — otherwise the mins below would throw anyway
+        case e: Throwable if tHis.nonEmpty && tLos.nonEmpty && tMmdLos.nonEmpty =>
+          System.err.println(s"[graft-bench] round $i failed, continuing: $e")
       }
     }
     val tN2 = if (tN2s.isEmpty) Double.NaN else tN2s.min
