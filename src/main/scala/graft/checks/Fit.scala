@@ -27,6 +27,21 @@ object Fit {
     RefState(sigma, sample, s.offsetKll, s.kindHist, s.nDocs, s.nSpans, snapshotId)
   }
 
+  /** Carve the reference window out of a table by seeded random split and
+    * fit on it — the direct analog of the reference's
+    * `torch.utils.data.random_split` with `detector_fraction = 0.1`
+    * (ml/training.py:248-270, generator seeded with 31). Returns the fitted
+    * state plus the remaining (non-window) rows. Deterministic for a fixed
+    * input partitioning (Spark's randomSplit seeds per partition). */
+  def fitSplit(docs: DataFrame, detectorFraction: Double = 0.1,
+               seed: Long = DocsGen.Seed, snapshotId: Long = 0L,
+               maxSample: Int = 2000): (RefState, DataFrame) = {
+    require(detectorFraction > 0 && detectorFraction < 1)
+    val Array(rest, window) =
+      docs.randomSplit(Array(1.0 - detectorFraction, detectorFraction), seed)
+    (fit(window, snapshotId, maxSample), rest)
+  }
+
   /** Persist fitted state to a parquet `ref_state` table (FIXTURES.md §2). */
   def save(spark: SparkSession, state: RefState, path: String): Unit = {
     import spark.implicits._

@@ -55,6 +55,24 @@ object OpsQueries {
     docs(s, dir).select(col("doc_id"), md5(lower(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Reference S8 (model_inference_api/app/model.py:125-145): logits →
+    * class index via argmax. The embedding vector stands in for the logits
+    * row; 0-based like torch.max(...).indices. */
+  def argmaxPredict(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(col("vec_id"),
+        (array_position(col("embedding"), array_max(col("embedding"))) - 1)
+          .cast("int").as("pred"))
+      .orderBy(col("vec_id"))
+
+  /** Reference S17 (ml/utils/cnn.py:134-144): accuracy = Σ(pred==label)/n
+    * — the per-variant metric of the offline evaluation suite. */
+  def modelAccuracy(s: SparkSession, dir: String): DataFrame =
+    embs(s, dir).select(
+        ((array_position(col("embedding"), array_max(col("embedding"))) - 1)
+          .cast("int") === col("label")).as("hit"))
+      .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_correct"),
+        count(lit(1)).as("n_total"))
+
   def similarityTopK(s: SparkSession, dir: String): DataFrame = {
     val queryVec = embs(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -131,6 +149,8 @@ object OpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_stats" -> (dedupExactStats _),
     "dedup_exact_groups" -> (dedupExactGroups _),
+    "argmax_predict" -> (argmaxPredict _),
+    "model_accuracy" -> (modelAccuracy _),
     "text_stats" -> (textStats _),
     "lang_distribution" -> (langDistribution _),
     "fingerprint_md5" -> (fingerprintMd5 _),
@@ -154,6 +174,13 @@ object OpsQueries {
       """WITH u AS (SELECT text FROM documents UNION ALL SELECT text FROM documents),
          g AS (SELECT md5(text) AS h, count(*) AS cnt FROM u GROUP BY 1 HAVING count(*) > 1)
          SELECT count(*) AS dup_groups, sum(cnt) AS dup_rows FROM g""",
+    "argmax_predict" ->
+      """SELECT vec_id, CAST(list_indexof(embedding, list_max(embedding)) - 1 AS INT) AS pred
+         FROM embeddings ORDER BY vec_id""",
+    "model_accuracy" ->
+      """SELECT sum(CASE WHEN CAST(list_indexof(embedding, list_max(embedding)) - 1 AS INT) = label
+                         THEN 1 ELSE 0 END) AS n_correct,
+         count(*) AS n_total FROM embeddings""",
     "text_stats" ->
       """SELECT doc_id, length(text) AS chars,
          CASE WHEN length(text) = 0 THEN 0

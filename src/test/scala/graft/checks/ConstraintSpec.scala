@@ -57,6 +57,18 @@ class ConstraintSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("fitSplit: seeded random carve is deterministic and ~detector_fraction") {
+    val docs = DocsGen.docs(spark, 6000, DocsGen.cleanScenario(3)).cache()
+    val (ref1, rest1) = Fit.fitSplit(docs, detectorFraction = 0.1, maxSample = 300)
+    val (ref2, rest2) = Fit.fitSplit(docs, detectorFraction = 0.1, maxSample = 300)
+    assert(ref1.nDocs == ref2.nDocs && ref1.sigma == ref2.sigma) // deterministic
+    assert(rest1.count() == rest2.count())
+    assert(ref1.nDocs + rest1.count() == 6000)
+    val frac = ref1.nDocs.toDouble / 6000
+    assert(frac > 0.07 && frac < 0.13, s"window fraction $frac")
+    docs.unpersist()
+  }
+
   test("fit state round-trips through the ref_state parquet table") {
     val docs = DocsGen.docs(spark, 500, DocsGen.cleanScenario(1))
     val ref = Fit.fit(docs, snapshotId = 42L, maxSample = 100)
