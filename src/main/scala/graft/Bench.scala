@@ -148,8 +148,8 @@ object Bench {
     }
     val setup = session(hiCores)
     val table = s"$work/docs"
-    val snap = SnapshotCatalog.commit(table,
-      DocsGen.docs(setup, nDocs, scenario), codec)
+    val (snap, genSec) = time(SnapshotCatalog.commit(table,
+      DocsGen.docs(setup, nDocs, scenario), codec))
     val ref = {
       import setup.implicits._
       Fit.fit(setup.read.parquet(s"$table/data").filter($"part" === 0),
@@ -158,6 +158,7 @@ object Bench {
 
     // ---- warm-up pass (discarded; JIT is process-wide)
     fullPass(setup, table, snap.snapshotId, ref, s"$work/warm", nDocs)
+    val setupSec = elapsedS // generation + fit + warm-up (untimed overheads)
     var docsCounted = 0L
 
     // headline TPC-H-style queries on the driver's sf dir (hi level)
@@ -192,7 +193,7 @@ object Bench {
     // are skipped rather than risk an external timeout killing the process
     // before the one JSON line is printed — min-of-fewer-rounds beats no
     // result. Generous default; driver-side harnesses can tighten it.
-    val budgetS = sys.env.getOrElse("GRAFT_TIME_BUDGET_S", "2400").toDouble
+    val budgetS = sys.env.getOrElse("GRAFT_TIME_BUDGET_S", "1800").toDouble
     // levels interleave within each round (hi,lo,n2,hi,lo,n2,…) and each
     // level takes its min across rounds — a VM noise burst then hits
     // adjacent levels alike instead of biasing one whole level's block.
@@ -299,6 +300,6 @@ object Bench {
     val cpuFields =
       s""""cpu_util_hi":${r3(cpuHi / (tHi * hiCores))},"cpu_util_lo":${r3(cpuLo / (tLo * loCores))},"cpu_sec_hi":${r3(cpuHi)},"cpu_sec_lo":${r3(cpuLo)},"""
     println(
-      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","scenario":"${sys.env.getOrElse("GRAFT_SCENARIO", "golden")}","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${r3(eff)},$n2Fields$cpuFields"membw_gbps_lo_threads":${r3(membwLo)},"membw_gbps_hi_threads":${r3(membwHi)},"mmd_fanout_sec_hi":${r3(tMmdHi)},"mmd_fanout_sec_lo":${r3(tMmdLo)},"compute_scaling_efficiency":${r3(effMmd)}}""")
+      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","setup_sec":${r3(setupSec)},"gen_sec":${r3(genSec)},"scenario":"${sys.env.getOrElse("GRAFT_SCENARIO", "golden")}","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${r3(eff)},$n2Fields$cpuFields"membw_gbps_lo_threads":${r3(membwLo)},"membw_gbps_hi_threads":${r3(membwHi)},"mmd_fanout_sec_hi":${r3(tMmdHi)},"mmd_fanout_sec_lo":${r3(tMmdLo)},"compute_scaling_efficiency":${r3(effMmd)}}""")
   }
 }
