@@ -148,8 +148,10 @@ object Bench {
     }
     val setup = session(hiCores)
     val table = s"$work/docs"
+    // compiled generator twin — bit-identical to DocsGen.docs (equality
+    // spec-gated), ~3x faster evaluation; trims the untimed setup phase
     val (snap, genSec) = time(SnapshotCatalog.commit(table,
-      DocsGen.docs(setup, nDocs, scenario), codec))
+      graft.model.DocsGenFast.docs(setup, nDocs, scenario), codec))
     val ref = {
       import setup.implicits._
       Fit.fit(setup.read.parquet(s"$table/data").filter($"part" === 0),

@@ -17,6 +17,18 @@ class DocsGenSpec extends AnyFunSuite {
     assert(perPart.values.forall(c => c == 100))
   }
 
+  test("DocsGenFast is bit-identical to the expression generator (the spec)") {
+    // every partition type of the golden scenario, every field, exact equality
+    def dump(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"part", to_json($"spans").as("js"))
+      .orderBy("doc_id", "js")
+      .as[(String, Int, String)].collect()
+    val a = dump(DocsGen.docs(spark, 3600, specs))
+    val b = dump(DocsGenFast.docs(spark, 3600, specs))
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y, s"\n expr: $x\n fast: $y") }
+  }
+
   test("generator is deterministic and parallelism-invariant") {
     // sort by full content: duplicated doc_ids (dup fixture part) tie otherwise
     val a = DocsGen.docs(spark, 300, specs)
