@@ -6,12 +6,15 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
   * columns with typed metadata, processed batch-wise per partition.
   *
-  * The actual media codecs are NOT available in this environment, so the
-  * decode step is a clearly-marked DETERMINISTIC STUB (`decodeStub`) — it
-  * derives a fake feature vector from the payload bytes. Everything around it
-  * is real and load-bearing: the schema, the binary column handling, the
-  * per-partition batch iteration (the Scala analog of `mapInPandas` batch
-  * processing), and the partitioning behavior.
+  * Two pipelines:
+  *  - `extractFeatures` over opaque payloads of ANY kind: byte-level band
+  *    means + rolling-hash checksum (content features needing no codec) —
+  *    the DuckDB-oracled plumbing check for the binary column path.
+  *  - `decodeImageFeatures` over real PNG payloads: `javax.imageio.ImageIO`
+  *    decode → luminance grayscale → 28×28 average-pool resize → band-mean
+  *    features — the engine analog of the reference's PIL decode +
+  *    grayscale/resize transform (dimensionality_reduction_api/app/schemas/
+  *    dr.py:15-30, ml/training.py:210-221). Fully real, no stub.
   */
 object Multimodal {
 
@@ -38,11 +41,12 @@ object Multimodal {
       .as[MediaRow]
   }
 
-  /** ===== STUB ===== Deterministic fake decoder: real decode would call an
-    * image/audio codec here (unavailable in this container). Produces an
-    * 8-dim "embedding" from payload bytes so downstream plumbing (schema,
-    * batching, joins) is fully exercised and testable. */
-  private def decodeStub(payload: Array[Byte], dims: Int = 8): Array[Double] = {
+  /** Codec-free content features: per-stripe byte-value means over the raw
+    * payload (stripe i collects bytes at positions ≡ i mod dims). Cheap,
+    * deterministic, kind-agnostic — the feature set for payloads whose codec
+    * is not decoded (audio/video kinds here), and SQL-replayable, which is
+    * what lets the DuckDB oracle check the binary plumbing end to end. */
+  private def byteStripeMeans(payload: Array[Byte], dims: Int = 8): Array[Double] = {
     val out = new Array[Double](dims)
     var i = 0
     while (i < payload.length) {
@@ -64,7 +68,123 @@ object Multimodal {
       rows.map { r =>
         val checksum = graft.functions.RollingHash.hashBytes(r.payload)
         MediaFeatures(r.media_ref, r.media_kind, r.payload.length, checksum,
-          decodeStub(r.payload).toSeq)
+          byteStripeMeans(r.payload).toSeq)
+      }
+    }
+  }
+
+  // ===== real image pipeline (PNG encode/decode via javax.imageio) =====
+
+  case class ImageRow(media_ref: String, payload: Array[Byte])
+  case class ImageFeatures(media_ref: String, width: Int, height: Int,
+                           features: Seq[Double])
+
+  /** Deterministic synthetic PNG corpus: per-id pseudo-random RGB images
+    * (SplitMix64 pixel stream, varying dimensions) encoded with
+    * `ImageIO.write(_, "png", _)` inside mapPartitions — REAL compressed
+    * image payloads, generated distributed, no external data. */
+  def syntheticImages(spark: SparkSession, count: Long): Dataset[ImageRow] = {
+    import spark.implicits._
+    spark.range(count).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = 16 + (id % 17).toInt
+        val h = 16 + (id % 13).toInt
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rng = new graft.stats.StatMath.SplitMix64(id * 0x9E3779B97F4A7C15L + 7L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (rng.nextLong() & 0xffffffL).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        ImageRow(f"img-$id%08d", bos.toByteArray)
+      }
+    }
+  }
+
+  /** Real decode: PNG bytes → BufferedImage → ITU-R 601 luminance grayscale
+    * → 28×28 box-filter (average-pool) resize → 8 horizontal-band means.
+    * Grayscale + resize are hand-rolled integer/double math (not platform
+    * ColorConvertOp) so results are bit-deterministic across JVMs. PNG is
+    * lossless, so decoded pixels equal the generated ones exactly. */
+  def decodeImage(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val (w, h) = (img.getWidth, img.getHeight)
+    val gray = new Array[Double](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        gray(y * w + x) = (0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+          0.114 * (rgb & 0xff)) / 255.0
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, resizeBox(gray, w, h, Target, Target))
+  }
+
+  final val Target = 28 // reference resizes to 28×28 (ml/training.py:210-221)
+
+  /** Box-filter resize: each target pixel is the mean of its source box
+    * [⌊tx·w/tw⌋, ⌈(tx+1)·w/tw⌉) × [⌊ty·h/th⌋, ⌈(ty+1)·h/th⌉). */
+  private[ops] def resizeBox(src: Array[Double], w: Int, h: Int,
+                             tw: Int, th: Int): Array[Double] = {
+    val out = new Array[Double](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * h / th
+      val y1 = math.max(((ty + 1) * h + th - 1) / th, y0 + 1)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * w / tw
+        val x1 = math.max(((tx + 1) * w + tw - 1) / tw, x0 + 1)
+        var s = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += src(y * w + x); x += 1 }
+          y += 1
+        }
+        out(ty * tw + tx) = s / ((y1 - y0) * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** 8 horizontal-band means over the 28×28 grayscale (band b = rows
+    * ⌊b·28/8⌋ until ⌊(b+1)·28/8⌋). */
+  private[ops] def bandMeans(gray28: Array[Double], bands: Int = 8): Array[Double] =
+    Array.tabulate(bands) { b =>
+      val r0 = b * Target / bands
+      val r1 = (b + 1) * Target / bands
+      var s = 0.0
+      var i = r0 * Target
+      while (i < r1 * Target) { s += gray28(i); i += 1 }
+      s / ((r1 - r0) * Target)
+    }
+
+  /** Decode + feature-extract a PNG corpus, batched per partition (codec
+    * state amortized per task). Narrow, shuffle-free, scales linearly. */
+  def decodeImageFeatures(images: Dataset[ImageRow]): Dataset[ImageFeatures] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      // ImageIO plugin discovery happens once per JVM; disk caching off so
+      // decode stays in-memory on executors without scratch-dir access
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val (w, h, gray28) = decodeImage(r.payload)
+        ImageFeatures(r.media_ref, w, h, bandMeans(gray28).toSeq)
       }
     }
   }

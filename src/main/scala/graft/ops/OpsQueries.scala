@@ -130,7 +130,21 @@ object OpsQueries {
       .orderBy(col("doc_id"))
 
   def mediaFeatures(s: SparkSession, dir: String): DataFrame =
+    // features emitted as SCALAR columns f0..f7 (not array<double>): the
+    // driver's pandas-side sort/hash cannot handle array cells
     Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 500)).toDF()
+      .select(Seq(col("media_ref"), col("media_kind"), col("n_bytes"), col("checksum")) ++
+        (0 until 8).map(i => element_at(col("features"), i + 1).as(s"f$i")): _*)
+      .orderBy(col("media_ref"))
+
+  /** Real image decode (no stub): deterministic synthetic PNGs → ImageIO
+    * decode → luminance grayscale → 28×28 average-pool resize → band-mean
+    * features. Rows-only driver check (PNG codecs are not replayable in
+    * DuckDB SQL); pixel-level correctness is unit-tested in OpsSpec. */
+  def mediaDecode(s: SparkSession, dir: String): DataFrame =
+    Multimodal.decodeImageFeatures(Multimodal.syntheticImages(s, 200)).toDF()
+      .select(Seq(col("media_ref"), col("width"), col("height")) ++
+        (0 until 8).map(i => round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
       .orderBy(col("media_ref"))
 
   def eventsStreamDrift(s: SparkSession, dir: String): DataFrame =
@@ -164,6 +178,7 @@ object OpsQueries {
     "quality_scores" -> (qualityScores _),
     "fingerprint_rolling" -> (fingerprintRolling _),
     "media_features" -> (mediaFeatures _),
+    "media_decode" -> (mediaDecode _),
     "events_stream_hourly" -> (eventsStreamHourly _),
     "events_stream_drift" -> (eventsStreamDrift _))
 
@@ -173,13 +188,13 @@ object OpsQueries {
     "dedup_exact_groups" ->
       """WITH u AS (SELECT text FROM documents UNION ALL SELECT text FROM documents),
          g AS (SELECT md5(text) AS h, count(*) AS cnt FROM u GROUP BY 1 HAVING count(*) > 1)
-         SELECT count(*) AS dup_groups, sum(cnt) AS dup_rows FROM g""",
+         SELECT count(*) AS dup_groups, CAST(sum(cnt) AS BIGINT) AS dup_rows FROM g""",
     "argmax_predict" ->
       """SELECT vec_id, CAST(list_indexof(embedding, list_max(embedding)) - 1 AS INT) AS pred
          FROM embeddings ORDER BY vec_id""",
     "model_accuracy" ->
-      """SELECT sum(CASE WHEN CAST(list_indexof(embedding, list_max(embedding)) - 1 AS INT) = label
-                         THEN 1 ELSE 0 END) AS n_correct,
+      """SELECT CAST(sum(CASE WHEN CAST(list_indexof(embedding, list_max(embedding)) - 1 AS INT) = label
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
          count(*) AS n_total FROM embeddings""",
     "text_stats" ->
       """SELECT doc_id, length(text) AS chars,
@@ -283,7 +298,9 @@ object OpsQueries {
          SELECT media_ref, media_kind, 64 AS n_bytes,
            CAST(CASE WHEN h >= 9223372036854775808 THEN h - 18446744073709551616
                      ELSE h END AS BIGINT) AS checksum,
-           features
+           features[1] AS f0, features[2] AS f1, features[3] AS f2,
+           features[4] AS f3, features[5] AS f4, features[6] AS f5,
+           features[7] AS f6, features[8] AS f7
          FROM f ORDER BY media_ref""",
     // polynomial rolling hash replayed with HUGEINT wrap-around arithmetic
     // over UTF-8 BYTES (hex(encode(..)) pair-unpacking) — the engine hashes

@@ -195,6 +195,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.length == 8) // 64 bytes / stride 8
     assert(out.forall(_.length == 1))
   }
+
+  test("real PNG decode: known pixel values survive encode→decode→grayscale") {
+    // solid-color image: every grayscale pixel must equal the exact luminance
+    val img = new java.awt.image.BufferedImage(30, 20,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 20; x <- 0 until 30) img.setRGB(x, y, (100 << 16) | (150 << 8) | 200)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (w, h, gray28) = Multimodal.decodeImage(bos.toByteArray)
+    assert(w == 30 && h == 20)
+    val expected = (0.299 * 100 + 0.587 * 150 + 0.114 * 200) / 255.0
+    assert(gray28.length == 28 * 28)
+    gray28.foreach(v => assert(math.abs(v - expected) < 1e-12))
+    Multimodal.bandMeans(gray28).foreach(v => assert(math.abs(v - expected) < 1e-12))
+  }
+
+  test("box resize: exact means of source boxes") {
+    // 2x2 -> 1x1: mean of all four
+    assert(Multimodal.resizeBox(Array(0.0, 1.0, 2.0, 3.0), 2, 2, 1, 1).sameElements(Array(1.5)))
+    // 4x2 -> 2x1: left box mean (0+1+4+5)/4, right (2+3+6+7)/4
+    val r = Multimodal.resizeBox(Array(0.0, 1, 2, 3, 4, 5, 6, 7), 4, 2, 2, 1)
+    assert(r.sameElements(Array(2.5, 4.5)))
+    // upscale 1x1 -> 2x2 replicates
+    assert(Multimodal.resizeBox(Array(7.0), 1, 1, 2, 2).forall(_ == 7.0))
+  }
+
+  test("decodeImageFeatures: real decode over synthetic PNG corpus, deterministic") {
+    val f = Multimodal.decodeImageFeatures(Multimodal.syntheticImages(spark, 40).repartition(5))
+      .collect().sortBy(_.media_ref)
+    assert(f.length == 40)
+    assert(f.forall(_.features.length == 8))
+    assert(f.forall(x => x.features.forall(v => v >= 0.0 && v <= 1.0)))
+    assert(f.forall(x => x.width >= 16 && x.height >= 16))
+    // random pixels: bands differ (not a constant image)
+    assert(f.forall(x => x.features.distinct.length > 1))
+    val f2 = Multimodal.decodeImageFeatures(Multimodal.syntheticImages(spark, 40))
+      .collect().sortBy(_.media_ref)
+    f.zip(f2).foreach { case (a, b) => assert(a == b) }
+  }
 }
 
 class StreamingOpsSpec extends AnyFunSuite {
