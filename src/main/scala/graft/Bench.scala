@@ -32,6 +32,11 @@ object Bench {
   private val fused = sys.env.getOrElse("GRAFT_FUSED", "1") == "1"
   private val codec = sys.env.getOrElse("GRAFT_CODEC", "zstd")
 
+  private val TmpfsShuffleDir = "/dev/shm/graft-shuffle"
+  // a bench killed mid-run (OOM, external timeout) must not leave shuffle
+  // files resident in RAM-backed tmpfs: best-effort delete on ANY JVM exit
+  Runtime.getRuntime.addShutdownHook(new Thread(() => rmrf(TmpfsShuffleDir)))
+
   private def time[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
     val r = f
@@ -71,7 +76,11 @@ object Bench {
       .config("spark.shuffle.file.buffer", "1m")
       .config("spark.local.dir", {
         val shm = new java.io.File("/dev/shm")
-        if (shm.isDirectory && shuffleFitsTmpfs(shm)) "/dev/shm/graft-shuffle"
+        // a previous killed bench may have left multi-GB shuffle files in
+        // tmpfs (RAM-backed — they eat memory from every later run and bias
+        // shuffleFitsTmpfs against already-depleted space): clear them first
+        rmrf(TmpfsShuffleDir)
+        if (shm.isDirectory && shuffleFitsTmpfs(shm)) TmpfsShuffleDir
         else System.getProperty("java.io.tmpdir")
       })
       .config("spark.sql.session.timeZone", "UTC")
@@ -259,6 +268,11 @@ object Bench {
         // level's sample — otherwise the mins below would throw anyway
         case e: Throwable if tHis.nonEmpty && tLos.nonEmpty && tMmdLos.nonEmpty =>
           System.err.println(s"[graft-bench] round $i failed, continuing: $e")
+          // stop the session that was live when the round died: getOrCreate
+          // cannot change master on a live context, so a leaked local[N]
+          // session would silently run the NEXT round's passes on the wrong
+          // core count and corrupt the scaling-efficiency samples
+          SparkSession.getActiveSession.foreach(_.stop())
       }
     }
     val tN2 = if (tN2s.isEmpty) Double.NaN else tN2s.min
@@ -276,11 +290,8 @@ object Bench {
     val phases = bestPhases
 
     // clean up the multi-GB temp input/output (and any tmpfs shuffle leftovers)
-    try {
-      import scala.sys.process._
-      Seq("rm", "-rf", work).!
-      Seq("rm", "-rf", "/dev/shm/graft-shuffle").!
-    } catch { case _: Throwable => }
+    rmrf(work)
+    rmrf(TmpfsShuffleDir)
 
     val thrHi = docsCounted / tHi
     val thrLo = docsCounted / tLo
@@ -301,7 +312,14 @@ object Bench {
       s""""throughput_n2_docs_per_sec":${math.rint(thrN2)},"cores_n2":$n2Cores,"scaling_efficiency_n2_to_lo":${r3(effN2)},"""
     val cpuFields =
       s""""cpu_util_hi":${r3(cpuHi / (tHi * hiCores))},"cpu_util_lo":${r3(cpuLo / (tLo * loCores))},"cpu_sec_hi":${r3(cpuHi)},"cpu_sec_lo":${r3(cpuLo)},"""
-    println(
-      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","setup_sec":${r3(setupSec)},"gen_sec":${r3(genSec)},"scenario":"${sys.env.getOrElse("GRAFT_SCENARIO", "golden")}","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${r3(eff)},$n2Fields$cpuFields"membw_gbps_lo_threads":${r3(membwLo)},"membw_gbps_hi_threads":${r3(membwHi)},"mmd_fanout_sec_hi":${r3(tMmdHi)},"mmd_fanout_sec_lo":${r3(tMmdLo)},"compute_scaling_efficiency":${r3(effMmd)}}""")
+    val jsonLine =
+      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","setup_sec":${r3(setupSec)},"gen_sec":${r3(genSec)},"scenario":"${sys.env.getOrElse("GRAFT_SCENARIO", "golden")}","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${r3(eff)},$n2Fields$cpuFields"membw_gbps_lo_threads":${r3(membwLo)},"membw_gbps_hi_threads":${r3(membwHi)},"mmd_fanout_sec_hi":${r3(tMmdHi)},"mmd_fanout_sec_lo":${r3(tMmdLo)},"compute_scaling_efficiency":${r3(effMmd)}}"""
+    println(jsonLine)
+    // ALSO write the metric line to a bare file: under sbt the stdout line
+    // drowns in interleaved Spark stderr noise and the driver's tail-parse
+    // finds nothing (BENCH_r01 "parsed": null). A plain file always parses.
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "bench_out.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), jsonLine + "\n")
+    catch { case e: Throwable => System.err.println(s"[graft-bench] bench_out write failed: $e") }
   }
 }

@@ -94,17 +94,38 @@ object DriftChecks {
     * chunk-invariant observed statistic too. */
   private object KernelCache {
     private val MaxEntries = 64
-    private val map = new java.util.concurrent.ConcurrentHashMap[(String, Int), (Array[Float], Int, Double, Double)]
+    private final class Entry(val data: (Array[Float], Int, Double, Double)) {
+      val lastAccess = new java.util.concurrent.atomic.AtomicLong()
+    }
+    private val map = new java.util.concurrent.ConcurrentHashMap[(String, Int), Entry]
+    private val tick = new java.util.concurrent.atomic.AtomicLong()
     @volatile private var currentToken = ""
     def get(token: String, part: Int,
             build: () => (Array[Float], Int, Double, Double)): (Array[Float], Int, Double, Double) = {
       if (token != currentToken) synchronized {
         if (token != currentToken) { map.clear(); currentToken = token }
       }
-      // coarse residency bound: tasks take contiguous chunk ranges, so a
-      // wholesale clear on overflow only costs a handful of rebuilds
-      if (map.size() > MaxEntries) map.clear()
-      map.computeIfAbsent((token, part), _ => build())
+      // per-key build under the CHM bin lock (concurrent builds of DIFFERENT
+      // parts proceed in parallel; same part builds once)
+      val e = map.computeIfAbsent((token, part), _ => new Entry(build()))
+      e.lastAccess.set(tick.incrementAndGet())
+      // true LRU eviction on overflow: drop only the LEAST-recently-touched
+      // entries, so with >MaxEntries parts resident the working set of
+      // actively-chunking tasks survives (a wholesale clear here caused
+      // O(n²) rebuild storms at 10^5 partitions). Evicted matrices already
+      // handed to a task remain valid — eviction only unlinks from the map.
+      if (map.size() > MaxEntries) synchronized {
+        while (map.size() > MaxEntries) {
+          var oldestKey: (String, Int) = null
+          var oldestTick = Long.MaxValue
+          map.forEach { (k, v) =>
+            val t = v.lastAccess.get()
+            if (t < oldestTick) { oldestTick = t; oldestKey = k }
+          }
+          if (oldestKey != null) map.remove(oldestKey) else return e.data
+        }
+      }
+      e.data
     }
   }
 

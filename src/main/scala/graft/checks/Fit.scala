@@ -58,7 +58,15 @@ object Fit {
       refSample = r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("ref_sample")
         .map(_.toArray).toArray,
       kllBytes = r.getAs[Array[Byte]]("kll_sketch"),
-      kindHist = r.getAs[Map[String, Long]]("kind_hist"),
+      // compat: ref_state persisted by earlier builds used " NULL" as the
+      // null-kind histogram sentinel; the sentinel is now "\u0000NULL"
+      // (unforgeable — kind strings can contain a leading space). Normalize
+      // on load so chi2 over legacy state keeps comparing the same category
+      // instead of splitting nulls into two disjoint ones (spurious drift).
+      kindHist = r.getAs[Map[String, Long]]("kind_hist").map {
+        case (" NULL", n) => "\u0000NULL" -> n
+        case kv => kv
+      },
       nDocs = r.getAs[Long]("n_docs"),
       nSpans = r.getAs[Long]("n_spans"),
       snapshotId = r.getAs[Long]("snapshot_id"))

@@ -44,6 +44,8 @@ case class RunConfig(
   */
 object ValidationRun {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Small driver-side pool for submitting independent Spark jobs in
     * parallel (the executors do the work; these threads mostly wait). */
   private lazy val jobPool: scala.concurrent.ExecutionContext =
@@ -60,6 +62,11 @@ object ValidationRun {
   /** Wall-clock of each phase of the MOST RECENT run (bench introspection). */
   val lastTimings: scala.collection.concurrent.TrieMap[String, Double] =
     scala.collection.concurrent.TrieMap.empty
+
+  /** Set when the MOST RECENT runResumable had to plan its partition list by
+    * scanning the table (no manifest) — observable twin of the scale warning
+    * it logs, so tests can assert the loud path fired. */
+  @volatile var plannedWithoutManifest: Boolean = false
 
   private def timed[T](phase: String)(f: => T): T = {
     val t0 = System.nanoTime()
@@ -244,11 +251,21 @@ object ValidationRun {
                    limitParts: Option[Int] = None,
                    knownParts: Option[Seq[Int]] = None): Seq[Int] = {
     import spark.implicits._
+    plannedWithoutManifest = false
     // partition list comes from the snapshot manifest when the caller has
     // one (knownParts) — `select(part).distinct` would scan the whole table
     // just to plan the run, unacceptable at 10^12 rows
-    val allParts = knownParts.map(_.sorted).getOrElse(
-      docs.select("part").distinct().as[Int].collect().sorted.toSeq)
+    val allParts = knownParts.map(_.sorted).getOrElse {
+      // LOUD: this fallback full-scans the table just to plan the run. Fine
+      // for tests/small tables; at production scale callers must pass the
+      // snapshot manifest's partition list (SnapshotCatalog tracks it).
+      plannedWithoutManifest = true
+      log.warn("runResumable: no knownParts manifest supplied - planning " +
+        "partitions via a full select(part).distinct scan. Pass the snapshot " +
+        "manifest partition list for large tables (10^12-row scans here are " +
+        "unacceptable).")
+      docs.select("part").distinct().as[Int].collect().sorted.toSeq
+    }
     val done: Set[Int] =
       try spark.read.parquet(resultsPath)
         .filter($"snapshot_id" === ref.snapshotId && $"check_id" === "stats")

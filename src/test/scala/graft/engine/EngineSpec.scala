@@ -39,6 +39,14 @@ class EngineSpec extends AnyFunSuite {
     val first = ValidationRun.runResumable(spark, docs, media, ref, cfg,
       resultsPath, violationsPath, limitParts = Some(2))
     assert(first == Seq(0, 1))
+    // no manifest passed → the loud full-scan planning fallback must fire
+    assert(ValidationRun.plannedWithoutManifest)
+
+    // with a manifest the scale warning must NOT fire
+    ValidationRun.runResumable(spark, docs, media, ref, cfg.copy(runId = "rm"),
+      s"$tmp/results_m", s"$tmp/violations_m", limitParts = Some(1),
+      knownParts = Some(0 to 5))
+    assert(!ValidationRun.plannedWithoutManifest)
 
     // resume: must skip 0,1 and do the rest
     val second = ValidationRun.runResumable(spark, docs, media, ref,
