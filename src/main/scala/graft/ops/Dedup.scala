@@ -69,14 +69,24 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    verifyJaccard(candIds, df, idCol, textCol, shingleN, threshold)
+  }
+
+  /** Exact-Jaccard verification of candidate id pairs: re-join the raw text
+    * for only the candidate rows, re-shingle there, keep pairs at/above the
+    * threshold. O(candidates) work — shingling candidate rows twice beats
+    * re-running the full-corpus shingle subtree per join branch (Spark does
+    * not share an un-cached plan between branches). */
+  private def verifyJaccard(candIds: DataFrame, df: DataFrame, idCol: String,
+                            textCol: String, shingleN: Int,
+                            threshold: Double): DataFrame = {
     val txt = df.select(col(idCol).as("id"), col(textCol).as("t"))
-    val cands = candIds
+    candIds
       .join(txt.select(col("id").as("id_a"), col("t").as("t_a")), Seq("id_a"))
       .join(txt.select(col("id").as("id_b"), col("t").as("t_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         TextOps.shingles(col("t_a"), shingleN).as("sh_a"),
         TextOps.shingles(col("t_b"), shingleN).as("sh_b"))
-    cands
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
@@ -134,6 +144,20 @@ object Dedup {
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash-blocked near-duplicate pairs with exact Jaccard verification:
+    * candidate generation via the Hamming-chunk pigeonhole (`simhashPairs`),
+    * then the same exact shingle-Jaccard verify as the MinHash pipeline.
+    * The simhash signature is a cheaper blocking key than a MinHash band set
+    * (one 64-bit value vs `bands` keys per row); verification makes the
+    * output exact-truth comparable (and DuckDB-oracle-able). */
+  def simhashJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                          threshold: Double = 0.5, maxHamming: Int = 6,
+                          chunks: Int = 4, shingleN: Int = 3): DataFrame = {
+    val candIds = simhashPairs(df, idCol, textCol, maxHamming, chunks)
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(candIds, df, idCol, textCol, shingleN, threshold)
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates

@@ -92,7 +92,14 @@ object OpsQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashPairs(docsWithNearDups(s, dir), "doc_id", "text", maxHamming = 6)
+    // simhash-blocked + exact-Jaccard-verified: the verified output is
+    // exact-truth comparable, so this query carries a full DuckDB oracle
+    // (the raw hamming-only variant stays unit-tested in OpsSpec).
+    // High-recall blocking config (8-bit chunks, radius 12) — measured full
+    // recall on this corpus (max exact-pair hamming is 10); production
+    // corpora wanting Manku-style cost would use chunks=4, maxHamming=3.
+    Dedup.simhashJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
+        threshold = 0.5, maxHamming = 12, chunks = 8)
       .orderBy(col("id_a"), col("id_b"))
 
   def embCosineDups(s: SparkSession, dir: String): DataFrame = {
@@ -182,7 +189,74 @@ object OpsQueries {
     "events_stream_hourly" -> (eventsStreamHourly _),
     "events_stream_drift" -> (eventsStreamDrift _))
 
+  /** Exact n-gram-Jaccard ground truth over the injected near-dup corpus —
+    * the shared oracle for the three text near-dup operators. DuckDB replays
+    * the engine's shingling exactly (lowercase whitespace tokens → distinct
+    * 3-gram joins; short docs collapse to one whole-text shingle), builds
+    * the same inverted-index posting join, and applies the same rounded
+    * Jaccard cutoff. MinHash-LSH and SimHash-chunk candidate generation both
+    * achieve full recall on this corpus (perturbed copies are near-identical,
+    * so band-collision/chunk-equality is certain), and both verify
+    * candidates with exact Jaccard — so all three operators' outputs equal
+    * this ground truth, making the LSH family hash-checkable. */
+  private val nearDupJaccardSql: String =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text || ' perturbed'
+         FROM documents WHERE doc_id % 25 = 0),
+       tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM corpus),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+                ELSE list_distinct(list_transform(range(len(toks) - 2), i ->
+                    array_to_string(toks[i+1:i+3], ' ')))
+           END AS s_list
+         FROM tk),
+       posting AS (
+         SELECT doc_id AS id, len(s_list) AS n, unnest(s_list) AS s
+         FROM sh WHERE len(s_list) > 0),
+       i AS (
+         SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
+           CAST(count(*) AS DOUBLE) AS inter
+         FROM posting a JOIN posting b ON a.s = b.s AND a.id < b.id
+         GROUP BY 1, 2, 3, 4)
+       SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
+       FROM i WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5
+       ORDER BY id_a, id_b"""
+
   val oracleSql: Map[String, String] = Map(
+    "dedup_ngram_jaccard_pairs" -> nearDupJaccardSql,
+    "dedup_minhash_pairs" -> nearDupJaccardSql,
+    "dedup_simhash_pairs" -> nearDupJaccardSql,
+    // exact all-pairs cosine ground truth: hyperplane-LSH bucketing has
+    // deterministic full recall here (a scaled copy keeps its direction, so
+    // its sign pattern — and bucket — is identical), and the engine verifies
+    // candidates with exact cosine, so the bucketed output equals the truth.
+    // Fold order matches the engine's left-fold aggregate exactly.
+    "dedup_emb_cosine" ->
+      """WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+           FROM embeddings WHERE vec_id % 25 = 0),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_prepend(0.0, list_transform(range(len(a.emb)),
+                 k -> a.emb[CAST(k AS INT) + 1] * b.emb[CAST(k AS INT) + 1])),
+               (acc, v) -> acc + v) AS dot,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(a.emb, x -> x * x)),
+               (acc, v) -> acc + v)) AS na,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(b.emb, x -> x * x)),
+               (acc, v) -> acc + v)) AS nb
+           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+         SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos
+         FROM pairs WHERE round(dot / (na * nb), 6) >= 0.98
+         ORDER BY id_a, id_b""",
     "dedup_exact_stats" ->
       "SELECT count(DISTINCT text) AS distinct_texts, count(*) AS total FROM documents",
     "dedup_exact_groups" ->

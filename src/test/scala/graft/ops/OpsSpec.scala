@@ -105,6 +105,15 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.getOrElse((1L, 3L), 65) > 8 || !pairs.contains((1L, 3L)))
   }
 
+  test("simhash-blocked jaccard verify: equals the exact ground truth") {
+    val exact = Dedup.ngramJaccardPairs(base.toDF("id", "text"), "id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.simhashJaccardPairs(base.toDF("id", "text"), "id", "text",
+      threshold = 0.5, maxHamming = 12, chunks = 8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exact, s"got=$got exact=$exact")
+  }
+
   test("embedding cosine dups: finds perturbed copy, skips orthogonal") {
     val e = Seq(
       (1L, Seq(1.0, 0.0, 0.0, 0.0)),
