@@ -115,14 +115,12 @@ object Dedup {
   }
 
   /** 64-bit SimHash of a token array: bit b of the result is the sign of
-    * Σ_tokens (bit b of xxhash64(token) ? +1 : −1). Pure column expression. */
-  def simhash(tokensCol: Column): Column = {
-    val bitSums = transform(sequence(lit(0), lit(63)), b =>
-      aggregate(tokensCol, lit(0L), (acc, t) =>
-        acc + when(call_function("shiftright", xxhash64(t), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)))
-    aggregate(bitSums, lit(0L), (acc, s) =>
-      shiftleft(acc, 1) + when(s > 0L, 1L).otherwise(0L))
-  }
+    * Σ_tokens (bit b of xxhash64(token) ? +1 : −1). Native codegen'd
+    * Expression — one pass over the tokens with 64 local counters (the
+    * interpreted HOF formulation walked the array 64 times; see
+    * graft.functions.SimHash64). */
+  def simhash(tokensCol: Column): Column =
+    graft.functions.SimHash64.simhash64(tokensCol)
 
   /** SimHash near-duplicate pairs within a Hamming radius, via the standard
     * chunk trick: split 64 bits into `chunks` pieces; pairs within Hamming

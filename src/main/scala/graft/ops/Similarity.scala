@@ -21,23 +21,14 @@ object Similarity {
     dot / (na * nb)
   }
 
-  /** Deterministic pseudo-random hyperplane component r(plane, dim) ∈ [-1,1). */
-  private def planeWeight(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim, lit("hyperplane")), lit(2000000L)).cast("double") - 1000000.0) / 1000000.0
-
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a long.
     * Same hash family for indexing and querying — cosine-similar vectors land
-    * in the same bucket with high probability. */
-  def hyperplaneBucket(emb: Column, planes: Int = 12): Column = {
-    val dims = size(emb)
-    val signs = transform(sequence(lit(0), lit(planes - 1)), p => {
-      val dot = aggregate(
-        zip_with(emb, sequence(lit(0), dims - 1), (v, i) => v * planeWeight(p, i)),
-        lit(0.0), (s, v) => s + v)
-      when(dot >= 0.0, 1L).otherwise(0L)
-    })
-    aggregate(signs, lit(0L), (acc, s) => shiftleft(acc, 1) + s)
-  }
+    * in the same bucket with high probability. Native codegen'd Expression
+    * with a process-wide cached weight matrix (the interpreted HOF
+    * formulation re-derived planes × dims hash-chain weights per ROW; see
+    * graft.functions.HyperplaneBucket). */
+  def hyperplaneBucket(emb: Column, planes: Int = 12): Column =
+    graft.functions.HyperplaneBucket.hyperplane_bucket(emb, planes)
 
   /** Brute-force cosine top-k against one query vector (broadcast). */
   def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
