@@ -97,12 +97,31 @@ object Dedup {
   /** Exact n-gram Jaccard over ALL pairs sharing at least one shingle —
     * inverted-index join (shingle → posting list), correct but heavier than
     * LSH; the candidate key is the shingle itself. Use for small/medium
-    * corpora or as ground truth for the LSH variant. */
+    * corpora or as ground truth for the LSH variant.
+    *
+    * @param dfCap document-frequency cap: shingles appearing in more than
+    *   `dfCap` docs are dropped from the posting list BEFORE the self-join.
+    *   Without it one stop-shingle shared by 10⁶ docs makes a 10¹²-candidate
+    *   explosion — the posting join is O(df²) per shingle. Capped shingles
+    *   are the least informative for Jaccard; pairs sharing ONLY capped
+    *   shingles are missed and pairs sharing some get a conservative
+    *   (under-)estimate — the standard trade. df counting is a partial-
+    *   aggregated groupBy (hot keys combine map-side), and the hot-shingle
+    *   set (a tiny fraction by construction) anti-joins against the posting
+    *   list. `Int.MaxValue` disables the cap (exact ground-truth mode). */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        threshold: Double = 0.5, shingleN: Int = 3): DataFrame = {
+                        threshold: Double = 0.5, shingleN: Int = 3,
+                        dfCap: Int = 1000): DataFrame = {
     val sh = df.select(col(idCol).as("id"), TextOps.shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-    val posting = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val postingAll = sh.select(col("id"), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+    val posting =
+      if (dfCap == Int.MaxValue) postingAll
+      else {
+        val hot = postingAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > dfCap).select(col("s"))
+        postingAll.join(hot, Seq("s"), "left_anti")
+      }
     val inter = posting.as("a").join(posting.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),

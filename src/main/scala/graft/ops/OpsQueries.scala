@@ -120,6 +120,13 @@ object OpsQueries {
       "vec_id", "embedding", queryVec, k = 10, planes = 5, probes = 6)
   }
 
+  /** Per-row kNN join (rows-only: LSH recall is approximate by design; the
+    * recall bound vs brute force is unit-tested in SimilaritySpec). */
+  def knnJoin(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoin(embs(s, dir), "vec_id", "embedding", k = 5,
+        planes = 5, probes = 6)
+      .orderBy(col("id_a"), col("cos").desc, col("id_b"))
+
   def langIdDetect(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("detected"))
@@ -181,6 +188,7 @@ object OpsQueries {
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_emb_cosine" -> (embCosineDups _),
     "ann_lsh_topk" -> (annLshTopK _),
+    "knn_join" -> (knnJoin _),
     "lang_id_detect" -> (langIdDetect _),
     "quality_scores" -> (qualityScores _),
     "fingerprint_rolling" -> (fingerprintRolling _),

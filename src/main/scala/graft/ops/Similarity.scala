@@ -61,6 +61,44 @@ object Similarity {
       .limit(k)
   }
 
+  /** LSH-bucketed top-k neighbors for EVERY row — the corpus-scale kNN join
+    * a training-data pipeline runs for near-dup clustering / semantic dedup.
+    *
+    * Shape: every row lands in its hyperplane bucket once (index side); the
+    * query side explodes each row into its own bucket plus, when
+    * `probes > 1`, all buckets at Hamming distance 1 (multi-probe union for
+    * recall). The join key is the bucket id, so the shuffle is by bucket —
+    * candidate generation is Σ_buckets |bucket|², never the corpus². The
+    * exact cosine then ranks candidates per query row with a window top-k.
+    * A probed pair can match through at most one probe value (the index row
+    * has ONE bucket), so no dedup pass is needed. Skewed buckets are spread
+    * by AQE's skew-join handling.
+    */
+  def knnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
+              planes: Int = 12, probes: Int = 1): DataFrame = {
+    val idx = df.select(col(idCol).as("id_b"),
+      col(embCol).cast("array<double>").as("emb_b"),
+      hyperplaneBucket(col(embCol), planes).as("bucket"))
+    val probeArr = {
+      val own = col("b0")
+      if (probes <= 1) array(own)
+      else array(own +: (0 until math.min(probes - 1, planes)).map(j => own.bitwiseXOR(1L << j)): _*)
+    }
+    val q = df.select(col(idCol).as("id_a"),
+        col(embCol).cast("array<double>").as("emb_a"),
+        hyperplaneBucket(col(embCol), planes).as("b0"))
+      .select(col("id_a"), col("emb_a"), explode(probeArr).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    q.join(idx, Seq("bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
   /** All-pairs brute-force top-k neighbors per row for a SMALL table
     * (ground truth for LSH recall tests). */
   def allPairsTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {

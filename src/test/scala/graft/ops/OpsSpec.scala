@@ -88,6 +88,26 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.find(p => p._1 == 1 && p._2 == 4).get._3 == 1.0) // exact dup
   }
 
+  test("ngram jaccard df-cap: bounds candidates on a stop-shingle corpus, " +
+    "identical pairs when nothing exceeds the cap") {
+    // default cap (1000) changes nothing on the near-dup corpus
+    val withCap = Dedup.ngramJaccardPairs(base.toDF("id", "text"), "id", "text", 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val noCap = Dedup.ngramJaccardPairs(base.toDF("id", "text"), "id", "text", 0.5,
+      dfCap = Int.MaxValue).as[(Long, Long, Double)].collect().toSet
+    assert(withCap == noCap)
+    // adversarial: 60 docs all sharing one stop-shingle prefix, otherwise
+    // disjoint -> uncapped generates C(60,2)=1770 candidates from the shared
+    // shingle alone; a cap below 60 drops it and yields zero candidate pairs
+    val adv = (0 until 60).map(i => (i.toLong, s"the common prefix is w${i}a w${i}b w${i}c w${i}d"))
+      .toDF("id", "text")
+    val capped = Dedup.ngramJaccardPairs(adv, "id", "text", threshold = 0.01, dfCap = 50)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.ngramJaccardPairs(adv, "id", "text", threshold = 0.01,
+      dfCap = Int.MaxValue)
+    assert(uncapped.count() == 1770L)
+  }
+
   test("minhash LSH: full recall of jaccard>=0.7 pairs on this corpus") {
     val exact = Dedup.ngramJaccardPairs(base.toDF("id", "text"), "id", "text", 0.7)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
@@ -158,6 +178,44 @@ class SimilaritySpec extends AnyFunSuite {
       (id, math.rint(cos(e.toArray, q) * 10000) / 10000) }
       .maxBy(t => (t._2, -t._1))
     assert(topk(0)._1 == best._1, s"top1 ${topk(0)} vs manual $best")
+  }
+
+  /** Clustered corpus (what a kNN join is FOR — semantic near-dup groups):
+    * 25 clusters × 8 members in 16 dims, member = unit-ish center + small
+    * deterministic noise. A row's true top-k are its cluster-mates. */
+  private lazy val clustered = {
+    val rng = new graft.stats.StatMath.SplitMix64(2024L)
+    val centers = Array.fill(25, 16)(rng.nextDouble() * 2 - 1)
+    (0 until 200).map { i =>
+      val c = centers(i / 8)
+      (i.toLong, c.map(_ + (rng.nextDouble() * 2 - 1) * 0.05).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("knn join: per-row top-k with recall >= 0.9 vs brute-force ground truth") {
+    val k = 5
+    val exact = Similarity.allPairsTopK(clustered, "vec_id", "embedding", k)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toSet }
+    val got = Similarity.knnJoin(clustered, "vec_id", "embedding", k, planes = 8, probes = 9)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toSet }
+    assert(got.nonEmpty && exact.size == 200)
+    val hits = exact.toSeq.map { case (a, truth) =>
+      truth.intersect(got.getOrElse(a, Set.empty)).size.toDouble / truth.size
+    }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.9, s"mean recall@$k = $recall")
+    // every returned cosine is the true cosine (exact verification on
+    // candidates) — checked on the real testdata embeddings too
+    val bf = Similarity.allPairsTopK(embs, "vec_id", "embedding", 10000)
+      .select($"id_a", $"id_b", round($"cos", 4)).as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    Similarity.knnJoin(embs, "vec_id", "embedding", k, planes = 4, probes = 5)
+      .select($"id_a", $"id_b", round($"cos", 4)).as[(Long, Long, Double)].collect()
+      // tolerance: allPairsTopK rounds to 4dp, knnJoin to 6dp — double
+      // rounding can differ by one ulp of the coarser grid at .5 boundaries
+      .foreach { case (a, b, c) => assert(math.abs(bf((a, b)) - c) <= 1.01e-4) }
   }
 
   test("LSH topk: results are a subset of correct cosines, ranked correctly") {
