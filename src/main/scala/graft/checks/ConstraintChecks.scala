@@ -32,14 +32,16 @@ object ConstraintChecks {
     *    a clean table pays exactly one scan + shuffle and never rereads ids.
     *
     * Returns (violations, per-part {dupKeys, distinctKeys, totalDocs}). */
-  def uniqueness(docs: DataFrame, runId: String, salts: Int = 16): (Dataset[Violation], Map[Int, UniquenessStats]) = {
+  def uniqueness(docs: DataFrame, runId: String, salts: Int = 0): (Dataset[Violation], Map[Int, UniquenessStats]) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // salts = 0 selects a SINGLE-shuffle aggregation: for count-like aggs,
-    // Spark's map-side partial aggregation already bounds any hot key's
-    // reducer input by the map-task count, so the explicit salt stage buys
-    // nothing but a second full shuffle. The salted two-stage stays the
-    // default (north-rule operator; also right for non-combinable variants).
+    // salts = 0 (default) selects a SINGLE-shuffle aggregation: for
+    // count-like aggs, Spark's map-side partial aggregation already bounds
+    // any hot key's reducer input by the map-task count, so the explicit
+    // salt stage buys nothing but a second full shuffle — confirmed by A/B
+    // at 54M docs / 32 cores (BASELINE.md round-2: two-stage 1.6-2.1x
+    // slower). salts > 0 keeps the salted two-stage selectable (the E13
+    // skew operator; right for aggregates that don't combine map-side).
     val keyed = docs.select($"part",
       xxhash64($"doc_id", lit("u1")).as("h1"),
       xxhash64($"doc_id", lit("u2")).as("h2"))

@@ -14,7 +14,13 @@ case class RunConfig(
     randomState: Long = 31L,
     maxSample: Int = 2000,
     samplePrefilterFrac: Double = 1.0,
-    salts: Int = 16,
+    // 0 = single-shuffle uniqueness (default): A/B at 54M docs / 32 cores
+    // measured the salted two-stage 1.6-2.1x slower wall and ~1.6x the CPU
+    // (BASELINE.md round-2) — map-side partial agg already bounds hot-key
+    // reducer input for count-like aggregates, so the explicit salt stage
+    // bought a second full shuffle and nothing else. Salted variant stays
+    // selectable (the E13 skew operator; right for non-combinable aggs).
+    salts: Int = 0,
     fusedScan: Boolean = false,
     // when set, each check's violation rows are written to
     // <sink>/src=<check>/ AS SOON AS that check's counts are known, from the
