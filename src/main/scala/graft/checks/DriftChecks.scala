@@ -129,6 +129,79 @@ object DriftChecks {
     }
   }
 
+  /** EXACT (unsampled) MMD distance between the fitted reference sample and
+    * EVERY doc of each partition — the engine's answer to the reference's
+    * chunked exact kernel (ml/training.py:145,505-507: `chunk_size=200`
+    * bounds kernel memory while comparing the full batch) for users who want
+    * the exact statistic on a moderate batch instead of the bounded-sample
+    * estimate.
+    *
+    * Distributed shape: the full partition is featurized executor-side with
+    * the SAME per-doc featurizer as the sampled path
+    * (`DocStatsAgg.featuresOf`), collected (48 B/doc — the `maxRows` guard
+    * bounds this; ~10⁶ rows ≈ 50 MB), broadcast back, and the O(n²) kernel
+    * work fans out as BLOCK-PAIR tasks (`Mmd.kernelBlockSum`) across all
+    * partitions in one job — no (m+n)² kernel matrix materializes anywhere;
+    * each task streams one block pair in O(blockSize²) flops with O(1)
+    * extra memory. p-values still come from the sampled permutation path
+    * ([[mmd]]); an exact permutation test would cost numPermutations× this.
+    *
+    * Returns part → exact MMD distance (√max(mmd²,0), unbiased estimator —
+    * identical semantics to [[Mmd.distance]]).
+    */
+  def mmdExactDistance(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
+                       ref: RefState, maxRows: Int = 1 << 20,
+                       blockSize: Int = 2048): Map[Int, Double] = {
+    import spark.implicits._
+    val feats = docs
+      .select($"part", org.apache.spark.sql.functions.col("spans.kind"),
+        org.apache.spark.sql.functions.col("spans.offset"))
+      .as[(Int, Seq[String], Seq[Int])]
+      .mapPartitions(_.map { case (p, k, o) =>
+        (p, graft.sketch.DocStatsAgg.featuresOf(k, o)) })
+      .collect()
+    require(feats.length <= maxRows,
+      s"mmdExactDistance: batch has ${feats.length} rows > maxRows=$maxRows — " +
+        "exact MMD is O(n²); raise maxRows deliberately or use the sampled path")
+    val byPart: Map[Int, Array[Array[Double]]] =
+      feats.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2) }
+    val x = ref.refSample
+    val m = x.length
+    val sigma = ref.sigma
+    val bc = spark.sparkContext.broadcast((x, byPart))
+    // task list: per part, YY strict-upper block pairs + XY rectangles.
+    // kind 0 = yy pair, kind 1 = xy stripe (full X × one Y block).
+    val tasks = byPart.toSeq.sortBy(_._1).flatMap { case (p, y) =>
+      val nb = (y.length + blockSize - 1) / blockSize
+      val yy = for { i <- 0 until nb; j <- i until nb } yield (p, 0, i, j)
+      val xy = (0 until nb).map(j => (p, 1, 0, j))
+      yy ++ xy
+    }
+    val partials = spark.createDataset(tasks)
+      .mapPartitions { it =>
+        val (xx, yByPart) = bc.value
+        it.map { case (p, kind, bi, bj) =>
+          val y = yByPart(p)
+          val j0 = bj * blockSize
+          val j1 = math.min(j0 + blockSize, y.length)
+          val s = if (kind == 0) {
+            val i0 = bi * blockSize
+            val i1 = math.min(i0 + blockSize, y.length)
+            Mmd.kernelBlockSum(y, i0, i1, y, j0, j1, sigma, strictUpper = true)
+          } else Mmd.kernelBlockSum(xx, 0, xx.length, y, j0, j1, sigma, strictUpper = false)
+          (p, kind, s)
+        }
+      }
+      .collect()
+    val sxxByRef = Mmd.kernelBlockSum(x, 0, m, x, 0, m, sigma, strictUpper = true)
+    byPart.keys.toSeq.sorted.map { p =>
+      val n = byPart(p).length
+      val syy = partials.collect { case (`p`, 0, s) => s }.sum
+      val sxy = partials.collect { case (`p`, 1, s) => s }.sum
+      p -> math.sqrt(math.max(0.0, Mmd.mmd2FromSums(sxxByRef, syy, sxy, m, n)))
+    }.toMap
+  }
+
   def mmd(spark: SparkSession, runId: String, alpha: Double, ref: RefState,
           samples: Map[Int, Array[Array[Double]]],
           numPermutations: Int = 100, randomState: Long = 31L,

@@ -95,6 +95,49 @@ object DocStatsAgg {
   val ModeStats = 1
   val ModeSample = 2
 
+  /** Public twin of `DocStatsBuffer.features` over plain collections, for
+    * full-batch (unsampled) paths —
+    * [[graft.checks.DriftChecks.mmdExactDistance]] featurizes EVERY doc of a
+    * partition with this and relies on its arithmetic being identical to the
+    * sampled path's (asserted in GoldenScenarioSpec). The buffer's
+    * ≤8-byte-prefix kind test is definitive equality for "text"/"image", so
+    * plain string equality here matches it. */
+  def featuresOf(kinds: Seq[String], offsets: Seq[Int]): Array[Double] = {
+    val n = kinds.length
+    var text = 0.0
+    var image = 0.0
+    var i = 0
+    var prevOff = 0
+    var sumGap = 0.0
+    val nGaps = math.max(n - 1, 1)
+    val gaps = new Array[Double](math.max(n - 1, 0))
+    while (i < n) {
+      val k = kinds(i)
+      if (k != null) {
+        if (k == "text") text += 1
+        else if (k == "image") image += 1
+      }
+      val off = offsets(i)
+      if (i > 0) {
+        gaps(i - 1) = (off - prevOff).toDouble
+        sumGap += gaps(i - 1)
+      }
+      prevOff = off
+      i += 1
+    }
+    val meanGap = sumGap / nGaps
+    var absDev = 0.0
+    var nonPos = 0.0
+    i = 0
+    while (i < gaps.length) {
+      absDev += math.abs(gaps(i) - meanGap)
+      if (gaps(i) <= 0.0) nonPos += 1
+      i += 1
+    }
+    Array(n / 8.0, meanGap / 30.0, text / n, image / n,
+      (absDev / nGaps) / 15.0, nonPos / nGaps)
+  }
+
   /** Column API: spans.kind + spans.offset arrays + sampling hash →
     * binary-encoded DocStatsResult. Consuming the FIELD arrays (not the
     * whole struct array) lets parquet nested-column pruning skip the heavy

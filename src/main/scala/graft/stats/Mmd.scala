@@ -92,6 +92,32 @@ object Mmd {
   def distance(x: Array[Array[Double]], y: Array[Array[Double]], sigma: Double): Double =
     math.sqrt(math.max(0.0, mmd2(x, y, sigma)))
 
+  /** Partial kernel sum over a block pair — the unit of work for the
+    * distributed EXACT (unsampled) MMD path (DriftChecks.mmdExactDistance):
+    * Σ k(a_i, b_j) for i ∈ [i0,i1), j ∈ [j0,j1). With `strictUpper` (same
+    * array on both sides) only pairs with i < j count, so summing all block
+    * pairs (bi ≤ bj) yields exactly the strict upper triangle. Pure math —
+    * no Spark dependency (this object stays Spark-free). */
+  def kernelBlockSum(a: Array[Array[Double]], i0: Int, i1: Int,
+                     b: Array[Array[Double]], j0: Int, j1: Int,
+                     sigma: Double, strictUpper: Boolean): Double = {
+    var s = 0.0
+    var i = i0
+    while (i < i1) {
+      var j = if (strictUpper) math.max(j0, i + 1) else j0
+      while (j < j1) { s += rbf(a(i), b(j), sigma); j += 1 }
+      i += 1
+    }
+    s
+  }
+
+  /** Unbiased MMD² from precomputed pair sums (sxx/syy strict-upper within
+    * X/Y, sxy over the full X×Y rectangle). */
+  def mmd2FromSums(sxx: Double, syy: Double, sxy: Double, m: Int, n: Int): Double =
+    2.0 * sxx / (m.toDouble * (m - 1)) +
+      2.0 * syy / (n.toDouble * (n - 1)) -
+      2.0 * sxy / (m.toDouble * n)
+
   /** Full pooled kernel matrix (float, symmetric, row-major). Computing it
     * ONCE per task and reindexing per permutation removes the exp() from the
     * permutation loop — the permutation test then costs additions only. */

@@ -55,6 +55,12 @@ object PlanCheck {
     println("\n=== uniqueness two-stage ===")
     println(interesting(graft.checks.ConstraintChecks.uniqueness(docs, "pc")
       ._1.queryExecution.executedPlan))
+
+    println("\n=== kNN join (bucket-keyed, no cartesian) ===")
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    println(interesting(graft.ops.Similarity
+      .knnJoin(embs, "vec_id", "embedding", 5, planes = 5, probes = 6)
+      .queryExecution.executedPlan))
     spark.stop()
   }
 }
