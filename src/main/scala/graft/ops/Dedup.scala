@@ -31,16 +31,21 @@ object Dedup {
       .filter(col("cnt") > 1)
 
   /** MinHash signature of a shingle array: k independent hash slots, slot i =
-    * min over shingles of xxhash64(shingle, i). */
+    * min over shingles of xxhash64(shingle, i). Native expression — each
+    * shingle's bytes hash ONCE with the k slot variants as cheap int folds
+    * (the HOF formulation re-hashed every string k times, interpreted; see
+    * graft.functions.TextNative.MinHashSig, bit-identical). */
   def minhashSignature(shinglesCol: Column, numHashes: Int = 32): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), i =>
-      array_min(transform(shinglesCol, s => xxhash64(s, i))))
+    graft.functions.TextNative.minhash_sig(shinglesCol, numHashes)
 
   /** LSH band keys from a MinHash signature: `bands` bands of `rows` slots,
-    * each hashed to one key. Docs sharing ≥1 band key become candidates. */
+    * each hashed to one key (array position = band id). Docs sharing ≥1
+    * (band, hash) become candidates. Native expression — the previous
+    * `xxhash64(to_json(slice(…)))` materialized a JSON string per band per
+    * row, interpreted; band blocking only needs A deterministic slice hash
+    * (candidates are exact-verified), so the cheapest fold wins. */
   def lshBandKeys(signature: Column, bands: Int, rows: Int): Column =
-    transform(sequence(lit(0), lit(bands - 1)), b =>
-      struct(b.as("band"), xxhash64(to_json(slice(signature, b * rows + 1, lit(rows)))).as("bh")))
+    graft.functions.TextNative.band_hashes(signature, bands, rows)
 
   /** MinHash+LSH near-duplicate pairs with exact Jaccard verification.
     * @param threshold  exact shingle-set Jaccard cutoff applied to candidates
@@ -62,8 +67,7 @@ object Dedup {
     // full-corpus shingle subtree per join branch (Spark does not share the
     // un-cached `sh` plan between branches).
     val banded = sig
-      .select(col("id"), explode(lshBandKeys(col("sig"), bands, rows)).as("bk"))
-      .select(col("id"), col("bk.band"), col("bk.bh"))
+      .select(col("id"), posexplode(lshBandKeys(col("sig"), bands, rows)).as(Seq("band", "bh")))
     val candIds = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))

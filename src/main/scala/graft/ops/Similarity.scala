@@ -12,14 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Cosine similarity of two array<numeric> columns (pure column expr —
-    * zip_with product + aggregate sums, whole-stage codegen'd). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
-    val na = sqrt(aggregate(a, lit(0.0), (s, v) => s + v * v))
-    val nb = sqrt(aggregate(b, lit(0.0), (s, v) => s + v * v))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two array<numeric> columns. Native single-pass
+    * expression — the zip_with/aggregate chain it replaces made three
+    * interpreted HOF walks plus a zip allocation per PAIR, and this kernel
+    * runs per candidate pair in every similarity operator (bit-identical;
+    * see graft.functions.CosineSim). */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSim.cosine_sim(a, b)
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a long.
     * Same hash family for indexing and querying — cosine-similar vectors land

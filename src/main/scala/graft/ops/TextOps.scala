@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * (whole-stage codegen, no shuffle) — per-row projections scale linearly. */
 object TextOps {
 
-  /** Whitespace tokens (lowercased). */
+  /** Whitespace tokens (lowercased). Native single-pass expression — the
+    * `filter(split(lower(…)))` chain it replaces ran the filter HOF
+    * interpreted per row (see graft.functions.TextNative; bit-identical). */
   def tokens(text: Column): Column =
-    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    graft.functions.TextNative.whitespace_tokens(text)
 
   /** Token count by pure arithmetic (oracle-friendly: identical in any SQL
     * engine): separators + 1 on single-space-joined text. */
@@ -76,12 +78,11 @@ object TextOps {
       .otherwise("und")
   }
 
-  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup. */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val toks = tokens(text)
-    array_distinct(
-      when(size(toks) < n, array(concat_ws(" ", toks)))
-        .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
-          concat_ws(" ", slice(toks, i + 1, lit(n))))))
-  }
+  /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
+    * Native single-pass expression (tokenize + n-gram join + first-
+    * occurrence distinct); the transform/slice/concat_ws HOF chain it
+    * replaces evaluated interpreted per row (bit-identical — NativeExprSpec
+    * keeps the HOF twin). */
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.TextNative.word_shingles(text, n)
 }

@@ -67,6 +67,73 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diffF == 0, "float path")
   }
 
+  /** The previous HOF text formulations (TextOps/Dedup r1). */
+  private def tokensHof(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+  private def shinglesHof(text: Column, n: Int): Column = {
+    val toks = tokensHof(text)
+    array_distinct(
+      when(size(toks) < n, array(concat_ws(" ", toks)))
+        .otherwise(transform(sequence(lit(0), size(toks) - n), i =>
+          concat_ws(" ", slice(toks, i + 1, lit(n))))))
+  }
+  private def minhashHof(shinglesCol: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)), i =>
+      array_min(transform(shinglesCol, s => xxhash64(s, i))))
+
+  test("tokens/shingles/minhash natives == interpreted HOF twins on real multilingual text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", " ", "one", "a b", "  tabs\tand\nnewlines  x  ",
+        "这是一个中文句子 with mixed  content", "Ünïcode CASE Folding ß").toDF("text"))
+    val tokDiff = docs.select(TextNative.whitespace_tokens($"text").as("n"),
+        tokensHof($"text").as("h"))
+      .filter(!($"n" <=> $"h")).count()
+    assert(tokDiff == 0, "tokens")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val shDiff = docs.select(TextNative.word_shingles($"text", n).as("n"),
+          shinglesHof($"text", n).as("h"))
+        .filter(!($"n" <=> $"h")).count()
+      assert(shDiff == 0, s"shingles n=$n")
+    }
+    val mhDiff = docs.select(TextNative.word_shingles($"text", 3).as("sh"))
+      .select(TextNative.minhash_sig($"sh", 32).as("n"), minhashHof($"sh", 32).as("h"))
+      .filter(!($"n" <=> $"h")).count()
+    assert(mhDiff == 0, "minhash sig")
+    // empty shingle array -> all-null slots, matching array_min over empty
+    val r = Seq(Seq.empty[String]).toDF("sh")
+      .select(TextNative.minhash_sig($"sh", 4).as("n"), minhashHof($"sh", 4).as("h")).head()
+    assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+  }
+
+  /** The previous HOF cosine (Similarity r1). */
+  private def cosineHof(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
+    val na = sqrt(aggregate(a, lit(0.0), (s, v) => s + v * v))
+    val nb = sqrt(aggregate(b, lit(0.0), (s, v) => s + v * v))
+    dot / (na * nb)
+  }
+
+  test("cosine_sim native == interpreted HOF twin on real embedding pairs") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val pairs = e.limit(40).select($"vec_id".as("ia"), $"embedding".as("ea"))
+      .crossJoin(e.limit(40).select($"vec_id".as("ib"), $"embedding".as("eb")))
+    // float path and double path
+    val dF = pairs.select(CosineSim.cosine_sim($"ea", $"eb").as("n"),
+        cosineHof($"ea", $"eb").as("h"))
+      .filter(!($"n" <=> $"h")).count()
+    assert(dF == 0, "float arrays")
+    val dD = pairs.select(
+        CosineSim.cosine_sim($"ea".cast("array<double>"), $"eb".cast("array<double>")).as("n"),
+        cosineHof($"ea".cast("array<double>"), $"eb".cast("array<double>")).as("h"))
+      .filter(!($"n" <=> $"h")).count()
+    assert(dD == 0, "double arrays")
+    // unequal lengths -> null, like zip_with's null padding poisoning the sum
+    val r = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+      .select(CosineSim.cosine_sim($"a", $"b"), cosineHof($"a", $"b")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
   test("null inputs propagate") {
     val r = Seq((null: Seq[String], null: Seq[Double]))
       .toDF("toks", "emb")
