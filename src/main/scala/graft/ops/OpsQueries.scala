@@ -127,6 +127,19 @@ object OpsQueries {
         planes = 5, probes = 6)
       .orderBy(col("id_a"), col("cos").desc, col("id_b"))
 
+  /** Composed curation pipeline over a corpus with injected exact copies:
+    * dedup (survivor = min doc_id per text) → quality gate → language gate.
+    * The oracle computes quality/langid over the ORIGINAL docs only — if the
+    * Spark-side dedup leaked any injected copy (doc_id ≥ 1,000,000), the
+    * row count and hash would mismatch, so the composition is end-to-end
+    * checked. */
+  def curationPipeline(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val corpus = d.select(col("doc_id"), col("text"))
+      .union(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Curate.curate(corpus).orderBy(col("doc_id"))
+  }
+
   def langIdDetect(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("detected"))
@@ -169,6 +182,14 @@ object OpsQueries {
         round(col("psi"), 6).as("psi"), col("is_drift"))
       .orderBy(col("event_type"), col("window_start"))
 
+  /** Streaming exact dedup: the harness feeds every event TWICE (two staged
+    * copies in separate micro-batches); the state-store dedup must emit each
+    * exactly once, so the aggregate equals the single-copy batch oracle. */
+  def eventsStreamDedup(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.runDedupStream(s, s"$dir/events.parquet",
+        queryName = s"stream_dedup_${System.nanoTime()}")
+      .orderBy(col("event_type"))
+
   def eventsStreamHourly(s: SparkSession, dir: String): DataFrame =
     StreamingOps.runFileStream(s, s"$dir/events.parquet",
         queryName = s"stream_out_${System.nanoTime()}")
@@ -190,11 +211,13 @@ object OpsQueries {
     "ann_lsh_topk" -> (annLshTopK _),
     "knn_join" -> (knnJoin _),
     "lang_id_detect" -> (langIdDetect _),
+    "curation_pipeline" -> (curationPipeline _),
     "quality_scores" -> (qualityScores _),
     "fingerprint_rolling" -> (fingerprintRolling _),
     "media_features" -> (mediaFeatures _),
     "media_decode" -> (mediaDecode _),
     "events_stream_hourly" -> (eventsStreamHourly _),
+    "events_stream_dedup" -> (eventsStreamDedup _),
     "events_stream_drift" -> (eventsStreamDrift _))
 
   /** Exact n-gram-Jaccard ground truth over the injected near-dup corpus —
@@ -327,6 +350,54 @@ object OpsQueries {
                         THEN 1.0 ELSE 0.4 END)*0.2) * 1000000) AS BIGINT) AS quality_micros,
            n_tokens, n_subwords
          FROM t ORDER BY doc_id""",
+    // dedup → quality → language, composed from the two already-validated
+    // oracle bodies. The oracle evaluates over ORIGINAL documents only: the
+    // engine additionally deduped an injected exact copy of every doc, so
+    // any survivor leak (doc_id ≥ 1e6) breaks rows/hash.
+    "curation_pipeline" ->
+      """WITH t AS (
+           SELECT doc_id, text,
+             len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nosp,
+             len(list_filter(string_split_regex(lower(text), '\s+'),
+                 x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS n_stop,
+             length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct
+           FROM documents),
+         q AS (
+           SELECT doc_id,
+             CAST(floor(( least(greatest(n_tokens,1) / 64.0, 1.0)*0.3
+                  + least((n_stop * 1.0 / greatest(n_tokens,1))*5.0, 1.0)*0.25
+                  + greatest(1.0 - (punct * 1.0 / greatest(length(text),1))*5.0, 0.0)*0.25
+                  + (CASE WHEN (nosp * 1.0 / greatest(n_tokens,1)) BETWEEN 2.5 AND 9.0
+                          THEN 1.0 ELSE 0.4 END)*0.2) * 1000000) AS BIGINT) AS quality_micros,
+             n_tokens
+           FROM t),
+         lt AS (SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x)>0) AS toks,
+             length(text) AS L,
+             length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk
+           FROM documents),
+         ls AS (SELECT doc_id,
+           cjk*1.0/greatest(L,1) AS cjk_ratio,
+           greatest(len(toks),1)*1.0 AS n,
+           len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','it','that','was','for','with','as'], x)))*1.0 AS en,
+           len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','las','por','un','una'], x)))*1.0 AS es,
+           len(list_filter(toks, x -> list_contains(['der','die','und','das','von','zu','mit','den','ist','des','im','ein'], x)))*1.0 AS de,
+           len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','en','un','une','du','est','que'], x)))*1.0 AS fr
+          FROM lt),
+         lid AS (SELECT doc_id,
+          CASE WHEN cjk_ratio > 0.2 THEN 'zh'
+               WHEN greatest(en,es,de,fr)/n >= 0.05 THEN
+                 CASE WHEN en >= greatest(es,de,fr) THEN 'en'
+                      WHEN es >= greatest(de,fr) THEN 'es'
+                      WHEN de >= fr THEN 'de' ELSE 'fr' END
+               ELSE 'und' END AS lang
+          FROM ls)
+         SELECT q.doc_id, lid.lang, q.quality_micros, q.n_tokens
+         FROM q JOIN lid ON lid.doc_id = q.doc_id
+         WHERE q.quality_micros >= 500000
+           AND lid.lang IN ('en','es','de','fr','zh')
+         ORDER BY q.doc_id""",
     // fold order: first profile attaining the max wins (strict-greater
     // replacement in the engine keeps the earliest max)
     "lang_id_detect" ->
@@ -404,6 +475,13 @@ object OpsQueries {
              list_reduce(list_prepend(CAST(0 AS HUGEINT), bytes),
                (acc, c) -> (acc * 1000003 + c) % 18446744073709551616::HUGEINT) AS h
            FROM v) ORDER BY doc_id""",
+    // the stream saw every event twice; state-store dedup restores the
+    // single-copy aggregate (duplicate rows are full-row identical, so
+    // DISTINCT over the projected triple is the batch truth)
+    "events_stream_dedup" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v
+         FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+         GROUP BY event_type ORDER BY event_type""",
     "events_stream_drift" ->
       """WITH e AS (SELECT event_type, date_trunc('day', ts) AS window_start,
                CAST(least(greatest(floor(value / 10.0), 0), 9) AS INT) AS bucket FROM events),

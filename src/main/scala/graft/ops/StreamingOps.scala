@@ -188,6 +188,51 @@ object StreamingOps {
       .filter(col("is_final") && col("event_type") =!= "___sentinel")
   }
 
+  /** Streaming EXACT DEDUP: `dropDuplicates(event_id)` maintains a keyed
+    * state store so a record arriving again — in the same OR a later
+    * micro-batch — is emitted exactly once; the deduped stream then feeds
+    * the per-type aggregate. The harness stages the source file TWICE, so
+    * every event genuinely arrives twice across micro-batches and the
+    * cross-batch state is what makes the counts come out right (the driver
+    * oracle is the single-copy batch aggregate).
+    *
+    * State note: plain `dropDuplicates` keeps every seen key forever —
+    * right for the complete-mode test harness; a production deployment
+    * bounds state with `dropDuplicatesWithinWatermark` (same plan shape,
+    * keys evicted once the watermark passes) and append output. */
+  def runDedupStream(spark: SparkSession, parquetPath: String,
+                     queryName: String = "stream_dedup"): DataFrame = {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-dedup")
+    val p = java.nio.file.Paths.get(parquetPath)
+    def stageCopy(suffix: String): Unit =
+      if (java.nio.file.Files.isDirectory(p)) {
+        val ls = java.nio.file.Files.list(p)
+        try ls.filter(_.toString.endsWith(".parquet"))
+          .forEach(f => java.nio.file.Files.copy(f,
+            srcDir.resolve(s"$suffix-${f.getFileName}")))
+        finally ls.close()
+      } else java.nio.file.Files.copy(p, srcDir.resolve(s"$suffix-${p.getFileName}"))
+    stageCopy("dup0")
+    stageCopy("dup1") // full duplicate of the corpus -> 2x arrival of every event
+    val src = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1") // force the copies into SEPARATE micro-batches
+      .parquet(srcDir.toString)
+    val q = src
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    try {
+      import scala.sys.process._
+      Seq("rm", "-rf", srcDir.toString).!
+    } catch { case _: Throwable => }
+    spark.table(queryName)
+  }
+
   /** Run the streaming aggregation over a parquet path as a file stream,
     * draining everything available into an in-memory table; returns the
     * result. (The local harness for tests/demos — a deployment would point

@@ -32,8 +32,11 @@ object TextOps {
   def qualityScore(text: Column): Column = {
     val toks = tokens(text)
     val nTok = greatest(size(toks).cast("double"), lit(1.0))
-    val stop = typedlit(Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))
-    val stopRatio = size(filter(toks, t => array_contains(stop, t))).cast("double") / nTok
+    // native set-probe count (bit-identical integer; the filter/array_contains
+    // HOF chain ran interpreted with a linear word-list scan per token)
+    val stopRatio = graft.functions.StopwordCount.stopword_count(toks,
+      Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))
+      .cast("double") / nTok
     val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double")
     val punctRatio = punct / greatest(length(text).cast("double"), lit(1.0))
     val meanTokLen = length(regexp_replace(text, "\\s+", "")).cast("double") / nTok
@@ -66,8 +69,8 @@ object TextOps {
     val toks = tokens(text)
     val nTok = greatest(size(toks).cast("double"), lit(1.0))
     val scores = profiles.map { case (lang, words) =>
-      val wl = typedlit(words)
-      lang -> (size(filter(toks, t => array_contains(wl, t))).cast("double") / nTok)
+      lang -> (graft.functions.StopwordCount.stopword_count(toks, words)
+        .cast("double") / nTok)
     }
     val best = scores.tail.foldLeft(struct(lit(scores.head._1).as("lang"), scores.head._2.as("s"))) {
       case (acc, (lang, sc)) =>

@@ -105,7 +105,16 @@ object ExprMicro {
     val cNat = best(runCos(graft.functions.CosineSim.cosine_sim($"a", $"b")))
     val cHof = best(runCos(cosineHof($"a", $"b")))
 
+    val stopWords = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+    val wl = typedlit(stopWords)
+    val toksReal = texts.select(graft.functions.TextNative.whitespace_tokens($"text").as("toks"))
+    toksReal.cache().count()
+    def runSw(c: Column): Unit = toksReal.select(c.as("v")).agg(sum($"v")).collect()
+    val swNat = best(runSw(graft.functions.StopwordCount.stopword_count($"toks", stopWords)))
+    val swHof = best(runSw(size(filter($"toks", t => array_contains(wl, t)))))
+
     println(f"rows=$rows")
+    println(f"stopwords  native=$swNat%.3fs hof=$swHof%.3fs speedup=${swHof / swNat}%.1fx")
     println(f"cosine     native=$cNat%.3fs hof=$cHof%.3fs speedup=${cHof / cNat}%.1fx")
     println(f"simhash    native=$sNat%.3fs hof=$sHof%.3fs speedup=${sHof / sNat}%.1fx")
     println(f"hyperplane native=$hNat%.3fs hof=$hHof%.3fs speedup=${hHof / hNat}%.1fx")

@@ -52,7 +52,7 @@ object PlanCheck {
     println(interesting(graft.checks.ConstraintChecks.referential(docs, media, "pc")
       ._1.queryExecution.executedPlan))
 
-    println("\n=== uniqueness two-stage ===")
+    println("\n=== uniqueness (single-shuffle default) ===")
     println(interesting(graft.checks.ConstraintChecks.uniqueness(docs, "pc")
       ._1.queryExecution.executedPlan))
 

@@ -134,6 +134,19 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("stopword_count native == filter/array_contains HOF twin") {
+    val words = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextNative.whitespace_tokens($"text").as("toks"))
+      .union(Seq(Seq.empty[String], Seq("the", "the", "zzz")).toDF("toks"))
+    val wl = typedlit(words)
+    val diff = docs.select(
+        StopwordCount.stopword_count($"toks", words).as("n"),
+        size(filter($"toks", t => array_contains(wl, t))).as("h"))
+      .filter(!($"n" <=> $"h")).count()
+    assert(diff == 0)
+  }
+
   test("null inputs propagate") {
     val r = Seq((null: Seq[String], null: Seq[Double]))
       .toDF("toks", "emb")

@@ -146,6 +146,33 @@ class DedupSpec extends AnyFunSuite {
   }
 }
 
+class CurateSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("curation pipeline: dedups exact copies, gates quality and language") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy with the sun in the garden today"),
+      (2L, "the cat sat on the mat and it was happy with the sun in the garden today"), // exact copy
+      (3L, "!!!! #### $$$$ %%%% ^^^^ &&&&"), // garbage -> quality gate
+      (4L, "xqz blorp fnargle wibble zorp klaatu barada nikto verada"), // und -> lang gate
+      (5L, "el perro corre en la casa y los gatos duermen por la noche con el sol"))
+      .toDF("doc_id", "text")
+    val out = Curate.curate(docs).orderBy($"doc_id")
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    assert(out.map(_._1).sameElements(Array(1L, 5L)), out.mkString(","))
+    assert(out.toMap == Map(1L -> "en", 5L -> "es"))
+  }
+
+  test("curation pipeline: survivor is min doc_id, stable under repartition") {
+    val docs = Seq(9L, 7L, 8L).map(i =>
+        (i, "the quick brown fox jumps over the lazy dog and it is a fine day for a run"))
+      .toDF("doc_id", "text").repartition(5)
+    val out = Curate.curate(docs).select($"doc_id").as[Long].collect()
+    assert(out.sameElements(Array(7L)))
+  }
+}
+
 class SimilaritySpec extends AnyFunSuite {
   lazy val spark = graft.SparkTestBase.spark
   import spark.implicits._
@@ -316,6 +343,26 @@ class StreamingOpsSpec extends AnyFunSuite {
       .as[(java.sql.Timestamp, String, Long, Double)].collect()
     assert(streamed.sameElements(batch))
     assert(streamed.nonEmpty)
+  }
+
+  test("streaming exact dedup: double-fed corpus collapses to the single-copy aggregate") {
+    val streamed = StreamingOps.runDedupStream(spark,
+        "/root/testdata/sf0.001/events.parquet", "dedup_spec")
+      .orderBy($"event_type")
+      .as[(String, Long, Double)].collect()
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"event_type", $"value").distinct()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_v"))
+      .orderBy($"event_type")
+      .as[(String, Long, Double)].collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch),
+      s"streamed=${streamed.take(3).mkString(",")} batch=${batch.take(3).mkString(",")}")
+    // the double-feed really doubled arrivals: without dedup the counts
+    // would be 2x — assert the oracle-side total matches the raw table size
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet").count()
+    assert(streamed.map(_._2).sum == raw)
   }
 
   // uniform reference over 10 value-buckets of width 10
