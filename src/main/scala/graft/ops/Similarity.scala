@@ -87,15 +87,20 @@ object Similarity {
         col(embCol).cast("array<double>").as("emb_a"),
         hyperplaneBucket(col(embCol), planes).as("b0"))
       .select(col("id_a"), col("emb_a"), explode(probeArr).as("bucket"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))
+    // final ranking via the bounded TopKPairsAgg, NOT a window: the
+    // aggregate partial-combines each map task's candidates to ≤k per query
+    // row BEFORE the shuffle (O(rows × k) exchange instead of
+    // O(candidates)) and never sorts a whole key's candidate list. Ordering
+    // (score DESC, id ASC) is identical to the window formulation
+    // (equality asserted in SimilaritySpec).
     q.join(idx, Seq("bucket"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      .groupBy(col("id_a"))
+      .agg(graft.sketch.TopKPairsAgg.topkPairs(col("id_b"), col("cos"), k).as("tk"))
+      .select(col("id_a"), explode(col("tk")).as("p"))
+      .select(col("id_a"), col("p.id").as("id_b"), col("p.score").as("cos"))
   }
 
   /** All-pairs brute-force top-k neighbors per row for a SMALL table

@@ -245,6 +245,53 @@ class SimilaritySpec extends AnyFunSuite {
       .foreach { case (a, b, c) => assert(math.abs(bf((a, b)) - c) <= 1.01e-4) }
   }
 
+  test("knn join: TopKPairsAgg formulation equals the window formulation exactly") {
+    def windowKnn(df: org.apache.spark.sql.DataFrame, k: Int,
+                  planes: Int, probes: Int): org.apache.spark.sql.DataFrame = {
+      val idx = df.select($"vec_id".as("id_b"),
+        $"embedding".cast("array<double>").as("emb_b"),
+        Similarity.hyperplaneBucket($"embedding", planes).as("bucket"))
+      val own = $"b0"
+      val probeArr = array(own +: (0 until math.min(probes - 1, planes))
+        .map(j => own.bitwiseXOR(1L << j)): _*)
+      val q = df.select($"vec_id".as("id_a"),
+          $"embedding".cast("array<double>").as("emb_a"),
+          Similarity.hyperplaneBucket($"embedding", planes).as("b0"))
+        .select($"id_a", $"emb_a", explode(probeArr).as("bucket"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"id_a").orderBy($"cos".desc, $"id_b")
+      q.join(idx, Seq("bucket"))
+        .filter($"id_a" =!= $"id_b")
+        .select($"id_a", $"id_b", round(Similarity.cosine($"emb_a", $"emb_b"), 6).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k)
+        .select($"id_a", $"id_b", $"cos")
+    }
+    for (corpus <- Seq(clustered, embs.withColumnRenamed("embedding", "embedding"))) {
+      val agg = Similarity.knnJoin(corpus, "vec_id", "embedding", 5, planes = 4, probes = 5)
+        .orderBy($"id_a", $"cos".desc, $"id_b").collect()
+      val win = windowKnn(corpus, 5, planes = 4, probes = 5)
+        .orderBy($"id_a", $"cos".desc, $"id_b").collect()
+      assert(agg.length == win.length && agg.sameElements(win),
+        s"agg=${agg.length} win=${win.length}")
+    }
+  }
+
+  test("TopKBuffer: ordering, bound, merge, serde") {
+    val b = new graft.sketch.TopKBuffer(3)
+    Seq((10L, 0.5), (11L, 0.9), (12L, 0.7), (13L, 0.9), (14L, 0.1)).foreach {
+      case (i, s) => b.insert(i, s)
+    }
+    // ties on score prefer smaller id: (11,0.9),(13,0.9),(12,0.7)
+    assert(b.size == 3)
+    assert(b.ids.take(3).sameElements(Array(11L, 13L, 12L)))
+    val b2 = new graft.sketch.TopKBuffer(3)
+    b2.insert(20L, 0.95); b2.insert(21L, 0.6)
+    b2.mergeIn(graft.sketch.TopKBuffer.fromBytes(b.toBytes))
+    assert(b2.ids.take(3).sameElements(Array(20L, 11L, 13L)))
+    assert(b2.scores.take(3).sameElements(Array(0.95, 0.9, 0.9)))
+  }
+
   test("LSH topk: results are a subset of correct cosines, ranked correctly") {
     val q = embs.filter($"vec_id" === 0)
       .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
