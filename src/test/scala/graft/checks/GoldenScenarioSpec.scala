@@ -122,7 +122,15 @@ class GoldenScenarioSpec extends AnyFunSuite {
     verdicts.keys.foreach { k =>
       val (a, b) = (verdicts(k), fv(k))
       if (sketchBased(k._2)) {
-        assert(math.abs(a.distance - b.distance) < 0.02,
+        // KLL k=200 ⇒ ~1.65% single-sketch rank error; a KS distance is a
+        // difference of two sketch CDFs ⇒ ±0.033 legitimate spread, and KLL
+        // compaction is RANDOMIZED so the spread is occasionally realized.
+        // PSI amplifies proportion error near small buckets, so it gets an
+        // absolute-or-relative band. (Was 0.02 flat — a latent flake.)
+        val tol =
+          if (k._2 == "ks_offset") 0.04
+          else math.max(0.05, 0.25 * math.max(a.distance, b.distance))
+        assert(math.abs(a.distance - b.distance) < tol,
           s"$k distance ${a.distance} vs ${b.distance}")
       } else {
         assert(a.distance == b.distance, s"$k distance ${a.distance} vs ${b.distance}")
