@@ -120,6 +120,20 @@ object OpsQueries {
       "vec_id", "embedding", queryVec, k = 10, planes = 5, probes = 6)
   }
 
+  /** ANN against a PERSISTED partitioned LSH index (rows-only): only the
+    * probed buckets' partition directories are read — the storage-level
+    * scale path. Results equal the compute-and-filter lshTopK for the same
+    * (planes, probes); partition pruning is plan-asserted in SimilaritySpec. */
+  def annLshIndexed(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("lsh-index").toString
+    Similarity.lshIndexWrite(embs(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", idx, planes = 5)
+    val queryVec = embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.lshTopKIndexed(s, idx, queryVec, k = 10, planes = 5, probes = 6)
+  }
+
   /** Per-row kNN join (rows-only: LSH recall is approximate by design; the
     * recall bound vs brute force is unit-tested in SimilaritySpec). */
   def knnJoin(s: SparkSession, dir: String): DataFrame =
@@ -209,6 +223,7 @@ object OpsQueries {
     "dedup_simhash_pairs" -> (simhashPairs _),
     "dedup_emb_cosine" -> (embCosineDups _),
     "ann_lsh_topk" -> (annLshTopK _),
+    "ann_lsh_indexed" -> (annLshIndexed _),
     "knn_join" -> (knnJoin _),
     "lang_id_detect" -> (langIdDetect _),
     "curation_pipeline" -> (curationPipeline _),

@@ -103,6 +103,41 @@ object Similarity {
       .select(col("id_a"), col("p.id").as("id_b"), col("p.score").as("cos"))
   }
 
+  /** Persist an LSH index: the corpus written `partitionBy(bucket)`. This
+    * upgrades [[lshTopK]] from compute-and-filter (which still SCANS every
+    * row to compute its bucket) to storage-level pruning: a query reads
+    * ONLY its probed buckets' partition directories — at 100 TB that is the
+    * difference between touching ~probes/2^planes of the corpus and all of
+    * it. Build cost is one shuffle-free pass + partitioned write, amortized
+    * over every subsequent query. */
+  def lshIndexWrite(df: DataFrame, idCol: String, embCol: String,
+                    path: String, planes: Int = 12): Unit =
+    df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
+        hyperplaneBucket(col(embCol), planes).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** ANN top-k against a persisted LSH index: the bucket predicate is a
+    * PARTITION filter on the index layout, so only the probed buckets'
+    * files are read (PartitionFilters in the scan — asserted in
+    * SimilaritySpec). Same probe set and exact-cosine ranking as
+    * [[lshTopK]]; results are identical for the same (planes, probes). */
+  def lshTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                     query: Array[Double], k: Int, planes: Int = 12,
+                     probes: Int = 1): DataFrame = {
+    val qBucket = spark.range(1)
+      .select(hyperplaneBucket(typedlit(query.toSeq), planes))
+      .head().getLong(0)
+    val targets: Seq[Long] =
+      if (probes <= 1) Seq(qBucket)
+      else qBucket +: (0 until planes).map(b => qBucket ^ (1L << b))
+    val q = typedlit(query.toSeq)
+    spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(targets: _*)) // partition pruning
+      .select(col("id"), round(cosine(col("emb"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
+
   /** All-pairs brute-force top-k neighbors per row for a SMALL table
     * (ground truth for LSH recall tests). */
   def allPairsTopK(df: DataFrame, idCol: String, embCol: String, k: Int): DataFrame = {

@@ -292,6 +292,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(b2.scores.take(3).sameElements(Array(0.95, 0.9, 0.9)))
   }
 
+  test("indexed LSH topk: equals compute-and-filter path; scan is partition-pruned") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-index").toString
+    Similarity.lshIndexWrite(embs, "vec_id", "embedding", dir, planes = 4)
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val indexed = Similarity.lshTopKIndexed(spark, dir, q, k = 6, planes = 4, probes = 5)
+    // partition pruning proof: the bucket predicate must live in the scan's
+    // PartitionFilters, and no post-scan Filter node may evaluate it
+    val plan = indexed.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("bucket#"), plan.take(1500))
+    val filterNodes = plan.split("\n").filter(_.trim.matches("[+:\\-\\s*(\\d)]*Filter .*"))
+    assert(!filterNodes.exists(_.contains("bucket#")),
+      s"bucket predicate leaked into a Filter node: ${filterNodes.mkString(" | ")}")
+    // identical results to the compute-and-filter path (vec_id 0 included in
+    // the index is fine: its cosine with itself ranks first deterministically
+    // in both paths; compare on the common corpus without it)
+    val computed = Similarity.lshTopK(embs, "vec_id", "embedding", q,
+        k = 6, planes = 4, probes = 5)
+      .as[(Long, Double)].collect().filter(_._1 != 0L).take(5)
+    val got = indexed.as[(Long, Double)].collect().filter(_._1 != 0L).take(5)
+    assert(got.sameElements(computed), s"indexed=${got.toSeq} computed=${computed.toSeq}")
+  }
+
   test("LSH topk: results are a subset of correct cosines, ranked correctly") {
     val q = embs.filter($"vec_id" === 0)
       .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
