@@ -41,6 +41,16 @@ object OpsQueries {
       .filter(col("cnt") > 1)
       .agg(count(lit(1)).as("dup_groups"), sum(col("cnt")).as("dup_rows"))
 
+  /** The survivor-drop operator over a corpus with an injected exact copy of
+    * every doc: survivors must be exactly the originals (min doc_id per
+    * content). Exercises the groupBy + semi-join drop path end to end. */
+  def dedupExactDrop(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    val corpus = d.union(d.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    Dedup.dropExact(corpus, Seq("text"), "doc_id")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   def textStats(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"),
         length(col("text")).as("chars"),
@@ -212,6 +222,7 @@ object OpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_stats" -> (dedupExactStats _),
     "dedup_exact_groups" -> (dedupExactGroups _),
+    "dedup_exact_drop" -> (dedupExactDrop _),
     "argmax_predict" -> (argmaxPredict _),
     "model_accuracy" -> (modelAccuracy _),
     "text_stats" -> (textStats _),
@@ -309,6 +320,13 @@ object OpsQueries {
       """WITH u AS (SELECT text FROM documents UNION ALL SELECT text FROM documents),
          g AS (SELECT md5(text) AS h, count(*) AS cnt FROM u GROUP BY 1 HAVING count(*) > 1)
          SELECT count(*) AS dup_groups, CAST(sum(cnt) AS BIGINT) AS dup_rows FROM g""",
+    // survivor per content group = min doc_id; with an exact copy of every
+    // doc injected at +1e6, survivors are exactly the originals
+    "dedup_exact_drop" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL SELECT doc_id + 1000000, text FROM documents)
+         SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text ORDER BY doc_id""",
     "argmax_predict" ->
       """SELECT vec_id, CAST(list_indexof(embedding, list_max(embedding)) - 1 AS INT) AS pred
          FROM embeddings ORDER BY vec_id""",
