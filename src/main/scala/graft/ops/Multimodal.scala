@@ -189,9 +189,11 @@ object Multimodal {
     }
   }
 
-  /** Frame/sample subselection stub: keeps every `stride`-th byte as a
-    * 1-byte "frame" — the plumbing for video frame-sampling (a real impl
-    * would seek keyframes; the slicing/array shape is what's exercised). */
+  /** Byte-stride subsampling over opaque payloads: keeps every `stride`-th
+    * byte as a 1-byte "frame" — the codec-agnostic plumbing shape for video
+    * frame-sampling (schema, slicing, array output). A codec-aware variant
+    * would seek keyframes instead of fixed strides; no video codec ships in
+    * this environment, so the stride sampler is the honest general form. */
   def frameSample(media: Dataset[MediaRow], stride: Int): DataFrame = {
     media.toDF().select(col("media_ref"),
       transform(sequence(lit(0), ((length(col("payload")) - 1) / stride).cast("int")),

@@ -91,7 +91,9 @@ object OpsQueries {
       embs(s, dir).filter(col("vec_id") =!= 0), "vec_id", "embedding", queryVec, 10)
   }
 
-  // ---- rows-only (sketch / LSH / stub operators) ----
+  // ---- approximate / non-SQL-expressible operators ----
+  // (most of the family is DuckDB-oracled as of round 2 — see oracleSql;
+  // only the inherently-approximate ANN queries stay rows-only)
 
   def minhashLshPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(docsWithNearDups(s, dir), "doc_id", "text", threshold = 0.5)
