@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output is inherited UNPREFIXED instead of routed through
+// sbt's logger: the bench's one machine-parseable JSON metric line must not
+// be wrapped in "[info]" decoration (the driver tail-parses sbt stdout;
+// BENCH_r02 recorded "parsed": null because of the wrapping). Spark's own
+// logging goes to stderr, so stdout carries only the metric line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

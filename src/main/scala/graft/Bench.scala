@@ -172,12 +172,20 @@ object Bench {
     val setupSec = elapsedS // generation + fit + warm-up (untimed overheads)
     var docsCounted = 0L
 
-    // headline TPC-H-style queries on the driver's sf dir (hi level)
-    val tpch = Seq("stats_lineitem", "chi2_returnflag_years", "ks_quantity_years",
-      "unique_orders", "ref_orders_customer").map { q =>
-      val (_, t) = time(graft.entry.TpchQueries.queries(q)(setup, sfDir).collect())
-      q -> t
-    }
+    // headline TPC-H-style queries on the driver's sf dir (hi level).
+    // min-of-2 with the passes INTERLEAVED (all queries once, then all
+    // again): BENCH_r02 recorded a uniform ~5x inflation on these single-shot
+    // timings during a degraded-VM window while the full pass on the same
+    // run got FASTER — single samples on this sandbox measure the VM, not
+    // the plan. Two interleaved passes damp a noise burst the same way the
+    // full-pass rounds do.
+    val tpchNames = Seq("stats_lineitem", "chi2_returnflag_years", "ks_quantity_years",
+      "unique_orders", "ref_orders_customer")
+    def tpchPass(): Map[String, Double] = tpchNames.map { q =>
+      q -> time(graft.entry.TpchQueries.queries(q)(setup, sfDir).collect())._2
+    }.toMap
+    val (tp1, tp2) = (tpchPass(), tpchPass())
+    val tpch = tpchNames.map(q => q -> math.min(tp1(q), tp2(q)))
     setup.stop()
 
     // compute-bound scaling probe: the MMD permutation fan-out on FIXED

@@ -153,15 +153,19 @@ object DriftChecks {
                        ref: RefState, maxRows: Int = 1 << 20,
                        blockSize: Int = 2048): Map[Int, Double] = {
     import spark.implicits._
-    val feats = docs
+    val featRows = docs
       .select($"part", org.apache.spark.sql.functions.col("spans.kind"),
         org.apache.spark.sql.functions.col("spans.offset"))
       .as[(Int, Seq[String], Seq[Int])]
       .mapPartitions(_.map { case (p, k, o) =>
         (p, graft.sketch.DocStatsAgg.featuresOf(k, o)) })
-      .collect()
+    // enforce the driver-memory bound BEFORE materializing anything on the
+    // driver: limit(maxRows + 1) collects at most maxRows+1 rows, so an
+    // over-sized batch fails loud here instead of OOMing inside a full
+    // collect() (the guard used to run after the collect, i.e. too late)
+    val feats = featRows.limit(maxRows + 1).collect()
     require(feats.length <= maxRows,
-      s"mmdExactDistance: batch has ${feats.length} rows > maxRows=$maxRows — " +
+      s"mmdExactDistance: batch has > maxRows=$maxRows rows — " +
         "exact MMD is O(n²); raise maxRows deliberately or use the sampled path")
     val byPart: Map[Int, Array[Array[Double]]] =
       feats.groupBy(_._1).map { case (p, rs) => p -> rs.map(_._2) }
@@ -193,6 +197,10 @@ object DriftChecks {
         }
       }
       .collect()
+    // the broadcast (up to maxRows × 48 B per executor) is dead after the
+    // fan-out job — release executor + driver copies now instead of waiting
+    // for context GC
+    bc.destroy()
     val sxxByRef = Mmd.kernelBlockSum(x, 0, m, x, 0, m, sigma, strictUpper = true)
     byPart.keys.toSeq.sorted.map { p =>
       val n = byPart(p).length

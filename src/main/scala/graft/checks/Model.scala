@@ -17,7 +17,13 @@ case class Verdict(
     is_drift: Boolean, // p_value <= alpha — reference detector.py:68
     passed: Boolean, // constraint: no violations; drift: !is_drift
     metrics: Map[String, Double],
-    snapshot_id: Long)
+    snapshot_id: Long,
+    // optional echo of the (bounded) feature batch the check consumed —
+    // parity with the reference's `return_input_values` response field
+    // (detector_api/app/schemas/drift.py:13, app/api.py:41-42). None unless
+    // RunConfig.echoInputValues is set; the echoed batch is the SAMPLED
+    // window, never full-table rows.
+    input_values: Option[Seq[Seq[Double]]] = None)
 
 /** One row per violating document (duplicates, dangling refs, bad span order,
   * null kinds). */
@@ -48,13 +54,14 @@ object Verdict {
   /** Build a verdict with the current UTC wall-clock, reference-format string. */
   def now(runId: String, part: Int, checkId: String, alpha: Double,
           distance: Double, pValue: Double, passedConstraint: Option[Boolean],
-          metrics: Map[String, Double], snapshotId: Long): Verdict = {
+          metrics: Map[String, Double], snapshotId: Long,
+          inputValues: Option[Seq[Seq[Double]]] = None): Verdict = {
     val nowInst = java.time.Instant.now()
     val fmt = java.time.format.DateTimeFormatter.ofPattern(TimestampFormat)
       .withZone(java.time.ZoneOffset.UTC)
     val isDrift = pValue <= alpha
     Verdict(runId, part, checkId, alpha, fmt.format(nowInst),
       java.sql.Timestamp.from(nowInst), distance, pValue, isDrift,
-      passedConstraint.getOrElse(!isDrift), metrics, snapshotId)
+      passedConstraint.getOrElse(!isDrift), metrics, snapshotId, inputValues)
   }
 }

@@ -67,6 +67,63 @@ object PartStats {
     (summaries, samples)
   }
 
+  /** Two-level ("tree") variant of [[computeFused]] for snapshots with
+    * 10⁴–10⁵ partitions in ONE call.
+    *
+    * [[computeFused]] collects one digest row per part in a single
+    * `collect()`: at 10⁵ parts × up to ~0.5 MB/digest (KLL + histograms +
+    * bounded sample) that is a single driver action materializing every
+    * task-result block at once — it trips `spark.driver.maxResultSize`
+    * (default 1g) long before heap, and briefly holds raw blocks AND decoded
+    * maps (~2× footprint). This variant adds a second ObjectHashAggregate
+    * stage that pre-merges the per-part digest rows into one row per PART
+    * RANGE (`fanIn` parts each, `collect_list` of the stage-1 buffers — the
+    * input to stage 2 is parts rows, tiny), then the driver consumes ranges
+    * via `toLocalIterator`: one range (≤ fanIn × digest bytes) is fetched
+    * and decoded at a time, so neither maxResultSize nor the collect's 2×
+    * duplication applies. Stage 1 is the IDENTICAL aggregation, so results
+    * equal [[computeFused]]'s exactly (PartStatsTreeSpec).
+    *
+    * The RETURNED maps still hold every part's summary+sample — that is what
+    * the caller asked for; for runs where even the decoded result exceeds
+    * driver memory, combine with a smaller `maxSample` or the batched
+    * `runResumable(limitParts=N)` invocation pattern (SURVEY.md §8b). */
+  def computeFusedTree(docs: DataFrame, maxSample: Int = 1000,
+                       mode: Int = graft.sketch.DocStatsAgg.ModeBoth,
+                       mediaSet: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]] = None,
+                       fanIn: Int = 64)
+      : (Map[Int, PartSummary], Map[Int, Array[Array[Double]]]) = {
+    require(fanIn >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val stage1 = docs
+      .groupBy($"part")
+      .agg(graft.sketch.DocStatsAgg.docStats(
+        col("spans.kind"), col("spans.offset"),
+        pmod(xxhash64($"doc_id", lit("mmd-sample")), lit(1000000L)),
+        maxSample, mode,
+        mediaRefs = mediaSet.map(_ => col("spans.media_ref")),
+        mediaSet = mediaSet).as("st"))
+    val ranged = stage1
+      .groupBy(floor($"part" / fanIn).cast("int").as("rng"))
+      .agg(collect_list(struct($"part", $"st")).as("digests"))
+    val sumB = Map.newBuilder[Int, PartSummary]
+    val samB = Map.newBuilder[Int, Array[Array[Double]]]
+    val it = ranged.toLocalIterator()
+    while (it.hasNext) {
+      val row = it.next()
+      row.getSeq[org.apache.spark.sql.Row](row.fieldIndex("digests")).foreach { r =>
+        val p = r.getInt(0)
+        val d = graft.sketch.DocStatsBuffer.decodeResult(r.getAs[Array[Byte]](1))
+        sumB += p -> PartSummary(p, d.nDocs, d.nSpans, -1L, d.nullKindSpans,
+          d.kindHist, d.kllBytes, d.ordViolationDocs, d.nullKindDocs,
+          d.danglingRefSpans, d.danglingRefDocs)
+        samB += p -> d.sample
+      }
+    }
+    (sumB.result(), samB.result())
+  }
+
   /** Broadcast the (small) media catalog as a primitive hash-set of
     * xxhash64(media_ref) for the fused referential check (allocation-free
     * membership probes — see graft.sketch.LongHashSet for the collision

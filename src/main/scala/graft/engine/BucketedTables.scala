@@ -31,16 +31,34 @@ object BucketedTables {
     * merge-join friendliness). Overwrites an existing table of the name. */
   def commit(spark: SparkSession, tableName: String, df: DataFrame,
              bucketCol: String, buckets: Int): Unit = {
-    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    // UNQUALIFIED simple names only: a qualified name (db.tbl) would compute
+    // the wrong orphan path below (<db>.db/<tbl>), and an unvalidated name
+    // interpolated into SQL / joined into a filesystem path is an injection
+    // and rm -rf hazard. The name is also backtick-quoted in the SQL.
+    require(tableName.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"BucketedTables.commit: table name must be an unqualified " +
+        s"[A-Za-z0-9_] identifier, got '$tableName'")
+    // resolve the REAL location from the catalog when the table exists —
+    // a managed-table DROP deletes its own files, wherever they live
+    val ident = org.apache.spark.sql.catalyst.TableIdentifier(tableName)
+    val knownToCatalog = spark.sessionState.catalog.tableExists(ident)
+    spark.sql(s"DROP TABLE IF EXISTS `$tableName`")
     // DROP only removes what THIS catalog knows; with an in-memory catalog a
     // previous JVM's managed-table files survive on disk and CREATE then
-    // fails with LOCATION_ALREADY_EXISTS. Clear the orphaned location.
-    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val orphan = java.nio.file.Paths.get(wh, tableName.toLowerCase)
-    if (java.nio.file.Files.isDirectory(orphan)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(orphan).iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    // fails with LOCATION_ALREADY_EXISTS. Clear the orphaned location —
+    // but ONLY the default managed location directly under the warehouse
+    // dir (the validated simple name cannot traverse out of it), and only
+    // when the catalog did NOT know the table (otherwise DROP handled it).
+    if (!knownToCatalog) {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val whPath = java.nio.file.Paths.get(wh).toAbsolutePath.normalize
+      val orphan = whPath.resolve(tableName.toLowerCase).normalize
+      if (orphan.startsWith(whPath) && orphan != whPath &&
+          java.nio.file.Files.isDirectory(orphan)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(orphan).iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      }
     }
     df.write
       .bucketBy(buckets, bucketCol)

@@ -32,7 +32,13 @@ case class RunConfig(
     // cluster to itself. On kernels where scheduler/futex pressure grows
     // superlinearly with runnable threads, stacking concurrent jobs inflates
     // TOTAL CPU; sequential trades tail idle-time for uninflated work.
-    concurrentChecks: Boolean = true)
+    concurrentChecks: Boolean = true,
+    // echo the bounded feature sample each MMD verdict consumed into its
+    // Verdict.input_values — parity with the reference's
+    // `return_input_values` (detector_api/app/schemas/drift.py:13,
+    // app/api.py:41-42). Off by default: the echo multiplies verdict-row
+    // width by the sample size.
+    echoInputValues: Boolean = false)
 
 /** The full constraint+drift validation pass — the engine's flagship job.
   *
@@ -160,7 +166,7 @@ object ValidationRun {
     //  - split: two CONCURRENT jobs — sampling is the light one, so the MMD
     //    fan-out starts while the heavy stats scan is still running; the
     //    critical path is max(stats, sample+mmd), not a chain.
-    val (summaries, _, mmdVerdicts) = if (cfg.fusedScan) {
+    val (summaries, samples, mmdVerdicts) = if (cfg.fusedScan) {
       val (sm, sp) = timed("stats")(PartStats.computeFused(
         docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeBoth, mediaSet))
       // launch the stats-derived violation writes BEFORE the MMD fan-out so
@@ -234,7 +240,9 @@ object ValidationRun {
         DriftChecks.ks(cfg.runId, cfg.alpha, ref, summaries) ++
         DriftChecks.chi2(cfg.runId, cfg.alpha, ref, summaries) ++
         DriftChecks.psi(cfg.runId, cfg.alpha, ref, summaries) ++
-        mmdVerdicts
+        (if (!cfg.echoInputValues) mmdVerdicts
+         else mmdVerdicts.map(v => v.copy(input_values =
+           samples.get(v.part).map(_.map(_.toSeq).toSeq))))
 
     // with a sink, every branch is already written (await the overlapped
     // writes before returning so callers see complete output); without one,

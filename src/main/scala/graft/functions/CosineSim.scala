@@ -41,10 +41,15 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT a fixed local: with non-nullable children the result
+      // code inlines without a brace scope, so two cosine_sim calls in one
+      // projection would redeclare the local (Janino error → silent
+      // interpreted fallback)
+      val cs = ctx.freshName("cs")
       s"""
-         |java.lang.Double cs = graft.functions.CosineSim.cosineBoxed(
+         |java.lang.Double $cs = graft.functions.CosineSim.cosineBoxed(
          |  $a, ${isFloat(left)}, $b, ${isFloat(right)});
-         |if (cs == null) { ${ev.isNull} = true; } else { ${ev.value} = cs.doubleValue(); }
+         |if ($cs == null) { ${ev.isNull} = true; } else { ${ev.value} = $cs.doubleValue(); }
        """.stripMargin
     })
 

@@ -24,12 +24,16 @@ object Curate {
 
   def curate(docs: DataFrame, minQualityMicros: Long = 500000L,
              langs: Seq[String] = Seq("en", "es", "de", "fr", "zh")): DataFrame = {
+    // 128-bit content identity (Dedup.contentHash): one xxhash64 would
+    // falsely merge ~n²/2⁶⁵ distinct docs — ~27k wrong drops at 10¹² docs
+    val (h1, h2) = Dedup.contentHash(Seq(col("text")))
     val withSig = docs.select(col("doc_id"), col("text"),
-      xxhash64(col("text"), lit("exact-dedup")).as("__h"))
+      h1.as("__h1"), h2.as("__h2"))
     // survivor per content hash: min doc_id (two partial-merged aggs, no window)
-    val survivors = withSig.groupBy(col("__h")).agg(min(col("doc_id")).as("doc_id"))
+    val survivors = withSig.groupBy(col("__h1"), col("__h2"))
+      .agg(min(col("doc_id")).as("doc_id"))
     withSig
-      .join(survivors, Seq("__h", "doc_id"), "left_semi")
+      .join(survivors, Seq("__h1", "__h2", "doc_id"), "left_semi")
       .select(col("doc_id"),
         TextOps.langId(col("text")).as("lang"),
         floor(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("quality_micros"),

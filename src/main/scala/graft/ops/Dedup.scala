@@ -11,24 +11,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Exact dedup via hash-groupBy (content hash of the given columns).
-    * Returns one survivor per group (min tiebreak) — duplicates dropped. */
+  /** 128-bit content identity: a pair of independently-salted xxhash64s over
+    * the content columns. ONE 64-bit hash is not enough at the corpus sizes
+    * this engine targets: expected collisions ≈ n²/2⁶⁵, so at 10¹² docs
+    * ~27,000 DISTINCT documents would silently merge — and `dropExact` would
+    * then delete one of each falsely-merged pair. The pair drops the odds to
+    * ~n²/2¹²⁹ ≈ 1.5e-15 at 10¹² docs — smaller than a memory bit-flip
+    * (same budget as the uniqueness check, ConstraintChecks.uniqueness).
+    * Shuffle rows stay fixed-width (16 B of key). */
+  private[ops] def contentHash(contentCols: Seq[Column]): (Column, Column) = (
+    xxhash64(contentCols :+ lit("exact-dedup-1"): _*),
+    xxhash64(contentCols :+ lit("exact-dedup-2"): _*))
+
+  /** Exact dedup via hash-groupBy (128-bit content hash of the given
+    * columns). Returns one survivor per group (min tiebreak) — duplicates
+    * dropped. */
   def dropExact(df: DataFrame, contentCols: Seq[String], tiebreak: String): DataFrame = {
-    val h = xxhash64(contentCols.map(col) :+ lit("exact-dedup"): _*)
+    val (h1, h2) = contentHash(contentCols.map(col))
     // two aggregations on the content hash (partial-merged, skew-tolerant);
     // a window would sort whole partitions for no benefit
-    val survivors = df.withColumn("__h", h)
-      .groupBy(col("__h")).agg(min(col(tiebreak)).as(tiebreak))
-    df.withColumn("__h", h)
-      .join(survivors, Seq("__h", tiebreak), "left_semi")
-      .drop("__h")
+    val survivors = df.withColumn("__h1", h1).withColumn("__h2", h2)
+      .groupBy(col("__h1"), col("__h2")).agg(min(col(tiebreak)).as(tiebreak))
+    df.withColumn("__h1", h1).withColumn("__h2", h2)
+      .join(survivors, Seq("__h1", "__h2", tiebreak), "left_semi")
+      .drop("__h1", "__h2")
   }
 
-  /** Exact duplicate groups: content hash → group size (> 1 only). */
-  def exactDupGroups(df: DataFrame, contentCols: Seq[String]): DataFrame =
-    df.groupBy(xxhash64(contentCols.map(col) :+ lit("exact-dedup"): _*).as("content_hash"))
+  /** Exact duplicate groups: 128-bit content hash → group size (> 1 only). */
+  def exactDupGroups(df: DataFrame, contentCols: Seq[String]): DataFrame = {
+    val (h1, h2) = contentHash(contentCols.map(col))
+    df.groupBy(h1.as("content_h1"), h2.as("content_h2"))
       .agg(count(lit(1)).as("cnt"), min(col(df.columns.head)).as("example"))
       .filter(col("cnt") > 1)
+  }
 
   /** MinHash signature of a shingle array: k independent hash slots, slot i =
     * min over shingles of xxhash64(shingle, i). Native expression — each
@@ -181,15 +196,64 @@ object Dedup {
     verifyJaccard(candIds, df, idCol, textCol, shingleN, threshold)
   }
 
+  /** Bucket-population-capped LSH keys: (id, emb, key) where key is the
+    * hyperplane bucket, except that OVERSIZED buckets (population > maxBucket)
+    * are split by re-hashing with `splitPlanes` extra hyperplanes.
+    *
+    * Why: per-bucket candidate work in a bucketed self-join is Σ|bucket|².
+    * A clustered corpus — exactly where dedup runs — can concentrate a large
+    * corpus fraction into ONE bucket (boilerplate blobs, spam swarms), making
+    * that bucket's self-join quadratic in the corpus; AQE skew-split spreads
+    * the shuffle but cannot reduce the candidate COUNT. The same medicine as
+    * the n-gram df-cap, but recall-preserving: instead of dropping the hot
+    * bucket, its rows re-key by `splitPlanes` additional sign bits (the
+    * hyperplane family is prefix-stable: plane j's weights don't depend on
+    * the total plane count, so `hyperplane_bucket(e, P+S) >> S ==
+    * hyperplane_bucket(e, P)`). Genuinely-similar vectors agree on the extra
+    * signs with high probability and stay co-bucketed; a diverse hot bucket
+    * fans out over up to 2^splitPlanes sub-buckets, cutting its candidate
+    * count by up to 4^splitPlanes. A bucket that stays oversized after the
+    * split is a true near-dup cluster — its quadratic pair set IS the
+    * requested output.
+    *
+    * Split keys carry a tag bit (1<<62) so they can never collide with an
+    * unsplit bucket id; a row therefore has exactly ONE key.
+    *
+    * The bucket census is a partial-aggregated count on the bucket column
+    * only (hot keys combine map-side); the hot set is ≤ n/maxBucket entries
+    * by construction — broadcastable at any corpus size. */
+  private[ops] def cappedBucketKeys(df: DataFrame, idCol: String, embCol: String,
+                                    planes: Int, splitPlanes: Int,
+                                    maxBucket: Int): DataFrame = {
+    if (maxBucket == Int.MaxValue)
+      return df.select(col(idCol).as("id"), col(embCol).as("emb"),
+        Similarity.hyperplaneBucket(col(embCol), planes).as("key"))
+    // prefix-stability means ONE fine bucketing yields both keys:
+    // bucket = fine >> splitPlanes (no second per-row hyperplane pass)
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      Similarity.hyperplaneBucket(col(embCol), planes + splitPlanes).as("fine"))
+      .withColumn("bucket", shiftright(col("fine"), splitPlanes))
+    val hot = base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
+      .select(col("bucket"), lit(true).as("__hot"))
+    base.join(broadcast(hot), Seq("bucket"), "left")
+      .select(col("id"), col("emb"),
+        when(col("__hot"), lit(1L << 62).bitwiseOR(col("fine")))
+          .otherwise(col("bucket")).as("key"))
+  }
+
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
     * bucketed by random-hyperplane LSH (see Similarity.hyperplaneBucket) so
-    * the self-join is per-bucket. */
+    * the self-join is per-bucket. Oversized buckets are split by extra
+    * hyperplanes (see [[cappedBucketKeys]]) so one dominant cluster cannot
+    * make candidate generation quadratic in the corpus;
+    * `maxBucket = Int.MaxValue` disables the cap. */
   def embeddingCosineDups(df: DataFrame, idCol: String, embCol: String,
-                          threshold: Double = 0.95, planes: Int = 12): DataFrame = {
-    val b = df.select(col(idCol).as("id"), col(embCol).as("emb"),
-      Similarity.hyperplaneBucket(col(embCol), planes).as("bucket"))
+                          threshold: Double = 0.95, planes: Int = 12,
+                          maxBucket: Int = 10000, splitPlanes: Int = 12): DataFrame = {
+    val b = cappedBucketKeys(df, idCol, embCol, planes, splitPlanes, maxBucket)
     b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         round(Similarity.cosine(col("a.emb"), col("b.emb")), 6).as("cos"))
       .filter(col("cos") >= threshold)

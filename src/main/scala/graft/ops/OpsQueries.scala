@@ -107,11 +107,14 @@ object OpsQueries {
     // simhash-blocked + exact-Jaccard-verified: the verified output is
     // exact-truth comparable, so this query carries a full DuckDB oracle
     // (the raw hamming-only variant stays unit-tested in OpsSpec).
-    // High-recall blocking config (8-bit chunks, radius 12) — measured full
-    // recall on this corpus (max exact-pair hamming is 10); production
-    // corpora wanting Manku-style cost would use chunks=4, maxHamming=3.
+    // chunks = 16 ≥ maxHamming + 1 = 13: the chunk pigeonhole now GUARANTEES
+    // candidate recall for every pair within the radius (a pair at Hamming
+    // ≤ 15 must share one of 16 exact 4-bit chunks) — the previous chunks=8
+    // config only guaranteed Hamming ≤ 7 and relied on measured corpus luck
+    // for 8–12. Production corpora wanting Manku-style blocking cost would
+    // use chunks=4, maxHamming=3 (guaranteed ≤ 3).
     Dedup.simhashJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
-        threshold = 0.5, maxHamming = 12, chunks = 8)
+        threshold = 0.5, maxHamming = 12, chunks = 16)
       .orderBy(col("id_a"), col("id_b"))
 
   def embCosineDups(s: SparkSession, dir: String): DataFrame = {
@@ -144,6 +147,21 @@ object OpsQueries {
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
     Similarity.lshTopKIndexed(s, idx, queryVec, k = 10, planes = 5, probes = 6)
+  }
+
+  /** Batch ANN against the persisted index (rows-only): every query row's
+    * top-k in ONE plan, with the probed-bucket union partition-pruning the
+    * index scan. Per-query equality with lshTopKIndexed and the
+    * PartitionFilters assertion live in SimilaritySpec. Self-matches
+    * (queries live in the index) are dropped for a stable result shape. */
+  def annLshBatch(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("lsh-index-batch").toString
+    Similarity.lshIndexWrite(embs(s, dir), "vec_id", "embedding", idx, planes = 5)
+    val queries = embs(s, dir).filter(col("vec_id") < 20)
+    Similarity.lshTopKIndexedBatch(s, idx, queries, "vec_id", "embedding",
+        k = 6, planes = 5, probes = 6)
+      .filter(col("query_id") =!= col("id"))
+      .orderBy(col("query_id"), col("cos").desc, col("id"))
   }
 
   /** Per-row kNN join (rows-only: LSH recall is approximate by design; the
@@ -237,6 +255,7 @@ object OpsQueries {
     "dedup_emb_cosine" -> (embCosineDups _),
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_lsh_indexed" -> (annLshIndexed _),
+    "ann_lsh_batch" -> (annLshBatch _),
     "knn_join" -> (knnJoin _),
     "lang_id_detect" -> (langIdDetect _),
     "curation_pipeline" -> (curationPipeline _),

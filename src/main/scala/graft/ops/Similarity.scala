@@ -29,6 +29,15 @@ object Similarity {
   def hyperplaneBucket(emb: Column, planes: Int = 12): Column =
     graft.functions.HyperplaneBucket.hyperplane_bucket(emb, planes)
 
+  /** Multi-probe bucket set: the query's own bucket plus buckets at Hamming
+    * distance 1 on the first `min(probes - 1, planes)` planes — the NUMBER
+    * of extra probes honors the `probes` argument exactly (the same
+    * semantics as [[knnJoin]]'s probe explosion; a prior version probed ALL
+    * planes' neighbors for any probes > 1). */
+  private def probeSet(qBucket: Long, planes: Int, probes: Int): Seq[Long] =
+    if (probes <= 1) Seq(qBucket)
+    else qBucket +: (0 until math.min(probes - 1, planes)).map(b => qBucket ^ (1L << b))
+
   /** Brute-force cosine top-k against one query vector (broadcast). */
   def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
                      query: Array[Double], k: Int): DataFrame = {
@@ -48,9 +57,7 @@ object Similarity {
     val qBucket = spark.range(1)
       .select(hyperplaneBucket(typedlit(query.toSeq), planes))
       .head().getLong(0)
-    val targets: Seq[Long] =
-      if (probes <= 1) Seq(qBucket)
-      else qBucket +: (0 until planes).map(b => qBucket ^ (1L << b))
+    val targets: Seq[Long] = probeSet(qBucket, planes, probes)
     val q = typedlit(query.toSeq)
     df.select(col(idCol), col(embCol).cast("array<double>").as("emb"),
         hyperplaneBucket(col(embCol), planes).as("bucket"))
@@ -74,26 +81,68 @@ object Similarity {
     * by AQE's skew-join handling.
     */
   def knnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
-              planes: Int = 12, probes: Int = 1): DataFrame = {
-    val idx = df.select(col(idCol).as("id_b"),
-      col(embCol).cast("array<double>").as("emb_b"),
-      hyperplaneBucket(col(embCol), planes).as("bucket"))
+              planes: Int = 12, probes: Int = 1,
+              maxBucket: Int = 10000, splitPlanes: Int = 12): DataFrame = {
+    // bucket-population cap (the Dedup.cappedBucketKeys trade, adapted to a
+    // probed join): buckets whose population exceeds maxBucket re-key by
+    // `splitPlanes` extra hyperplane sign bits, so one dominant cluster
+    // cannot make Σ|bucket|² candidate work quadratic in the corpus. The
+    // hyperplane family is prefix-stable (bucket(e,P+S) >> S == bucket(e,P)),
+    // so a query probing a HOT bucket refines the probe with its OWN extra
+    // sign bits — genuinely-near vectors agree on those signs w.h.p. and
+    // still meet. Split keys carry a tag bit (1<<62): they can never collide
+    // with an unsplit bucket id, so a (query, index-row) pair still matches
+    // through AT MOST one probe value and no dedup pass is needed.
+    val capped = maxBucket != Int.MaxValue
+    // prefix-stability means ONE fine bucketing yields both keys:
+    // bucket = fine >> splitPlanes (no second per-row hyperplane pass)
+    val base = (if (capped)
+        df.select(col(idCol).as("id"),
+          col(embCol).cast("array<double>").as("emb"),
+          hyperplaneBucket(col(embCol), planes + splitPlanes).as("fine"))
+          .withColumn("bucket", shiftright(col("fine"), splitPlanes))
+      else
+        df.select(col(idCol).as("id"),
+          col(embCol).cast("array<double>").as("emb"),
+          hyperplaneBucket(col(embCol), planes).as("bucket"),
+          lit(0L).as("fine")))
+    val hot =
+      if (!capped) null
+      else base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket)
+        .select(col("bucket"), lit(true).as("__hot"))
+    val tag = lit(1L << 62)
+    val idx0 = base.select(col("id").as("id_b"), col("emb").as("emb_b"),
+      col("bucket"), col("fine"))
+    val idx =
+      (if (capped) idx0.join(broadcast(hot), Seq("bucket"), "left")
+          .withColumn("key", when(col("__hot"), tag.bitwiseOR(col("fine")))
+            .otherwise(col("bucket")))
+       else idx0.withColumn("key", col("bucket")))
+        .select(col("id_b"), col("emb_b"), col("key"))
     val probeArr = {
       val own = col("b0")
       if (probes <= 1) array(own)
       else array(own +: (0 until math.min(probes - 1, planes)).map(j => own.bitwiseXOR(1L << j)): _*)
     }
-    val q = df.select(col(idCol).as("id_a"),
-        col(embCol).cast("array<double>").as("emb_a"),
-        hyperplaneBucket(col(embCol), planes).as("b0"))
-      .select(col("id_a"), col("emb_a"), explode(probeArr).as("bucket"))
+    val q0 = base.select(col("id").as("id_a"), col("emb").as("emb_a"),
+        col("bucket").as("b0"),
+        col("fine").bitwiseAND((1L << splitPlanes) - 1).as("ext"))
+      .select(col("id_a"), col("emb_a"), col("ext"), explode(probeArr).as("bucket"))
+    val q =
+      (if (capped) q0.join(broadcast(hot), Seq("bucket"), "left")
+          .withColumn("key", when(col("__hot"),
+              tag.bitwiseOR(shiftleft(col("bucket"), splitPlanes)).bitwiseOR(col("ext")))
+            .otherwise(col("bucket")))
+       else q0.withColumn("key", col("bucket")))
+        .select(col("id_a"), col("emb_a"), col("key"))
     // final ranking via the bounded TopKPairsAgg, NOT a window: the
     // aggregate partial-combines each map task's candidates to ≤k per query
     // row BEFORE the shuffle (O(rows × k) exchange instead of
     // O(candidates)) and never sorts a whole key's candidate list. Ordering
     // (score DESC, id ASC) is identical to the window formulation
     // (equality asserted in SimilaritySpec).
-    q.join(idx, Seq("bucket"))
+    q.join(idx, Seq("key"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("emb_a"), col("emb_b")), 6).as("cos"))
@@ -127,15 +176,59 @@ object Similarity {
     val qBucket = spark.range(1)
       .select(hyperplaneBucket(typedlit(query.toSeq), planes))
       .head().getLong(0)
-    val targets: Seq[Long] =
-      if (probes <= 1) Seq(qBucket)
-      else qBucket +: (0 until planes).map(b => qBucket ^ (1L << b))
+    val targets: Seq[Long] = probeSet(qBucket, planes, probes)
     val q = typedlit(query.toSeq)
     spark.read.parquet(indexPath)
       .filter(col("bucket").isin(targets: _*)) // partition pruning
       .select(col("id"), round(cosine(col("emb"), q), 4).as("cos"))
       .orderBy(col("cos").desc, col("id"))
       .limit(k)
+  }
+
+  /** Batch ANN against a persisted LSH index: top-k for EVERY row of a query
+    * DataFrame in ONE plan — the production shape (the reference's DRS
+    * encodes whole loaders batch-at-a-time, ml/utils/autoencoder.py:235-245;
+    * serving one vector per job, as [[lshTopKIndexed]] does, wastes a
+    * Spark job per query).
+    *
+    * Scale shape: each query row explodes into its probe buckets (own +
+    * `min(probes-1, planes)` Hamming-1 neighbors — same probe set as
+    * [[lshTopKIndexed]]); the UNION of all probe buckets is collected
+    * (bounded by min(queries × probes, 2^planes) longs — the query side is
+    * the small side by assumption) and becomes a LITERAL `isin` predicate,
+    * so the index scan partition-prunes to exactly the probed bucket
+    * directories (PartitionFilters — plan-asserted in SimilaritySpec); at
+    * 100 TB only probes/2^planes of the index is read. The bucket-keyed join
+    * then ranks candidates with the bounded [[graft.sketch.TopKPairsAgg]]
+    * (≤k per query BEFORE the exchange). Per-query results are identical to
+    * [[lshTopKIndexed]] for the same (planes, probes) — asserted in spec.
+    *
+    * Output: (query_id, id, cos) with cos rounded to 4dp like the
+    * single-query path. Query rows that also live in the index match
+    * themselves (cos 1.0) — filter afterwards if unwanted. */
+  def lshTopKIndexedBatch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                          queries: DataFrame, idCol: String, embCol: String,
+                          k: Int, planes: Int = 12, probes: Int = 1): DataFrame = {
+    val probeArr = {
+      val own = col("b0")
+      if (probes <= 1) array(own)
+      else array(own +: (0 until math.min(probes - 1, planes)).map(j => own.bitwiseXOR(1L << j)): _*)
+    }
+    val q = queries.select(col(idCol).as("query_id"),
+        col(embCol).cast("array<double>").as("qemb"),
+        hyperplaneBucket(col(embCol), planes).as("b0"))
+      .select(col("query_id"), col("qemb"), explode(probeArr).as("bucket"))
+    val probed: Array[Long] =
+      q.select(col("bucket")).distinct().collect().map(_.getLong(0))
+    spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(probed: _*)) // partition pruning (literal set)
+      .join(q, Seq("bucket"))
+      .select(col("query_id"), col("id"),
+        round(cosine(col("qemb"), col("emb")), 4).as("cos"))
+      .groupBy(col("query_id"))
+      .agg(graft.sketch.TopKPairsAgg.topkPairs(col("id"), col("cos"), k).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("p"))
+      .select(col("query_id"), col("p.id").as("id"), col("p.score").as("cos"))
   }
 
   /** All-pairs brute-force top-k neighbors per row for a SMALL table

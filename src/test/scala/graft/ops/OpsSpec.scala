@@ -128,8 +128,10 @@ class DedupSpec extends AnyFunSuite {
   test("simhash-blocked jaccard verify: equals the exact ground truth") {
     val exact = Dedup.ngramJaccardPairs(base.toDF("id", "text"), "id", "text", 0.5)
       .as[(Long, Long, Double)].collect().toSet
+    // chunks = 16 >= maxHamming + 1: pigeonhole-GUARANTEED candidate recall
+    // at radius 12 (the driver-gate config — see OpsQueries.simhashPairs)
     val got = Dedup.simhashJaccardPairs(base.toDF("id", "text"), "id", "text",
-      threshold = 0.5, maxHamming = 12, chunks = 8)
+      threshold = 0.5, maxHamming = 12, chunks = 16)
       .as[(Long, Long, Double)].collect().toSet
     assert(got == exact, s"got=$got exact=$exact")
   }
@@ -143,6 +145,62 @@ class DedupSpec extends AnyFunSuite {
     val pairs = Dedup.embeddingCosineDups(e, "id", "emb", threshold = 0.98, planes = 6)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L)))
+  }
+
+  test("hyperplane buckets are prefix-stable: bucket(e,P+S) >> S == bucket(e,P)") {
+    // the property the bucket-split cap builds on: plane j's weights do not
+    // depend on the total plane count, and plane 0 packs at the MSB side
+    val e = (0 until 50).map { i =>
+      val rng = new graft.stats.StatMath.SplitMix64(90 + i)
+      (i.toLong, Seq.fill(12)(rng.nextDouble() * 2 - 1))
+    }.toDF("id", "emb")
+    val rows = e.select(
+      Similarity.hyperplaneBucket($"emb", 6).as("coarse"),
+      Similarity.hyperplaneBucket($"emb", 6 + 9).as("fine"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (coarse, fine) => assert(fine >> 9 == coarse) }
+  }
+
+  /** Adversarial clustered corpus for the bucket cap: planes=1 throws ~half
+    * of 400 diverse vectors into each of TWO buckets (a dominant-bucket
+    * regime), and perturbed copies of every 20th vector are the true dups. */
+  private lazy val capCorpus = {
+    val rng = new graft.stats.StatMath.SplitMix64(7L)
+    val base = (0 until 400).map(i => (i.toLong, Seq.fill(8)(rng.nextDouble() * 2 - 1)))
+    val dups = base.filter(_._1 % 20 == 0).map { case (i, v) =>
+      (i + 1000L, v.map(_ * 1.001)) }
+    (base ++ dups).toDF("id", "emb")
+  }
+
+  test("bucket cap: oversized buckets split by extra planes, dup recall kept") {
+    val expected = capCorpus.as[(Long, Seq[Double])].collect()
+      .filter(_._1 < 1000).filter(_._1 % 20 == 0)
+      .map(t => (t._1, t._1 + 1000L)).toSet
+    // uncapped ground truth on this corpus is exactly the injected dup pairs
+    val uncapped = Dedup.embeddingCosineDups(capCorpus, "id", "emb",
+        threshold = 0.999, planes = 1, maxBucket = Int.MaxValue)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped == expected, s"uncapped=$uncapped")
+    // capped: both ~210-row buckets exceed maxBucket=50 and split; a scaled
+    // copy keeps every hyperplane sign, so all true pairs survive the split
+    val capped = Dedup.embeddingCosineDups(capCorpus, "id", "emb",
+        threshold = 0.999, planes = 1, maxBucket = 50, splitPlanes = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == expected, s"capped=$capped")
+  }
+
+  test("bucket cap: candidate work per key is bounded on the dominant-bucket corpus") {
+    // uncapped: the biggest key holds ~half the corpus -> quadratic work
+    val uncappedMax = Dedup.cappedBucketKeys(capCorpus, "id", "emb",
+        planes = 1, splitPlanes = 10, maxBucket = Int.MaxValue)
+      .groupBy($"key").count().agg(max($"count")).as[Long].head()
+    assert(uncappedMax > 150L, s"fixture not adversarial: max bucket $uncappedMax")
+    // capped: hot buckets fan out over 2^10 sub-buckets; with 420 rows the
+    // biggest surviving key is a handful of rows (true-dup pairs + hash luck)
+    val cappedMax = Dedup.cappedBucketKeys(capCorpus, "id", "emb",
+        planes = 1, splitPlanes = 10, maxBucket = 50)
+      .groupBy($"key").count().agg(max($"count")).as[Long].head()
+    assert(cappedMax <= 20L, s"max capped key population $cappedMax")
   }
 }
 
@@ -314,6 +372,83 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Double)].collect().filter(_._1 != 0L).take(5)
     val got = indexed.as[(Long, Double)].collect().filter(_._1 != 0L).take(5)
     assert(got.sameElements(computed), s"indexed=${got.toSeq} computed=${computed.toSeq}")
+  }
+
+  test("lshTopK honors the NUMERIC probes value (only probes-1 neighbor buckets)") {
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val planes = 4
+    val qBucket = spark.range(1)
+      .select(Similarity.hyperplaneBucket(typedlit(q.toSeq), planes))
+      .head().getLong(0)
+    for (probes <- Seq(1, 2, 3, 5)) {
+      val allowed = (if (probes <= 1) Seq(qBucket)
+        else qBucket +: (0 until math.min(probes - 1, planes)).map(b => qBucket ^ (1L << b))).toSet
+      val ids = Similarity.lshTopK(embs, "vec_id", "embedding", q,
+        k = 1000, planes = planes, probes = probes).as[(Long, Double)].collect().map(_._1)
+      val buckets = embs.filter($"vec_id".isin(ids: _*))
+        .select(Similarity.hyperplaneBucket($"embedding", planes))
+        .as[Long].collect().toSet
+      assert(buckets.subsetOf(allowed), s"probes=$probes scanned $buckets ⊄ $allowed")
+      // with an unbounded k, the probed buckets' ENTIRE population returns —
+      // so result counts must be exactly the allowed buckets' population
+      val pop = embs.select(Similarity.hyperplaneBucket($"embedding", planes).as("b"))
+        .filter($"b".isin(allowed.toSeq: _*)).count()
+      assert(ids.length.toLong == pop, s"probes=$probes got ${ids.length}, bucket pop $pop")
+    }
+  }
+
+  test("knn join: bucket cap preserves clustered recall") {
+    val k = 5
+    val exact = Similarity.allPairsTopK(clustered, "vec_id", "embedding", k)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toSet }
+    // planes=2 -> 4 coarse buckets of ~50 rows; maxBucket=30 forces every
+    // bucket to split. Same-bucket cluster-mates keep all signs and stay
+    // co-keyed; a mate reached through a FOREIGN hot probe must additionally
+    // match the query's splitPlanes ext bits — the cap's documented recall
+    // trade (clusters straddling an extra plane lose those probes), so the
+    // bound here is looser than the uncapped 0.9 (measured ~0.75).
+    val got = Similarity.knnJoin(clustered, "vec_id", "embedding", k,
+        planes = 2, probes = 3, maxBucket = 30, splitPlanes = 10)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (a, ps) => a -> ps.map(_._2).toSet }
+    val hits = exact.toSeq.map { case (a, truth) =>
+      truth.intersect(got.getOrElse(a, Set.empty)).size.toDouble / truth.size }
+    val recall = hits.sum / hits.size
+    assert(recall >= 0.7, s"capped mean recall@$k = $recall")
+  }
+
+  test("batch ANN vs persisted index: per-query equality with the single-query " +
+    "path; index scan partition-prunes to the probed-bucket union") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-index-b").toString
+    Similarity.lshIndexWrite(embs, "vec_id", "embedding", dir, planes = 4)
+    val queries = embs.filter($"vec_id" < 8)
+    val batch = Similarity.lshTopKIndexedBatch(spark, dir, queries,
+      "vec_id", "embedding", k = 6, planes = 4, probes = 5)
+    // pruning proof: the INDEX scan's bucket predicate lives in its
+    // PartitionFilters, and no Filter node re-evaluates that attribute
+    // (the query side has its own exploded `bucket` column whose join
+    // null-filter is legitimate — scope the check to the scan's attr id)
+    val plan = batch.queryExecution.executedPlan.toString
+    val pfStr = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan)
+      .find(_.contains("bucket#")).getOrElse(fail(plan.take(1500)))
+    val idxBucketAttr = "bucket#\\d+".r.findFirstIn(pfStr).get
+    val filterNodes = plan.split("\n").filter(_.trim.matches("[+:\\-\\s*(\\d)]*Filter .*"))
+    assert(!filterNodes.exists(_.contains(idxBucketAttr)),
+      s"index bucket predicate leaked into a Filter node: ${filterNodes.mkString(" | ")}")
+    // per-query equality with lshTopKIndexed (same planes/probes/k)
+    val got = batch.as[(Long, Long, Double)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(t => (t._2, t._3)).sortBy(t => (-t._2, t._1)).toSeq).toMap
+    val qVecs = queries.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    assert(qVecs.length == 8 && got.size == 8)
+    qVecs.foreach { case (qid, qv) =>
+      val single = Similarity.lshTopKIndexed(spark, dir, qv.toArray,
+        k = 6, planes = 4, probes = 5).as[(Long, Double)].collect().toSeq
+      assert(got(qid) == single, s"query $qid: batch=${got(qid)} single=$single")
+    }
   }
 
   test("LSH topk: results are a subset of correct cosines, ranked correctly") {
