@@ -38,7 +38,13 @@ case class RunConfig(
     // `return_input_values` (detector_api/app/schemas/drift.py:13,
     // app/api.py:41-42). Off by default: the echo multiplies verdict-row
     // width by the sample size.
-    echoInputValues: Boolean = false)
+    echoInputValues: Boolean = false,
+    // Some(fanIn): fused stats/sample digests travel to the driver through
+    // the two-level tree merge (PartStats.computeFusedTree) — one bounded
+    // part-range row at a time instead of one all-parts collect. Set for
+    // snapshots with 10^4+ partitions per run() call; None (default) keeps
+    // the direct collect, which is faster at ordinary partition counts.
+    treeMergeFanIn: Option[Int] = None)
 
 /** The full constraint+drift validation pass — the engine's flagship job.
   *
@@ -166,9 +172,15 @@ object ValidationRun {
     //  - split: two CONCURRENT jobs — sampling is the light one, so the MMD
     //    fan-out starts while the heavy stats scan is still running; the
     //    critical path is max(stats, sample+mmd), not a chain.
+    def fused(mode: Int, ms: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]])
+        : (Map[Int, PartSummary], Map[Int, Array[Array[Double]]]) =
+      cfg.treeMergeFanIn match {
+        case Some(fanIn) => PartStats.computeFusedTree(docs, cfg.maxSample, mode, ms, fanIn)
+        case None => PartStats.computeFused(docs, cfg.maxSample, mode, ms)
+      }
+
     val (summaries, samples, mmdVerdicts) = if (cfg.fusedScan) {
-      val (sm, sp) = timed("stats")(PartStats.computeFused(
-        docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeBoth, mediaSet))
+      val (sm, sp) = timed("stats")(fused(graft.sketch.DocStatsAgg.ModeBoth, mediaSet))
       // launch the stats-derived violation writes BEFORE the MMD fan-out so
       // the dirty-partition rescans overlap it (and the uniqueness tail).
       // ref rows come from the fused counts ONLY when the referential check
@@ -181,13 +193,11 @@ object ValidationRun {
       (sm, sp, mv)
     } else {
       val fSampleMmd = maybeFuture {
-        val sp = timed("mmd_sample")(PartStats.computeFused(
-          docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeSample)._2)
+        val sp = timed("mmd_sample")(fused(graft.sketch.DocStatsAgg.ModeSample, None)._2)
         timed("mmd_fanout")(DriftChecks.mmd(spark, cfg.runId, cfg.alpha, ref, sp,
           cfg.numPermutations, cfg.randomState)) -> sp
       }
-      val (sm, _) = timed("stats")(
-        PartStats.computeFused(docs, cfg.maxSample, graft.sketch.DocStatsAgg.ModeStats))
+      val (sm, _) = timed("stats")(fused(graft.sketch.DocStatsAgg.ModeStats, None))
       sinkWrite("integrity", intViolOf(sm))
       val (mv, sp) = Await.result(fSampleMmd, Duration.Inf)
       (sm, sp, mv)
