@@ -220,26 +220,61 @@ object Dedup {
     * unsplit bucket id; a row therefore has exactly ONE key.
     *
     * The bucket census is a partial-aggregated count on the bucket column
-    * only (hot keys combine map-side); the hot set is ≤ n/maxBucket entries
-    * by construction — broadcastable at any corpus size. */
+    * (hot keys combine map-side); the hot set is ≤ n/maxBucket entries by
+    * construction — broadcastable at any corpus size. The census DOES cost
+    * one extra read of the embedding column; `censusFrac < 1` replaces it
+    * with a deterministic hash-sampled census (threshold scales to
+    * maxBucket × censusFrac): a genuinely hot bucket is huge by definition,
+    * so a 1% sample detects it with ~±10% Poisson noise at the default
+    * threshold (10⁴ × 0.01 = 100 expected sampled rows) — near-threshold
+    * misclassification just means a may-or-may-not split, which is correct
+    * either way (candidates are exact-verified). Use censusFrac=0.01 for
+    * corpus-scale runs; 1.0 (exact) is the default and what tests pin. */
   private[ops] def cappedBucketKeys(df: DataFrame, idCol: String, embCol: String,
                                     planes: Int, splitPlanes: Int,
-                                    maxBucket: Int): DataFrame = {
+                                    maxBucket: Int,
+                                    censusFrac: Double = 1.0): DataFrame = {
     if (maxBucket == Int.MaxValue)
       return df.select(col(idCol).as("id"), col(embCol).as("emb"),
         Similarity.hyperplaneBucket(col(embCol), planes).as("key"))
+    // 61: split keys must fit below the 1<<62 tag bit
+    require(planes + splitPlanes <= 61,
+      s"planes + splitPlanes must be <= 61, got ${planes + splitPlanes}")
     // prefix-stability means ONE fine bucketing yields both keys:
     // bucket = fine >> splitPlanes (no second per-row hyperplane pass)
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       Similarity.hyperplaneBucket(col(embCol), planes + splitPlanes).as("fine"))
       .withColumn("bucket", shiftright(col("fine"), splitPlanes))
-    val hot = base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-      .filter(col("n") > maxBucket)
-      .select(col("bucket"), lit(true).as("__hot"))
-    base.join(broadcast(hot), Seq("bucket"), "left")
-      .select(col("id"), col("emb"),
-        when(col("__hot"), lit(1L << 62).bitwiseOR(col("fine")))
+    // the hot set is collected EAGERLY and inlined as an InSet predicate:
+    // a lazy census subplan referenced from both sides of the downstream
+    // self-join would execute TWICE (Spark shares no uncached subtrees —
+    // verified in the executed plan), i.e. two extra corpus reads instead
+    // of one. The set is ≤ n/maxBucket entries by construction (typically a
+    // handful — skew means a FEW dominant buckets), so the driver collect
+    // and the per-row probe are trivial.
+    val hotBuckets = hotBucketSet(base, maxBucket, censusFrac)
+    if (hotBuckets.isEmpty)
+      base.select(col("id"), col("emb"), col("bucket").as("key"))
+    else
+      base.select(col("id"), col("emb"),
+        when(col("bucket").isInCollection(hotBuckets),
+            lit(1L << 62).bitwiseOR(col("fine")))
           .otherwise(col("bucket")).as("key"))
+  }
+
+  /** Eager bucket census: the (tiny) set of bucket ids whose population
+    * exceeds `maxBucket`, from an exact or hash-sampled count over `base`
+    * (which must carry `id` and `bucket`). One extra read of the bucketing
+    * inputs, executed exactly once. */
+  private[ops] def hotBucketSet(base: DataFrame, maxBucket: Int,
+                                censusFrac: Double): Seq[Long] = {
+    val censusBase =
+      if (censusFrac >= 1.0) base
+      else base.filter(pmod(xxhash64(col("id"), lit("census")), lit(1000000L))
+        < (censusFrac * 1000000L).toLong)
+    censusBase.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket * math.min(censusFrac, 1.0))
+      .select(col("bucket")).collect().map(_.getLong(0)).toSeq
   }
 
   /** Embedding near-duplicates: pairs with cosine ≥ threshold, candidates
@@ -250,8 +285,9 @@ object Dedup {
     * `maxBucket = Int.MaxValue` disables the cap. */
   def embeddingCosineDups(df: DataFrame, idCol: String, embCol: String,
                           threshold: Double = 0.95, planes: Int = 12,
-                          maxBucket: Int = 10000, splitPlanes: Int = 12): DataFrame = {
-    val b = cappedBucketKeys(df, idCol, embCol, planes, splitPlanes, maxBucket)
+                          maxBucket: Int = 10000, splitPlanes: Int = 12,
+                          censusFrac: Double = 1.0): DataFrame = {
+    val b = cappedBucketKeys(df, idCol, embCol, planes, splitPlanes, maxBucket, censusFrac)
     b.as("a").join(b.as("b"),
         col("a.key") === col("b.key") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),

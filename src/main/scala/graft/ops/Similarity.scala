@@ -72,17 +72,20 @@ object Similarity {
     *
     * Shape: every row lands in its hyperplane bucket once (index side); the
     * query side explodes each row into its own bucket plus, when
-    * `probes > 1`, all buckets at Hamming distance 1 (multi-probe union for
-    * recall). The join key is the bucket id, so the shuffle is by bucket —
-    * candidate generation is Σ_buckets |bucket|², never the corpus². The
-    * exact cosine then ranks candidates per query row with a window top-k.
-    * A probed pair can match through at most one probe value (the index row
-    * has ONE bucket), so no dedup pass is needed. Skewed buckets are spread
-    * by AQE's skew-join handling.
+    * `probes > 1`, the first `min(probes-1, planes)` buckets at Hamming
+    * distance 1 (multi-probe union for recall). The join key is the bucket
+    * id, so the shuffle is by bucket — candidate generation is
+    * Σ_buckets |bucket|², never the corpus². The exact cosine then ranks
+    * candidates per query row via the bounded TopKPairsAgg. A probed pair
+    * can match through at most one probe value (the index row has ONE key),
+    * so no dedup pass is needed. Residual skew is spread by AQE's skew-join
+    * handling; STRUCTURAL skew (a dominant cluster) is bounded by the
+    * bucket-population cap below.
     */
   def knnJoin(df: DataFrame, idCol: String, embCol: String, k: Int,
               planes: Int = 12, probes: Int = 1,
-              maxBucket: Int = 10000, splitPlanes: Int = 12): DataFrame = {
+              maxBucket: Int = 10000, splitPlanes: Int = 12,
+              censusFrac: Double = 1.0): DataFrame = {
     // bucket-population cap (the Dedup.cappedBucketKeys trade, adapted to a
     // probed join): buckets whose population exceeds maxBucket re-key by
     // `splitPlanes` extra hyperplane sign bits, so one dominant cluster
@@ -94,6 +97,9 @@ object Similarity {
     // with an unsplit bucket id, so a (query, index-row) pair still matches
     // through AT MOST one probe value and no dedup pass is needed.
     val capped = maxBucket != Int.MaxValue
+    // 61: split keys must fit below the 1<<62 tag bit
+    require(!capped || planes + splitPlanes <= 61,
+      s"planes + splitPlanes must be <= 61, got ${planes + splitPlanes}")
     // prefix-stability means ONE fine bucketing yields both keys:
     // bucket = fine >> splitPlanes (no second per-row hyperplane pass)
     val base = (if (capped)
@@ -106,17 +112,23 @@ object Similarity {
           col(embCol).cast("array<double>").as("emb"),
           hyperplaneBucket(col(embCol), planes).as("bucket"),
           lit(0L).as("fine")))
-    val hot =
-      if (!capped) null
-      else base.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .filter(col("n") > maxBucket)
-        .select(col("bucket"), lit(true).as("__hot"))
+    // census cost: one extra read of the embedding column, executed EAGERLY
+    // exactly once (a lazy census subplan referenced from both join sides
+    // would execute twice) and inlined as an InSet predicate. censusFrac < 1
+    // swaps the exact census for a deterministic hash-sampled one with a
+    // scaled threshold — hot buckets are huge by definition, so a 1% sample
+    // detects them reliably; borderline buckets may or may not split, which
+    // is correct either way (see Dedup.cappedBucketKeys/hotBucketSet).
+    val hotBuckets: Seq[Long] =
+      if (!capped) Seq.empty
+      else Dedup.hotBucketSet(base, maxBucket, censusFrac)
+    val splitting = hotBuckets.nonEmpty
     val tag = lit(1L << 62)
     val idx0 = base.select(col("id").as("id_b"), col("emb").as("emb_b"),
       col("bucket"), col("fine"))
     val idx =
-      (if (capped) idx0.join(broadcast(hot), Seq("bucket"), "left")
-          .withColumn("key", when(col("__hot"), tag.bitwiseOR(col("fine")))
+      (if (splitting) idx0.withColumn("key",
+          when(col("bucket").isInCollection(hotBuckets), tag.bitwiseOR(col("fine")))
             .otherwise(col("bucket")))
        else idx0.withColumn("key", col("bucket")))
         .select(col("id_b"), col("emb_b"), col("key"))
@@ -130,8 +142,8 @@ object Similarity {
         col("fine").bitwiseAND((1L << splitPlanes) - 1).as("ext"))
       .select(col("id_a"), col("emb_a"), col("ext"), explode(probeArr).as("bucket"))
     val q =
-      (if (capped) q0.join(broadcast(hot), Seq("bucket"), "left")
-          .withColumn("key", when(col("__hot"),
+      (if (splitting) q0.withColumn("key",
+          when(col("bucket").isInCollection(hotBuckets),
               tag.bitwiseOR(shiftleft(col("bucket"), splitPlanes)).bitwiseOR(col("ext")))
             .otherwise(col("bucket")))
        else q0.withColumn("key", col("bucket")))

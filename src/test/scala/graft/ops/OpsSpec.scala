@@ -189,6 +189,19 @@ class DedupSpec extends AnyFunSuite {
     assert(capped == expected, s"capped=$capped")
   }
 
+  test("bucket cap: hash-sampled census detects the same hot buckets") {
+    val expected = Dedup.embeddingCosineDups(capCorpus, "id", "emb",
+        threshold = 0.999, planes = 1, maxBucket = 50, splitPlanes = 10)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // 25% sample, threshold 50*0.25=12.5: the ~210-row hot buckets sample
+    // ~52 rows each — detected with wide margin; results identical
+    val sampled = Dedup.embeddingCosineDups(capCorpus, "id", "emb",
+        threshold = 0.999, planes = 1, maxBucket = 50, splitPlanes = 10,
+        censusFrac = 0.25)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(sampled == expected)
+  }
+
   test("bucket cap: candidate work per key is bounded on the dominant-bucket corpus") {
     // uncapped: the biggest key holds ~half the corpus -> quadratic work
     val uncappedMax = Dedup.cappedBucketKeys(capCorpus, "id", "emb",
