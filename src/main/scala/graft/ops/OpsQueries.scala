@@ -171,6 +171,29 @@ object OpsQueries {
         planes = 5, probes = 6)
       .orderBy(col("id_a"), col("cos").desc, col("id_b"))
 
+  /** kNN join at the guaranteed-total-probe config: planes=1 and probes=2
+    * probe BOTH buckets, so candidate recall is STRUCTURALLY total (not
+    * corpus luck) and the output equals exact per-row top-k — which makes
+    * the whole pipeline (probe explosion, bucket join, TopKPairsAgg ranking
+    * and tie order) DuckDB-oracle-able. The production-shape approximate
+    * config stays `knn_join` (rows-only + recall specs). */
+  def knnJoinExact(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoin(embs(s, dir), "vec_id", "embedding", k = 5,
+        planes = 1, probes = 2)
+      .orderBy(col("id_a"), col("cos").desc, col("id_b"))
+
+  /** Single-query ANN at the guaranteed-total-probe config (planes=1,
+    * probes=2 — both buckets probed): structurally equal to brute force, so
+    * it shares the `similarity_topk` oracle. Exercises the bucket
+    * compute-and-filter path under a full oracle. */
+  def annLshExact(s: SparkSession, dir: String): DataFrame = {
+    val queryVec = embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec, k = 10, planes = 1, probes = 2)
+  }
+
   /** Composed curation pipeline over a corpus with injected exact copies:
     * dedup (survivor = min doc_id per text) → quality gate → language gate.
     * The oracle computes quality/langid over the ORIGINAL docs only — if the
@@ -257,6 +280,8 @@ object OpsQueries {
     "ann_lsh_indexed" -> (annLshIndexed _),
     "ann_lsh_batch" -> (annLshBatch _),
     "knn_join" -> (knnJoin _),
+    "knn_join_exact" -> (knnJoinExact _),
+    "ann_lsh_exact" -> (annLshExact _),
     "lang_id_detect" -> (langIdDetect _),
     "curation_pipeline" -> (curationPipeline _),
     "quality_scores" -> (qualityScores _),
@@ -364,6 +389,44 @@ object OpsQueries {
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    // exact per-row top-k ground truth: at planes=1/probes=2 the kNN join
+    // probes BOTH buckets (structurally total recall), so its output equals
+    // this all-pairs top-k. The fold replays the engine's left-fold cosine
+    // over double-cast embeddings; tie order (cos DESC, id_b ASC) matches
+    // TopKPairsAgg's.
+    "knn_join_exact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(
+               list_reduce(list_prepend(0.0, list_transform(range(len(a.emb)),
+                   k -> a.emb[CAST(k AS INT) + 1] * b.emb[CAST(k AS INT) + 1])),
+                 (acc, v) -> acc + v)
+               / (sqrt(list_reduce(list_prepend(0.0, list_transform(a.emb, x -> x * x)),
+                   (acc, v) -> acc + v))
+                  * sqrt(list_reduce(list_prepend(0.0, list_transform(b.emb, x -> x * x)),
+                   (acc, v) -> acc + v))), 6) AS cos
+           FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+         ranked AS (
+           SELECT id_a, id_b, cos,
+             row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rn
+           FROM pairs)
+         SELECT id_a, id_b, cos FROM ranked WHERE rn <= 5
+         ORDER BY id_a, cos DESC, id_b""",
+    // at planes=1/probes=2 both buckets are probed -> identical to brute
+    // force; shares the similarity_topk replay
+    "ann_lsh_exact" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS e,
+                    generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+         x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id <> 0),
+         dots AS (SELECT x.vec_id, sum(x.e * q.e) AS dot,
+                    sqrt(sum(x.e * x.e)) AS nx, sqrt(sum(q.e * q.e)) AS nq
+                  FROM x JOIN q USING (i) GROUP BY x.vec_id)
+         SELECT vec_id, round(dot / (nx * nq), 4) AS cos FROM dots
+         ORDER BY cos DESC, vec_id LIMIT 10""",
     "similarity_topk" ->
       """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS e,
                     generate_subscripts(embedding, 1) AS i

@@ -464,6 +464,29 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("guaranteed-total-probe config (planes=1, probes=2): knnJoin equals " +
+    "exact per-row top-k — the structural basis of the knn_join_exact oracle") {
+    val all = embs.select($"vec_id", $"embedding".cast("array<double>"))
+      .as[(Long, Seq[Double])].collect()
+    def cos6(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      math.rint(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6) / 1e6
+    }
+    val expected = all.flatMap { case (qid, qv) =>
+      all.filter(_._1 != qid)
+        .map { case (oid, ov) => (oid, cos6(qv, ov)) }
+        .sortBy(t => (-t._2, t._1)).take(5)
+        .map { case (oid, c) => (qid, oid, c) }
+    }.sortBy(t => (t._1, -t._3, t._2))
+    val got = Similarity.knnJoin(embs, "vec_id", "embedding", k = 5,
+        planes = 1, probes = 2)
+      .orderBy($"id_a", $"cos".desc, $"id_b")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == expected.length)
+    got.zip(expected).foreach { case (g, e) => assert(g == e, s"$g != $e") }
+  }
+
   test("LSH topk: results are a subset of correct cosines, ranked correctly") {
     val q = embs.filter($"vec_id" === 0)
       .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
