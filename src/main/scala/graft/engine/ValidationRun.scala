@@ -44,7 +44,14 @@ case class RunConfig(
     // part-range row at a time instead of one all-parts collect. Set for
     // snapshots with 10^4+ partitions per run() call; None (default) keeps
     // the direct collect, which is faster at ordinary partition counts.
-    treeMergeFanIn: Option[Int] = None)
+    treeMergeFanIn: Option[Int] = None,
+    // true: the MMD check runs fully distributed (DriftChecks.mmdDistributed)
+    // — per-part samples are selected and consumed executor-side, so no
+    // sample bytes transit the driver. For snapshots with 10^4+ partitions;
+    // implies the split (non-fused) scan layout for the MMD leg, and
+    // echoInputValues has no samples to echo. Verdicts are identical to the
+    // default path (spec-asserted).
+    distributedMmd: Boolean = false)
 
 /** The full constraint+drift validation pass — the engine's flagship job.
   *
@@ -179,7 +186,19 @@ object ValidationRun {
         case None => PartStats.computeFused(docs, cfg.maxSample, mode, ms)
       }
 
-    val (summaries, samples, mmdVerdicts) = if (cfg.fusedScan) {
+    val (summaries, samples, mmdVerdicts) = if (cfg.distributedMmd) {
+      // distributed MMD leg runs concurrently with the stats scan; samples
+      // never reach the driver (the samples map stays empty)
+      val fMmd = maybeFuture(timed("mmd_distributed")(
+        DriftChecks.mmdDistributed(spark, docs, ref, cfg.runId, cfg.alpha,
+          cfg.maxSample, cfg.samplePrefilterFrac,
+          cfg.numPermutations, cfg.randomState)))
+      val (sm, _) = timed("stats")(fused(graft.sketch.DocStatsAgg.ModeStats,
+        if (cfg.fusedScan) mediaSet else None))
+      if (fuseRef) sinkWrite("ref", refViolOf(sm)._1)
+      sinkWrite("integrity", intViolOf(sm))
+      (sm, Map.empty[Int, Array[Array[Double]]], Await.result(fMmd, Duration.Inf))
+    } else if (cfg.fusedScan) {
       val (sm, sp) = timed("stats")(fused(graft.sketch.DocStatsAgg.ModeBoth, mediaSet))
       // launch the stats-derived violation writes BEFORE the MMD fan-out so
       // the dirty-partition rescans overlap it (and the uniqueness tail).

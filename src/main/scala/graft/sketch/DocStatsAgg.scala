@@ -195,21 +195,7 @@ final class DocStatsBuffer(val maxSample: Int) {
   var kll: KllDoublesSketch = KllDoublesSketch.newHeapInstance(200)
   // bounded sample: keep maxSample entries with SMALLEST hash; max-heap by h
   // (tiebreak: elementwise feature compare — allocation-free, deterministic)
-  val sampleOrd: Ordering[(Long, Array[Double])] =
-    new Ordering[(Long, Array[Double])] {
-      def compare(a: (Long, Array[Double]), b: (Long, Array[Double])): Int = {
-        val c = java.lang.Long.compare(a._1, b._1)
-        if (c != 0) return c
-        val (fa, fb) = (a._2, b._2)
-        var i = 0
-        while (i < fa.length && i < fb.length) {
-          val cc = java.lang.Double.compare(fa(i), fb(i))
-          if (cc != 0) return cc
-          i += 1
-        }
-        Integer.compare(fa.length, fb.length)
-      }
-    }
+  val sampleOrd: Ordering[(Long, Array[Double])] = DocStatsBuffer.SampleOrd
   val sample: mutable.PriorityQueue[(Long, Array[Double])] =
     mutable.PriorityQueue.empty(sampleOrd)
 
@@ -406,6 +392,25 @@ final class DocStatsBuffer(val maxSample: Int) {
 }
 
 object DocStatsBuffer {
+  /** The deterministic sample ordering — (hash asc, then elementwise feature
+    * compare). Shared with the distributed MMD path so BOTH sample
+    * selections pick identical rows. */
+  val SampleOrd: Ordering[(Long, Array[Double])] =
+    new Ordering[(Long, Array[Double])] {
+      def compare(a: (Long, Array[Double]), b: (Long, Array[Double])): Int = {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) return c
+        val (fa, fb) = (a._2, b._2)
+        var i = 0
+        while (i < fa.length && i < fb.length) {
+          val cc = java.lang.Double.compare(fa(i), fb(i))
+          if (cc != 0) return cc
+          i += 1
+        }
+        Integer.compare(fa.length, fb.length)
+      }
+    }
+
   def deserialize(bytes: Array[Byte]): DocStatsBuffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = new DocStatsBuffer(in.readInt())

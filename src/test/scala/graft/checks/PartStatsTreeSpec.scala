@@ -85,6 +85,44 @@ class TreeMergeRunSpec extends AnyFunSuite {
   }
 }
 
+/** The fully-distributed MMD path must produce verdicts IDENTICAL to the
+  * collect-broadcast path: same bounded sample selection
+  * (DocStatsBuffer.SampleOrd), same (randomState, part, permId) seeds, same
+  * batched-bitmask estimator — only the execution shape differs (samples
+  * never transit the driver). */
+class MmdDistributedSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("mmdDistributed verdicts == collect-broadcast mmd verdicts, exactly") {
+    val docs = DocsGen.docs(spark, 1800, DocsGen.goldenScenario)
+    val ref = Fit.fit(docs.filter($"part" === 0), snapshotId = 7L, maxSample = 80)
+    val samples = PartStats.computeFused(docs, maxSample = 80,
+      graft.sketch.DocStatsAgg.ModeSample)._2
+    val viaDriver = DriftChecks.mmd(spark, "a", 0.01, ref, samples)
+      .map(v => (v.part, v.distance, v.p_value, v.metrics("n_prod")))
+    val distributed = DriftChecks.mmdDistributed(spark, docs, ref, "b", 0.01,
+        maxSample = 80)
+      .map(v => (v.part, v.distance, v.p_value, v.metrics("n_prod")))
+    assert(viaDriver.nonEmpty && viaDriver == distributed,
+      s"driver=${viaDriver.take(3)} dist=${distributed.take(3)}")
+  }
+
+  test("run(distributedMmd = true): same mmd verdicts as the default run") {
+    val docs = DocsGen.docs(spark, 900, DocsGen.goldenScenario)
+    val media = DocsGen.media(spark)
+    val ref = Fit.fit(docs.filter($"part" === 0), snapshotId = 1L, maxSample = 50)
+    def mmdVerd(cfg: graft.engine.RunConfig) =
+      graft.engine.ValidationRun.run(docs, media, ref, cfg).verdicts.collect()
+        .filter(_.check_id == "mmd_features")
+        .map(v => (v.part, v.distance, v.p_value)).sortBy(_._1).toSeq
+    val a = mmdVerd(graft.engine.RunConfig(runId = "dflt", maxSample = 50))
+    val b = mmdVerd(graft.engine.RunConfig(runId = "dist", maxSample = 50,
+      distributedMmd = true))
+    assert(a.nonEmpty && a == b)
+  }
+}
+
 /** Verdict input-echo option — parity with the reference's
   * `return_input_values` (detector_api/app/schemas/drift.py:13,
   * app/api.py:41-42): when enabled, each MMD verdict carries the bounded
