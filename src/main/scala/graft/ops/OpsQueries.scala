@@ -257,6 +257,17 @@ object OpsQueries {
         queryName = s"stream_dedup_${System.nanoTime()}")
       .orderBy(col("event_type"))
 
+  /** Bounded-state streaming dedup (`dropDuplicatesWithinWatermark`): the
+    * production variant — keys evicted once the watermark passes. The
+    * harness feeds every time-slice TWICE in adjacent micro-batches; the
+    * watermark spans 3 slices so duplicates are suppressed in state while
+    * older keys genuinely evict. Same single-copy oracle as the
+    * keep-forever variant. */
+  def eventsStreamDedupWm(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.runDedupStreamBounded(s, s"$dir/events.parquet",
+        queryName = s"stream_dedup_wm_${System.nanoTime()}")
+      .orderBy(col("event_type"))
+
   def eventsStreamHourly(s: SparkSession, dir: String): DataFrame =
     StreamingOps.runFileStream(s, s"$dir/events.parquet",
         queryName = s"stream_out_${System.nanoTime()}")
@@ -290,6 +301,7 @@ object OpsQueries {
     "media_decode" -> (mediaDecode _),
     "events_stream_hourly" -> (eventsStreamHourly _),
     "events_stream_dedup" -> (eventsStreamDedup _),
+    "events_stream_dedup_wm" -> (eventsStreamDedupWm _),
     "events_stream_drift" -> (eventsStreamDrift _))
 
   /** Exact n-gram-Jaccard ground truth over the injected near-dup corpus —
@@ -596,6 +608,12 @@ object OpsQueries {
     // single-copy aggregate (duplicate rows are full-row identical, so
     // DISTINCT over the projected triple is the batch truth)
     "events_stream_dedup" ->
+      """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v
+         FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+    // bounded-state variant saw every event twice too; watermark eviction
+    // must not change the single-copy aggregate
+    "events_stream_dedup_wm" ->
       """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v
          FROM (SELECT DISTINCT event_id, event_type, value FROM events)
          GROUP BY event_type ORDER BY event_type""",

@@ -233,6 +233,74 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup with BOUNDED state — the production variant
+    * [[runDedupStream]]'s scaladoc promises: `dropDuplicatesWithinWatermark`
+    * evicts a key's state once the event-time watermark passes its
+    * timestamp + delay, so an unbounded stream holds only the open
+    * watermark window's keys (plain `dropDuplicates` retains every key
+    * forever).
+    *
+    * Harness: the input is re-staged as TIME-ORDERED slices (modification
+    * times force file-stream order; `maxFilesPerTrigger=1` makes each file
+    * its own micro-batch), each slice fed TWICE in adjacent micro-batches.
+    * The watermark delay spans 3 slices, so (a) a duplicate always arrives
+    * while its key is still in state → suppressed, (b) no first arrival is
+    * ever late → nothing is wrongly dropped, and (c) keys 3+ slices old
+    * are genuinely EVICTED as the stream progresses — bounded state is
+    * exercised, not just configured. The deduped append stream then rolls
+    * up per event_type; equality with the single-copy batch aggregate is
+    * the oracle. */
+  def runDedupStreamBounded(spark: SparkSession, parquetPath: String,
+                            queryName: String = "stream_dedup_wm",
+                            slices: Int = 6): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val srcDir = Files.createTempDirectory("graft-stream-dedup-wm")
+    val batch = spark.read.parquet(parquetPath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val (minTs, maxTs) = batch.agg(min($"ts"), max($"ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+    val sliceMs = math.max((maxTs.getTime - minTs.getTime) / slices + 1, 1000L)
+    val delay = s"${3 * (sliceMs / 1000 + 1)} seconds"
+    var fileIdx = 0
+    (0 until slices).foreach { i =>
+      val lo = minTs.getTime + i * sliceMs
+      val slice = batch.filter(
+        unix_millis($"ts") >= lo && unix_millis($"ts") < lo + sliceMs)
+      val tmp = Files.createTempDirectory("graft-slice")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
+      Seq("a", "b").foreach { c => // the same slice arrives TWICE
+        val dst = srcDir.resolve(f"s$i%03d-$c.parquet")
+        Files.copy(part, dst)
+        // strictly increasing mod-times pin the file-stream processing order
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileIdx * 60000L))
+        fileIdx += 1
+      }
+      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+      catch { case _: Throwable => }
+    }
+    val src = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val q = src
+      .withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    try { import scala.sys.process._; Seq("rm", "-rf", srcDir.toString).! }
+    catch { case _: Throwable => }
+    spark.table(queryName)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
+  }
+
   /** Run the streaming aggregation over a parquet path as a file stream,
     * draining everything available into an in-memory table; returns the
     * result. (The local harness for tests/demos — a deployment would point

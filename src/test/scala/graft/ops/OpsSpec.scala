@@ -607,6 +607,24 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(streamed.map(_._2).sum == raw)
   }
 
+  test("bounded-state streaming dedup (withinWatermark): double-fed sliced " +
+    "corpus collapses to the single-copy aggregate") {
+    val streamed = StreamingOps.runDedupStreamBounded(spark,
+        "/root/testdata/sf0.001/events.parquet", "dedup_wm_spec")
+      .orderBy($"event_type")
+      .as[(String, Long, Double)].collect()
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select($"event_id", $"event_type", $"value").distinct()
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("cnt"), round(sum($"value"), 4).as("sum_v"))
+      .orderBy($"event_type")
+      .as[(String, Long, Double)].collect()
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"streamed=${streamed.take(3).mkString(",")} batch=${batch.take(3).mkString(",")}")
+    assert(streamed.map(_._2).sum ==
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet").count())
+  }
+
   // uniform reference over 10 value-buckets of width 10
   private val refUniform = Array.fill(10)(0.1)
 
