@@ -82,17 +82,96 @@ object SparkEntry {
         UNION ALL SELECT part, key, cnt FROM o
         ORDER BY part, key"""
 
+  private val ConstraintDocsPath = "/tmp/graft_constraint_docs"
+  private val ConstraintMediaPath = "/tmp/graft_constraint_media"
+
+  /** DuckDB-oracled CONSTRAINT verdicts of the flagship validation pass:
+    * the golden-scenario docs + media catalog are materialized to parquet,
+    * the REAL `ValidationRun.run` executes over them, and the four
+    * constraint checks' verdict counts (uniqueness dup keys attributed to
+    * the key's min part, dangling media_ref span rows, non-monotone-offset
+    * docs, null-kind docs) are emitted per (part, check). The oracle
+    * recomputes all four from the same parquet — so the engine's uniqueness
+    * shuffle, referential anti-join, and span-integrity scan are
+    * hash-checked end to end on the doc table (the drift p-value legs stay
+    * spec-tested; their INPUT distributions are oracled by
+    * `docs_drift_inputs`). */
+  def entry_docs_constraints(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.DocsGen
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    DocsGen.docs(spark, nDocs, DocsGen.goldenScenario)
+      .write.mode("overwrite").parquet(ConstraintDocsPath)
+    DocsGen.media(spark)
+      .write.mode("overwrite").parquet(ConstraintMediaPath)
+    val docs = spark.read.parquet(ConstraintDocsPath)
+    val media = spark.read.parquet(ConstraintMediaPath)
+    val ref = graft.checks.Fit.fit(docs.filter($"part" === 0), snapshotId = 1L,
+      maxSample = 100)
+    val res = graft.engine.ValidationRun.run(docs, media, ref,
+      graft.engine.RunConfig(runId = "constraints", alpha = 0.01, maxSample = 100))
+    res.verdicts.toDF()
+      .filter($"check_id".isin("unique_doc_id", "ref_media", "span_order", "null_kind"))
+      .select($"part", $"check_id", $"distance".cast("long").as("violations"))
+      .orderBy($"part", $"check_id")
+  }
+
+  private val constraintsOracleSql: String =
+    s"""WITH docs AS (SELECT * FROM read_parquet('$ConstraintDocsPath/*.parquet')),
+        media AS (SELECT media_ref FROM read_parquet('$ConstraintMediaPath/*.parquet')),
+        parts AS (SELECT DISTINCT part FROM docs),
+        checks AS (SELECT unnest(['null_kind','ref_media','span_order','unique_doc_id']) AS check_id),
+        dup AS (
+          SELECT min_part AS part, count(*) AS v FROM (
+            SELECT doc_id, min(part) AS min_part FROM docs
+            GROUP BY doc_id HAVING count(*) > 1)
+          GROUP BY 1),
+        refs AS (
+          SELECT part, count(*) AS v FROM (
+            SELECT part, u.media_ref AS mr
+            FROM (SELECT part, unnest(spans) AS u FROM docs)
+            WHERE u.media_ref IS NOT NULL)
+          WHERE mr NOT IN (SELECT media_ref FROM media)
+          GROUP BY part),
+        flags AS (
+          SELECT part, doc_id,
+            len(list_filter(range(len(offs)), i ->
+              i > 0 AND offs[CAST(i AS INT) + 1] <= offs[CAST(i AS INT)])) > 0 AS ordv,
+            len(list_filter(kinds, k -> k IS NULL)) > 0 AS nkv
+          FROM (SELECT part, doc_id,
+                  list_transform(spans, s -> s."offset") AS offs,
+                  list_transform(spans, s -> s.kind) AS kinds
+                FROM docs)),
+        so AS (SELECT part, count(*) AS v FROM flags WHERE ordv GROUP BY part),
+        nk AS (SELECT part, count(*) AS v FROM flags WHERE nkv GROUP BY part)
+        SELECT p.part, c.check_id,
+          CAST(coalesce(CASE c.check_id
+            WHEN 'unique_doc_id' THEN dup.v
+            WHEN 'ref_media' THEN refs.v
+            WHEN 'span_order' THEN so.v
+            ELSE nk.v END, 0) AS BIGINT) AS violations
+        FROM parts p CROSS JOIN checks c
+        LEFT JOIN dup ON c.check_id = 'unique_doc_id' AND dup.part = p.part
+        LEFT JOIN refs ON c.check_id = 'ref_media' AND refs.part = p.part
+        LEFT JOIN so ON c.check_id = 'span_order' AND so.part = p.part
+        LEFT JOIN nk ON c.check_id = 'null_kind' AND nk.part = p.part
+        ORDER BY p.part, c.check_id"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.entry.TpchQueries.queries ++
       graft.ops.OpsQueries.queries ++
       Map("docs_validation" -> (entry_docs_validation _),
-        "docs_drift_inputs" -> (entry_docs_drift_inputs _))
+        "docs_drift_inputs" -> (entry_docs_drift_inputs _),
+        "docs_constraints" -> (entry_docs_constraints _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
     * (docs_validation and the sketch/LSH operators) → rows-only check. */
   def oracleSql: Map[String, String] =
     graft.entry.TpchQueries.oracleSql ++ graft.ops.OpsQueries.oracleSql ++
-      Map("docs_drift_inputs" -> driftInputsOracleSql)
+      Map("docs_drift_inputs" -> driftInputsOracleSql,
+        "docs_constraints" -> constraintsOracleSql)
 }
