@@ -33,11 +33,16 @@ object SparkEntry {
       .orderBy($"part", $"check_id")
   }
 
-  /** Fixed path shared between the Spark query and the DuckDB oracle: the
-    * query WRITES the golden-scenario docs here, the oracle re-reads them
-    * with read_parquet. The driver runs Verify first, then the oracles, so
-    * the files exist when DuckDB looks. */
-  private val DriftInputsPath = "/tmp/graft_drift_inputs"
+  /** Path shared between the Spark query and the DuckDB oracle: the query
+    * WRITES the golden-scenario docs here, the oracle re-reads them with
+    * read_parquet. The driver runs Verify first, then the oracles, so the
+    * files exist when DuckDB looks. Suffixed with this JVM's pid: the
+    * oracle SQL is emitted by the SAME Verify process (oracle_sql.json), so
+    * the paths always agree, while two concurrent/interleaved sessions
+    * (e.g. two scale factors) can no longer overwrite each other's oracle
+    * inputs between one session's write and its DuckDB read. */
+  private val pathToken: Long = ProcessHandle.current().pid()
+  private val DriftInputsPath = s"/tmp/graft_drift_inputs_$pathToken"
 
   /** DuckDB-oracled drift INPUTS of the flagship validation pass: the
     * golden-scenario docs table is materialized to parquet, then the exact
@@ -82,8 +87,8 @@ object SparkEntry {
         UNION ALL SELECT part, key, cnt FROM o
         ORDER BY part, key"""
 
-  private val ConstraintDocsPath = "/tmp/graft_constraint_docs"
-  private val ConstraintMediaPath = "/tmp/graft_constraint_media"
+  private val ConstraintDocsPath = s"/tmp/graft_constraint_docs_$pathToken"
+  private val ConstraintMediaPath = s"/tmp/graft_constraint_media_$pathToken"
 
   /** DuckDB-oracled CONSTRAINT verdicts of the flagship validation pass:
     * the golden-scenario docs + media catalog are materialized to parquet,

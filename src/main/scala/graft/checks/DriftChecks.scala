@@ -229,9 +229,13 @@ object DriftChecks {
     * permutation loop) — right when parts ≫ cores, exactly the regime this
     * path exists for; at small part counts [[mmd]]'s chunk fan-out spreads
     * better. Executor memory per task: the (m + maxSample)² × 4 B kernel
-    * matrix (16 MB at 1000+1000) plus the survivors buffer (≈3 × maxSample
-    * rows with a tuned `prefilterFrac`; an untuned 1.0 buffers every doc of
-    * the part — tune the prefilter exactly as the sampled path does). */
+    * matrix (16 MB at 1000+1000) plus an O(maxSample) selection heap —
+    * bounded even at `prefilterFrac = 1.0`; the prefilter's job here is
+    * only to thin the by-part SHUFFLE. A prefilter tuned too tight for a
+    * small part truncates (or empties) that part's sample where the
+    * default path would not — tune with ≥3× margin as the bench does;
+    * parts with zero survivors emit no row (ValidationRun fills in a loud
+    * empty-sample verdict). */
   def mmdDistributed(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
                      ref: RefState, runId: String, alpha: Double,
                      maxSample: Int = 1000, prefilterFrac: Double = 1.0,
@@ -247,11 +251,29 @@ object DriftChecks {
     val partials = surviving.as[(Int, Seq[String], Seq[Int], Long)]
       .groupByKey(_._1)
       .mapGroups { (part, it) =>
-        val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        // bounded selection — a max-heap of the maxSample smallest
+        // (hash, features), the SAME full-order admission as
+        // DocStatsBuffer.updateDoc: O(maxSample) task memory even at
+        // prefilterFrac = 1.0 (a sort of every surviving row would buffer
+        // the whole part), features built only for admitted rows or
+        // boundary hash ties, and the kept set is arrival-order-invariant
+        val ord = graft.sketch.DocStatsBuffer.SampleOrd
+        val heap = scala.collection.mutable.PriorityQueue.empty(ord)
         it.foreach { case (_, k, o, h) =>
-          buf += ((h, graft.sketch.DocStatsAgg.featuresOf(k, o))) }
-        val y = buf.sorted(graft.sketch.DocStatsBuffer.SampleOrd)
-          .take(maxSample).map(_._2).toArray
+          if (heap.size < maxSample)
+            heap.enqueue((h, graft.sketch.DocStatsAgg.featuresOf(k, o)))
+          else {
+            val hd = heap.head
+            if (h < hd._1) {
+              heap.enqueue((h, graft.sketch.DocStatsAgg.featuresOf(k, o)))
+              heap.dequeue()
+            } else if (h == hd._1) {
+              val f = graft.sketch.DocStatsAgg.featuresOf(k, o)
+              if (ord.compare((h, f), hd) < 0) { heap.enqueue((h, f)); heap.dequeue() }
+            }
+          }
+        }
+        val y = heap.toArray.sorted(ord).map(_._2)
         val (x, sigma) = bc.value
         val m = x.length
         val pool = x ++ y

@@ -91,9 +91,9 @@ object PartStats {
   def computeFusedTree(docs: DataFrame, maxSample: Int = 1000,
                        mode: Int = graft.sketch.DocStatsAgg.ModeBoth,
                        mediaSet: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]] = None,
-                       fanIn: Int = 64)
+                       fanIn: Int = 64, fetchPartitions: Int = 256)
       : (Map[Int, PartSummary], Map[Int, Array[Array[Double]]]) = {
-    require(fanIn >= 1)
+    require(fanIn >= 1 && fetchPartitions >= 1)
     val spark = docs.sparkSession
     import spark.implicits._
     val stage1 = docs
@@ -104,8 +104,19 @@ object PartStats {
         maxSample, mode,
         mediaRefs = mediaSet.map(_ => col("spans.media_ref")),
         mediaSet = mediaSet).as("st"))
+    // toLocalIterator fetches one whole shuffle PARTITION per job, not one
+    // row — so the driver-residency bound is set by the stage-2 partition
+    // width, not by fanIn alone (at the default shuffle width a 10⁵-part
+    // run would still fetch GBs per job). The explicit repartition by range
+    // key REPLACES the groupBy's own exchange (same data volume, chosen
+    // width: Catalyst sees the distribution already satisfied) and bounds
+    // each fetch to ≈ parts/fetchPartitions digests — e.g. 10⁵ parts / 256
+    // ≈ 390 × 0.5 MB ≈ 0.2 GB per job, under the default
+    // driver.maxResultSize.
     val ranged = stage1
-      .groupBy(floor($"part" / fanIn).cast("int").as("rng"))
+      .withColumn("rng", floor($"part" / fanIn).cast("int"))
+      .repartition(fetchPartitions, $"rng")
+      .groupBy($"rng")
       .agg(collect_list(struct($"part", $"st")).as("digests"))
     val sumB = Map.newBuilder[Int, PartSummary]
     val samB = Map.newBuilder[Int, Array[Array[Double]]]

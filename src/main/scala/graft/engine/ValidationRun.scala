@@ -13,6 +13,11 @@ case class RunConfig(
     numPermutations: Int = 100,
     randomState: Long = 31L,
     maxSample: Int = 2000,
+    // consumed ONLY by the distributedMmd leg (thins the by-part sample
+    // shuffle); the default paths select samples inside the fused scan's
+    // bounded buffer and need no prefilter. Tune with >=3x margin
+    // (maxSample x 3 / docsPerPart) — too tight truncates small parts'
+    // samples vs the default path.
     samplePrefilterFrac: Double = 1.0,
     // 0 = single-shuffle uniqueness (default): A/B at 54M docs / 32 cores
     // measured the salted two-stage 1.6-2.1x slower wall and ~1.6x the CPU
@@ -197,7 +202,21 @@ object ValidationRun {
         if (cfg.fusedScan) mediaSet else None))
       if (fuseRef) sinkWrite("ref", refViolOf(sm)._1)
       sinkWrite("integrity", intViolOf(sm))
-      (sm, Map.empty[Int, Array[Array[Double]]], Await.result(fMmd, Duration.Inf))
+      val mv = Await.result(fMmd, Duration.Inf)
+      // a prefilter tuned too tight can leave a small part with ZERO
+      // surviving sample rows — it then emits no row from the fan-out.
+      // Fill in a LOUD empty-sample verdict (passed, no drift evidence)
+      // so every part still gets its mmd_features row, like the default
+      // path guarantees.
+      val present = mv.map(_.part).toSet
+      val filled = mv ++ (sm.keySet -- present).toSeq.sorted.map { p =>
+        log.warn(s"distributedMmd: part $p had no sample survivors " +
+          "(samplePrefilterFrac too tight for its size?) - emitting empty-sample verdict")
+        Verdict.now(cfg.runId, p, "mmd_features", cfg.alpha, 0.0, 1.0, Some(true),
+          Map("n_prod" -> 0.0, "empty_sample" -> 1.0,
+            "permutations" -> cfg.numPermutations.toDouble), ref.snapshotId)
+      }
+      (sm, Map.empty[Int, Array[Array[Double]]], filled)
     } else if (cfg.fusedScan) {
       val (sm, sp) = timed("stats")(fused(graft.sketch.DocStatsAgg.ModeBoth, mediaSet))
       // launch the stats-derived violation writes BEFORE the MMD fan-out so

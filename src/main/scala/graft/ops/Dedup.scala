@@ -163,7 +163,15 @@ object Dedup {
   /** SimHash near-duplicate pairs within a Hamming radius, via the standard
     * chunk trick: split 64 bits into `chunks` pieces; pairs within Hamming
     * distance < chunks must share ≥1 exact chunk (pigeonhole) — so the join
-    * key is a 16-bit chunk value, never all-pairs. */
+    * key is a chunk value, never all-pairs.
+    *
+    * COST/RECALL TRADE: recall is GUARANTEED only for Hamming ≤ chunks−1,
+    * but chunk width = 64/chunks bits, so expected candidates on random
+    * signatures are ≈ chunks × n² / 2^(64/chunks) — chunks=4 (16-bit keys)
+    * is ~n²/2¹⁴ (Manku-style cheap, radius ≤ 3); chunks=16 (4-bit keys)
+    * approaches all-pairs (~n²) and is only sensible when the radius must
+    * be guaranteed large (e.g. a verification gate) or the corpus is small.
+    * Pick the largest width whose radius guarantee covers your threshold. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simhash(TextOps.tokens(col(textCol))).as("sim"))

@@ -111,8 +111,11 @@ object OpsQueries {
     // candidate recall for every pair within the radius (a pair at Hamming
     // ≤ 15 must share one of 16 exact 4-bit chunks) — the previous chunks=8
     // config only guaranteed Hamming ≤ 7 and relied on measured corpus luck
-    // for 8–12. Production corpora wanting Manku-style blocking cost would
-    // use chunks=4, maxHamming=3 (guaranteed ≤ 3).
+    // for 8–12. The price of the guarantee: 4-bit chunk keys collide ~1/16,
+    // so candidate generation approaches all-pairs (see Dedup.simhashPairs's
+    // cost note) — right for this bounded gate corpus, NOT a production
+    // config; corpora wanting Manku-style blocking cost use chunks=4,
+    // maxHamming=3 (guaranteed ≤ 3, keys 16-bit).
     Dedup.simhashJaccardPairs(docsWithNearDups(s, dir), "doc_id", "text",
         threshold = 0.5, maxHamming = 12, chunks = 16)
       .orderBy(col("id_a"), col("id_b"))
@@ -178,8 +181,11 @@ object OpsQueries {
     * and tie order) DuckDB-oracle-able. The production-shape approximate
     * config stays `knn_join` (rows-only + recall specs). */
   def knnJoinExact(s: SparkSession, dir: String): DataFrame =
+    // maxBucket OFF: at planes=1 both buckets hold ~n/2 rows, so the default
+    // cap would trigger at larger SFs and split-key refinement would break
+    // the total-recall guarantee this gate exists to check
     Similarity.knnJoin(embs(s, dir), "vec_id", "embedding", k = 5,
-        planes = 1, probes = 2)
+        planes = 1, probes = 2, maxBucket = Int.MaxValue)
       .orderBy(col("id_a"), col("cos").desc, col("id_b"))
 
   /** Single-query ANN at the guaranteed-total-probe config (planes=1,

@@ -226,10 +226,16 @@ object Similarity {
       if (probes <= 1) array(own)
       else array(own +: (0 until math.min(probes - 1, planes)).map(j => own.bitwiseXOR(1L << j)): _*)
     }
+    // materialize the exploded query side ONCE (localCheckpoint truncates
+    // lineage into executor storage, released with the DataFrame): it is
+    // referenced twice — the probed-bucket collect AND the join — and an
+    // uncached subplan would re-read + re-bucket the query source per
+    // reference (Spark shares no uncached subtrees)
     val q = queries.select(col(idCol).as("query_id"),
         col(embCol).cast("array<double>").as("qemb"),
         hyperplaneBucket(col(embCol), planes).as("b0"))
       .select(col("query_id"), col("qemb"), explode(probeArr).as("bucket"))
+      .localCheckpoint(true)
     val probed: Array[Long] =
       q.select(col("bucket")).distinct().collect().map(_.getLong(0))
     spark.read.parquet(indexPath)

@@ -267,9 +267,26 @@ final class DocStatsBuffer(val maxSample: Int) {
       if (ord) ordViolationDocs += 1
       if (nk) nullKindDocs += 1
     }
-    if (doSample && (sample.size < maxSample || h < sample.head._1)) {
-      sample.enqueue((h, features(kinds, offsets)))
-      if (sample.size > maxSample) sample.dequeue()
+    // admission uses the FULL SampleOrd (hash, then features), not the hash
+    // alone: with a hash-only test, two candidates TIED with the boundary
+    // hash would keep whichever arrived first — order-dependent, and
+    // divergent from any sorted-take formulation of "the maxSample smallest"
+    // (the distributed MMD path replays exactly that). The fast path (h
+    // strictly below/above the boundary) never computes features for
+    // rejected rows; only a boundary hash TIE pays the feature build.
+    if (doSample) {
+      if (sample.size < maxSample) sample.enqueue((h, features(kinds, offsets)))
+      else {
+        val hd = sample.head
+        if (h < hd._1) {
+          sample.enqueue((h, features(kinds, offsets))); sample.dequeue()
+        } else if (h == hd._1) {
+          val f = features(kinds, offsets)
+          if (sampleOrd.compare((h, f), hd) < 0) {
+            sample.enqueue((h, f)); sample.dequeue()
+          }
+        }
+      }
     }
   }
 
@@ -354,9 +371,12 @@ final class DocStatsBuffer(val maxSample: Int) {
     }
     kll.merge(other.kll)
     other.sample.foreach { e =>
-      if (sample.size < maxSample || e._1 < sample.head._1) {
+      // full-order admission (see updateDoc) — merge order can't change the
+      // kept set on boundary hash ties
+      if (sample.size < maxSample) sample.enqueue(e)
+      else if (sampleOrd.compare(e, sample.head) < 0) {
         sample.enqueue(e)
-        if (sample.size > maxSample) sample.dequeue()
+        sample.dequeue()
       }
     }
   }

@@ -480,7 +480,7 @@ class SimilaritySpec extends AnyFunSuite {
         .map { case (oid, c) => (qid, oid, c) }
     }.sortBy(t => (t._1, -t._3, t._2))
     val got = Similarity.knnJoin(embs, "vec_id", "embedding", k = 5,
-        planes = 1, probes = 2)
+        planes = 1, probes = 2, maxBucket = Int.MaxValue)
       .orderBy($"id_a", $"cos".desc, $"id_b")
       .as[(Long, Long, Double)].collect()
     assert(got.length == expected.length)
