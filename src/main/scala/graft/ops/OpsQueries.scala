@@ -167,6 +167,32 @@ object OpsQueries {
       .orderBy(col("query_id"), col("cos").desc, col("id"))
   }
 
+  /** IVF ANN against a persisted coarse-quantized index (rows-only:
+    * data-adaptive list probing is approximate by design; recall and the
+    * all-lists==brute-force identity are unit-tested in IvfAnnSpec). */
+  def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("ivf-index-q").toString
+    IvfAnn.indexWrite(embs(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", idx, nLists = 16)
+    val queryVec = embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    IvfAnn.topKIndexed(s, idx, queryVec, k = 10, nprobe = 4)
+  }
+
+  /** IVF at the exact config (nprobe = nLists → every list probed → brute
+    * force): hash-checks the whole train/assign/persist/probe pipeline
+    * against the similarity_topk oracle. */
+  def annIvfExact(s: SparkSession, dir: String): DataFrame = {
+    val idx = java.nio.file.Files.createTempDirectory("ivf-index-x").toString
+    IvfAnn.indexWrite(embs(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", idx, nLists = 8)
+    val queryVec = embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    IvfAnn.topKIndexed(s, idx, queryVec, k = 10, nprobe = 8)
+  }
+
   /** Per-row kNN join (rows-only: LSH recall is approximate by design; the
     * recall bound vs brute force is unit-tested in SimilaritySpec). */
   def knnJoin(s: SparkSession, dir: String): DataFrame =
@@ -296,6 +322,8 @@ object OpsQueries {
     "ann_lsh_topk" -> (annLshTopK _),
     "ann_lsh_indexed" -> (annLshIndexed _),
     "ann_lsh_batch" -> (annLshBatch _),
+    "ann_ivf_topk" -> (annIvfTopK _),
+    "ann_ivf_exact" -> (annIvfExact _),
     "knn_join" -> (knnJoin _),
     "knn_join_exact" -> (knnJoinExact _),
     "ann_lsh_exact" -> (annLshExact _),
@@ -431,6 +459,21 @@ object OpsQueries {
            FROM pairs)
          SELECT id_a, id_b, cos FROM ranked WHERE rn <= 5
          ORDER BY id_a, cos DESC, id_b""",
+    // nprobe = nLists -> every inverted list probed -> identical to brute
+    // force; shares the similarity_topk replay (hash-checks the IVF
+    // train/assign/persist/probe pipeline end to end)
+    "ann_ivf_exact" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS e,
+                    generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+         x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id <> 0),
+         dots AS (SELECT x.vec_id, sum(x.e * q.e) AS dot,
+                    sqrt(sum(x.e * x.e)) AS nx, sqrt(sum(q.e * q.e)) AS nq
+                  FROM x JOIN q USING (i) GROUP BY x.vec_id)
+         SELECT vec_id AS id, round(dot / (nx * nq), 4) AS cos FROM dots
+         ORDER BY cos DESC, id LIMIT 10""",
     // at planes=1/probes=2 both buckets are probed -> identical to brute
     // force; shares the similarity_topk replay
     "ann_lsh_exact" ->

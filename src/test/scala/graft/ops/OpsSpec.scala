@@ -502,6 +502,56 @@ class SimilaritySpec extends AnyFunSuite {
   }
 }
 
+class IvfAnnSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  /** Clustered corpus — the regime IVF exists for. */
+  private lazy val clustered = {
+    val rng = new graft.stats.StatMath.SplitMix64(512L)
+    val centers = Array.fill(20, 16)(rng.nextDouble() * 2 - 1)
+    (0 until 300).map { i =>
+      val c = centers(i / 15)
+      (i.toLong, c.map(_ + (rng.nextDouble() * 2 - 1) * 0.05).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("ivf: training is deterministic; assignment covers every row once") {
+    val c1 = IvfAnn.trainCentroids(clustered, "vec_id", "embedding", nLists = 8)
+    val c2 = IvfAnn.trainCentroids(clustered, "vec_id", "embedding", nLists = 8)
+    assert(c1.length == 8)
+    c1.zip(c2).foreach { case (a, b) => assert(a.sameElements(b)) }
+    val assigned = IvfAnn.assign(clustered, "vec_id", "embedding", c1)
+    assert(assigned.count() == 300)
+    assert(assigned.select("list").distinct().count() > 1)
+  }
+
+  test("ivf indexed topk: nprobe covering all lists equals brute force; " +
+    "small nprobe keeps high recall on the clustered corpus; scan partition-prunes") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-index").toString
+    IvfAnn.indexWrite(clustered, "vec_id", "embedding", dir, nLists = 8)
+    val q = clustered.filter($"vec_id" === 0)
+      .select($"embedding").as[Seq[Double]].head().toArray
+    // exact config: all lists probed == brute force (basis of the oracle)
+    val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    val all = IvfAnn.topKIndexed(spark, dir, q, k = 10, nprobe = 8)
+      .as[(Long, Double)].collect().toSeq
+    assert(all == exact, s"ivf=$all bf=$exact")
+    // approximate config: 2 of 8 lists, query's cluster-mates dominate
+    val approx = IvfAnn.topKIndexed(spark, dir, q, k = 10, nprobe = 2)
+    val plan = approx.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findAllIn(plan).toSeq
+    assert(pf.exists(_.contains("list#")), plan.take(1500))
+    val got = approx.as[(Long, Double)].collect().map(_._1).toSet
+    val truth = exact.map(_._1).toSet
+    val recall = truth.intersect(got).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall@10 with nprobe=2/8: $recall")
+  }
+}
+
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = graft.SparkTestBase.spark
   import spark.implicits._
