@@ -41,4 +41,47 @@ object Curate {
       .filter(col("quality_micros") >= minQualityMicros &&
         col("lang").isin(langs: _*))
   }
+
+  /** Curation with a SEMANTIC dedup stage: exact dedup → MinHash+LSH
+    * near-dup removal → quality gate → language gate — the full shape of a
+    * pretraining-corpus pipeline (near-duplicates survive exact dedup but
+    * still leak test data / skew training distributions).
+    *
+    * Near-dup drop policy: a doc is dropped iff it has ANY near-duplicate
+    * with a smaller doc_id ("keep the earliest of every near-dup pair").
+    * Deterministic and non-iterative — cluster-exact canonicalization would
+    * need connected components (an iterative join loop); the
+    * smaller-id-wins policy is the standard single-pass trade and, unlike
+    * greedy survivor propagation, is ORDER-FREE, which keeps the whole
+    * pipeline one declarative plan and lets DuckDB replay it exactly.
+    *
+    * Scale shape: the near-dup stage inherits minhashLshPairs' banded
+    * self-join (slim band keys, exact verification on candidates only);
+    * the drop is a LEFT ANTI join against the (small) dropped-id set; the
+    * gates stay codegen'd projections. */
+  def curateWithNearDup(docs: DataFrame, minQualityMicros: Long = 500000L,
+                        langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
+                        jaccardThreshold: Double = 0.5,
+                        shingleN: Int = 3): DataFrame = {
+    val (h1, h2) = Dedup.contentHash(Seq(col("text")))
+    val withSig = docs.select(col("doc_id"), col("text"),
+      h1.as("__h1"), h2.as("__h2"))
+    val exactSurvivors = withSig.groupBy(col("__h1"), col("__h2"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val deduped = withSig
+      .join(exactSurvivors, Seq("__h1", "__h2", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+    // every doc_id appearing as the LARGER side of a verified near-dup pair
+    val dropped = Dedup.minhashLshPairs(deduped, "doc_id", "text",
+        threshold = jaccardThreshold, shingleN = shingleN)
+      .select(col("id_b").as("doc_id")).distinct()
+    deduped
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        TextOps.langId(col("text")).as("lang"),
+        floor(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("quality_micros"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .filter(col("quality_micros") >= minQualityMicros &&
+        col("lang").isin(langs: _*))
+  }
 }

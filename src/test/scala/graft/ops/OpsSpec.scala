@@ -235,6 +235,20 @@ class CurateSpec extends AnyFunSuite {
     assert(out.toMap == Map(1L -> "en", 5L -> "es"))
   }
 
+  test("curation with near-dup stage: exact copy AND near-duplicate both drop, " +
+    "gates still apply, smaller id survives") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy with the sun in the garden today"),
+      (2L, "the cat sat on the mat and it was happy with the sun in the garden tonight"), // near-dup of 1
+      (3L, "the cat sat on the mat and it was happy with the sun in the garden today"), // exact copy of 1
+      (4L, "!!!! #### $$$$ %%%% ^^^^ &&&&"), // garbage -> quality gate
+      (5L, "el perro corre en la casa y los gatos duermen por la noche con el sol"))
+      .toDF("doc_id", "text")
+    val out = Curate.curateWithNearDup(docs)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 5L -> "es"), out.toString)
+  }
+
   test("curation pipeline: survivor is min doc_id, stable under repartition") {
     val docs = Seq(9L, 7L, 8L).map(i =>
         (i, "the quick brown fox jumps over the lazy dog and it is a fine day for a run"))
