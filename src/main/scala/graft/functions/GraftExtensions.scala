@@ -1,0 +1,108 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+
+/** SQL surface for the engine's native expressions — every custom codegen
+  * Expression becomes a `spark.sql(...)`-callable function, so the whole
+  * operator library is reachable from plain SQL, not only the Scala API
+  * (completing the "a reference user can run every query" contract).
+  *
+  * Two registration paths, same function set:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *    build (the idiomatic SparkSessionExtensions injection), or
+  *  - `GraftExtensions.register(spark)` on a LIVE session (tests, REPLs).
+  *
+  * Shape parameters (planes, bands, n, …) arrive as SQL literal arguments
+  * and must be foldable integers — the builders fail analysis loudly
+  * otherwise (the expressions specialize codegen on these constants).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def intLit(e: Expression, fn: String, arg: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other if other.foldable && other.dataType == IntegerType =>
+      other.eval().asInstanceOf[Int]
+    case other =>
+      throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer literal, got $other")
+  }
+
+  private def strLits(e: Expression, fn: String, arg: String): Seq[String] = e match {
+    case other if other.foldable =>
+      other.eval() match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toObjectArray(org.apache.spark.sql.types.StringType)
+            .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+        case _ => throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be a string-array literal")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a string-array literal, got $other")
+  }
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$fn takes $n arguments, got ${args.length}")
+
+  /** (name, info, builder) for every native expression. */
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", "cosine similarity of two numeric arrays",
+      (args: Seq[Expression]) => { arity("cosine_sim", args, 2); CosineSim(args(0), args(1)) }),
+    ("rolling_hash", "polynomial rolling hash of a string's UTF-8 bytes",
+      (args: Seq[Expression]) => { arity("rolling_hash", args, 1); RollingHash(args(0)) }),
+    ("simhash64", "64-bit SimHash of a token array",
+      (args: Seq[Expression]) => { arity("simhash64", args, 1); SimHash64(args(0)) }),
+    ("hyperplane_bucket", "random-hyperplane LSH bucket id (planes sign bits)",
+      (args: Seq[Expression]) => {
+        arity("hyperplane_bucket", args, 2)
+        HyperplaneBucket(args(0), intLit(args(1), "hyperplane_bucket", "planes"))
+      }),
+    ("span_flags", "span-integrity flags: bit0 non-monotone offsets, bit1 null kind",
+      (args: Seq[Expression]) => { arity("span_flags", args, 2); SpanFlags(args(0), args(1)) }),
+    ("whitespace_tokens", "lowercase whitespace tokens of a string",
+      (args: Seq[Expression]) => { arity("whitespace_tokens", args, 1); WhitespaceTokens(args(0)) }),
+    ("word_shingles", "distinct n-gram word shingles of a string",
+      (args: Seq[Expression]) => {
+        arity("word_shingles", args, 2)
+        WordShingles(args(0), intLit(args(1), "word_shingles", "n"))
+      }),
+    ("minhash_sig", "MinHash signature (k slots) of a shingle array",
+      (args: Seq[Expression]) => {
+        arity("minhash_sig", args, 2)
+        MinHashSig(args(0), intLit(args(1), "minhash_sig", "numHashes"))
+      }),
+    ("band_hashes", "LSH band hashes of a MinHash signature",
+      (args: Seq[Expression]) => {
+        arity("band_hashes", args, 3)
+        BandHashes(args(0), intLit(args(1), "band_hashes", "bands"),
+          intLit(args(2), "band_hashes", "rows"))
+      }),
+    ("stopword_count", "count of tokens contained in a literal stopword list",
+      (args: Seq[Expression]) => {
+        arity("stopword_count", args, 2)
+        StopwordCount(args(0), strLits(args(1), "stopword_count", "words"))
+      })
+  ).map { case (name, _usage, builder) =>
+    // two-arg ExpressionInfo(className, name): the 3-arg overload is
+    // (className, db, name), NOT (className, name, usage)
+    (name, new ExpressionInfo(classOf[GraftExtensions].getName, name), builder)
+  }
+
+  /** Register on a live session (tests, REPLs, existing deployments). */
+  def register(spark: SparkSession): Unit = {
+    val registry: FunctionRegistry = spark.sessionState.functionRegistry
+    functions.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}

@@ -1,5 +1,52 @@
 package graft.functions
 
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL function surface: every native expression callable from plain
+  * `spark.sql`, with shape parameters as literals. */
+class GraftExtensionsSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+
+  test("all native expressions registered and callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+           round(cosine_sim(array(1.0d, 0.0d), array(1.0d, 0.0d)), 6) AS cs,
+           rolling_hash('ab') AS rh,
+           simhash64(array('a', 'b')) AS sh,
+           hyperplane_bucket(array(0.5d, -0.5d), 4) AS hb,
+           span_flags(array('text'), array(5, 3)) AS fl,
+           size(whitespace_tokens('Hello  world')) AS wt,
+           word_shingles('a b c d', 3) AS ws,
+           size(minhash_sig(array('x y z'), 8)) AS ms,
+           size(band_hashes(minhash_sig(array('x y z'), 8), 4, 2)) AS bh,
+           stopword_count(array('the', 'fox'), array('the', 'a')) AS sc
+         """).head()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getLong(1) == 97L * RollingHash.B + 98L)
+    assert(!r.isNullAt(2))
+    assert(r.getLong(3) >= 0L && r.getLong(3) < 16L)
+    assert(r.getInt(4) == SpanFlags.OrdBit) // 3 <= 5: non-monotone
+    assert(r.getInt(5) == 2)
+    assert(r.getSeq[String](6) == Seq("a b c", "b c d"))
+    assert(r.getInt(7) == 8)
+    assert(r.getInt(8) == 4)
+    assert(r.getInt(9) == 1)
+    // SQL result == Scala-API result for a representative expression
+    import spark.implicits._
+    val viaSql = spark.sql("SELECT rolling_hash('graft engine')").head().getLong(0)
+    val viaApi = Seq("graft engine").toDF("t")
+      .select(RollingHash.rolling_hash($"t")).head().getLong(0)
+    assert(viaSql == viaApi)
+    // shape args must be literals — loud analysis failure otherwise
+    val ex = intercept[Exception] {
+      spark.sql("SELECT hyperplane_bucket(array(1.0d), CAST(rand()*4 AS INT))").head()
+    }
+    assert(ex.getMessage.contains("integer literal") ||
+      ex.getMessage.contains("hyperplane_bucket"))
+  }
+}
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
