@@ -44,6 +44,27 @@ object SparkEntry {
   private val pathToken: Long = ProcessHandle.current().pid()
   private val DriftInputsPath = s"/tmp/graft_drift_inputs_$pathToken"
 
+  /** Bounded /tmp growth: sibling oracle-input dirs from PREVIOUS runs
+    * (other pids) are deleted once they are clearly stale — old enough
+    * that no concurrent Verify+DuckDB pair can still be reading them.
+    * Own-pid dirs are never touched (the oracle reads them after this JVM
+    * exits); within one JVM, interleaved sessions share a pid and the
+    * overwrite race remains — one Verify per process is the contract. */
+  private def cleanStaleSiblings(prefix: String): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      val tmp = java.nio.file.Paths.get("/tmp")
+      val ls = java.nio.file.Files.list(tmp)
+      try ls.filter(p => p.getFileName.toString.startsWith(prefix) &&
+            !p.getFileName.toString.endsWith(s"_$pathToken"))
+        .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
+        .forEach { p =>
+          import scala.sys.process._
+          Seq("rm", "-rf", p.toString).!
+        }
+      finally ls.close()
+    } catch { case _: Throwable => }
+
   /** DuckDB-oracled drift INPUTS of the flagship validation pass: the
     * golden-scenario docs table is materialized to parquet, then the exact
     * frames the χ²/PSI/KS checks consume — per-(part, kind) span counts and
@@ -56,6 +77,7 @@ object SparkEntry {
     import graft.model.DocsGen
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
     val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    cleanStaleSiblings("graft_drift_inputs_")
     DocsGen.docs(spark, nDocs, DocsGen.goldenScenario)
       .write.mode("overwrite").parquet(DriftInputsPath)
     val flat = spark.read.parquet(DriftInputsPath)
@@ -107,6 +129,7 @@ object SparkEntry {
     import graft.model.DocsGen
     val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
     val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    cleanStaleSiblings("graft_constraint_")
     DocsGen.docs(spark, nDocs, DocsGen.goldenScenario)
       .write.mode("overwrite").parquet(ConstraintDocsPath)
     DocsGen.media(spark)

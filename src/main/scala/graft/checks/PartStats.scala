@@ -91,11 +91,20 @@ object PartStats {
   def computeFusedTree(docs: DataFrame, maxSample: Int = 1000,
                        mode: Int = graft.sketch.DocStatsAgg.ModeBoth,
                        mediaSet: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]] = None,
-                       fanIn: Int = 64, fetchPartitions: Int = 256)
+                       fanIn: Int = 64, fetchPartitions: Int = 0)
       : (Map[Int, PartSummary], Map[Int, Array[Array[Double]]]) = {
-    require(fanIn >= 1 && fetchPartitions >= 1)
+    require(fanIn >= 1 && fetchPartitions >= 0)
     val spark = docs.sparkSession
     import spark.implicits._
+    // fetchPartitions = 0 (auto) → the session shuffle width: toLocalIterator
+    // runs ONE job per partition, so a large fixed width would schedule
+    // hundreds of near-empty sequential mini-jobs on small runs. Per-fetch
+    // driver bytes ≈ parts/width × digest — at the default widths that is
+    // well under driver.maxResultSize through ~10⁵ parts; extreme-scale
+    // callers size it explicitly (width ≈ parts × digestBytes / 200 MB).
+    val fetchWidth =
+      if (fetchPartitions > 0) fetchPartitions
+      else math.max(spark.sessionState.conf.numShufflePartitions, 1)
     val stage1 = docs
       .groupBy($"part")
       .agg(graft.sketch.DocStatsAgg.docStats(
@@ -115,7 +124,7 @@ object PartStats {
     // driver.maxResultSize.
     val ranged = stage1
       .withColumn("rng", floor($"part" / fanIn).cast("int"))
-      .repartition(fetchPartitions, $"rng")
+      .repartition(fetchWidth, $"rng")
       .groupBy($"rng")
       .agg(collect_list(struct($"part", $"st")).as("digests"))
     val sumB = Map.newBuilder[Int, PartSummary]

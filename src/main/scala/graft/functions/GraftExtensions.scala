@@ -32,7 +32,13 @@ object GraftExtensions {
   private def intLit(e: Expression, fn: String, arg: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
     case other if other.foldable && other.dataType == IntegerType =>
-      other.eval().asInstanceOf[Int]
+      other.eval() match {
+        // a foldable NULL (e.g. CAST(NULL AS INT)) must fail loudly, not
+        // unbox to 0 and silently degenerate the expression's shape
+        case null => throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be a non-null integer literal, got NULL")
+        case v => v.asInstanceOf[Int]
+      }
     case other =>
       throw new IllegalArgumentException(
         s"$fn: argument '$arg' must be an integer literal, got $other")
@@ -45,7 +51,7 @@ object GraftExtensions {
           a.toObjectArray(org.apache.spark.sql.types.StringType)
             .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
         case _ => throw new IllegalArgumentException(
-          s"$fn: argument '$arg' must be a string-array literal")
+          s"$fn: argument '$arg' must be a non-null string-array literal")
       }
     case other => throw new IllegalArgumentException(
       s"$fn: argument '$arg' must be a string-array literal, got $other")

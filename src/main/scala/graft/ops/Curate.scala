@@ -22,25 +22,36 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  def curate(docs: DataFrame, minQualityMicros: Long = 500000L,
-             langs: Seq[String] = Seq("en", "es", "de", "fr", "zh")): DataFrame = {
-    // 128-bit content identity (Dedup.contentHash): one xxhash64 would
-    // falsely merge ~n²/2⁶⁵ distinct docs — ~27k wrong drops at 10¹² docs
+  /** Exact-dedup stage shared by both pipelines: survivor per 128-bit
+    * content hash = min doc_id (two partial-merged aggs + semi-join, no
+    * window). One xxhash64 would falsely merge ~n²/2⁶⁵ distinct docs —
+    * ~27k wrong drops at 10¹² docs (Dedup.contentHash). */
+  private def exactDedup(docs: DataFrame): DataFrame = {
     val (h1, h2) = Dedup.contentHash(Seq(col("text")))
     val withSig = docs.select(col("doc_id"), col("text"),
       h1.as("__h1"), h2.as("__h2"))
-    // survivor per content hash: min doc_id (two partial-merged aggs, no window)
     val survivors = withSig.groupBy(col("__h1"), col("__h2"))
       .agg(min(col("doc_id")).as("doc_id"))
     withSig
       .join(survivors, Seq("__h1", "__h2", "doc_id"), "left_semi")
+      .select(col("doc_id"), col("text"))
+  }
+
+  /** Quality + language gates shared by both pipelines: pure codegen'd
+    * projections over (doc_id, text). */
+  private def gates(deduped: DataFrame, minQualityMicros: Long,
+                    langs: Seq[String]): DataFrame =
+    deduped
       .select(col("doc_id"),
         TextOps.langId(col("text")).as("lang"),
         floor(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("quality_micros"),
         size(TextOps.tokens(col("text"))).as("n_tokens"))
       .filter(col("quality_micros") >= minQualityMicros &&
         col("lang").isin(langs: _*))
-  }
+
+  def curate(docs: DataFrame, minQualityMicros: Long = 500000L,
+             langs: Seq[String] = Seq("en", "es", "de", "fr", "zh")): DataFrame =
+    gates(exactDedup(docs), minQualityMicros, langs)
 
   /** Curation with a SEMANTIC dedup stage: exact dedup → MinHash+LSH
     * near-dup removal → quality gate → language gate — the full shape of a
@@ -63,25 +74,12 @@ object Curate {
                         langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
                         jaccardThreshold: Double = 0.5,
                         shingleN: Int = 3): DataFrame = {
-    val (h1, h2) = Dedup.contentHash(Seq(col("text")))
-    val withSig = docs.select(col("doc_id"), col("text"),
-      h1.as("__h1"), h2.as("__h2"))
-    val exactSurvivors = withSig.groupBy(col("__h1"), col("__h2"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    val deduped = withSig
-      .join(exactSurvivors, Seq("__h1", "__h2", "doc_id"), "left_semi")
-      .select(col("doc_id"), col("text"))
+    val deduped = exactDedup(docs)
     // every doc_id appearing as the LARGER side of a verified near-dup pair
     val dropped = Dedup.minhashLshPairs(deduped, "doc_id", "text",
         threshold = jaccardThreshold, shingleN = shingleN)
       .select(col("id_b").as("doc_id")).distinct()
-    deduped
-      .join(dropped, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"),
-        TextOps.langId(col("text")).as("lang"),
-        floor(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("quality_micros"),
-        size(TextOps.tokens(col("text"))).as("n_tokens"))
-      .filter(col("quality_micros") >= minQualityMicros &&
-        col("lang").isin(langs: _*))
+    gates(deduped.join(dropped, Seq("doc_id"), "left_anti"),
+      minQualityMicros, langs)
   }
 }

@@ -71,15 +71,23 @@ object IvfAnn {
     // kmeans++ (cosine distance = 1 - cos): first centroid = first sample
     // row; each next drawn ∝ distance to the nearest chosen centroid
     val centroids = scala.collection.mutable.ArrayBuffer[Array[Double]](sample(0))
-    while (centroids.length < k) {
+    var exhausted = false
+    while (centroids.length < k && !exhausted) {
       val d2 = sample.map { v =>
         val best = centroids.map(c => 1.0 - cosine(v, c)).min
         best * best
       }
       val total = d2.sum
       if (total <= 0.0) {
-        // all mass on chosen points — fall back to round-robin distinct rows
-        centroids += sample(centroids.length % sample.length)
+        // degenerate: every sample point coincides with a chosen centroid.
+        // Fall back to the first sample row NOT already chosen (positional
+        // round-robin could re-pick a duplicate of an existing centroid,
+        // wasting a list); if literally all rows are duplicates, stop early
+        // with fewer centroids rather than add dead ones.
+        sample.find(v => !centroids.exists(_.sameElements(v))) match {
+          case Some(v) => centroids += v
+          case None => exhausted = true // fewer centroids beats dead duplicates
+        }
       } else {
         var draw = rng.nextDouble() * total
         var i = 0
@@ -88,12 +96,13 @@ object IvfAnn {
       }
     }
     var cents = centroids.toArray
+    val kEff = cents.length // may be < k when the sample degenerated
     (0 until iters).foreach { _ =>
-      val sums = Array.fill(k)(new Array[Double](sample(0).length))
-      val counts = new Array[Long](k)
+      val sums = Array.fill(kEff)(new Array[Double](sample(0).length))
+      val counts = new Array[Long](kEff)
       sample.foreach { v =>
         var best = 0; var bestCos = -2.0; var c = 0
-        while (c < k) {
+        while (c < kEff) {
           val cs = cosine(v, cents(c))
           if (cs > bestCos) { bestCos = cs; best = c }
           c += 1
@@ -102,7 +111,7 @@ object IvfAnn {
         var i = 0
         while (i < v.length) { sums(best)(i) += v(i); i += 1 }
       }
-      cents = Array.tabulate(k) { c =>
+      cents = Array.tabulate(kEff) { c =>
         if (counts(c) == 0) cents(c) // empty cluster: keep previous centroid
         else sums(c).map(_ / counts(c))
       }

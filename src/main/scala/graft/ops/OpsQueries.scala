@@ -358,7 +358,11 @@ object OpsQueries {
     * so band-collision/chunk-equality is certain), and both verify
     * candidates with exact Jaccard — so all three operators' outputs equal
     * this ground truth, making the LSH family hash-checkable. */
-  private val nearDupJaccardSql: String =
+  /** Shared CTE block: the injected near-dup corpus + the engine-identical
+    * shingling + inverted-index exact-Jaccard pair computation (CTE `i`).
+    * Single source for every oracle that needs exact pairs — a shingling
+    * fix here propagates to all of them. */
+  private val nearDupPairCtes: String =
     """WITH corpus AS (
          SELECT doc_id, text FROM documents
          UNION ALL
@@ -382,53 +386,26 @@ object OpsQueries {
          SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
            CAST(count(*) AS DOUBLE) AS inter
          FROM posting a JOIN posting b ON a.s = b.s AND a.id < b.id
-         GROUP BY 1, 2, 3, 4)
+         GROUP BY 1, 2, 3, 4)"""
+
+  private val nearDupJaccardSql: String = nearDupPairCtes +
+    """
        SELECT id_a, id_b, round(inter / (n_a + n_b - inter), 6) AS jaccard
        FROM i WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5
        ORDER BY id_a, id_b"""
 
-  /** Oracle for the near-dup curation: the shared exact-Jaccard pair CTEs,
-    * then smaller-id-wins drop, then the quality/language gates over the
-    * survivors — the engine's whole composed plan replayed in SQL. */
-  private val curationNearDupSql: String =
-    """WITH corpus AS (
-         SELECT doc_id, text FROM documents
-         UNION ALL
-         SELECT doc_id + 1000000, text || ' perturbed'
-         FROM documents WHERE doc_id % 25 = 0),
-       tk AS (
-         SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-         FROM corpus),
-       sh AS (
-         SELECT doc_id,
-           CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
-                ELSE list_distinct(list_transform(range(len(toks) - 2), i ->
-                    array_to_string(toks[i+1:i+3], ' ')))
-           END AS s_list
-         FROM tk),
-       posting AS (
-         SELECT doc_id AS id, len(s_list) AS n, unnest(s_list) AS s
-         FROM sh WHERE len(s_list) > 0),
-       i AS (
-         SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b,
-           CAST(count(*) AS DOUBLE) AS inter
-         FROM posting a JOIN posting b ON a.s = b.s AND a.id < b.id
-         GROUP BY 1, 2, 3, 4),
-       dropped AS (
-         SELECT DISTINCT id_b FROM i
-         WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5),
-       surv AS (
-         SELECT doc_id, text FROM corpus
-         WHERE doc_id NOT IN (SELECT id_b FROM dropped)),
-       t AS (
+  /** Shared gate CTEs (quality score + language id over (doc_id, text) rows
+    * of `src`) and the final gated select — single source for the two
+    * curation oracles. */
+  private def gateCtes(src: String): String =
+    s"""t AS (
          SELECT doc_id, text,
-           len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
-           length(regexp_replace(text, '\s+', '', 'g')) AS nosp,
-           len(list_filter(string_split_regex(lower(text), '\s+'),
+           len(list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0)) AS n_tokens,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS nosp,
+           len(list_filter(string_split_regex(lower(text), '\\s+'),
                x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS n_stop,
-           length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct
-         FROM surv),
+           length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS punct
+         FROM $src),
        q AS (
          SELECT doc_id,
            CAST(floor(( least(greatest(n_tokens,1) / 64.0, 1.0)*0.3
@@ -439,10 +416,10 @@ object OpsQueries {
            n_tokens
          FROM t),
        lt AS (SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x)>0) AS toks,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x)>0) AS toks,
            length(text) AS L,
-           length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk
-         FROM surv),
+           length(regexp_replace(text, '[^\\x{4E00}-\\x{9FFF}]', '', 'g')) AS cjk
+         FROM $src),
        ls AS (SELECT doc_id,
          cjk*1.0/greatest(L,1) AS cjk_ratio,
          greatest(len(toks),1)*1.0 AS n,
@@ -458,12 +435,28 @@ object OpsQueries {
                     WHEN es >= greatest(de,fr) THEN 'es'
                     WHEN de >= fr THEN 'de' ELSE 'fr' END
              ELSE 'und' END AS lang
-        FROM ls)
+        FROM ls)"""
+
+  private val gateSelect: String =
+    """
        SELECT q.doc_id, lid.lang, q.quality_micros, q.n_tokens
        FROM q JOIN lid ON lid.doc_id = q.doc_id
        WHERE q.quality_micros >= 500000
          AND lid.lang IN ('en','es','de','fr','zh')
        ORDER BY q.doc_id"""
+
+  /** Oracle for the near-dup curation: the shared exact-Jaccard pair CTEs,
+    * then smaller-id-wins drop, then the shared quality/language gates over
+    * the survivors — the engine's whole composed plan replayed in SQL. */
+  private val curationNearDupSql: String = nearDupPairCtes +
+    """,
+       dropped AS (
+         SELECT DISTINCT id_b FROM i
+         WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5),
+       surv AS (
+         SELECT doc_id, text FROM corpus
+         WHERE doc_id NOT IN (SELECT id_b FROM dropped)),
+       """ + gateCtes("surv") + gateSelect
 
   val oracleSql: Map[String, String] = Map(
     "curation_near_dup" -> curationNearDupSql,
@@ -617,54 +610,11 @@ object OpsQueries {
                         THEN 1.0 ELSE 0.4 END)*0.2) * 1000000) AS BIGINT) AS quality_micros,
            n_tokens, n_subwords
          FROM t ORDER BY doc_id""",
-    // dedup → quality → language, composed from the two already-validated
-    // oracle bodies. The oracle evaluates over ORIGINAL documents only: the
-    // engine additionally deduped an injected exact copy of every doc, so
-    // any survivor leak (doc_id ≥ 1e6) breaks rows/hash.
-    "curation_pipeline" ->
-      """WITH t AS (
-           SELECT doc_id, text,
-             len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tokens,
-             length(regexp_replace(text, '\s+', '', 'g')) AS nosp,
-             len(list_filter(string_split_regex(lower(text), '\s+'),
-                 x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS n_stop,
-             length(regexp_replace(text, '[^!-/:-@\[-`{-~]', '', 'g')) AS punct
-           FROM documents),
-         q AS (
-           SELECT doc_id,
-             CAST(floor(( least(greatest(n_tokens,1) / 64.0, 1.0)*0.3
-                  + least((n_stop * 1.0 / greatest(n_tokens,1))*5.0, 1.0)*0.25
-                  + greatest(1.0 - (punct * 1.0 / greatest(length(text),1))*5.0, 0.0)*0.25
-                  + (CASE WHEN (nosp * 1.0 / greatest(n_tokens,1)) BETWEEN 2.5 AND 9.0
-                          THEN 1.0 ELSE 0.4 END)*0.2) * 1000000) AS BIGINT) AS quality_micros,
-             n_tokens
-           FROM t),
-         lt AS (SELECT doc_id,
-             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x)>0) AS toks,
-             length(text) AS L,
-             length(regexp_replace(text, '[^\x{4E00}-\x{9FFF}]', '', 'g')) AS cjk
-           FROM documents),
-         ls AS (SELECT doc_id,
-           cjk*1.0/greatest(L,1) AS cjk_ratio,
-           greatest(len(toks),1)*1.0 AS n,
-           len(list_filter(toks, x -> list_contains(['the','and','of','to','in','is','it','that','was','for','with','as'], x)))*1.0 AS en,
-           len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','las','por','un','una'], x)))*1.0 AS es,
-           len(list_filter(toks, x -> list_contains(['der','die','und','das','von','zu','mit','den','ist','des','im','ein'], x)))*1.0 AS de,
-           len(list_filter(toks, x -> list_contains(['le','la','de','et','les','des','en','un','une','du','est','que'], x)))*1.0 AS fr
-          FROM lt),
-         lid AS (SELECT doc_id,
-          CASE WHEN cjk_ratio > 0.2 THEN 'zh'
-               WHEN greatest(en,es,de,fr)/n >= 0.05 THEN
-                 CASE WHEN en >= greatest(es,de,fr) THEN 'en'
-                      WHEN es >= greatest(de,fr) THEN 'es'
-                      WHEN de >= fr THEN 'de' ELSE 'fr' END
-               ELSE 'und' END AS lang
-          FROM ls)
-         SELECT q.doc_id, lid.lang, q.quality_micros, q.n_tokens
-         FROM q JOIN lid ON lid.doc_id = q.doc_id
-         WHERE q.quality_micros >= 500000
-           AND lid.lang IN ('en','es','de','fr','zh')
-         ORDER BY q.doc_id""",
+    // dedup → quality → language: the shared gate CTEs over ORIGINAL
+    // documents only — the engine additionally deduped an injected exact
+    // copy of every doc, so any survivor leak (doc_id ≥ 1e6) breaks
+    // rows/hash.
+    "curation_pipeline" -> ("WITH " + gateCtes("documents") + gateSelect),
     // fold order: first profile attaining the max wins (strict-greater
     // replacement in the engine keeps the earliest max)
     "lang_id_detect" ->

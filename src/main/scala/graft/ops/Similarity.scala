@@ -226,16 +226,19 @@ object Similarity {
       if (probes <= 1) array(own)
       else array(own +: (0 until math.min(probes - 1, planes)).map(j => own.bitwiseXOR(1L << j)): _*)
     }
-    // materialize the exploded query side ONCE (localCheckpoint truncates
-    // lineage into executor storage, released with the DataFrame): it is
-    // referenced twice — the probed-bucket collect AND the join — and an
-    // uncached subplan would re-read + re-bucket the query source per
-    // reference (Spark shares no uncached subtrees)
+    // persist the exploded query side: it is referenced twice — the
+    // probed-bucket collect AND the join — and an uncached subplan would
+    // re-read + re-bucket the query source per reference (Spark shares no
+    // uncached subtrees). persist (NOT localCheckpoint: truncated lineage
+    // in non-replicated executor blocks is unrecoverable on executor loss
+    // — spot nodes / dynamic allocation would fail the job) keeps safe
+    // recompute; blocks release via the ContextCleaner when the frame is
+    // garbage-collected.
     val q = queries.select(col(idCol).as("query_id"),
         col(embCol).cast("array<double>").as("qemb"),
         hyperplaneBucket(col(embCol), planes).as("b0"))
       .select(col("query_id"), col("qemb"), explode(probeArr).as("bucket"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed: Array[Long] =
       q.select(col("bucket")).distinct().collect().map(_.getLong(0))
     spark.read.parquet(indexPath)

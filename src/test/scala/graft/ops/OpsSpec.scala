@@ -520,8 +520,6 @@ class IvfAnnSpec extends AnyFunSuite {
   lazy val spark = graft.SparkTestBase.spark
   import spark.implicits._
 
-  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-
   /** Clustered corpus — the regime IVF exists for. */
   private lazy val clustered = {
     val rng = new graft.stats.StatMath.SplitMix64(512L)
