@@ -187,13 +187,59 @@ object SparkEntry {
         LEFT JOIN nk ON c.check_id = 'null_kind' AND nk.part = p.part
         ORDER BY p.part, c.check_id"""
 
+  private val SpanSeqAPath = s"/tmp/graft_spanseq_a_$pathToken"
+  private val SpanSeqBPath = s"/tmp/graft_spanseq_b_$pathToken"
+
+  /** DuckDB-oracled span-sequence equality (E14 — the order-significance
+    * invariant): golden docs (violation-fixture parts excluded so doc_id
+    * joins stay 1:1) are written to parquet, a deterministically MUTATED
+    * copy (first span's offset bumped for every ~50th doc) is written
+    * beside them, and the engine's order-sensitive array-equality join
+    * reports exactly the mutated doc_ids; the oracle re-compares the spans
+    * lists of the same two parquet tables. */
+  def entry_docs_span_seq(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.DocsGen
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    cleanStaleSiblings("graft_spanseq_")
+    DocsGen.docs(spark, nDocs, DocsGen.goldenScenario)
+      .filter($"part" < 15)
+      .write.mode("overwrite").parquet(SpanSeqAPath)
+    val a = spark.read.parquet(SpanSeqAPath)
+    a.withColumn("spans",
+        when(pmod(xxhash64($"doc_id", lit("spanmut")), lit(50L)) === 0,
+          transform($"spans", (s, i) =>
+            when(i === 0, struct(
+                s.getField("kind").as("kind"),
+                s.getField("text").as("text"),
+                s.getField("media_ref").as("media_ref"),
+                (s.getField("offset") + 1).as("offset")))
+              .otherwise(s)))
+          .otherwise($"spans"))
+      .write.mode("overwrite").parquet(SpanSeqBPath)
+    graft.checks.ConstraintChecks.spanSequenceEquality(
+        spark.read.parquet(SpanSeqAPath), spark.read.parquet(SpanSeqBPath), "driver")
+      .toDF().select($"part", $"doc_id")
+      .orderBy($"part", $"doc_id")
+  }
+
+  private val spanSeqOracleSql: String =
+    s"""SELECT a.part, a.doc_id
+        FROM read_parquet('$SpanSeqAPath/*.parquet') a
+        JOIN read_parquet('$SpanSeqBPath/*.parquet') b USING (doc_id)
+        WHERE a.spans <> b.spans
+        ORDER BY a.part, a.doc_id"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.entry.TpchQueries.queries ++
       graft.ops.OpsQueries.queries ++
       Map("docs_validation" -> (entry_docs_validation _),
         "docs_drift_inputs" -> (entry_docs_drift_inputs _),
-        "docs_constraints" -> (entry_docs_constraints _))
+        "docs_constraints" -> (entry_docs_constraints _),
+        "docs_span_seq" -> (entry_docs_span_seq _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -201,5 +247,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.entry.TpchQueries.oracleSql ++ graft.ops.OpsQueries.oracleSql ++
       Map("docs_drift_inputs" -> driftInputsOracleSql,
-        "docs_constraints" -> constraintsOracleSql)
+        "docs_constraints" -> constraintsOracleSql,
+        "docs_span_seq" -> spanSeqOracleSql)
 }

@@ -44,6 +44,22 @@ object TpchQueries {
       sum(when($"n" > 1, 1L).otherwise(0L)).as("dup_keys"))
   }
 
+  /** E3 HLL path, oracle-GATED: the merged HLL sketch estimate for
+    * o_custkey must land within 2% of the exact distinct count — the query
+    * emits the exact count plus the accuracy verdict as a boolean, so the
+    * DuckDB oracle (exact count + literal TRUE) hash-fails if the sketch
+    * path ever drifts outside the bound. Spark's HLL++ at the default
+    * relativeSD=0.05 measures ≪1% here; the 2% gate leaves margin while
+    * still catching any real sketch breakage. */
+  def hllOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders").agg(
+        countDistinct($"o_custkey").as("exact_distinct"),
+        hll_sketch_estimate(hll_sketch_agg($"o_custkey")).as("hll"))
+      .select($"exact_distinct",
+        (abs($"hll" - $"exact_distinct") / $"exact_distinct" < 0.02).as("hll_within_2pct"))
+  }
+
   /** E6: referential integrity orders.o_custkey → customer.c_custkey via
     * broadcast LEFT ANTI join (violations counted). */
   def refOrdersCustomer(s: SparkSession, dir: String): DataFrame = {
@@ -130,6 +146,11 @@ object TpchQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // exact count + literal TRUE: the engine-side boolean flips (and the
+    // hash breaks) if the merged HLL estimate leaves the 2% band
+    "hll_orders" ->
+      """SELECT count(DISTINCT o_custkey) AS exact_distinct,
+         TRUE AS hll_within_2pct FROM orders""",
     "stats_lineitem" ->
       """SELECT count(*) AS cnt, count(l_quantity) AS cnt_quantity,
          count(DISTINCT l_partkey) AS distinct_partkey,
@@ -180,6 +201,7 @@ object TpchQueries {
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "hll_orders" -> (hllOrders _),
     "stats_lineitem" -> (statsLineitem _),
     "unique_orders" -> (uniqueOrders _),
     "ref_orders_customer" -> (refOrdersCustomer _),
