@@ -239,10 +239,10 @@ object Similarity {
         hyperplaneBucket(col(embCol), planes).as("b0"))
       .select(col("query_id"), col("qemb"), explode(probeArr).as("bucket"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val probed: Array[Long] =
-      q.select(col("bucket")).distinct().collect().map(_.getLong(0))
+    val probed: Seq[Long] =
+      q.select(col("bucket")).distinct().collect().map(_.getLong(0)).toSeq
     spark.read.parquet(indexPath)
-      .filter(col("bucket").isin(probed: _*)) // partition pruning (literal set)
+      .filter(col("bucket").isInCollection(probed)) // partition pruning (literal set)
       .join(q, Seq("bucket"))
       .select(col("query_id"), col("id"),
         round(cosine(col("qemb"), col("emb")), 4).as("cos"))
