@@ -50,6 +50,23 @@ class PartStatsTreeSpec extends AnyFunSuite {
   }
 }
 
+class MmdExactGuardSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("mmdExactDistance fails loudly BEFORE materializing an over-sized batch") {
+    val docs = DocsGen.docs(spark, 600, DocsGen.cleanScenario(3))
+    val ref = Fit.fit(docs.filter($"part" === 0), snapshotId = 1L, maxSample = 30)
+    val ex = intercept[IllegalArgumentException] {
+      DriftChecks.mmdExactDistance(spark, docs, ref, maxRows = 100)
+    }
+    assert(ex.getMessage.contains("maxRows"))
+    // and within the bound the exact path still works
+    val ok = DriftChecks.mmdExactDistance(spark, docs, ref, maxRows = 1000)
+    assert(ok.size == 3 && ok.values.forall(d => !d.isNaN))
+  }
+}
+
 class TreeMergeRunSpec extends AnyFunSuite {
   lazy val spark = graft.SparkTestBase.spark
   import spark.implicits._

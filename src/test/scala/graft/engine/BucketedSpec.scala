@@ -38,6 +38,13 @@ class BucketedSpec extends AnyFunSuite {
     assert(joined.as[Long].head() == 500L * 4 + 1000L)
   }
 
+  test("commit rejects qualified / hostile table names (path-safety guard)") {
+    val df = Seq(("a", 1)).toDF("doc_id", "v")
+    for (bad <- Seq("db.tbl", "../escape", "tbl;DROP TABLE x", "we ird", ""))
+      assertThrows[IllegalArgumentException](
+        BucketedTables.commit(spark, bad, df, "doc_id", 2))
+  }
+
   test("unbucketed twin of the same aggregation DOES shuffle (control)") {
     val plain = (0 until 2000).map(i => (f"doc-${i % 1500}%06d", i))
       .toDF("doc_id", "payload")

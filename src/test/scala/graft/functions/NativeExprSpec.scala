@@ -44,6 +44,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("integer literal") ||
       ex.getMessage.contains("hyperplane_bucket"))
+    // a foldable NULL must fail loudly too, not unbox to planes=0
+    val exNull = intercept[Exception] {
+      spark.sql("SELECT hyperplane_bucket(array(1.0d), CAST(NULL AS INT))").head()
+    }
+    assert(exNull.getMessage.contains("non-null") ||
+      exNull.getMessage.contains("hyperplane_bucket"))
   }
 }
 
