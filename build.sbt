@@ -10,6 +10,13 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// One forked JVM, suites SEQUENTIAL: every suite shares one SparkSession
+// (SparkTestBase), and sbt's default suite-level parallelism made
+// concurrently-scheduled jobs perturb KLL sketch merge orders enough to
+// flake the fused-vs-split comparison rarely (~1 in 6 full runs).
+// Sequential execution costs ~1 min of suite wall and removes the whole
+// shared-session concurrency class.
+Test / parallelExecution := false
 run / fork := true
 // Forked `run` output is inherited UNPREFIXED instead of routed through
 // sbt's logger: the bench's one machine-parseable JSON metric line must not
