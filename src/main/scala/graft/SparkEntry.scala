@@ -41,29 +41,18 @@ object SparkEntry {
     * the paths always agree, while two concurrent/interleaved sessions
     * (e.g. two scale factors) can no longer overwrite each other's oracle
     * inputs between one session's write and its DuckDB read. */
-  private val pathToken: Long = ProcessHandle.current().pid()
+  private val pathToken: Long = graft.util.PidPaths.pid
   private val DriftInputsPath = s"/tmp/graft_drift_inputs_$pathToken"
 
-  /** Bounded /tmp growth: sibling oracle-input dirs from PREVIOUS runs
-    * (other pids) are deleted once they are clearly stale — old enough
-    * that no concurrent Verify+DuckDB pair can still be reading them.
-    * Own-pid dirs are never touched (the oracle reads them after this JVM
-    * exits); within one JVM, interleaved sessions share a pid and the
-    * overwrite race remains — one Verify per process is the contract. */
+  /** Bounded /tmp growth: sibling oracle-input dirs from PREVIOUS runs are
+    * deleted only when their writing process is provably DEAD (liveness via
+    * /proc/<pid>) plus a grace period for the post-exit DuckDB read — a
+    * session running longer than any fixed age cutoff can no longer lose
+    * its oracle inputs mid-run (see graft.util.PidPaths). Own-pid dirs are
+    * never touched; within one JVM, interleaved sessions share a pid and
+    * the overwrite race remains — one Verify per process is the contract. */
   private def cleanStaleSiblings(prefix: String): Unit =
-    try {
-      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-      val tmp = java.nio.file.Paths.get("/tmp")
-      val ls = java.nio.file.Files.list(tmp)
-      try ls.filter(p => p.getFileName.toString.startsWith(prefix) &&
-            !p.getFileName.toString.endsWith(s"_$pathToken"))
-        .filter(p => java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff)
-        .forEach { p =>
-          import scala.sys.process._
-          Seq("rm", "-rf", p.toString).!
-        }
-      finally ls.close()
-    } catch { case _: Throwable => }
+    graft.util.PidPaths.cleanStaleSiblings(prefix)
 
   /** DuckDB-oracled drift INPUTS of the flagship validation pass: the
     * golden-scenario docs table is materialized to parquet, then the exact

@@ -48,8 +48,14 @@ object GraftExtensions {
     case other if other.foldable =>
       other.eval() match {
         case a: org.apache.spark.sql.catalyst.util.ArrayData =>
-          a.toObjectArray(org.apache.spark.sql.types.StringType)
-            .map(_.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString).toSeq
+          a.toObjectArray(org.apache.spark.sql.types.StringType).map {
+            // a NULL element (e.g. array('the', NULL)) must fail loudly like
+            // the foldable-NULL path in intLit, not NPE in the cast below
+            case null => throw new IllegalArgumentException(
+              s"$fn: argument '$arg' must be a non-null string-array literal " +
+                "(contains a NULL element)")
+            case u => u.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+          }.toSeq
         case _ => throw new IllegalArgumentException(
           s"$fn: argument '$arg' must be a non-null string-array literal")
       }

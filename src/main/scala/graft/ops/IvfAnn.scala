@@ -121,29 +121,32 @@ object IvfAnn {
 
   /** Assign every row to its nearest-centroid list: one narrow
     * mapPartitions pass over (id, emb) with the broadcast centroid matrix —
-    * no shuffle, k × dims flops per row. */
+    * no shuffle, k × dims flops per row. The id column keeps its NATIVE
+    * type (string ids are as valid here as everywhere else in the
+    * Similarity/Dedup family — a previous version cast to long, silently
+    * nulling non-numeric ids). */
   def assign(df: DataFrame, idCol: String, embCol: String,
              centroids: Array[Array[Double]]): DataFrame = {
     val spark = df.sparkSession
-    import spark.implicits._
     val bc = spark.sparkContext.broadcast(centroids)
-    df.select(col(idCol).cast("long").as("id"),
-        col(embCol).cast("array<double>").as("emb"))
-      .as[(Long, Seq[Double])]
-      .mapPartitions { it =>
-        val cents = bc.value
-        it.map { case (id, emb) =>
-          val v = emb.toArray
-          var best = 0; var bestCos = -2.0; var c = 0
-          while (c < cents.length) {
-            val cs = cosine(v, cents(c))
-            if (cs > bestCos) { bestCos = cs; best = c }
-            c += 1
-          }
-          (id, emb, best)
+    val in = df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"))
+    val outSchema = org.apache.spark.sql.types.StructType(in.schema.fields :+
+      org.apache.spark.sql.types.StructField(
+        "list", org.apache.spark.sql.types.IntegerType, nullable = false))
+    in.mapPartitions { it =>
+      val cents = bc.value
+      it.map { r =>
+        val emb = r.getSeq[Double](1)
+        val v = emb.toArray
+        var best = 0; var bestCos = -2.0; var c = 0
+        while (c < cents.length) {
+          val cs = cosine(v, cents(c))
+          if (cs > bestCos) { bestCos = cs; best = c }
+          c += 1
         }
+        org.apache.spark.sql.Row(r.get(0), emb, best)
       }
-      .toDF("id", "emb", "list")
+    }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** Persist the IVF index: corpus written `partitionBy(list)` + the

@@ -20,6 +20,15 @@ object OpsQueries {
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Deterministic per-process index scratch dir: repeated driver runs reuse
+    * the same path in overwrite mode (bounded /tmp — the old
+    * createTempDirectory-per-invocation grew without limit), and dead
+    * siblings from previous pids are cleaned like the oracle-input dirs. */
+  private def indexScratch(name: String): String = {
+    graft.util.PidPaths.cleanStaleSiblings(s"graft_idx_$name")
+    graft.util.PidPaths.path(s"graft_idx_$name")
+  }
+
   /** documents ∪ perturbed near-copies (doc_id + 1,000,000, one word changed). */
   private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
@@ -143,7 +152,7 @@ object OpsQueries {
     * scale path. Results equal the compute-and-filter lshTopK for the same
     * (planes, probes); partition pruning is plan-asserted in SimilaritySpec. */
   def annLshIndexed(s: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("lsh-index").toString
+    val idx = indexScratch("lsh")
     Similarity.lshIndexWrite(embs(s, dir).filter(col("vec_id") =!= 0),
       "vec_id", "embedding", idx, planes = 5)
     val queryVec = embs(s, dir).filter(col("vec_id") === 0)
@@ -158,20 +167,26 @@ object OpsQueries {
     * PartitionFilters assertion live in SimilaritySpec. Self-matches
     * (queries live in the index) are dropped for a stable result shape. */
   def annLshBatch(s: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("lsh-index-batch").toString
+    val idx = indexScratch("lshbatch")
     Similarity.lshIndexWrite(embs(s, dir), "vec_id", "embedding", idx, planes = 5)
     val queries = embs(s, dir).filter(col("vec_id") < 20)
-    Similarity.lshTopKIndexedBatch(s, idx, queries, "vec_id", "embedding",
-        k = 6, planes = 5, probes = 6)
-      .filter(col("query_id") =!= col("id"))
+    // managed variant: materialize the (tiny: queries × k) result eagerly and
+    // RELEASE the exploded-query persist deterministically — the unmanaged
+    // call leaks MEMORY_AND_DISK blocks until the frame is GC'd
+    val (df, release) = Similarity.lshTopKIndexedBatchManaged(s, idx, queries,
+      "vec_id", "embedding", k = 6, planes = 5, probes = 6)
+    val out = df.filter(col("query_id") =!= col("id"))
       .orderBy(col("query_id"), col("cos").desc, col("id"))
+    val rows = out.collect()
+    release()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** IVF ANN against a persisted coarse-quantized index (rows-only:
     * data-adaptive list probing is approximate by design; recall and the
     * all-lists==brute-force identity are unit-tested in IvfAnnSpec). */
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("ivf-index-q").toString
+    val idx = indexScratch("ivfq")
     IvfAnn.indexWrite(embs(s, dir).filter(col("vec_id") =!= 0),
       "vec_id", "embedding", idx, nLists = 16)
     val queryVec = embs(s, dir).filter(col("vec_id") === 0)
@@ -184,7 +199,7 @@ object OpsQueries {
     * force): hash-checks the whole train/assign/persist/probe pipeline
     * against the similarity_topk oracle. */
   def annIvfExact(s: SparkSession, dir: String): DataFrame = {
-    val idx = java.nio.file.Files.createTempDirectory("ivf-index-x").toString
+    val idx = indexScratch("ivfx")
     IvfAnn.indexWrite(embs(s, dir).filter(col("vec_id") =!= 0),
       "vec_id", "embedding", idx, nLists = 8)
     val queryVec = embs(s, dir).filter(col("vec_id") === 0)

@@ -220,7 +220,22 @@ object Similarity {
     * themselves (cos 1.0) — filter afterwards if unwanted. */
   def lshTopKIndexedBatch(spark: org.apache.spark.sql.SparkSession, indexPath: String,
                           queries: DataFrame, idCol: String, embCol: String,
-                          k: Int, planes: Int = 12, probes: Int = 1): DataFrame = {
+                          k: Int, planes: Int = 12, probes: Int = 1): DataFrame =
+    lshTopKIndexedBatchManaged(spark, indexPath, queries, idCol, embCol,
+      k, planes, probes)._1
+
+  /** [[lshTopKIndexedBatch]] plus a RELEASE handle for the exploded-query
+    * persist it needs (the frame is referenced twice — probed-bucket collect
+    * and join — so it must be persisted; without an explicit release the
+    * MEMORY_AND_DISK blocks only free when the ContextCleaner GCs the frame,
+    * which is nondeterministic and accumulates across repeated batch calls
+    * in a long-lived session). Call `release()` once the returned plan has
+    * been fully consumed (collected / written); calling it earlier only
+    * costs a recompute of the query side. */
+  def lshTopKIndexedBatchManaged(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                                 queries: DataFrame, idCol: String, embCol: String,
+                                 k: Int, planes: Int = 12, probes: Int = 1)
+      : (DataFrame, () => Unit) = {
     val probeArr = {
       val own = col("b0")
       if (probes <= 1) array(own)
@@ -241,7 +256,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probed: Seq[Long] =
       q.select(col("bucket")).distinct().collect().map(_.getLong(0)).toSeq
-    spark.read.parquet(indexPath)
+    val plan = spark.read.parquet(indexPath)
       .filter(col("bucket").isInCollection(probed)) // partition pruning (literal set)
       .join(q, Seq("bucket"))
       .select(col("query_id"), col("id"),
@@ -250,6 +265,7 @@ object Similarity {
       .agg(graft.sketch.TopKPairsAgg.topkPairs(col("id"), col("cos"), k).as("tk"))
       .select(col("query_id"), explode(col("tk")).as("p"))
       .select(col("query_id"), col("p.id").as("id"), col("p.score").as("cos"))
+    (plan, () => { q.unpersist(blocking = false); () })
   }
 
   /** All-pairs brute-force top-k neighbors per row for a SMALL table
