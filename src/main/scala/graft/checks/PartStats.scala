@@ -147,11 +147,24 @@ object PartStats {
   /** Broadcast the (small) media catalog as a primitive hash-set of
     * xxhash64(media_ref) for the fused referential check (allocation-free
     * membership probes — see graft.sketch.LongHashSet for the collision
-    * budget). Caller asserts the catalog fits driver/executor memory — the
-    * big-catalog path stays ConstraintChecks.referential's shuffled
-    * anti-join, which is also the exact-audit path. */
-  def broadcastMediaSet(media: DataFrame): org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet] = {
-    val refs = media.select("media_ref").collect()
+    * budget). The big-catalog path stays ConstraintChecks.referential's
+    * shuffled anti-join, which is also the exact-audit path —
+    * ValidationRun auto-selects between the two on a size estimate.
+    *
+    * FAIL-LOUD guard: the driver collect below is bounded by `maxEntries`
+    * (checked with a cheap count FIRST — metadata-only on parquet), so a
+    * forced broadcast of a catalog that cannot fit driver memory dies with
+    * an actionable message instead of an OOM mid-collect. */
+  def broadcastMediaSet(media: DataFrame, maxEntries: Long = 20L * 1000 * 1000)
+      : org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet] = {
+    val cat = media.select("media_ref")
+    val n = cat.count()
+    require(n <= maxEntries,
+      s"media catalog has $n refs > broadcast cap $maxEntries: the driver-" +
+        "collect broadcast set would risk an OOM. Use the shuffled anti-join " +
+        "path (broadcastMedia = Some(false) on ValidationRun.run) or raise " +
+        "the cap deliberately.")
+    val refs = cat.collect()
     val set = new graft.sketch.LongHashSet(refs.length)
     refs.foreach(r => set.add(graft.sketch.LongHashSet.hashUtf8(
       org.apache.spark.unsafe.types.UTF8String.fromString(r.getString(0)))))

@@ -56,7 +56,15 @@ case class RunConfig(
     // implies the split (non-fused) scan layout for the MMD leg, and
     // echoInputValues has no samples to echo. Verdicts are identical to the
     // default path (spec-asserted).
-    distributedMmd: Boolean = false)
+    distributedMmd: Boolean = false,
+    // referential-path AUTO-selection bound (E6): when run()'s
+    // broadcastMedia is left None, the media catalog broadcasts only if its
+    // plan-estimated size is at or below this; larger catalogs take the
+    // shuffled anti-join (AQE-converted/split at runtime) — a billion-row
+    // catalog can no longer OOM the driver by DEFAULT. 256 MB of estimated
+    // scan bytes ≈ well under the 20M-entry collect cap the broadcast
+    // builder separately enforces (PartStats.broadcastMediaSet).
+    mediaBroadcastMaxBytes: Long = 256L << 20)
 
 /** The full constraint+drift validation pass — the engine's flagship job.
   *
@@ -108,13 +116,37 @@ object ValidationRun {
     r
   }
 
+  /** Plan-estimated byte size of the media catalog's ref column — the
+    * auto-selection signal for the referential path. For file sources this
+    * is the (compression-adjusted) scan size from the logical plan's stats;
+    * for in-memory relations it is the materialized size. Conservative
+    * overestimates just mean a shuffled anti-join where a broadcast would
+    * also have worked — the safe direction. */
+  private[graft] def estimateCatalogBytes(media: DataFrame): BigInt =
+    media.select("media_ref").queryExecution.optimizedPlan.stats.sizeInBytes
+
+  /** `broadcastMedia = None` (default) AUTO-selects the referential path:
+    * catalogs whose plan-estimated size ≤ cfg.mediaBroadcastMaxBytes take
+    * the broadcast-set fused path, larger ones the shuffled anti-join —
+    * so the unbounded driver collect behind the broadcast can no longer be
+    * reached by default with a huge catalog. `Some(true)`/`Some(false)`
+    * force a path; a forced broadcast still fails loud at the
+    * broadcastMediaSet entry cap instead of OOMing. */
   def run(docs: DataFrame, media: DataFrame, ref: RefState, cfg: RunConfig,
-          broadcastMedia: Boolean = true): Results = {
+          broadcastMedia: Option[Boolean] = None): Results = {
     val spark = docs.sparkSession
     import spark.implicits._
     import scala.concurrent.{Await, Future, ExecutionContext}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ValidationRun.jobPool
+
+    val useBroadcastMedia = broadcastMedia.getOrElse {
+      val est = estimateCatalogBytes(media)
+      val fits = est <= BigInt(cfg.mediaBroadcastMaxBytes)
+      if (!fits) log.info(s"referential path: catalog estimate $est B > " +
+        s"${cfg.mediaBroadcastMaxBytes} B - selecting the shuffled anti-join")
+      fits
+    }
 
     // Independent check jobs are launched CONCURRENTLY from driver threads —
     // Spark's scheduler interleaves their tasks across all cores, so the
@@ -148,9 +180,9 @@ object ValidationRun {
     //    a clean table).
     //  - otherwise: standalone anti-join pass (the shuffled-join path is the
     //    only option when the catalog can't be broadcast).
-    val fuseRef = cfg.fusedScan && broadcastMedia
+    val fuseRef = cfg.fusedScan && useBroadcastMedia
     val fRef = if (fuseRef) None else Some(maybeFuture(timed("referential") {
-      val r = ConstraintChecks.referential(docs, media, cfg.runId, broadcastMedia)
+      val r = ConstraintChecks.referential(docs, media, cfg.runId, useBroadcastMedia)
       sinkWrite("ref", r._1)
       r
     }))

@@ -160,4 +160,38 @@ class EngineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("referential path auto-selection: small catalog broadcasts (fused scan), " +
+    "over-threshold catalog auto-falls-back to the shuffled anti-join with " +
+    "identical verdicts; forced broadcast over the entry cap fails loud") {
+    val docs = DocsGen.docs(spark, 1200, DocsGen.goldenScenario.take(4)).cache()
+    val media = DocsGen.media(spark)
+    val ref = Fit.fit(docs.filter($"part" === 0), snapshotId = 3L, maxSample = 200)
+    val cfg = RunConfig(runId = "auto", maxSample = 200, numPermutations = 10,
+      fusedScan = true)
+    def refVerdicts(r: ValidationRun.Results) =
+      r.verdicts.toDF().filter($"check_id" === "ref_media")
+        .select($"part", $"distance", $"passed").as[(Int, Double, Boolean)]
+        .collect().sortBy(_._1).toSeq
+    // auto + small catalog → broadcast path rides the fused scan (no
+    // standalone referential phase in the timings)
+    ValidationRun.lastTimings.clear()
+    val a = refVerdicts(ValidationRun.run(docs, media, ref, cfg))
+    assert(!ValidationRun.lastTimings.keySet.exists(_ == "referential"),
+      s"expected fused referential, phases: ${ValidationRun.lastTimings.keySet}")
+    // auto + zero byte threshold → estimate exceeds it → shuffled anti-join
+    // selected automatically, verdicts identical
+    ValidationRun.lastTimings.clear()
+    val b = refVerdicts(ValidationRun.run(docs, media, ref,
+      cfg.copy(runId = "auto2", mediaBroadcastMaxBytes = 0L)))
+    assert(ValidationRun.lastTimings.keySet.exists(_ == "referential"),
+      s"expected standalone referential, phases: ${ValidationRun.lastTimings.keySet}")
+    assert(a == b && a.nonEmpty)
+    // a FORCED broadcast beyond the collect cap dies loud, not OOM
+    val ex = intercept[IllegalArgumentException] {
+      graft.checks.PartStats.broadcastMediaSet(media, maxEntries = 2)
+    }
+    assert(ex.getMessage.contains("broadcast cap"))
+    docs.unpersist()
+  }
 }
