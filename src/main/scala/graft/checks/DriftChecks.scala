@@ -17,16 +17,63 @@ import graft.stats.{Mmd, StatMath}
   */
 object DriftChecks {
 
-  /** KS test on the offset distribution (E7). D from the two KLL CDFs on a
-    * merged quantile grid; p via Kolmogorov asymptotics on sketch row counts. */
+  /** True when both sides carry the exact fixed-edge CDF structures — the
+    * parallelism-invariant KS/PSI path. */
+  private def exactCdf(ref: RefState, s: PartSummary): Boolean =
+    ref.offsetEdges.nonEmpty && ref.refEdgeCum.nonEmpty &&
+      s.offsetEdgeCounts.length == ref.offsetEdges.length + 1
+
+  /** Exact production-side cumulative counts ≤ each reference edge (prefix
+    * sums of the per-bin counts, overflow bin excluded) plus the total. */
+  private def prodCum(s: PartSummary): (Array[Long], Long) = {
+    val bins = s.offsetEdgeCounts
+    val cum = new Array[Long](bins.length - 1)
+    var acc = 0L
+    var j = 0
+    while (j < cum.length) { acc += bins(j); cum(j) = acc; j += 1 }
+    (cum, acc + bins(bins.length - 1))
+  }
+
+  /** KS test on the offset distribution (E7).
+    *
+    * DEFAULT (deterministic) path: both CDFs are EXACT at the fitted
+    * reference's fixed quantile grid — ref from the fit-time histogram
+    * (RefState.refEdgeCum), production from the integer bin counts the
+    * stats scan accumulated at the same edges (PartSummary
+    * .offsetEdgeCounts). D = max |F_ref(e) − F_prod(e)| over the grid:
+    * pure long-ratio arithmetic, bit-identical at any parallelism (the
+    * determinism contract; grid resolution ~0.5 % of ref mass, comparable
+    * to the KLL rank error it replaces). Falls back to the two-KLL-CDF
+    * comparison when the fit ran without the exact grid; p via Kolmogorov
+    * asymptotics on the exact (or sketch) row counts either way. */
   def ks(runId: String, alpha: Double, ref: RefState,
          summaries: Map[Int, PartSummary]): Seq[Verdict] =
     summaries.toSeq.sortBy(_._1).map { case (part, s) =>
-      val d = KllOps.ksD(ref.kllBytes, s.offsetKll)
-      val p = StatMath.ksPValue(d, KllOps.n(ref.kllBytes), KllOps.n(s.offsetKll))
-      Verdict.now(runId, part, "ks_offset", alpha, d, p, None,
-        Map("n_ref" -> KllOps.n(ref.kllBytes).toDouble,
-          "n_prod" -> KllOps.n(s.offsetKll).toDouble), ref.snapshotId)
+      if (exactCdf(ref, s)) {
+        val (cum, nProd) = prodCum(s)
+        val nRef = ref.refEdgeCum(ref.refEdgeCum.length - 1)
+        var d = 0.0
+        var j = 0
+        while (j < cum.length) {
+          val diff = math.abs(ref.refEdgeCum(j).toDouble / nRef -
+            (if (nProd == 0) 0.0 else cum(j).toDouble / nProd))
+          if (diff > d) d = diff
+          j += 1
+        }
+        // production mass beyond the reference maximum needs no extra term:
+        // the grid's last edge is the ref max (q=1.0), where F_ref = 1
+        // exactly and F_prod < 1 iff the overflow bin is populated
+        val p = StatMath.ksPValue(d, nRef, nProd)
+        Verdict.now(runId, part, "ks_offset", alpha, d, p, None,
+          Map("n_ref" -> nRef.toDouble, "n_prod" -> nProd.toDouble,
+            "exact_cdf" -> 1.0), ref.snapshotId)
+      } else {
+        val d = KllOps.ksD(ref.kllBytes, s.offsetKll)
+        val p = StatMath.ksPValue(d, KllOps.n(ref.kllBytes), KllOps.n(s.offsetKll))
+        Verdict.now(runId, part, "ks_offset", alpha, d, p, None,
+          Map("n_ref" -> KllOps.n(ref.kllBytes).toDouble,
+            "n_prod" -> KllOps.n(s.offsetKll).toDouble), ref.snapshotId)
+      }
     }
 
   /** Chi-squared homogeneity test on the span-kind histogram (E8). Exact
@@ -45,26 +92,67 @@ object DriftChecks {
   }
 
   /** PSI on the offset distribution (E9): bucket edges = deciles of the
-    * REFERENCE sketch; both proportion vectors read straight off the two KLL
-    * CDFs — no extra data pass. PSI has no p-value; standard practice gates
+    * REFERENCE distribution. PSI has no p-value; standard practice gates
     * on the index itself (>0.2 = major shift), so we emit p = 1 - min(psi/0.2, 1)
-    * purely to fit the verdict shape, and the distance carries the PSI. */
+    * purely to fit the verdict shape, and the distance carries the PSI.
+    *
+    * DEFAULT (deterministic) path: decile boundaries are selected from the
+    * fitted reference's exact quantile grid with pure long arithmetic
+    * (`refEdgeCum(j) × buckets ≥ i × nRef`), and both proportion vectors
+    * come from exact integer bin counts (ref: RefState.refEdgeCum; prod:
+    * the fixed-edge counts the stats scan accumulated) — bit-identical at
+    * any parallelism. Falls back to the two-KLL-CDF read when the fit ran
+    * without the exact grid. */
   def psi(runId: String, alpha: Double, ref: RefState,
           summaries: Map[Int, PartSummary], buckets: Int = 10): Seq[Verdict] = {
     val qs = Array.tabulate(buckets - 1)(i => (i + 1).toDouble / buckets)
-    val edges = KllOps.quantiles(ref.kllBytes, qs)
-    val refCdf = KllOps.cdf(ref.kllBytes)
-    def props(cdf: Double => Double): Array[Double] = {
-      val cum = edges.map(cdf) :+ 1.0
+    lazy val kllEdges = KllOps.quantiles(ref.kllBytes, qs)
+    lazy val refCdf = KllOps.cdf(ref.kllBytes)
+    def kllProps(cdf: Double => Double): Array[Double] = {
+      val cum = kllEdges.map(cdf) :+ 1.0
       cum.zip(0.0 +: cum.dropRight(1)).map { case (hi, lo) => math.max(hi - lo, 0.0) }
     }
-    val refProps = props(refCdf)
+    lazy val kllRefProps = kllProps(refCdf)
+    // exact-path decile boundaries: distinct grid indices j_i = smallest j
+    // with refEdgeCum(j)*buckets >= i*nRef, i = 1..buckets-1 (collapsed
+    // boundaries merge buckets on BOTH sides identically)
+    lazy val (exactIdx, exactRefProps): (Array[Int], Array[Double]) = {
+      val nRef = ref.refEdgeCum(ref.refEdgeCum.length - 1)
+      val idxB = Array.newBuilder[Int]
+      var last = -1
+      var i = 1
+      var j = 0
+      while (i <= buckets - 1) {
+        while (j < ref.refEdgeCum.length && ref.refEdgeCum(j) * buckets < i.toLong * nRef) j += 1
+        if (j < ref.refEdgeCum.length && j != last) { idxB += j; last = j }
+        i += 1
+      }
+      val idx = idxB.result()
+      val cumSel = idx.map(ref.refEdgeCum) :+ nRef
+      val props = cumSel.zip(0L +: cumSel.dropRight(1))
+        .map { case (hi, lo) => (hi - lo).toDouble / nRef }
+      (idx, props)
+    }
     summaries.toSeq.sortBy(_._1).map { case (part, s) =>
-      val prodProps = props(KllOps.cdf(s.offsetKll))
-      val v = StatMath.psi(refProps, prodProps)
-      val pseudoP = 1.0 - math.min(v / 0.2, 1.0)
-      Verdict.now(runId, part, "psi_offset", alpha, v, pseudoP, None,
-        Map("psi" -> v, "buckets" -> buckets.toDouble), ref.snapshotId)
+      if (exactCdf(ref, s)) {
+        val (cum, nProd) = prodCum(s)
+        val cumSel = exactIdx.map(cum) :+ nProd
+        val prodProps =
+          if (nProd == 0) new Array[Double](cumSel.length)
+          else cumSel.zip(0L +: cumSel.dropRight(1))
+            .map { case (hi, lo) => (hi - lo).toDouble / nProd }
+        val v = StatMath.psi(exactRefProps, prodProps)
+        val pseudoP = 1.0 - math.min(v / 0.2, 1.0)
+        Verdict.now(runId, part, "psi_offset", alpha, v, pseudoP, None,
+          Map("psi" -> v, "buckets" -> buckets.toDouble, "exact_cdf" -> 1.0),
+          ref.snapshotId)
+      } else {
+        val prodProps = kllProps(KllOps.cdf(s.offsetKll))
+        val v = StatMath.psi(kllRefProps, prodProps)
+        val pseudoP = 1.0 - math.min(v / 0.2, 1.0)
+        Verdict.now(runId, part, "psi_offset", alpha, v, pseudoP, None,
+          Map("psi" -> v, "buckets" -> buckets.toDouble), ref.snapshotId)
+      }
     }
   }
 

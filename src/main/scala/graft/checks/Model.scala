@@ -46,7 +46,16 @@ case class RefState(
     kindHist: Map[String, Long],
     nDocs: Long,
     nSpans: Long,
-    snapshotId: Long)
+    snapshotId: Long,
+    // EXACT offset-CDF evaluation grid (sorted distinct reference quantile
+    // values at a ~200-point grid, Fit.exactOffsetEdges) + the exact
+    // cumulative count ≤ each edge. When present, the KS/PSI checks compare
+    // exact integer-sum CDFs at these fixed edges instead of KLL sketch
+    // ranks — bit-identical verdicts at ANY parallelism/merge order (the
+    // engine's determinism contract). Empty = legacy KLL fallback (offset
+    // domains too wide for the exact fit histogram).
+    offsetEdges: Array[Double] = Array.empty,
+    refEdgeCum: Array[Long] = Array.empty)
 
 object Verdict {
   val TimestampFormat = "dd/MM/yyyy HH:mm:ss.SSSSSS"

@@ -28,7 +28,11 @@ case class PartSummary(
     ordViolationDocs: Long = 0L,
     nullKindDocs: Long = 0L,
     danglingRefSpans: Long = 0L,
-    danglingRefDocs: Long = 0L)
+    danglingRefDocs: Long = 0L,
+    // exact offset counts per fixed reference-edge bin (RefState.offsetEdges;
+    // length = edges + 1 overflow) — the deterministic CDF input of the
+    // KS/PSI drift checks; empty when the scan ran without edges
+    offsetEdgeCounts: Array[Long] = Array.empty)
 
 object PartStats {
 
@@ -38,7 +42,8 @@ object PartStats {
     * O(tasks × parts × bufferBytes). The workhorse of the validation pass. */
   def computeFused(docs: DataFrame, maxSample: Int = 1000,
                    mode: Int = graft.sketch.DocStatsAgg.ModeBoth,
-                   mediaSet: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]] = None)
+                   mediaSet: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]] = None,
+                   edges: Seq[Double] = Nil)
       : (Map[Int, PartSummary], Map[Int, Array[Array[Double]]]) = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -53,7 +58,7 @@ object PartStats {
         pmod(xxhash64($"doc_id", lit("mmd-sample")), lit(1000000L)),
         maxSample, mode,
         mediaRefs = mediaSet.map(_ => col("spans.media_ref")),
-        mediaSet = mediaSet).as("st"))
+        mediaSet = mediaSet, edges = edges).as("st"))
       .collect()
     val decoded = rows.map { r =>
       r.getInt(0) -> graft.sketch.DocStatsBuffer.decodeResult(r.getAs[Array[Byte]]("st"))
@@ -61,7 +66,7 @@ object PartStats {
     val summaries = decoded.map { case (p, d) =>
       p -> PartSummary(p, d.nDocs, d.nSpans, -1L, d.nullKindSpans, d.kindHist,
         d.kllBytes, d.ordViolationDocs, d.nullKindDocs,
-        d.danglingRefSpans, d.danglingRefDocs)
+        d.danglingRefSpans, d.danglingRefDocs, d.offsetEdgeCounts)
     }.toMap
     val samples = decoded.map { case (p, d) => p -> d.sample }.toMap
     (summaries, samples)
@@ -91,7 +96,8 @@ object PartStats {
   def computeFusedTree(docs: DataFrame, maxSample: Int = 1000,
                        mode: Int = graft.sketch.DocStatsAgg.ModeBoth,
                        mediaSet: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]] = None,
-                       fanIn: Int = 64, fetchPartitions: Int = 0)
+                       fanIn: Int = 64, fetchPartitions: Int = 0,
+                       edges: Seq[Double] = Nil)
       : (Map[Int, PartSummary], Map[Int, Array[Array[Double]]]) = {
     require(fanIn >= 1 && fetchPartitions >= 0)
     val spark = docs.sparkSession
@@ -112,7 +118,7 @@ object PartStats {
         pmod(xxhash64($"doc_id", lit("mmd-sample")), lit(1000000L)),
         maxSample, mode,
         mediaRefs = mediaSet.map(_ => col("spans.media_ref")),
-        mediaSet = mediaSet).as("st"))
+        mediaSet = mediaSet, edges = edges).as("st"))
     // toLocalIterator fetches one whole shuffle PARTITION per job, not one
     // row — so the driver-residency bound is set by the stage-2 partition
     // width, not by fanIn alone (at the default shuffle width a 10⁵-part
@@ -137,7 +143,7 @@ object PartStats {
         val d = graft.sketch.DocStatsBuffer.decodeResult(r.getAs[Array[Byte]](1))
         sumB += p -> PartSummary(p, d.nDocs, d.nSpans, -1L, d.nullKindSpans,
           d.kindHist, d.kllBytes, d.ordViolationDocs, d.nullKindDocs,
-          d.danglingRefSpans, d.danglingRefDocs)
+          d.danglingRefSpans, d.danglingRefDocs, d.offsetEdgeCounts)
         samB += p -> d.sample
       }
     }

@@ -216,11 +216,16 @@ object ValidationRun {
     //  - split: two CONCURRENT jobs — sampling is the light one, so the MMD
     //    fan-out starts while the heavy stats scan is still running; the
     //    critical path is max(stats, sample+mmd), not a chain.
+    // the fitted reference's exact CDF grid rides the stats scan (fixed-edge
+    // integer bin counts) so the KS/PSI verdicts are parallelism-invariant;
+    // empty when the fit ran without the grid (KLL fallback)
+    val refEdges: Seq[Double] = ref.offsetEdges.toSeq
     def fused(mode: Int, ms: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]])
         : (Map[Int, PartSummary], Map[Int, Array[Array[Double]]]) =
       cfg.treeMergeFanIn match {
-        case Some(fanIn) => PartStats.computeFusedTree(docs, cfg.maxSample, mode, ms, fanIn)
-        case None => PartStats.computeFused(docs, cfg.maxSample, mode, ms)
+        case Some(fanIn) =>
+          PartStats.computeFusedTree(docs, cfg.maxSample, mode, ms, fanIn, edges = refEdges)
+        case None => PartStats.computeFused(docs, cfg.maxSample, mode, ms, edges = refEdges)
       }
 
     val (summaries, samples, mmdVerdicts) = if (cfg.distributedMmd) {

@@ -40,6 +40,14 @@ case class DocStatsAgg(
     // also counts dangling media_refs (fused referential check, E6 broadcast
     // path) via allocation-free primitive-hash membership probes
     mediaSet: Option[org.apache.spark.broadcast.Broadcast[LongHashSet]] = None,
+    // sorted, distinct CDF evaluation edges (the fitted reference window's
+    // exact quantile grid — RefState.offsetEdges). When non-empty the scan
+    // also counts offsets into the fixed bins [≤e0, (e0,e1], …, >eLast]:
+    // pure integer sums, so the per-part CDF the KS/PSI drift checks consume
+    // is EXACT and parallelism/merge-order-invariant — unlike the KLL
+    // sketch, whose randomized compaction varies with merge order (the KLL
+    // stays in the same pass for open-ended quantile metrics).
+    edges: Seq[Double] = Nil,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[DocStatsBuffer]
@@ -50,7 +58,10 @@ case class DocStatsAgg(
   override def third: Expression = hashChild
   override def fourth: Expression = mediaRefsChild
 
-  override def createAggregationBuffer(): DocStatsBuffer = new DocStatsBuffer(maxSample)
+  @transient private lazy val edgesArr: Array[Double] = edges.toArray
+
+  override def createAggregationBuffer(): DocStatsBuffer =
+    new DocStatsBuffer(maxSample, edgesArr)
 
   private val doStats = mode != DocStatsAgg.ModeSample
   private val doSample = mode != DocStatsAgg.ModeStats
@@ -147,14 +158,15 @@ object DocStatsAgg {
   def docStats(kinds: Column, offsets: Column, hash: Column, maxSample: Int = 1000,
                mode: Int = ModeBoth,
                mediaRefs: Option[Column] = None,
-               mediaSet: Option[org.apache.spark.broadcast.Broadcast[LongHashSet]] = None): Column =
+               mediaSet: Option[org.apache.spark.broadcast.Broadcast[LongHashSet]] = None,
+               edges: Seq[Double] = Nil): Column =
     ColumnBridge.toColumn(DocStatsAgg(
       ColumnBridge.toExpr(kinds), ColumnBridge.toExpr(offsets),
       ColumnBridge.toExpr(hash),
       mediaRefs.map(ColumnBridge.toExpr)
         .getOrElse(org.apache.spark.sql.catalyst.expressions.Literal(
           null, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.StringType))),
-      maxSample, mode, mediaSet)
+      maxSample, mode, mediaSet, edges)
       .toAggregateExpression())
 }
 
@@ -169,11 +181,15 @@ case class DocStatsResult(
     danglingRefDocs: Long,
     kindHist: Map[String, Long],
     kllBytes: Array[Byte],
-    sample: Array[Array[Double]])
+    sample: Array[Array[Double]],
+    // exact counts per fixed CDF bin (length = edges.length + 1, last bin =
+    // "> last edge" overflow); empty when the agg ran without edges
+    offsetEdgeCounts: Array[Long] = Array.empty)
 
 /** Mutable aggregation buffer. Span struct layout: (kind, text, media_ref,
   * offset) — must match graft.model.DocModel.spanType field order. */
-final class DocStatsBuffer(val maxSample: Int) {
+final class DocStatsBuffer(val maxSample: Int,
+                           val edges: Array[Double] = Array.empty) {
   var nDocs = 0L
   var nSpans = 0L
   var nullKindSpans = 0L
@@ -193,6 +209,17 @@ final class DocStatsBuffer(val maxSample: Int) {
   private var kindVals = new Array[Long](8)
   private var nKinds = 0
   var kll: KllDoublesSketch = KllDoublesSketch.newHeapInstance(200)
+  // exact fixed-edge histogram (deterministic CDF for KS/PSI): bin j counts
+  // offsets in (edges(j-1), edges(j)], bin edges.length counts > last edge
+  var edgeHist: Array[Long] =
+    if (edges.isEmpty) Array.emptyLongArray else new Array[Long](edges.length + 1)
+
+  private def bumpEdgeBin(off: Double): Unit = {
+    // first index j with off <= edges(j); binarySearch hits give that edge
+    // directly (edges are distinct), misses give the insertion point
+    val idx = java.util.Arrays.binarySearch(edges, off)
+    edgeHist(if (idx >= 0) idx else -idx - 1) += 1L
+  }
   // bounded sample: keep maxSample entries with SMALLEST hash; max-heap by h
   // (tiebreak: elementwise feature compare — allocation-free, deterministic)
   val sampleOrd: Ordering[(Long, Array[Double])] = DocStatsBuffer.SampleOrd
@@ -262,6 +289,7 @@ final class DocStatsBuffer(val maxSample: Int) {
         if (i > 0 && off <= prevOff) ord = true
         prevOff = off
         kll.update(off.toDouble)
+        if (edges.length > 0) bumpEdgeBin(off.toDouble)
         i += 1
       }
       if (ord) ordViolationDocs += 1
@@ -370,6 +398,15 @@ final class DocStatsBuffer(val maxSample: Int) {
       i += 1
     }
     kll.merge(other.kll)
+    if (other.edgeHist.length > 0) {
+      if (edgeHist.length == 0) edgeHist = other.edgeHist.clone()
+      else {
+        require(edgeHist.length == other.edgeHist.length,
+          s"edge-histogram width mismatch: ${edgeHist.length} vs ${other.edgeHist.length}")
+        var j = 0
+        while (j < edgeHist.length) { edgeHist(j) += other.edgeHist(j); j += 1 }
+      }
+    }
     other.sample.foreach { e =>
       // full-order admission (see updateDoc) — merge order can't change the
       // kept set on boundary hash ties
@@ -395,6 +432,8 @@ final class DocStatsBuffer(val maxSample: Int) {
     }
     val kllBytes = kll.toByteArray
     out.writeInt(kllBytes.length); out.write(kllBytes)
+    out.writeInt(edgeHist.length)
+    edgeHist.foreach(out.writeLong)
     out.writeInt(sample.size)
     // UNSORTED: both consumers are order-insensitive (deserialize re-enqueues
     // into the heap; decodeResult sorts itself). The previous stringified
@@ -445,6 +484,13 @@ object DocStatsBuffer {
     val kllBytes = new Array[Byte](kllLen)
     in.readFully(kllBytes)
     buf.kll = KllDoublesSketch.heapify(Memory.wrap(kllBytes))
+    val ne = in.readInt()
+    if (ne > 0) {
+      // edge VALUES don't travel — merge/decode only need the counts
+      buf.edgeHist = new Array[Long](ne)
+      var j = 0
+      while (j < ne) { buf.edgeHist(j) = in.readLong(); j += 1 }
+    }
     val ns = in.readInt()
     (0 until ns).foreach { _ =>
       val h = in.readLong()
@@ -461,6 +507,7 @@ object DocStatsBuffer {
       buf.danglingRefSpans, buf.danglingRefDocs,
       buf.kindCounts.toMap, buf.kll.toByteArray,
       // ascending hash order (deterministic, allocation-free tiebreak)
-      buf.sample.toArray.sorted(buf.sampleOrd).map(_._2))
+      buf.sample.toArray.sorted(buf.sampleOrd).map(_._2),
+      buf.edgeHist)
   }
 }

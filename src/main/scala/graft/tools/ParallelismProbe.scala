@@ -11,10 +11,12 @@ import graft.model.DocsGen
   * verdict field. The SURVEY determinism contract: verdicts must not depend
   * on task placement — the generator is hash-deterministic, sample
   * selection is full-order deterministic, permutation seeds derive from
-  * (randomState, part, permId). The KLL-backed distances (ks/psi) are the
-  * ONE documented exception (randomized sketch compaction varies with merge
-  * order) — they are compared within sketch rank error; everything else
-  * must be bit-identical.
+  * (randomState, part, permId), and — since round 4 — the KS/PSI verdicts
+  * compare EXACT integer-sum CDFs at the fitted reference's fixed quantile
+  * grid (RefState.offsetEdges) instead of merge-order-dependent KLL sketch
+  * ranks. Every verdict must therefore be bit-identical; the banded
+  * comparison survives only for runs whose fit lacked the exact grid
+  * (verdict detail `exact_cdf` absent — the documented KLL fallback).
   *
   * `runMain graft.tools.ParallelismProbe [nDocs]` (default 18000).
   */
@@ -50,7 +52,8 @@ object ParallelismProbe {
     a.keys.toSeq.sorted.foreach { k =>
       val (va, vb) = (a(k), b(k))
       require(va.passed == vb.passed && va.is_drift == vb.is_drift, s"$k flags differ")
-      if (sketchBased(k._2)) {
+      val kllFallback = sketchBased(k._2) && !va.metrics.contains("exact_cdf")
+      if (kllFallback) {
         val tol = math.max(0.05, 0.25 * math.max(va.distance, vb.distance))
         require(math.abs(va.distance - vb.distance) < tol,
           s"$k distance ${va.distance} vs ${vb.distance}")
@@ -61,8 +64,10 @@ object ParallelismProbe {
         exact += 1
       }
     }
+    require(banded == 0,
+      s"$banded ks/psi verdicts ran the KLL fallback - the exact-CDF grid " +
+        "should be active on this fixture (fit produced no offsetEdges?)")
     println(s"parallelism-invariance local[2] vs local[8] over ${a.size} verdicts: " +
-      s"$exact bit-identical (stats/constraints/chi2/mmd), " +
-      s"$banded within sketch rank error (ks/psi) — PASS")
+      s"$exact bit-identical (ALL checks incl. exact-CDF ks/psi) — PASS")
   }
 }

@@ -115,28 +115,13 @@ class GoldenScenarioSpec extends AnyFunSuite {
       RunConfig(runId = "golden-fused", alpha = 0.01, maxSample = 600,
         numPermutations = 50, fusedScan = true))
     val fv = fused.verdicts.collect().map(v => (v.part, v.check_id) -> v).toMap
-    // exact checks are bit-identical across the two layouts; KLL-derived
-    // distances (ks/psi on offsets) may differ within sketch rank error,
-    // because KLL merge order differs between the scan layouts
-    val sketchBased = Set("ks_offset", "psi_offset")
+    // every check is bit-identical across the two layouts — ks/psi included,
+    // since their CDFs are exact integer sums at the fitted reference grid
+    // (merge-order-invariant, unlike the KLL ranks they replaced)
     verdicts.keys.foreach { k =>
       val (a, b) = (verdicts(k), fv(k))
-      if (sketchBased(k._2)) {
-        // KLL compaction is RANDOMIZED, so two independent runs' ks/psi
-        // distances carry sketch noise (k=200 ⇒ ~1.65% rank error per
-        // sketch, amplified by CDF differencing and small-bucket PSI
-        // ratios) — numeric closeness here tests the SKETCH, not the scan
-        // layout. The layout guarantee this test exists for is that fused
-        // and split runs reach the same DECISIONS (asserted below for
-        // every check) and agree exactly on all non-sketch numbers; the
-        // sketch distances get only a coarse same-regime sanity band.
-        val tol = math.max(0.15, 0.5 * math.max(a.distance, b.distance))
-        assert(math.abs(a.distance - b.distance) < tol,
-          s"$k distance ${a.distance} vs ${b.distance}")
-      } else {
-        assert(a.distance == b.distance, s"$k distance ${a.distance} vs ${b.distance}")
-        assert(a.p_value == b.p_value, s"$k p ${a.p_value} vs ${b.p_value}")
-      }
+      assert(a.distance == b.distance, s"$k distance ${a.distance} vs ${b.distance}")
+      assert(a.p_value == b.p_value, s"$k p ${a.p_value} vs ${b.p_value}")
       assert(a.passed == b.passed && a.is_drift == b.is_drift, s"$k verdict flags")
     }
     // dangling violation rows materialize identically from the pruned rescan

@@ -85,18 +85,10 @@ class TreeMergeRunSpec extends AnyFunSuite {
     assert(direct.length == tree.length)
     direct.zip(tree).foreach { case (d, t) =>
       assert(d._1 == t._1 && d._2 == t._2 && d._5 == t._5 && d._6 == t._6, s"$d vs $t")
-      // KS/PSI distances ride KLL sketches whose compaction depends on the
-      // merge ARRIVAL order in the final aggregate — two independent runs of
-      // the SAME path differ at the ~1e-2 level (observed 0.008 on psi), so
-      // those two checks compare loosely; everything else (exact counts,
-      // hash-deterministic MMD samples) must agree to fp noise
-      // (byte-exact tree ≡ direct equality is proven in PartStatsTreeSpec's
-      // single-partition test; this test guards the run() WIRING, so the
-      // KLL checks only need to agree within run-to-run sketch noise — KS
-      // p is steep in D, hence the wide p band)
-      val kll = d._2 == "ks_offset" || d._2 == "psi_offset"
-      val tol = if (kll) 0.05 else 1e-9
-      assert(math.abs(d._3 - t._3) < tol && math.abs(d._4 - t._4) < (if (kll) 0.3 else 1e-9),
+      // ks/psi used to compare loosely here (KLL compaction depends on merge
+      // arrival order); the exact-CDF grid made every check's numbers
+      // integer-sum-derived, so tree ≡ direct is exact across the board
+      assert(math.abs(d._3 - t._3) < 1e-9 && math.abs(d._4 - t._4) < 1e-9,
         s"$d vs $t")
     }
   }

@@ -125,10 +125,8 @@ class EngineSpec extends AnyFunSuite {
     assert(va.length == vb.length)
     va.zip(vb).foreach { case ((p1, c1, d1, pv1, ps1), (p2, c2, d2, pv2, ps2)) =>
       assert(p1 == p2 && c1 == c2)
-      if (c1 == "ks_offset" || c1 == "psi_offset")
-        // KLL sketch compaction is randomized → compare within tolerance
-        assert(math.abs(d1 - d2) < 0.02, s"($p1,$c1): $d1 vs $d2")
-      else assert(d1 == d2 && pv1 == pv2 && ps1 == ps2, s"($p1,$c1)")
+      // ks/psi included: the exact-CDF grid makes them merge-order-invariant
+      assert(d1 == d2 && pv1 == pv2 && ps1 == ps2, s"($p1,$c1): $d1/$pv1 vs $d2/$pv2")
     }
     assert(ra == rb && ra.nonEmpty)
     docs.unpersist()
@@ -151,13 +149,10 @@ class EngineSpec extends AnyFunSuite {
     a.zip(b).foreach { case ((p1, c1, d1, pv1, dr1, ps1), (p2, c2, d2, pv2, dr2, ps2)) =>
       assert(p1 == p2 && c1 == c2, s"row order: ($p1,$c1) vs ($p2,$c2)")
       assert(ps1 == ps2, s"passed flipped for ($p1,$c1)")
-      if (c1 == "ks_offset" || c1 == "psi_offset")
-        // KLL sketch compaction is randomized → compare within tolerance
-        assert(math.abs(d1 - d2) < 0.02, s"($p1,$c1): $d1 vs $d2")
-      else {
-        assert(d1 == d2, s"($p1,$c1): $d1 vs $d2")
-        assert(pv1 == pv2 && dr1 == dr2, s"($p1,$c1): p $pv1 vs $pv2")
-      }
+      // ks/psi included — the determinism contract is now BIT-identical for
+      // every check: their CDFs are exact integer sums at the fitted grid
+      assert(d1 == d2, s"($p1,$c1): $d1 vs $d2")
+      assert(pv1 == pv2 && dr1 == dr2, s"($p1,$c1): p $pv1 vs $pv2")
     }
   }
 
