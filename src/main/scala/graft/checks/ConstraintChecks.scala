@@ -104,6 +104,60 @@ object ConstraintChecks {
     (violations, perPart)
   }
 
+  /** ZERO-EXCHANGE uniqueness for doc_id-bucketed snapshots (P20 wired into
+    * E5): on a table whose layout already hash-distributes by doc_id
+    * (BucketedTables.commit), `groupBy(doc_id)` plans partial+final
+    * HashAggregate with NO shuffle — the corpus-wide key exchange that
+    * dominates the flagship pass's critical path is paid once at ingest
+    * instead of on every run. The per-part rollup that follows shuffles only
+    * map-side-combined partials (rows ∝ tasks × parts, not docs). Duplicate
+    * rows are recovered from a part-range-pruned rescan whose groupBy and
+    * join are ALSO exchange-free on the bucketed side (filter preserves the
+    * scan's output partitioning). Same outputs as [[uniqueness]]. */
+  def uniquenessBucketed(docs: DataFrame, runId: String): (Dataset[Violation], Map[Int, UniquenessStats]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val perKey = docs.select($"part", $"doc_id")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), min($"part").as("part"), max($"part").as("maxp"))
+    val perPartRows = perKey.groupBy($"part")
+      .agg(sum(when($"n" > 1, 1L).otherwise(0L)).as("dups"),
+        count(lit(1)).as("distinct"), sum($"n").as("total"),
+        max(when($"n" > 1, $"maxp")).as("max_dup_part"))
+      .collect()
+    val perPart = perPartRows
+      .map(r => r.getInt(0) -> UniquenessStats(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val violations: Dataset[Violation] =
+      if (!perPart.values.exists(_.dupKeys > 0)) spark.emptyDataset[Violation]
+      else {
+        val loP = perPartRows.collect { case r if r.getLong(1) > 0 => r.getInt(0) }.min
+        val hiP = perPartRows.collect { case r if !r.isNullAt(4) => r.getInt(4) }.max
+        val ranged = docs.filter($"part".between(loP, hiP)).select($"part", $"doc_id")
+        val dupKeys = ranged.groupBy($"doc_id").agg(count(lit(1)).as("n")).filter($"n" > 1)
+        ranged.join(dupKeys, Seq("doc_id"))
+          .select(lit(runId).as("run_id"), $"part",
+            lit("unique_doc_id").as("check_id"), $"doc_id",
+            concat(lit("duplicate doc_id x"), $"n").as("detail"))
+          .as[Violation]
+      }
+    (violations, perPart)
+  }
+
+  /** True when `groupBy(doc_id)` over `docs` plans with no shuffle exchange —
+    * the layout signal that selects [[uniquenessBucketed]]. Pure plan walk
+    * (no job runs). */
+  def docIdGroupingIsShuffleFree(docs: DataFrame): Boolean =
+    graft.engine.BucketedTables.hasNoShuffle(
+      docs.select(col("doc_id")).groupBy(col("doc_id")).agg(count(lit(1))))
+
+  /** AUTO uniqueness: zero-exchange path when the snapshot layout already
+    * distributes by doc_id, the single-shuffle hash-pair path otherwise
+    * (salted two-stage selectable via `salts`, E13). */
+  def uniquenessAuto(docs: DataFrame, runId: String, salts: Int = 0): (Dataset[Violation], Map[Int, UniquenessStats]) =
+    if (docIdGroupingIsShuffleFree(docs)) uniquenessBucketed(docs, runId)
+    else uniqueness(docs, runId, salts)
+
   /** Referential integrity of span.media_ref against the media catalog (E6):
     * explode media spans → LEFT ANTI join vs media. The catalog side is
     * broadcast when small (explicit hint below `broadcastMedia`), else Spark

@@ -166,9 +166,13 @@ object ValidationRun {
           ds.write.mode("overwrite").parquet(s"$sink/src=$name"))))
       }
 
-    // 3. uniqueness (violations stay distributed)
+    // 3. uniqueness (violations stay distributed). AUTO layout selection:
+    // a doc_id-bucketed snapshot (BucketedTables) runs the zero-exchange
+    // groupBy — the pass's critical-path shuffle disappears on tables that
+    // paid it at ingest; any other layout takes the single-shuffle
+    // hash-pair aggregation.
     val fUniq = maybeFuture(timed("uniqueness") {
-      val r = ConstraintChecks.uniqueness(docs, cfg.runId, cfg.salts)
+      val r = ConstraintChecks.uniquenessAuto(docs, cfg.runId, cfg.salts)
       sinkWrite("unique", r._1)
       r
     })

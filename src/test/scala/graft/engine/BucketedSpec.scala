@@ -51,4 +51,48 @@ class BucketedSpec extends AnyFunSuite {
     val dups = BucketedTables.dupGroupsZeroShuffle(plain)
     assert(!BucketedTables.hasNoShuffle(dups))
   }
+
+  // ---- P20 wired into the flagship pass (E5) ----
+
+  lazy val goldenDocs = graft.model.DocsGen
+    .docs(spark, 3200, graft.model.DocsGen.goldenScenario.take(16)).cache()
+  lazy val bucketedDocs = {
+    BucketedTables.commit(spark, "bucketed_golden_docs", goldenDocs, "doc_id", 8)
+    BucketedTables.read(spark, "bucketed_golden_docs")
+  }
+
+  test("uniquenessAuto selects the zero-exchange path on a bucketed snapshot " +
+    "and matches the hash-pair path exactly (stats + violation rows)") {
+    import graft.checks.ConstraintChecks
+    assert(ConstraintChecks.docIdGroupingIsShuffleFree(bucketedDocs))
+    assert(!ConstraintChecks.docIdGroupingIsShuffleFree(goldenDocs),
+      "plain generator frame must NOT read as shuffle-free (control)")
+    // the bucketed path's key-grain aggregation itself plans no Exchange
+    val perKey = bucketedDocs.select($"part", $"doc_id")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n"), min($"part").as("part"))
+    assert(BucketedTables.hasNoShuffle(perKey),
+      perKey.queryExecution.executedPlan.toString.take(2000))
+    val (vB, sB) = ConstraintChecks.uniquenessBucketed(bucketedDocs, "r")
+    val (vH, sH) = ConstraintChecks.uniqueness(goldenDocs, "r")
+    assert(sB == sH, s"per-part stats differ: $sB vs $sH")
+    assert(sB.values.exists(_.dupKeys > 0), "fixture must contain duplicates")
+    val rowsB = vB.collect().map(v => (v.part, v.doc_id, v.detail)).sorted.toSeq
+    val rowsH = vH.collect().map(v => (v.part, v.doc_id, v.detail)).sorted.toSeq
+    assert(rowsB == rowsH && rowsB.nonEmpty)
+  }
+
+  test("full validation pass over the bucketed snapshot equals the plain run " +
+    "(auto layout selection is semantics-free)") {
+    import graft.checks.Fit
+    val ref = Fit.fit(goldenDocs.filter($"part" === 0), snapshotId = 21L, maxSample = 200)
+    val media = graft.model.DocsGen.media(spark)
+    val cfg = RunConfig(runId = "bk", maxSample = 200, numPermutations = 10)
+    def strip(r: ValidationRun.Results) = r.verdicts.collect()
+      .map(v => (v.part, v.check_id, v.distance, v.p_value, v.is_drift, v.passed))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val plain = strip(ValidationRun.run(goldenDocs, media, ref, cfg))
+    val bucketed = strip(ValidationRun.run(bucketedDocs, media, ref, cfg))
+    assert(plain == bucketed && plain.nonEmpty)
+  }
 }
