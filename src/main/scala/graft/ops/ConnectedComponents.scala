@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over a pair set — the cluster-exact
+  * canonicalization for near-duplicate graphs (the alternative to
+  * [[Curate.curateWithNearDup]]'s single-pass smaller-id-wins policy, whose
+  * drop set is pairwise-local and can differ from one-survivor-per-cluster
+  * on transitive chains).
+  *
+  * Algorithm: alternating large-star / small-star (Kiveris et al.,
+  * "Connected Components in MapReduce and Beyond", SoCC'14) — the standard
+  * O(log²  n)-round, shuffle-bounded CC for data-parallel engines:
+  *
+  *  - large-star: every node u connects its STRICTLY LARGER neighbors to
+  *    m(u) = min(Γ(u) ∪ {u})
+  *  - small-star: on min-oriented edges (u > v), every node connects its
+  *    smaller neighbors AND itself to min(Γ⁻(u) ∪ {u})
+  *
+  * Both rounds are plain groupBy + join over the edge set (shuffle keyed by
+  * node id, map-side-combinable min aggregates); no step ever materializes
+  * a neighborhood list, so a hub node of any degree streams through the
+  * min-aggregate. Lineage is truncated per round with localCheckpoint
+  * (an iterative loop otherwise compounds the plan). Convergence is
+  * detected by an order-free (count, xxhash-sum) checksum of the edge set.
+  *
+  * At 100 TB grain the input here is the VERIFIED near-dup pair set —
+  * orders of magnitude smaller than the corpus (pairs only exist where
+  * candidate buckets collided and exact verification passed), so the loop's
+  * shuffles are on the small frame; the corpus itself is touched only by
+  * the one join that applies the survivor set.
+  */
+object ConnectedComponents {
+
+  /** Component assignment for every node appearing in `pairs`: returns
+    * (id, component) where component = the MINIMUM id in the node's
+    * connected component (the component root is its own component). Works
+    * for any orderable id type (numeric, string). */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 maxIterations: Int = 30): DataFrame = {
+    val nodes = pairs.select(col(idA).as("id"))
+      .union(pairs.select(col(idB).as("id")))
+      .filter(col("id").isNotNull).distinct()
+
+    // min-oriented canonical edges (u > v)
+    var edges = pairs
+      .filter(col(idA).isNotNull && col(idB).isNotNull)
+      .select(greatest(col(idA), col(idB)).as("u"), least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      // order-free set fingerprint: count + XOR of pair hashes (XOR instead
+      // of sum — ANSI mode makes a long-sum overflow fatal)
+      val r = e.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = edges.isEmpty
+    while (!converged && iter < maxIterations) {
+      // LARGE-STAR: both directions, m(u) = min(Γ(u) ∪ {u}); emit (v, m(u))
+      // for strictly larger neighbors v — output stays min-oriented
+      val nbr = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val m = nbr.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = nbr.join(m, Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // SMALL-STAR: per u over its smaller neighbors Γ⁻(u), connect every
+      // member of Γ⁻(u) ∪ {u} to the minimum
+      val mS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = large.join(mS, Seq("u"))
+        .select(explode(array(
+          struct(col("u").as("a"), col("m").as("b")),
+          struct(col("v").as("a"), col("m").as("b")))).as("p"))
+        .select(col("p.a").as("u"), col("p.b").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      val cur = checksum(small)
+      converged = cur == prev
+      prev = cur
+      edges = small
+      iter += 1
+    }
+    require(converged, s"connected components did not converge in $maxIterations " +
+      "large/small-star rounds — component diameter beyond the doubling bound " +
+      "(raise maxIterations)")
+    // converged edge set is a star forest: one (node, root) row per non-root
+    nodes.join(edges, nodes("id") === edges("u"), "left")
+      .select(col("id"), coalesce(col("v"), col("id")).as("component"))
+  }
+
+  /** Survivor set under cluster-exact canonicalization: the component ROOT
+    * (minimum id) survives; every other member is dropped. Returns the
+    * dropped ids (one column named `idOut`). */
+  def droppedByComponent(pairs: DataFrame, idA: String = "id_a",
+                         idB: String = "id_b", idOut: String = "doc_id"): DataFrame =
+    components(pairs, idA, idB)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idOut))
+}

@@ -82,4 +82,28 @@ object Curate {
     gates(deduped.join(dropped, Seq("doc_id"), "left_anti"),
       minQualityMicros, langs)
   }
+
+  /** Curation with CLUSTER-EXACT near-dup canonicalization: exact dedup →
+    * MinHash+LSH verified pairs → connected components over the pair graph
+    * ([[ConnectedComponents]], large-star/small-star) → keep exactly the
+    * component ROOT (minimum doc_id per near-dup cluster) → gates.
+    *
+    * Versus [[curateWithNearDup]]'s single-pass smaller-id-wins: that policy
+    * drops a doc iff ANY pair partner has a smaller id — pairwise-local, so
+    * on a transitive chain it can drop every non-minimal member of what are
+    * really SEVERAL clusters bridged by chance pairs, and conversely keeps a
+    * doc whose only smaller partners were themselves dropped. CC gives the
+    * textbook semantic: one survivor per connected component. Costs an
+    * O(log² n)-round loop over the (small) pair set instead of one pass. */
+  def curateWithNearDupCC(docs: DataFrame, minQualityMicros: Long = 500000L,
+                          langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
+                          jaccardThreshold: Double = 0.5,
+                          shingleN: Int = 3): DataFrame = {
+    val deduped = exactDedup(docs)
+    val pairs = Dedup.minhashLshPairs(deduped, "doc_id", "text",
+      threshold = jaccardThreshold, shingleN = shingleN)
+    val dropped = ConnectedComponents.droppedByComponent(pairs)
+    gates(deduped.join(dropped, Seq("doc_id"), "left_anti"),
+      minQualityMicros, langs)
+  }
 }

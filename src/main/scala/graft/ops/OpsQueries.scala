@@ -263,6 +263,24 @@ object OpsQueries {
   def curationNearDup(s: SparkSession, dir: String): DataFrame =
     Curate.curateWithNearDup(docsWithNearDups(s, dir)).orderBy(col("doc_id"))
 
+  /** Connected components over the verified near-dup pair graph
+    * (large-star/small-star; component = min doc_id). DuckDB-oracled by a
+    * recursive-CTE transitive closure over the SAME exact-Jaccard pair set —
+    * the iterative Spark loop is checked against declarative reachability. */
+  def dedupCcComponents(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minhashLshPairs(docsWithNearDups(s, dir), "doc_id", "text",
+      threshold = 0.5)
+    ConnectedComponents.components(pairs)
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Curation with CLUSTER-EXACT canonicalization: near-dup components →
+    * keep each component's root → gates. Oracle replays the closure and the
+    * root-survivor rule in SQL. */
+  def curationCc(s: SparkSession, dir: String): DataFrame =
+    Curate.curateWithNearDupCC(docsWithNearDups(s, dir)).orderBy(col("doc_id"))
+
   def langIdDetect(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("detected"))
@@ -354,6 +372,8 @@ object OpsQueries {
     "lang_id_detect" -> (langIdDetect _),
     "curation_pipeline" -> (curationPipeline _),
     "curation_near_dup" -> (curationNearDup _),
+    "curation_cc" -> (curationCc _),
+    "dedup_cc_components" -> (dedupCcComponents _),
     "quality_scores" -> (qualityScores _),
     "fingerprint_rolling" -> (fingerprintRolling _),
     "media_features" -> (mediaFeatures _),
@@ -473,8 +493,41 @@ object OpsQueries {
          WHERE doc_id NOT IN (SELECT id_b FROM dropped)),
        """ + gateCtes("surv") + gateSelect
 
+  /** Shared recursive-CTE connected components over the exact-Jaccard pair
+    * set: undirected edges → reachability closure (set-semantics UNION
+    * terminates) → component = min reachable id (incl. self). The
+    * declarative twin of the engine's large-star/small-star loop. */
+  private val ccCtes: String =
+    nearDupPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+       p AS (
+         SELECT id_a, id_b FROM i
+         WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5),
+       e AS (SELECT id_a AS u, id_b AS v FROM p
+             UNION SELECT id_b, id_a FROM p),
+       reach(u, v) AS (
+         SELECT u, v FROM e
+         UNION
+         SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+       cc AS (
+         SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)"""
+
+  private val dedupCcComponentsSql: String = ccCtes +
+    """
+       SELECT id AS doc_id, component FROM cc ORDER BY doc_id"""
+
+  private val curationCcSql: String = ccCtes +
+    """,
+       dropped AS (SELECT id FROM cc WHERE id <> component),
+       surv AS (
+         SELECT doc_id, text FROM corpus
+         WHERE doc_id NOT IN (SELECT id FROM dropped)),
+       """ + gateCtes("surv") + gateSelect
+
   val oracleSql: Map[String, String] = Map(
     "curation_near_dup" -> curationNearDupSql,
+    "curation_cc" -> curationCcSql,
+    "dedup_cc_components" -> dedupCcComponentsSql,
     "dedup_ngram_jaccard_pairs" -> nearDupJaccardSql,
     "dedup_minhash_pairs" -> nearDupJaccardSql,
     "dedup_simhash_pairs" -> nearDupJaccardSql,
