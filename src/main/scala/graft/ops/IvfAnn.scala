@@ -166,6 +166,22 @@ object IvfAnn {
     cents
   }
 
+  /** INCREMENTAL index maintenance: assign a batch of NEW vectors to the
+    * index's FROZEN centroids (read from the sidecar — no retraining) and
+    * append into the `partitionBy(list)` layout; only the lists the batch
+    * lands in gain files, and [[topKIndexed]] needs no changes. This is the
+    * standard IVF growth mode (FAISS `add` after `train`): assignment
+    * quality degrades only as far as the corpus distribution drifts from
+    * the training sample — at which point the drift checks this engine
+    * exists for are the signal to re-train and rebuild. */
+  def indexAppend(df: DataFrame, idCol: String, embCol: String,
+                  path: String): Unit = {
+    val cents = readCentroids(df.sparkSession, path)
+    require(cents.nonEmpty, s"indexAppend: no centroid sidecar at $path")
+    assign(df, idCol, embCol, cents)
+      .write.mode("append").partitionBy("list").parquet(s"$path/lists")
+  }
+
   private def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
     import spark.implicits._
     spark.read.parquet(s"$path/centroids")

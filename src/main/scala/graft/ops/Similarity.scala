@@ -172,10 +172,58 @@ object Similarity {
     * it. Build cost is one shuffle-free pass + partitioned write, amortized
     * over every subsequent query. */
   def lshIndexWrite(df: DataFrame, idCol: String, embCol: String,
-                    path: String, planes: Int = 12): Unit =
+                    path: String, planes: Int = 12): Unit = {
     df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
         hyperplaneBucket(col(embCol), planes).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    // config sidecar under an _-prefixed dir (invisible to parquet readers):
+    // appends validate their planes against it — two plane counts in one
+    // index would silently split every bucket's population in two
+    writeMeta(df.sparkSession, s"$path/$MetaDir", planes)
+  }
+
+  private val MetaDir = "_graft_lsh_meta"
+
+  private def writeMeta(spark: org.apache.spark.sql.SparkSession,
+                        metaPath: String, planes: Int): Unit = {
+    import spark.implicits._
+    Seq(planes).toDF("planes").coalesce(1).write.mode("overwrite").parquet(metaPath)
+  }
+
+  private def readMetaPlanes(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[Int] =
+    try Some(spark.read.parquet(s"$path/$MetaDir").head().getInt(0))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** INCREMENTAL index maintenance: append a batch of new vectors into the
+    * existing `partitionBy(bucket)` layout — a growing corpus no longer
+    * rebuilds the whole index per batch. New rows are bucketed with the SAME
+    * hyperplane family (the hash is deterministic per (planes, dims), so a
+    * bucket id means the same thing across writes), and the dynamic
+    * partitioned append only touches the bucket directories the batch lands
+    * in. Readers ([[lshTopKIndexed]], [[lshTopKIndexedBatch]]) need no
+    * changes — partition pruning unions old and new files per bucket.
+    *
+    * `planes` must match the index's recorded config (fails loud on
+    * mismatch; a two-family index would silently halve every bucket).
+    * Indexes written before the config sidecar existed append on trust with
+    * a warning. */
+  def lshIndexAppend(df: DataFrame, idCol: String, embCol: String,
+                     path: String, planes: Int = 12): Unit = {
+    val spark = df.sparkSession
+    readMetaPlanes(spark, path) match {
+      case Some(p) => require(p == planes,
+        s"lshIndexAppend: index at $path was built with planes=$p, append " +
+          s"requested planes=$planes — bucket ids would be incompatible")
+      case None =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"lshIndexAppend: no config sidecar at $path (pre-append-era " +
+            "index) - trusting caller-supplied planes")
+    }
+    df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
+        hyperplaneBucket(col(embCol), planes).as("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+  }
 
   /** ANN top-k against a persisted LSH index: the bucket predicate is a
     * PARTITION filter on the index layout, so only the probed buckets'

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental ANN index maintenance: appended vectors must be served by the
+  * existing readers with no rebuild, partition pruning intact, and config
+  * drift must fail loud. */
+class IndexAppendSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  lazy val half1 = embs.filter($"vec_id" % 2 === 0)
+  lazy val half2 = embs.filter($"vec_id" % 2 === 1)
+
+  private def queryVec: Array[Double] = embs.filter($"vec_id" === 1)
+    .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+
+  test("LSH append: appended batch served identically to a full rebuild; " +
+    "partition pruning survives the append") {
+    val inc = java.nio.file.Files.createTempDirectory("lsh-inc").toString
+    val full = java.nio.file.Files.createTempDirectory("lsh-full").toString
+    Similarity.lshIndexWrite(half1, "vec_id", "embedding", inc, planes = 4)
+    Similarity.lshIndexAppend(half2, "vec_id", "embedding", inc, planes = 4)
+    Similarity.lshIndexWrite(embs, "vec_id", "embedding", full, planes = 4)
+    val q = queryVec
+    val a = Similarity.lshTopKIndexed(spark, inc, q, k = 8, planes = 4, probes = 5)
+    val b = Similarity.lshTopKIndexed(spark, full, q, k = 8, planes = 4, probes = 5)
+    assert(a.as[(Long, Double)].collect().toSeq == b.as[(Long, Double)].collect().toSeq)
+    // a vector that only exists in the APPENDED batch is findable: query by
+    // its own embedding, it must rank first (cos = 1 with itself)
+    val own = embs.filter($"vec_id" === 1) // odd id → lives in the append
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val top = Similarity.lshTopKIndexed(spark, inc, own, k = 1, planes = 4, probes = 1)
+      .as[(Long, Double)].head()
+    assert(top._1 == 1L && top._2 == 1.0, s"appended vector not served: $top")
+    // pruning proof on the appended index (old + new files per bucket)
+    val plan = a.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("bucket#"), plan.take(1500))
+  }
+
+  test("LSH append with mismatched planes fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-mismatch").toString
+    Similarity.lshIndexWrite(half1, "vec_id", "embedding", dir, planes = 4)
+    val e = intercept[IllegalArgumentException](
+      Similarity.lshIndexAppend(half2, "vec_id", "embedding", dir, planes = 6))
+    assert(e.getMessage.contains("planes=4"))
+  }
+
+  test("IVF append: frozen-centroid assignment; exact config over the " +
+    "appended index equals brute force on the union corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-inc").toString
+    IvfAnn.indexWrite(half1, "vec_id", "embedding", dir, nLists = 4)
+    IvfAnn.indexAppend(half2, "vec_id", "embedding", dir)
+    val q = queryVec
+    // nprobe = nLists probes every list → exact brute force over ALL rows,
+    // old and appended alike
+    val got = IvfAnn.topKIndexed(spark, dir, q, k = 10, nprobe = 4)
+      .as[(Long, Double)].collect().toSeq
+    val want = Similarity.bruteForceTopK(embs, "vec_id", "embedding", q, 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(got == want, s"got=$got want=$want")
+    assert(got.exists(_._1 % 2 == 1), "no appended (odd) vector in the top-k " +
+      "— fixture too weak or append not served")
+  }
+
+  test("batch ANN releases its query-side persist deterministically " +
+    "(no lingering persisted RDDs after release)") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-release").toString
+    Similarity.lshIndexWrite(half1, "vec_id", "embedding", dir, planes = 4)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val (plan, release) = Similarity.lshTopKIndexedBatchManaged(
+      spark, dir, embs.limit(20), "vec_id", "embedding", k = 5, planes = 4, probes = 2)
+    assert(plan.count() > 0)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.size > before.size,
+      "the exploded query side should be persisted while the plan is live")
+    release()
+    // unpersist is async (blocking = false) — poll briefly
+    val deadline = System.nanoTime() + 10e9.toLong
+    while (spark.sparkContext.getPersistentRDDs.keySet.size > before.size &&
+           System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before,
+      s"persisted RDDs leaked: ${spark.sparkContext.getPersistentRDDs.keySet -- before}")
+  }
+
+  test("IVF append without a centroid sidecar fails loud") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-nosidecar").toString
+    val e = intercept[Exception](
+      IvfAnn.indexAppend(half2, "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("centroid") || e.isInstanceOf[org.apache.spark.sql.AnalysisException])
+  }
+}
