@@ -38,7 +38,10 @@ object AnnProbe {
     val dir = java.nio.file.Files.createTempDirectory("ann-probe").toString
     val (_, tGen) = time {
       spark.range(n).mapPartitions(_.map { id =>
-        val rng = new graft.stats.StatMath.SplitMix64(id * 0x9E3779B97F4A7C15L + 7L)
+        // NOT id * golden-gamma: SplitMix64 advances by that constant per
+        // draw, so gamma-multiplied seeds make vec id+1's stream vec id's
+        // shifted by one dim (correlated embeddings, artificial bucket skew)
+        val rng = new graft.stats.StatMath.SplitMix64(id * 0x6C8E9CF570932BD5L + 7L)
         (id, Seq.fill(64)(rng.nextDouble() * 2 - 1))
       }).toDF("vec_id", "embedding")
         .write.mode("overwrite").parquet(dir)

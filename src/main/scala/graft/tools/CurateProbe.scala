@@ -1,0 +1,124 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Curation-at-volume probe: the composed near-dup curation pipeline
+  * (exact dedup → MinHash+LSH verified pairs → drop → quality/language
+  * gates) measured at ≥10M docs with injected near-dup mass — wall, shuffle
+  * bytes, pair/drop/survivor counts. The pipeline is DuckDB-oracled at
+  * sf0.01 (`curation_near_dup`, `curation_cc`); this probe is the VOLUME
+  * evidence that its banded-join shape holds at corpus scale. Results
+  * recorded in BASELINE.md.
+  *
+  * Corpus: deterministic ~30-token docs from a 4k vocabulary (SplitMix64
+  * per id — band collisions between unrelated docs are vanishingly rare, so
+  * candidate mass is dominated by the INJECTED near-dups: every 20th doc
+  * gains a one-word-perturbed copy, plus stopword/letter mix sized to pass
+  * the gates).
+  *
+  * `runMain graft.tools.CurateProbe [nDocs] [cc]` (default 10,000,000;
+  * pass `cc` to ALSO run the connected-components canonicalization).
+  */
+object CurateProbe {
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime()
+    val r = f
+    (r, (System.nanoTime() - t0) / 1e9)
+  }
+
+  private final class ShuffleMeter extends SparkListener {
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val write = new java.util.concurrent.atomic.AtomicLong
+    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      }
+    }
+    def snapshot: (Long, Long) = (read.get, write.get)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(10000000L)
+    val runCc = args.contains("cc")
+    val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName("graft-curate-probe")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    val meter = new ShuffleMeter
+    spark.sparkContext.addSparkListener(meter)
+
+    // stopword-rich vocabulary so generated docs clear the quality gate
+    val stop = Array("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+    val dir = java.nio.file.Files.createTempDirectory("curate-probe").toString
+    val (_, tGen) = time {
+      spark.range(n).mapPartitions { it =>
+        val sb = new StringBuilder(256)
+        it.map { id =>
+          // NOT id * golden-gamma: SplitMix64 advances by that same constant
+          // per draw, so gamma-multiplied seeds make doc id+1's stream doc
+          // id's shifted by one — every consecutive doc a near-dup
+          val rng = new graft.stats.StatMath.SplitMix64(id * 0x6C8E9CF570932BD5L + 13L)
+          sb.setLength(0)
+          var w = 0
+          while (w < 30) {
+            if (w % 3 == 0) sb.append(stop((rng.nextLong() >>> 8).toInt.abs % stop.length))
+            else { sb.append("word"); sb.append((rng.nextLong() >>> 8) % 4096) }
+            sb.append(' ')
+            w += 1
+          }
+          (id, sb.toString.trim)
+        }
+      }.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/base")
+    }
+    val base = spark.read.parquet(s"$dir/base")
+    // near-dup mass: every 20th doc gains a one-word-perturbed copy
+    val corpus = base.union(
+      base.filter($"doc_id" % 20 === 0)
+        .select(($"doc_id" + n).as("doc_id"),
+          concat($"text", lit(" perturbed")).as("text")))
+    val total = n + n / 20
+    println(f"generated $n base docs in $tGen%.1f s (corpus $total with injected near-dups)")
+
+    val s0 = meter.snapshot
+    val (pairRows, tPairs) = time {
+      graft.ops.Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5).count()
+    }
+    val s1 = meter.snapshot
+    println(f"minhashLshPairs: $tPairs%8.1f s, $pairRows verified pairs, " +
+      f"shuffle r/w ${(s1._1 - s0._1) / 1e9}%.2f/${(s1._2 - s0._2) / 1e9}%.2f GB")
+
+    val (survivors, tCur) = time {
+      graft.ops.Curate.curateWithNearDup(corpus).count()
+    }
+    val s2 = meter.snapshot
+    println(f"curateWithNearDup: $tCur%8.1f s, $survivors survivors of $total " +
+      f"(${total / tCur}%.0f docs/s), shuffle r/w ${(s2._1 - s1._1) / 1e9}%.2f/" +
+      f"${(s2._2 - s1._2) / 1e9}%.2f GB")
+
+    if (runCc) {
+      val (ccSurvivors, tCc) = time {
+        graft.ops.Curate.curateWithNearDupCC(corpus).count()
+      }
+      val s3 = meter.snapshot
+      println(f"curateWithNearDupCC: $tCc%8.1f s, $ccSurvivors survivors " +
+        f"(${total / tCc}%.0f docs/s), shuffle r/w ${(s3._1 - s2._1) / 1e9}%.2f/" +
+        f"${(s3._2 - s2._2) / 1e9}%.2f GB")
+    }
+
+    try { import scala.sys.process._; Seq("rm", "-rf", dir).! }
+    catch { case _: Throwable => }
+    spark.stop()
+  }
+}
