@@ -70,17 +70,57 @@ object Curate {
     * self-join (slim band keys, exact verification on candidates only);
     * the drop is a LEFT ANTI join against the (small) dropped-id set; the
     * gates stay codegen'd projections. */
-  def curateWithNearDup(docs: DataFrame, minQualityMicros: Long = 500000L,
-                        langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
-                        jaccardThreshold: Double = 0.5,
-                        shingleN: Int = 3): DataFrame = {
-    val deduped = exactDedup(docs)
+  /** Near-dup drop + gates over an (already exact-deduped) frame — shared by
+    * the one-plan and staged pipelines so they are the same computation over
+    * differently-materialized inputs. */
+  private def nearDupAndGates(deduped: DataFrame, minQualityMicros: Long,
+                              langs: Seq[String], jaccardThreshold: Double,
+                              shingleN: Int): DataFrame = {
     // every doc_id appearing as the LARGER side of a verified near-dup pair
     val dropped = Dedup.minhashLshPairs(deduped, "doc_id", "text",
         threshold = jaccardThreshold, shingleN = shingleN)
       .select(col("id_b").as("doc_id")).distinct()
     gates(deduped.join(dropped, Seq("doc_id"), "left_anti"),
       minQualityMicros, langs)
+  }
+
+  def curateWithNearDup(docs: DataFrame, minQualityMicros: Long = 500000L,
+                        langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
+                        jaccardThreshold: Double = 0.5,
+                        shingleN: Int = 3): DataFrame =
+    nearDupAndGates(exactDedup(docs), minQualityMicros, langs,
+      jaccardThreshold, shingleN)
+
+  /** [[curateWithNearDup]] with the exact-dedup stage MATERIALIZED to
+    * `scratchDir` (one parquet write, then read back) instead of kept as a
+    * subplan of the single declarative plan.
+    *
+    * Why this exists: the one-plan pipeline references the dedup result from
+    * FOUR downstream operators (both sides of the banded posting self-join,
+    * the pair-verification join, the anti-join, and the gated projection),
+    * and Spark re-executes the subplan for each reference — the 10.5M-doc
+    * CurateProbe measured the composed wall at ~4× the sum of its stages for
+    * exactly this reason (BASELINE.md round-4). Paying one write and reading
+    * it many times is the production shape for a 100 TB corpus: the
+    * materialized stage is also the natural checkpoint boundary (a failed
+    * near-dup stage restarts from parquet, not from raw input), and the
+    * lineage cut keeps the downstream DAG shallow.
+    *
+    * `.persist()` would also collapse the re-execution but holds the stage in
+    * executor storage memory (evictable under pressure, lost on executor
+    * death, and at 100 TB it IS the working set); a durable parquet write is
+    * the deliberate trade. Result is bit-identical to [[curateWithNearDup]]
+    * (spec-asserted). */
+  def curateWithNearDupStaged(docs: DataFrame, scratchDir: String,
+                              minQualityMicros: Long = 500000L,
+                              langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
+                              jaccardThreshold: Double = 0.5,
+                              shingleN: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    val stage = s"$scratchDir/deduped"
+    exactDedup(docs).write.mode("overwrite").parquet(stage)
+    nearDupAndGates(spark.read.parquet(stage), minQualityMicros, langs,
+      jaccardThreshold, shingleN)
   }
 
   /** Curation with CLUSTER-EXACT near-dup canonicalization: exact dedup →

@@ -263,6 +263,14 @@ object OpsQueries {
   def curationNearDup(s: SparkSession, dir: String): DataFrame =
     Curate.curateWithNearDup(docsWithNearDups(s, dir)).orderBy(col("doc_id"))
 
+  /** The staged (parquet-materialized dedup stage) pipeline — bit-identical
+    * results to `curation_near_dup` by construction, so it shares that
+    * query's oracle SQL; what it adds is the production materialization
+    * shape, hash-checked end to end. */
+  def curationStaged(s: SparkSession, dir: String): DataFrame =
+    Curate.curateWithNearDupStaged(docsWithNearDups(s, dir),
+      indexScratch("curation_staged")).orderBy(col("doc_id"))
+
   /** Connected components over the verified near-dup pair graph
     * (large-star/small-star; component = min doc_id). DuckDB-oracled by a
     * recursive-CTE transitive closure over the SAME exact-Jaccard pair set —
@@ -373,6 +381,7 @@ object OpsQueries {
     "curation_pipeline" -> (curationPipeline _),
     "curation_near_dup" -> (curationNearDup _),
     "curation_cc" -> (curationCc _),
+    "curation_staged" -> (curationStaged _),
     "dedup_cc_components" -> (dedupCcComponents _),
     "quality_scores" -> (qualityScores _),
     "fingerprint_rolling" -> (fingerprintRolling _),
@@ -527,6 +536,7 @@ object OpsQueries {
   val oracleSql: Map[String, String] = Map(
     "curation_near_dup" -> curationNearDupSql,
     "curation_cc" -> curationCcSql,
+    "curation_staged" -> curationNearDupSql,
     "dedup_cc_components" -> dedupCcComponentsSql,
     "dedup_ngram_jaccard_pairs" -> nearDupJaccardSql,
     "dedup_minhash_pairs" -> nearDupJaccardSql,

@@ -107,14 +107,24 @@ object CurateProbe {
       f"(${total / tCur}%.0f docs/s), shuffle r/w ${(s2._1 - s1._1) / 1e9}%.2f/" +
       f"${(s2._2 - s1._2) / 1e9}%.2f GB")
 
+    val (stagedSurvivors, tStaged) = time {
+      graft.ops.Curate.curateWithNearDupStaged(corpus, s"$dir/staged").count()
+    }
+    val sS = meter.snapshot
+    println(f"curateWithNearDupStaged: $tStaged%8.1f s, $stagedSurvivors survivors " +
+      f"(${total / tStaged}%.0f docs/s), shuffle r/w ${(sS._1 - s2._1) / 1e9}%.2f/" +
+      f"${(sS._2 - s2._2) / 1e9}%.2f GB")
+    if (stagedSurvivors != survivors)
+      println(s"MISMATCH: staged $stagedSurvivors != one-plan $survivors")
+
     if (runCc) {
       val (ccSurvivors, tCc) = time {
         graft.ops.Curate.curateWithNearDupCC(corpus).count()
       }
       val s3 = meter.snapshot
       println(f"curateWithNearDupCC: $tCc%8.1f s, $ccSurvivors survivors " +
-        f"(${total / tCc}%.0f docs/s), shuffle r/w ${(s3._1 - s2._1) / 1e9}%.2f/" +
-        f"${(s3._2 - s2._2) / 1e9}%.2f GB")
+        f"(${total / tCc}%.0f docs/s), shuffle r/w ${(s3._1 - sS._1) / 1e9}%.2f/" +
+        f"${(s3._2 - sS._2) / 1e9}%.2f GB")
     }
 
     try { import scala.sys.process._; Seq("rm", "-rf", dir).! }

@@ -249,6 +249,29 @@ class CurateSpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 5L -> "es"), out.toString)
   }
 
+  test("staged pipeline (materialized dedup stage) is bit-identical to the one-plan pipeline") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy with the sun in the garden today"),
+      (2L, "the cat sat on the mat and it was happy with the sun in the garden tonight"), // near-dup of 1
+      (3L, "the cat sat on the mat and it was happy with the sun in the garden today"), // exact copy of 1
+      (4L, "!!!! #### $$$$ %%%% ^^^^ &&&&"), // garbage -> quality gate
+      (5L, "el perro corre en la casa y los gatos duermen por la noche con el sol"),
+      (6L, "a bird flew over the house and the tree while the children played in the yard"))
+      .toDF("doc_id", "text").repartition(4)
+    val scratch = java.nio.file.Files.createTempDirectory("curate-staged").toString
+    try {
+      val onePlan = Curate.curateWithNearDup(docs)
+        .orderBy($"doc_id").collect().toSeq
+      val staged = Curate.curateWithNearDupStaged(docs, scratch)
+        .orderBy($"doc_id").collect().toSeq
+      assert(staged == onePlan, s"staged=$staged onePlan=$onePlan")
+      assert(staged.nonEmpty)
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", scratch).!
+    }
+  }
+
   test("curation pipeline: survivor is min doc_id, stable under repartition") {
     val docs = Seq(9L, 7L, 8L).map(i =>
         (i, "the quick brown fox jumps over the lazy dog and it is a fine day for a run"))
