@@ -45,6 +45,8 @@ object IvfAnn {
       .collect().map(_.toArray)
   }
 
+  private[ops] def cosineOf(a: Array[Double], b: Array[Double]): Double = cosine(a, b)
+
   private def cosine(a: Array[Double], b: Array[Double]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < a.length) {

@@ -208,6 +208,37 @@ object OpsQueries {
     IvfAnn.topKIndexed(s, idx, queryVec, k = 10, nprobe = 8)
   }
 
+  /** IVF-PQ against a persisted compressed index (rows-only: both the
+    * coarse list probing and the 8-byte-code ADC ranking are approximate by
+    * design at this config; recall and the lossless==brute-force identity
+    * are unit-tested in PqSpec). */
+  def annIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = indexScratch("ivfpq")
+    Pq.indexWrite(embs(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", idx, nLists = 8, m = 8, k = 16)
+    val queryVec = embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Pq.topKIndexed(s, idx, queryVec, k = 10, nprobe = 4)
+  }
+
+  /** PQ at the structurally-lossless config: a ≤256-row corpus has ≤256
+    * distinct subvectors per subspace, so training takes the distinct-set
+    * codebook path, every vector round-trips bit-exactly, and ADC equals
+    * the exact inner product — the full train/encode/ADC pipeline
+    * hash-checks against a DuckDB exact cosine replay (same gate pattern as
+    * `ann_lsh_exact`/`ann_ivf_exact`; the lossy production config stays
+    * rows-only as `ann_ivfpq_topk`). */
+  def annPqExact(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir).filter(col("vec_id") > 0 && col("vec_id") < 200)
+    val cb = Pq.train(corpus, "vec_id", "embedding", m = 8, sampleN = 500)
+    val queryVec = embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    Pq.adcTopK(Pq.encode(corpus, "vec_id", "embedding", cb), cb, queryVec, k = 10)
+      .select(col("id").as("vec_id"), col("cos"))
+  }
+
   /** Per-row kNN join (rows-only: LSH recall is approximate by design; the
     * recall bound vs brute force is unit-tested in SimilaritySpec). */
   def knnJoin(s: SparkSession, dir: String): DataFrame =
@@ -374,6 +405,8 @@ object OpsQueries {
     "ann_lsh_batch" -> (annLshBatch _),
     "ann_ivf_topk" -> (annIvfTopK _),
     "ann_ivf_exact" -> (annIvfExact _),
+    "ann_ivfpq_topk" -> (annIvfPqTopK _),
+    "ann_pq_exact" -> (annPqExact _),
     "knn_join" -> (knnJoin _),
     "knn_join_exact" -> (knnJoinExact _),
     "ann_lsh_exact" -> (annLshExact _),
@@ -634,6 +667,20 @@ object OpsQueries {
                   FROM x JOIN q USING (i) GROUP BY x.vec_id)
          SELECT vec_id AS id, round(dot / (nx * nq), 4) AS cos FROM dots
          ORDER BY cos DESC, id LIMIT 10""",
+    // ≤256-row corpus -> lossless distinct-set codebooks -> ADC == exact
+    // inner product; DuckDB replays exact cosine top-10 over the same subset
+    "ann_pq_exact" ->
+      """WITH q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS e,
+                    generate_subscripts(embedding, 1) AS i
+                    FROM embeddings WHERE vec_id = 0),
+         x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) AS i
+               FROM embeddings WHERE vec_id > 0 AND vec_id < 200),
+         dots AS (SELECT x.vec_id, sum(x.e * q.e) AS dot,
+                    sqrt(sum(x.e * x.e)) AS nx, sqrt(sum(q.e * q.e)) AS nq
+                  FROM x JOIN q USING (i) GROUP BY x.vec_id)
+         SELECT vec_id, round(dot / (nx * nq), 4) AS cos FROM dots
+         ORDER BY cos DESC, vec_id LIMIT 10""",
     // at planes=1/probes=2 both buckets are probed -> identical to brute
     // force; shares the similarity_topk replay
     "ann_lsh_exact" ->

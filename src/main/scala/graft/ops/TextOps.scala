@@ -26,20 +26,17 @@ object TextOps {
     size(filter(split(lower(text), "(?<=[a-z])(?=[^a-z])|(?<=[0-9])(?=[^0-9])|\\s+"),
       t => length(t) > 0))
 
-  /** Quality score in [0,1]: combines length band, stopword ratio, punct
-    * ratio, mean token length — the classic cheap pretraining-quality
-    * heuristics. */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
-    val nTok = greatest(size(toks).cast("double"), lit(1.0))
-    // native set-probe count (bit-identical integer; the filter/array_contains
-    // HOF chain ran interpreted with a linear word-list scan per token)
-    val stopRatio = graft.functions.StopwordCount.stopword_count(toks,
-      Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"))
-      .cast("double") / nTok
-    val punct = length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")).cast("double")
-    val punctRatio = punct / greatest(length(text).cast("double"), lit(1.0))
-    val meanTokLen = length(regexp_replace(text, "\\s+", "")).cast("double") / nTok
+  private val qualityStopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+
+  /** The score arithmetic shared by [[qualityScore]] and its retained twin:
+    * inputs are the profile counts, output the raw double score. */
+  private def qualityFormula(nTokRaw: Column, stopHits: Column, punctCnt: Column,
+                             lenCnt: Column, nonSpaceCnt: Column): Column = {
+    val nTok = greatest(nTokRaw.cast("double"), lit(1.0))
+    val stopRatio = stopHits.cast("double") / nTok
+    val punctRatio = punctCnt.cast("double") / greatest(lenCnt.cast("double"), lit(1.0))
+    val meanTokLen = nonSpaceCnt.cast("double") / nTok
     val lenScore = least(nTok / 64.0, lit(1.0)) // reward docs up to ~64 tokens
     val stopScore = least(stopRatio * 5.0, lit(1.0)) // some stopwords = natural language
     val punctScore = greatest(lit(1.0) - punctRatio * 5.0, lit(0.0))
@@ -52,6 +49,29 @@ object TextOps {
     lenScore * 0.3 + stopScore * 0.25 + punctScore * 0.25 + tokLenScore * 0.2
   }
 
+  /** Quality score in [0,1]: combines length band, stopword ratio, punct
+    * ratio, mean token length — the classic cheap pretraining-quality
+    * heuristics. All counts come from ONE single-pass [[graft.functions.TextProfile]]
+    * evaluation (the regexp_replace×3 + repeated-tokenize formulation it
+    * replaces measured ~40 µs/doc and dominated the curation gate stage;
+    * bit-identical — twin retained below, asserted in NativeExprSpec). */
+  def qualityScore(text: Column): Column = {
+    val p = graft.functions.TextProfile.text_profile(text, Seq(qualityStopwords))
+    qualityFormula(p.getField("n_tok"), element_at(p.getField("hits"), 1),
+      p.getField("punct"), p.getField("len"), p.getField("non_space"))
+  }
+
+  /** The pre-TextProfile formulation (three regex passes + tokenize), kept
+    * as the bit-identity twin for NativeExprSpec. */
+  private[graft] def qualityScoreTwin(text: Column): Column = {
+    val toks = tokens(text)
+    qualityFormula(size(toks),
+      graft.functions.StopwordCount.stopword_count(toks, qualityStopwords),
+      length(regexp_replace(text, "[^!-/:-@\\[-`{-~]", "")),
+      length(text),
+      length(regexp_replace(text, "\\s+", "")))
+  }
+
   /** Tiny per-language stopword profiles for the n-gram/stopword language-ID
     * heuristic. Public common function words only. */
   private val profiles: Seq[(String, Seq[String])] = Seq(
@@ -62,8 +82,32 @@ object TextOps {
 
   /** Heuristic language ID: CJK codepoint share decides 'zh'; otherwise the
     * stopword profile with the highest hit ratio wins; 'und' when nothing
-    * matches. Pure column expression. */
+    * matches. One single-pass [[graft.functions.TextProfile]] evaluation;
+    * the argmax is `array_position(hits, array_max(hits))` — first
+    * occurrence of the max, replicating the replaced `when`-fold's
+    * first-profile-wins strict-`>` tie rule (the fold also DUPLICATED its
+    * accumulator subtree per branch, re-evaluating stopword counts; twin
+    * retained below, bit-identity asserted in NativeExprSpec). All profile
+    * ratios share the token-count denominator, so argmax over hit COUNTS
+    * equals argmax over ratios. */
   def langId(text: Column): Column = {
+    val p = graft.functions.TextProfile.text_profile(text, profiles.map(_._2))
+    val cjkRatio = p.getField("cjk").cast("double") /
+      greatest(p.getField("len").cast("double"), lit(1.0))
+    val nTok = greatest(p.getField("n_tok").cast("double"), lit(1.0))
+    val hits = p.getField("hits")
+    val mx = array_max(hits)
+    val langNames = array(profiles.map(pr => lit(pr._1)): _*)
+    when(cjkRatio > 0.2, "zh")
+      .when(mx.cast("double") / nTok >= 0.05,
+        element_at(langNames, array_position(hits, mx).cast("int")))
+      .otherwise("und")
+  }
+
+  /** The pre-TextProfile formulation (regex CJK count + per-profile
+    * stopword counts + `when`-fold argmax), kept as the bit-identity twin
+    * for NativeExprSpec. */
+  private[graft] def langIdTwin(text: Column): Column = {
     val cjk = length(regexp_replace(text, "[^\\x{4E00}-\\x{9FFF}]", "")).cast("double")
     val cjkRatio = cjk / greatest(length(text).cast("double"), lit(1.0))
     val toks = tokens(text)

@@ -200,6 +200,50 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("text_profile fields == the regexp/tokenize formulations they replace, " +
+    "on real docs + adversarial strings") {
+    val adversarial = Seq(
+      "", "   ", "\t\n\f\r", "!!! ### $$$ ~~~ [](){}`^_|",
+      "汉字漢字中文测试文本在这里", "mixed 汉字 and ascii with punct!!",
+      "astral 😀 emoji 🌀 pair", // 4-byte UTF-8 sequences
+      "THE The the tHe", "abécd über straße", // 2-byte seqs
+      "a", "word1 word2 word3").toDF("text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").union(adversarial)
+    val words = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+    val p = TextProfile.text_profile($"text", Seq(words))
+    val diff = docs.select(
+        p.getField("n_tok").as("nt"), p.getField("len").as("ln"),
+        p.getField("non_space").as("ns"), p.getField("punct").as("pu"),
+        p.getField("cjk").as("cj"), element_at(p.getField("hits"), 1).as("hi"),
+        size(TextNative.whitespace_tokens($"text")).as("nt2"),
+        length($"text").as("ln2"),
+        length(regexp_replace($"text", "\\s+", "")).as("ns2"),
+        length(regexp_replace($"text", "[^!-/:-@\\[-`{-~]", "")).as("pu2"),
+        length(regexp_replace($"text", "[^\\x{4E00}-\\x{9FFF}]", "")).as("cj2"),
+        StopwordCount.stopword_count(TextNative.whitespace_tokens($"text"), words).as("hi2"))
+      .filter(!($"nt" <=> $"nt2") || !($"ln" <=> $"ln2") || !($"ns" <=> $"ns2") ||
+        !($"pu" <=> $"pu2") || !($"cj" <=> $"cj2") || !($"hi" <=> $"hi2"))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("\n"))
+  }
+
+  test("qualityScore/langId over text_profile == their pre-profile twins, bit-exact") {
+    val adversarial = Seq(
+      "", "   ", "汉字漢字中文测试文本在这里汉字漢字中文", "el la de que y en los del",
+      "der die und das von zu mit den", "le la de et les des en un",
+      "the quick brown fox is in the yard and it is fine",
+      "zzz qqq xxx www", "!!!! ???? ####").toDF("text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").union(adversarial)
+    val diff = docs.select(
+        graft.ops.TextOps.qualityScore($"text").as("q"),
+        graft.ops.TextOps.qualityScoreTwin($"text").as("q2"),
+        graft.ops.TextOps.langId($"text").as("l"),
+        graft.ops.TextOps.langIdTwin($"text").as("l2"))
+      .filter(!($"q" <=> $"q2") || !($"l" <=> $"l2"))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("\n"))
+  }
+
   test("null inputs propagate") {
     val r = Seq((null: Seq[String], null: Seq[Double]))
       .toDF("toks", "emb")
