@@ -103,6 +103,14 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         arity("stopword_count", args, 2)
         StopwordCount(args(0), strLits(args(1), "stopword_count", "words"))
+      }),
+    ("text_profile", "single-pass text profile: token/char-class counts + per-word-list hits",
+      (args: Seq[Expression]) => {
+        require(args.length >= 2,
+          s"text_profile takes (text, wordList...), got ${args.length} arguments")
+        TextProfile(args.head, args.tail.zipWithIndex.map { case (a, i) =>
+          strLits(a, "text_profile", s"wordList$i")
+        })
       })
   ).map { case (name, _usage, builder) =>
     // two-arg ExpressionInfo(className, name): the 3-arg overload is

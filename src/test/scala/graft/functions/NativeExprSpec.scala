@@ -20,7 +20,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
            word_shingles('a b c d', 3) AS ws,
            size(minhash_sig(array('x y z'), 8)) AS ms,
            size(band_hashes(minhash_sig(array('x y z'), 8), 4, 2)) AS bh,
-           stopword_count(array('the', 'fox'), array('the', 'a')) AS sc
+           stopword_count(array('the', 'fox'), array('the', 'a')) AS sc,
+           text_profile('the fox!', array('the', 'a'), array('el')) AS tp
          """).head()
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) == 97L * RollingHash.B + 98L)
@@ -32,6 +33,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(7) == 8)
     assert(r.getInt(8) == 4)
     assert(r.getInt(9) == 1)
+    val tp = r.getStruct(10)
+    // "the fox!": 2 tokens, 8 chars, 7 non-space, 1 punct, 0 cjk, hits (1, 0)
+    assert(tp.getInt(0) == 2 && tp.getInt(1) == 8 && tp.getInt(2) == 7 &&
+      tp.getInt(3) == 1 && tp.getInt(4) == 0 && tp.getSeq[Int](5) == Seq(1, 0))
     // SQL result == Scala-API result for a representative expression
     import spark.implicits._
     val viaSql = spark.sql("SELECT rolling_hash('graft engine')").head().getLong(0)
