@@ -161,7 +161,11 @@ object PartStats {
     * (checked with a cheap count FIRST — metadata-only on parquet), so a
     * forced broadcast of a catalog that cannot fit driver memory dies with
     * an actionable message instead of an OOM mid-collect. */
-  def broadcastMediaSet(media: DataFrame, maxEntries: Long = 20L * 1000 * 1000)
+  /** Entry cap for [[broadcastMediaSet]] — shared with ValidationRun's AUTO
+    * path selection so auto never picks a broadcast the cap then rejects. */
+  val BroadcastMaxEntries: Long = 20L * 1000 * 1000
+
+  def broadcastMediaSet(media: DataFrame, maxEntries: Long = BroadcastMaxEntries)
       : org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet] = {
     val cat = media.select("media_ref")
     val n = cat.count()

@@ -142,10 +142,24 @@ object ValidationRun {
 
     val useBroadcastMedia = broadcastMedia.getOrElse {
       val est = estimateCatalogBytes(media)
-      val fits = est <= BigInt(cfg.mediaBroadcastMaxBytes)
-      if (!fits) log.info(s"referential path: catalog estimate $est B > " +
-        s"${cfg.mediaBroadcastMaxBytes} B - selecting the shuffled anti-join")
-      fits
+      if (est > BigInt(cfg.mediaBroadcastMaxBytes)) {
+        log.info(s"referential path: catalog estimate $est B > " +
+          s"${cfg.mediaBroadcastMaxBytes} B - selecting the shuffled anti-join")
+        false
+      } else {
+        // the byte estimate can pass on heavily-compressed catalogs whose
+        // ENTRY count still exceeds the broadcast-set cap (tens of millions
+        // of prefix-compressed refs): check the same bound
+        // broadcastMediaSet enforces, so AUTO falls back to the anti-join
+        // instead of dying at the cap's require mid-run (a FORCED
+        // Some(true) keeps the fail-loud contract). Metadata-only count on
+        // file sources; bounded by the small byte estimate otherwise.
+        val n = media.select("media_ref").count()
+        val ok = n <= PartStats.BroadcastMaxEntries
+        if (!ok) log.info(s"referential path: catalog has $n refs > entry " +
+          s"cap ${PartStats.BroadcastMaxEntries} - selecting the shuffled anti-join")
+        ok
+      }
     }
 
     // Independent check jobs are launched CONCURRENTLY from driver threads —

@@ -96,9 +96,17 @@ object TextProfile {
       } else if (b < 0xE0) { chars += 1; i += 2 }
       else if (b < 0xF0) {
         chars += 1
-        val cp = ((b & 0x0F) << 12) |
-          ((text.getByte(i + 1) & 0x3F) << 6) | (text.getByte(i + 2) & 0x3F)
-        if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1
+        // bounds guard: UTF8String.getByte is an unchecked Platform read, so
+        // a TRUNCATED 3-byte sequence (malformed UTF-8 reaches strings via
+        // unvalidated binary->string casts) must not read past the buffer —
+        // numChars itself only advances by lead-byte width, never
+        // dereferencing continuation bytes. A truncated sequence counts as
+        // one char, never as CJK.
+        if (i + 2 < nBytes) {
+          val cp = ((b & 0x0F) << 12) |
+            ((text.getByte(i + 1) & 0x3F) << 6) | (text.getByte(i + 2) & 0x3F)
+          if (cp >= 0x4E00 && cp <= 0x9FFF) cjk += 1
+        }
         i += 3
       } else { chars += 1; i += 4 }
     }

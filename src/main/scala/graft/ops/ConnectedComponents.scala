@@ -86,6 +86,13 @@ object ConnectedComponents {
         .distinct()
         .localCheckpoint()
       val cur = checksum(small)
+      // checksum() materialized small's checkpoint, so the SUPERSEDED
+      // round's blocks can be freed now — otherwise every round's
+      // localCheckpoint stays persisted until GC (up to maxIterations
+      // retained edge-set copies in executor storage). The FINAL round's
+      // checkpoint must stay: localCheckpoint truncates lineage, its blocks
+      // ARE the data behind the returned plan.
+      edges.unpersist(blocking = false)
       converged = cur == prev
       prev = cur
       edges = small

@@ -178,6 +178,15 @@ object IvfAnn {
     * exists for are the signal to re-train and rebuild. */
   def indexAppend(df: DataFrame, idCol: String, embCol: String,
                   path: String): Unit = {
+    // an IVF-PQ index (Pq.indexWrite) shares this centroid-sidecar format
+    // but its lists hold (id, code, norm) CODES, not raw embeddings —
+    // appending raw rows would mix file schemas and corrupt the layout.
+    // The codebook sidecar is the family marker; fail loud on it.
+    val cbPath = new org.apache.hadoop.fs.Path(s"$path/codebooks")
+    val fs = cbPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    require(!fs.exists(cbPath),
+      s"indexAppend: $path has a PQ codebook sidecar - it is an IVF-PQ " +
+        "index storing codes, not raw embeddings; raw appends would corrupt it")
     val cents = readCentroids(df.sparkSession, path)
     require(cents.nonEmpty, s"indexAppend: no centroid sidecar at $path")
     assign(df, idCol, embCol, cents)

@@ -143,6 +143,35 @@ object Pq {
     Codebooks(m, k, dsub, books, lossless)
   }
 
+  /** Per-row PQ encode, shared by [[encode]] and [[indexWrite]]: (m
+    * one-byte codes, exact norm). Fails loud on a dims mismatch — the
+    * codebooks only cover the trained width, silently truncating a wider
+    * vector would persist wrong cosines. */
+  private def encodeVec(v: Array[Double], b: Codebooks): (Array[Byte], Double) = {
+    require(v.length == b.dims,
+      s"pq: vector dims ${v.length} != trained dims ${b.dims}")
+    val code = new Array[Byte](b.m)
+    var norm = 0.0
+    var i = 0
+    while (i < v.length) { norm += v(i) * v(i); i += 1 }
+    var j = 0
+    while (j < b.m) {
+      val off = j * b.dsub
+      val book = b.books(j)
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < book.length) {
+        var s = 0.0; var t = 0
+        val cent = book(c)
+        while (t < b.dsub) { val d = v(off + t) - cent(t); s += d * d; t += 1 }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      code(j) = best.toByte
+      j += 1
+    }
+    (code, math.sqrt(norm))
+  }
+
   /** Encode every row to `m` one-byte codes + its exact norm: one narrow
     * mapPartitions pass with the broadcast codebooks, no shuffle. Output
     * `(id (native type), code binary, norm double)`. */
@@ -157,29 +186,8 @@ object Pq {
     in.mapPartitions { it =>
       val b = bc.value
       it.map { r =>
-        val v = r.getSeq[Double](1).toArray
-        require(v.length == b.dims,
-          s"pq: vector dims ${v.length} != trained dims ${b.dims}")
-        val code = new Array[Byte](b.m)
-        var norm = 0.0
-        var i = 0
-        while (i < v.length) { norm += v(i) * v(i); i += 1 }
-        var j = 0
-        while (j < b.m) {
-          val off = j * b.dsub
-          val book = b.books(j)
-          var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < book.length) {
-            var s = 0.0; var t = 0
-            val cent = book(c)
-            while (t < b.dsub) { val d = v(off + t) - cent(t); s += d * d; t += 1 }
-            if (s < bestD) { bestD = s; best = c }
-            c += 1
-          }
-          code(j) = best.toByte
-          j += 1
-        }
-        org.apache.spark.sql.Row(r.get(0), code, math.sqrt(norm))
+        val (code, norm) = encodeVec(r.getSeq[Double](1).toArray, b)
+        org.apache.spark.sql.Row(r.get(0), code, norm)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
   }
@@ -250,26 +258,8 @@ object Pq {
     assigned.mapPartitions { it =>
       val b = bc.value
       it.map { r =>
-        val v = r.getSeq[Double](1).toArray
-        val code = new Array[Byte](b.m)
-        var norm = 0.0; var i = 0
-        while (i < v.length) { norm += v(i) * v(i); i += 1 }
-        var j = 0
-        while (j < b.m) {
-          val off = j * b.dsub
-          val book = b.books(j)
-          var best = 0; var bestD = Double.MaxValue; var c = 0
-          while (c < book.length) {
-            var s = 0.0; var t = 0
-            val cent = book(c)
-            while (t < b.dsub) { val d = v(off + t) - cent(t); s += d * d; t += 1 }
-            if (s < bestD) { bestD = s; best = c }
-            c += 1
-          }
-          code(j) = best.toByte
-          j += 1
-        }
-        org.apache.spark.sql.Row(r.get(0), code, math.sqrt(norm), r.getInt(2))
+        val (code, norm) = encodeVec(r.getSeq[Double](1).toArray, b)
+        org.apache.spark.sql.Row(r.get(0), code, norm, r.getInt(2))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
       .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")

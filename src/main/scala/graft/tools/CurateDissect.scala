@@ -37,30 +37,9 @@ object CurateDissect {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val stop = Array("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
     val dir = java.nio.file.Files.createTempDirectory("curate-dissect").toString
-    time("gen") {
-      spark.range(n).mapPartitions { it =>
-        val sb = new StringBuilder(256)
-        it.map { id =>
-          val rng = new graft.stats.StatMath.SplitMix64(id * 0x6C8E9CF570932BD5L + 13L)
-          sb.setLength(0)
-          var w = 0
-          while (w < 30) {
-            if (w % 3 == 0) sb.append(stop((rng.nextLong() >>> 8).toInt.abs % stop.length))
-            else { sb.append("word"); sb.append((rng.nextLong() >>> 8) % 4096) }
-            sb.append(' ')
-            w += 1
-          }
-          (id, sb.toString.trim)
-        }
-      }.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/base")
-    }
-    val base = spark.read.parquet(s"$dir/base")
-    val corpus = base.union(
-      base.filter($"doc_id" % 20 === 0)
-        .select(($"doc_id" + n).as("doc_id"),
-          concat($"text", lit(" perturbed")).as("text")))
+    val base = time("gen")(ProbeCorpus.writeBase(spark, n, dir))
+    val corpus = ProbeCorpus.withNearDups(base, n)
 
     time("dedup.write") {
       graft.ops.Dedup.dropExact(corpus, Seq("text"), "doc_id")

@@ -58,36 +58,10 @@ object CurateProbe {
     val meter = new ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
-    // stopword-rich vocabulary so generated docs clear the quality gate
-    val stop = Array("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
     val dir = java.nio.file.Files.createTempDirectory("curate-probe").toString
-    val (_, tGen) = time {
-      spark.range(n).mapPartitions { it =>
-        val sb = new StringBuilder(256)
-        it.map { id =>
-          // NOT id * golden-gamma: SplitMix64 advances by that same constant
-          // per draw, so gamma-multiplied seeds make doc id+1's stream doc
-          // id's shifted by one — every consecutive doc a near-dup
-          val rng = new graft.stats.StatMath.SplitMix64(id * 0x6C8E9CF570932BD5L + 13L)
-          sb.setLength(0)
-          var w = 0
-          while (w < 30) {
-            if (w % 3 == 0) sb.append(stop((rng.nextLong() >>> 8).toInt.abs % stop.length))
-            else { sb.append("word"); sb.append((rng.nextLong() >>> 8) % 4096) }
-            sb.append(' ')
-            w += 1
-          }
-          (id, sb.toString.trim)
-        }
-      }.toDF("doc_id", "text")
-        .write.mode("overwrite").parquet(s"$dir/base")
-    }
-    val base = spark.read.parquet(s"$dir/base")
+    val (base, tGen) = time(ProbeCorpus.writeBase(spark, n, dir))
     // near-dup mass: every 20th doc gains a one-word-perturbed copy
-    val corpus = base.union(
-      base.filter($"doc_id" % 20 === 0)
-        .select(($"doc_id" + n).as("doc_id"),
-          concat($"text", lit(" perturbed")).as("text")))
+    val corpus = ProbeCorpus.withNearDups(base, n)
     val total = n + n / 20
     println(f"generated $n base docs in $tGen%.1f s (corpus $total with injected near-dups)")
 

@@ -232,6 +232,23 @@ class NativeExprSpec extends AnyFunSuite {
     assert(diff.count() == 0, diff.collect().take(3).mkString("\n"))
   }
 
+  test("text_profile never over-reads truncated/malformed UTF-8 (unvalidated binary->string cast)") {
+    // 0xE4 is a 3-byte lead with no continuation bytes; 0xE4 0xB8 is cut
+    // after one. binary->string casts do NOT validate, so these reach the
+    // expression as real (malformed) strings.
+    val rows = Seq(
+      Array(0xE4.toByte),
+      Array(0xE4.toByte, 0xB8.toByte),
+      Array('a'.toByte, 0xE4.toByte),
+      Array(0xE4.toByte, 0xB8.toByte, 0x80.toByte)) // valid 一 (U+4E00)
+      .toDF("b").select($"b".cast("string").as("text"))
+    val p = TextProfile.text_profile($"text", Seq(Seq("a")))
+    val got = rows.select(p.getField("len").as("l"), p.getField("cjk").as("c"))
+      .as[(Int, Int)].collect().toSeq
+    // truncated sequences: counted as one char, never CJK; the valid U+4E00 is CJK
+    assert(got == Seq((1, 0), (1, 0), (2, 0), (1, 1)), got.toString)
+  }
+
   test("qualityScore/langId over text_profile == their pre-profile twins, bit-exact") {
     val adversarial = Seq(
       "", "   ", "汉字漢字中文测试文本在这里汉字漢字中文", "el la de que y en los del",

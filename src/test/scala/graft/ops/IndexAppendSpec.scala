@@ -85,6 +85,15 @@ class IndexAppendSpec extends AnyFunSuite {
       s"persisted RDDs leaked: ${spark.sparkContext.getPersistentRDDs.keySet -- before}")
   }
 
+  test("IVF raw append onto an IVF-PQ index fails loud (codebook sidecar is the family marker)") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-guard").toString
+    Pq.indexWrite(embs.filter($"vec_id" > 0 && $"vec_id" < 100),
+      "vec_id", "embedding", dir, nLists = 2, m = 8, sampleN = 200)
+    val e = intercept[IllegalArgumentException](
+      IvfAnn.indexAppend(half2, "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("codebook"), e.getMessage)
+  }
+
   test("IVF append without a centroid sidecar fails loud") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-nosidecar").toString
     val e = intercept[Exception](
