@@ -38,16 +38,18 @@ object Curate {
   }
 
   /** Quality + language gates shared by both pipelines: pure codegen'd
-    * projections over (doc_id, text). */
+    * projections over (doc_id, text), all three gate columns from ONE
+    * shared TextProfile pass (TextOps.gateColumns — bit-identical to
+    * applying langId/qualityScore/tokens separately, spec-asserted). */
   private def gates(deduped: DataFrame, minQualityMicros: Long,
-                    langs: Seq[String]): DataFrame =
+                    langs: Seq[String]): DataFrame = {
+    val (lang, qualityMicros, nTokens) = TextOps.gateColumns(col("text"))
     deduped
-      .select(col("doc_id"),
-        TextOps.langId(col("text")).as("lang"),
-        floor(TextOps.qualityScore(col("text")) * 1e6).cast("long").as("quality_micros"),
-        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .select(col("doc_id"), lang.as("lang"),
+        qualityMicros.as("quality_micros"), nTokens.as("n_tokens"))
       .filter(col("quality_micros") >= minQualityMicros &&
         col("lang").isin(langs: _*))
+  }
 
   def curate(docs: DataFrame, minQualityMicros: Long = 500000L,
              langs: Seq[String] = Seq("en", "es", "de", "fr", "zh")): DataFrame =

@@ -92,16 +92,39 @@ object TextOps {
     * equals argmax over ratios. */
   def langId(text: Column): Column = {
     val p = graft.functions.TextProfile.text_profile(text, profiles.map(_._2))
+    langDecision(p, p.getField("hits"))
+  }
+
+  /** The language decision over a profile struct + its (possibly sliced)
+    * per-language hit counts, shared by [[langId]] and [[gateColumns]]. */
+  private def langDecision(p: Column, hits: Column): Column = {
     val cjkRatio = p.getField("cjk").cast("double") /
       greatest(p.getField("len").cast("double"), lit(1.0))
     val nTok = greatest(p.getField("n_tok").cast("double"), lit(1.0))
-    val hits = p.getField("hits")
     val mx = array_max(hits)
     val langNames = array(profiles.map(pr => lit(pr._1)): _*)
     when(cjkRatio > 0.2, "zh")
       .when(mx.cast("double") / nTok >= 0.05,
         element_at(langNames, array_position(hits, mx).cast("int")))
       .otherwise("und")
+  }
+
+  /** The curation gate projection from ONE [[graft.functions.TextProfile]]
+    * evaluation: `(lang, quality_micros, n_tokens)`. Applying [[langId]],
+    * [[qualityScore]] and `size(tokens)` separately costs three text passes
+    * per row (each builds its own profile/token array); this shares a
+    * single profile whose hit lists are the quality stopwords followed by
+    * the language profiles. Values are bit-identical to the separate
+    * application (same formulas over the same counts — spec-asserted in
+    * CurateSpec). */
+  def gateColumns(text: Column): (Column, Column, Column) = {
+    val p = graft.functions.TextProfile.text_profile(text,
+      qualityStopwords +: profiles.map(_._2))
+    val hits = p.getField("hits")
+    val lang = langDecision(p, slice(hits, 2, profiles.length))
+    val quality = qualityFormula(p.getField("n_tok"), element_at(hits, 1),
+      p.getField("punct"), p.getField("len"), p.getField("non_space"))
+    (lang, floor(quality * 1e6).cast("long"), p.getField("n_tok"))
   }
 
   /** The pre-TextProfile formulation (regex CJK count + per-profile

@@ -54,11 +54,17 @@ object CurateDissect {
     time("dropped")(dropped.count())
     time("anti-join")(deduped.join(dropped, Seq("doc_id"), "left_anti").count())
 
-    time("gates") {
+    time("gates (3 passes)") {
       deduped.select($"doc_id",
           graft.ops.TextOps.langId($"text").as("lang"),
           floor(graft.ops.TextOps.qualityScore($"text") * 1e6).cast("long").as("q"),
           size(graft.ops.TextOps.tokens($"text")).as("t"))
+        .filter($"q" >= 500000L && $"lang".isin(Seq("en", "es", "de", "fr", "zh"): _*))
+        .count()
+    }
+    time("gates (shared profile)") {
+      val (lang, q, t) = graft.ops.TextOps.gateColumns($"text")
+      deduped.select($"doc_id", lang.as("lang"), q.as("q"), t.as("t"))
         .filter($"q" >= 500000L && $"lang".isin(Seq("en", "es", "de", "fr", "zh"): _*))
         .count()
     }

@@ -249,6 +249,21 @@ class CurateSpec extends AnyFunSuite {
     assert(out == Map(1L -> "en", 5L -> "es"), out.toString)
   }
 
+  test("gateColumns (one shared profile) == separate langId/qualityScore/tokens, bit-exact") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", "   ", "汉字漢字中文测试文本在这里汉字漢字中文",
+        "el la de que y en los del", "!!!! ???? ####",
+        "the quick brown fox is in the yard and it is fine").toDF("text"))
+    val (lang, q, t) = TextOps.gateColumns($"text")
+    val diff = docs.select(lang.as("l"), q.as("q"), t.as("t"),
+        TextOps.langId($"text").as("l2"),
+        floor(TextOps.qualityScore($"text") * 1e6).cast("long").as("q2"),
+        size(TextOps.tokens($"text")).as("t2"))
+      .filter(!($"l" <=> $"l2") || !($"q" <=> $"q2") || !($"t" <=> $"t2"))
+    assert(diff.count() == 0, diff.collect().take(3).mkString("\n"))
+  }
+
   test("staged pipeline (materialized dedup stage) is bit-identical to the one-plan pipeline") {
     val docs = Seq(
       (1L, "the cat sat on the mat and it was happy with the sun in the garden today"),
