@@ -248,9 +248,21 @@ object Pq {
     import spark.implicits._
     val cb = train(df, idCol, embCol, m, k, sampleN, iters, seed)
     val cents = IvfAnn.trainCentroids(df, idCol, embCol, nLists, sampleN, iters, seed)
-    val assigned = IvfAnn.assign(df, idCol, embCol, cents)
-    // re-encode from the assigned frame: join-free (assign preserves emb)
-    val bc = spark.sparkContext.broadcast(cb)
+    writeCodes(IvfAnn.assign(df, idCol, embCol, cents), cb, path, "overwrite")
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("list", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writeCodebooks(spark, cb, path)
+    cb
+  }
+
+  /** Encode an IVF-assigned frame (id, emb, list) with `cb` and write the
+    * (id, code, norm) rows `partitionBy(list)` — shared by [[indexWrite]]
+    * (overwrite) and [[indexAppend]] (append). Encoding from the assigned
+    * frame is join-free: assign preserves emb. */
+  private def writeCodes(assigned: DataFrame, cb: Codebooks, path: String,
+                         mode: String): Unit = {
+    val bc = assigned.sparkSession.sparkContext.broadcast(cb)
     val outSchema = StructType(Seq(assigned.schema.fields(0),
       StructField("code", BinaryType, nullable = false),
       StructField("norm", DoubleType, nullable = false),
@@ -262,12 +274,26 @@ object Pq {
         org.apache.spark.sql.Row(r.get(0), code, norm, r.getInt(2))
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-      .write.mode("overwrite").partitionBy("list").parquet(s"$path/lists")
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("list", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    writeCodebooks(spark, cb, path)
-    cb
+      .write.mode(mode).partitionBy("list").parquet(s"$path/lists")
+  }
+
+  /** INCREMENTAL IVF-PQ maintenance: assign a batch of new vectors to the
+    * index's FROZEN coarse centroids, encode with its FROZEN codebooks
+    * (both read from the sidecars — no retraining), and append into the
+    * `partitionBy(list)` codes layout. Same growth contract as
+    * [[IvfAnn.indexAppend]]: quality degrades only as far as the corpus
+    * drifts from the training sample — the drift checks are the re-train
+    * signal. Fails loud on a non-PQ index (no codebook sidecar). */
+  def indexAppend(df: DataFrame, idCol: String, embCol: String,
+                  path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cb = readCodebooks(spark, path) // requires the sidecar — family guard
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("list").select("centroid").as[Seq[Double]]
+      .collect().map(_.toArray)
+    require(cents.nonEmpty, s"pq indexAppend: no centroid sidecar at $path")
+    writeCodes(IvfAnn.assign(df, idCol, embCol, cents), cb, path, "append")
   }
 
   private def writeCodebooks(spark: SparkSession, cb: Codebooks, path: String): Unit = {

@@ -77,6 +77,40 @@ class PqSpec extends AnyFunSuite {
     assert(e.getMessage.contains("divisible"))
   }
 
+  test("IVF-PQ append: frozen centroids + frozen codebooks; appended vectors " +
+    "served without rebuild, append ≡ encode-then-write") {
+    val half1 = smallCorpus.filter($"vec_id" % 2 === 0)
+    val half2 = smallCorpus.filter($"vec_id" % 2 === 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-append").toString
+    // codebooks are trained from half1 only, so half2 quantizes LOSSY —
+    // the append contract is not exactness but (a) appended ids are served
+    // from the index without a rebuild, and (b) their indexed ADC cosines
+    // equal encoding half2 directly with the same frozen codebooks
+    Pq.indexWrite(half1, "vec_id", "embedding", dir, nLists = 4, m = 8, sampleN = 500)
+    Pq.indexAppend(half2, "vec_id", "embedding", dir)
+    val got = Pq.topKIndexed(spark, dir, query, k = 50, nprobe = 4)
+      .as[(Long, Double)].collect()
+    assert(got.exists(_._1 % 2 == 1),
+      "no appended (odd) vector served from the IVF-PQ index")
+    // every APPENDED id's ADC cosine must match encoding half2 directly
+    // with the same frozen codebooks (append ≡ encode-then-write)
+    val cb = Pq.readCodebooks(spark, dir)
+    val direct = Pq.adcTopK(Pq.encode(half2, "vec_id", "embedding", cb), cb, query, 50)
+      .as[(Long, Double)].collect().toMap
+    got.filter(_._1 % 2 == 1).foreach { case (id, c) =>
+      direct.get(id).foreach(d => assert(d == c, s"id $id: indexed $c != direct $d"))
+    }
+  }
+
+  test("PQ append onto a raw IVF index fails loud (no codebook sidecar)") {
+    val dir = java.nio.file.Files.createTempDirectory("rawivf-guard").toString
+    IvfAnn.indexWrite(smallCorpus, "vec_id", "embedding", dir, nLists = 2)
+    val e = intercept[Exception](
+      Pq.indexAppend(smallCorpus, "vec_id", "embedding", dir))
+    assert(e.getMessage.contains("codebook") ||
+      e.isInstanceOf[org.apache.spark.sql.AnalysisException], e.getMessage)
+  }
+
   test("IVF-PQ index: probed lists are partition filters; total-probe + " +
     "lossless equals brute force") {
     val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
