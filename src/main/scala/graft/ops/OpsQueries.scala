@@ -381,6 +381,21 @@ object OpsQueries {
         queryName = s"stream_dedup_wm_${System.nanoTime()}")
       .orderBy(col("event_type"))
 
+  /** STREAMING near-dup dedup over the injected near-dup corpus, staged as
+    * an id-ordered 4-slice file stream: every doc that is a verified
+    * near-dup (exact Jaccard ≥ 0.5) of ANY earlier-arriving doc is dropped
+    * — cross-micro-batch via the persisted partition-pruned band index,
+    * within-batch via the band self-join. Same corpus and LSH params as
+    * `dedup_minhash_pairs`, so candidate recall is full and the survivor
+    * set equals the SQL predicate "no smaller-id doc within Jaccard 0.5" —
+    * DuckDB-oracled. */
+  def streamNearDupDedup(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.runNearDupDedupStream(s, docsWithNearDups(s, dir),
+        "doc_id", "text", threshold = 0.5, slices = 4,
+        tag = s"q${System.nanoTime()}")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
+
   def eventsStreamHourly(s: SparkSession, dir: String): DataFrame =
     StreamingOps.runFileStream(s, s"$dir/events.parquet",
         queryName = s"stream_out_${System.nanoTime()}")
@@ -422,6 +437,7 @@ object OpsQueries {
     "media_decode" -> (mediaDecode _),
     "events_stream_hourly" -> (eventsStreamHourly _),
     "events_stream_dedup" -> (eventsStreamDedup _),
+    "stream_near_dup_dedup" -> (streamNearDupDedup _),
     "events_stream_dedup_wm" -> (eventsStreamDedupWm _),
     "events_stream_drift" -> (eventsStreamDrift _))
 
@@ -574,6 +590,14 @@ object OpsQueries {
     "dedup_ngram_jaccard_pairs" -> nearDupJaccardSql,
     "dedup_minhash_pairs" -> nearDupJaccardSql,
     "dedup_simhash_pairs" -> nearDupJaccardSql,
+    // streaming near-dup survivors: kept ⟺ no smaller-id (= earlier-
+    // arriving, the harness stages the stream in id order) doc within the
+    // exact-Jaccard threshold — the engine's non-recursive drop rule
+    "stream_near_dup_dedup" -> (nearDupPairCtes + """
+       SELECT doc_id, text FROM corpus
+       WHERE doc_id NOT IN (SELECT id_b FROM i
+         WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5)
+       ORDER BY doc_id"""),
     // exact all-pairs cosine ground truth: hyperplane-LSH bucketing has
     // deterministic full recall here (a scaled copy keeps its direction, so
     // its sign pattern — and bucket — is identical), and the engine verifies

@@ -301,6 +301,213 @@ object StreamingOps {
       .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 4).as("sum_v"))
   }
 
+  // ---- streaming NEAR-DUP dedup (MinHash+LSH over micro-batches) ----
+
+  /** Layout guard sidecar for the streaming near-dup index: LSH params must
+    * match across appends or band hashes from different batches would be
+    * incomparable (silently zero cross-batch recall). */
+  private def nddMetaPath(postingDir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(postingDir).resolveSibling("_ndd_meta.parquet")
+
+  private def nddCheckOrWriteMeta(spark: SparkSession, postingDir: String,
+                                  numHashes: Int, bands: Int, shingleN: Int,
+                                  indexParts: Int): Unit = {
+    import spark.implicits._
+    val mp = nddMetaPath(postingDir)
+    if (java.nio.file.Files.exists(mp)) {
+      val m = spark.read.parquet(mp.toString)
+        .select("num_hashes", "bands", "shingle_n", "index_parts").head()
+      require(m.getInt(0) == numHashes && m.getInt(1) == bands &&
+        m.getInt(2) == shingleN && m.getInt(3) == indexParts,
+        s"streaming near-dup index at $postingDir was built with " +
+          s"(numHashes=${m.getInt(0)}, bands=${m.getInt(1)}, " +
+          s"shingleN=${m.getInt(2)}, indexParts=${m.getInt(3)}) — append " +
+          s"requested ($numHashes, $bands, $shingleN, $indexParts); band " +
+          "hashes would be incomparable across batches")
+    } else
+      Seq((numHashes, bands, shingleN, indexParts))
+        .toDF("num_hashes", "bands", "shingle_n", "index_parts")
+        .coalesce(1).write.mode("overwrite").parquet(mp.toString)
+  }
+
+  /** Ids (from `batchPosting`'s `id` column) of batch docs that are verified
+    * near-dups of an EARLIER doc — earlier within the batch (smaller id) or
+    * any doc in the persisted index (arrived in a previous micro-batch).
+    *
+    * Scale shape: the index NEVER shuffles. Its posting store is
+    * partitionBy(pb = bh mod indexParts), and the batch's probed pb set
+    * (≤ indexParts longs, collected) becomes a literal partition filter;
+    * the (band, bh) candidate join then BROADCASTS the micro-batch side.
+    * Shingle lookup for the verify step prunes the same way on
+    * sp = xxhash64(id) mod indexParts. Per-batch work is
+    * O(batch × collisions), not O(index). */
+  private[ops] def nearDupDroppedIds(spark: SparkSession,
+      batchSh: DataFrame,      // (id, sh) — empty-shingle rows pre-filtered
+      batchPosting: DataFrame, // (id, band, bh, pb)
+      postingDir: String, shingleDir: String,
+      threshold: Double, indexParts: Int): DataFrame = {
+    val within = batchPosting.as("a").join(batchPosting.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val indexExists = java.nio.file.Files.exists(java.nio.file.Paths.get(postingDir))
+    val candIds = (if (!indexExists) within else {
+      // probed partitions of the posting layout: ≤ indexParts values
+      val probedPb = batchPosting.select(col("pb")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      val idxPost = spark.read.parquet(postingDir)
+        .filter(col("pb").isInCollection(probedPb)) // partition pruning
+      val cross = idxPost.as("i")
+        .join(broadcast(batchPosting.as("q")),
+          col("i.band") === col("q.band") && col("i.bh") === col("q.bh"))
+        .select(col("i.id").as("id_a"), col("q.id").as("id_b"))
+      within.union(cross)
+    }).dropDuplicates("id_a", "id_b")
+    // exact-Jaccard verify: later side's shingles are in the batch; earlier
+    // side's come from the batch or the persisted shingle store (pruned to
+    // the candidate ids' sp partitions — ≤ indexParts values)
+    val earlierSh =
+      if (!indexExists) batchSh
+      else {
+        val candSp = candIds
+          .select(pmod(xxhash64(col("id_a")), lit(indexParts.toLong)).as("sp"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val idxSh =
+          if (candSp.isEmpty)
+            batchSh.filter(lit(false)) // no candidates -> empty earlier side
+          else spark.read.parquet(shingleDir)
+            .filter(col("sp").isInCollection(candSp)) // partition pruning
+            .select(col("id"), col("sh"))
+        batchSh.unionByName(idxSh)
+      }
+    candIds
+      .join(earlierSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(batchSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", round(col("inter") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_b").as("id")).distinct()
+  }
+
+  /** One micro-batch transaction of STREAMING NEAR-DUP DEDUP: drop every
+    * batch doc that is a verified near-duplicate (exact shingle-Jaccard ≥
+    * `threshold`) of ANY earlier-arriving doc — earlier micro-batches via
+    * the persisted index, earlier rows of the same batch via a within-batch
+    * band self-join (ties inside a micro-batch break by ascending id, the
+    * same `id_a < id_b` convention as [[Dedup.minhashLshPairs]]).
+    *
+    * Semantics are deliberately NON-RECURSIVE ("near-dup of anything seen",
+    * kept or dropped): the survivor set is then independent of micro-batch
+    * boundaries (spec-asserted) and expressible as one SQL predicate —
+    * which is what makes the streaming operator DuckDB-oracle-able.
+    *
+    * State lives in STORAGE, not executor memory: survivors append to
+    * `survivorsDir`, and every batch doc's band postings and shingle set
+    * append to the partitioned index (`postingDir` partitionBy(pb),
+    * `shingleDir` partitionBy(sp)) — the streaming twin of
+    * [[graft.ops.Similarity.lshIndexAppend]]'s grow-in-place layout. A
+    * deployment bounds history by date-partitioning the index and dropping
+    * expired partitions (recency-bounded near-dedup). */
+  def nearDupDedupBatch(batch: DataFrame, idCol: String, textCol: String,
+                        postingDir: String, shingleDir: String,
+                        survivorsDir: String, threshold: Double = 0.5,
+                        numHashes: Int = 32, bands: Int = 8,
+                        shingleN: Int = 3, indexParts: Int = 64): Unit = {
+    require(numHashes % bands == 0)
+    val spark = batch.sparkSession
+    nddCheckOrWriteMeta(spark, postingDir, numHashes, bands, shingleN, indexParts)
+    val base = batch.select(col(idCol).as("id"), col(textCol).as("t"))
+    val batchSh = base
+      .select(col("id"), TextOps.shingles(col("t"), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .persist()
+    val batchPosting = batchSh
+      .withColumn("sig", Dedup.minhashSignature(col("sh"), numHashes))
+      .select(col("id"),
+        posexplode(Dedup.lshBandKeys(col("sig"), bands, numHashes / bands))
+          .as(Seq("band", "bh")))
+      .withColumn("pb", pmod(col("bh"), lit(indexParts.toLong)))
+      .persist()
+    try {
+      val dropped = nearDupDroppedIds(spark, batchSh, batchPosting,
+        postingDir, shingleDir, threshold, indexParts)
+      // survivors first (reads the PRE-batch index), then the index appends
+      batch.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+        .write.mode("append").parquet(survivorsDir)
+      batchPosting.write.mode("append").partitionBy("pb").parquet(postingDir)
+      batchSh
+        .withColumn("sp", pmod(xxhash64(col("id")), lit(indexParts.toLong)))
+        .write.mode("append").partitionBy("sp").parquet(shingleDir)
+    } finally {
+      batchSh.unpersist()
+      batchPosting.unpersist()
+    }
+  }
+
+  /** Drive [[nearDupDedupBatch]] over a corpus staged as an id-ordered file
+    * stream (`slices` files, mod-times pinning processing order,
+    * `maxFilesPerTrigger=1` → one micro-batch per slice), via
+    * `foreachBatch`. Returns the surviving docs.
+    *
+    * The id-ordered staging makes arrival order = id order, so the kept set
+    * is exactly {X : no Y with smaller id has Jaccard(X, Y) ≥ threshold} —
+    * the DuckDB-oracle predicate. `tag` isolates scratch dirs between
+    * harness invocations in one process (stale sibling dirs of dead
+    * processes are cleaned like every other scratch path). */
+  def runNearDupDedupStream(spark: SparkSession, corpus: DataFrame,
+                            idCol: String, textCol: String,
+                            threshold: Double = 0.5, numHashes: Int = 32,
+                            bands: Int = 8, shingleN: Int = 3,
+                            slices: Int = 4, indexParts: Int = 64,
+                            tag: String = "run"): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    graft.util.PidPaths.cleanStaleSiblings("graft_ndd")
+    val root = graft.util.PidPaths.path(s"graft_ndd") + s"/$tag"
+    try { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    catch { case _: Throwable => }
+    Files.createDirectories(Paths.get(root))
+    val srcDir = s"$root/src"
+    Files.createDirectories(Paths.get(srcDir))
+    // harness-only global sort: slice the corpus into id-ordered files
+    // (test scale; a deployment's landing zone arrives pre-ordered by time)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val n = corpus.count()
+    val sliced = corpus
+      .withColumn("__slice",
+        (((row_number().over(w) - 1).cast("long") * slices) / n).cast("int"))
+    (0 until slices).foreach { i =>
+      val tmp = Files.createTempDirectory("graft-ndd-slice")
+      sliced.filter(col("__slice") === i).drop("__slice")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
+      val dst = Paths.get(srcDir, f"s$i%03d.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
+      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+      catch { case _: Throwable => }
+    }
+    val postingDir = s"$root/posting"
+    val shingleDir = s"$root/shingles"
+    val survivorsDir = s"$root/survivors"
+    val src = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        nearDupDedupBatch(b, idCol, textCol, postingDir, shingleDir,
+          survivorsDir, threshold, numHashes, bands, shingleN, indexParts)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(survivorsDir)
+  }
+
   /** Run the streaming aggregation over a parquet path as a file stream,
     * draining everything available into an in-memory table; returns the
     * result. (The local harness for tests/demos — a deployment would point

@@ -770,4 +770,80 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(shifted.getDouble(1) > ok.getDouble(1) * 10)
     assert(ok.getLong(3) == 1000L && shifted.getLong(3) == 1000L)
   }
+
+  // ---- streaming near-dup dedup ----
+
+  /** 40 docs: distinct ~12-token texts, every 10th doc given a one-word-
+    * perturbed near-copy at id+100 (lands in LATER slices — exercises the
+    * cross-batch index path), plus an empty doc and a punctuation-only doc
+    * (no shingles — must always survive). */
+  private def nddCorpus = {
+    val words = Array("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima")
+    val base = (0 until 40).map { i =>
+      val toks = (0 until 12).map(j => words((i * 7 + j * 3) % words.length))
+      (i.toLong, toks.mkString(" "))
+    }
+    val dups = base.filter(_._1 % 10 == 0)
+      .map { case (id, t) => (id + 100L, t + " perturbed") }
+    (base ++ dups :+ (200L, "") :+ (201L, "!!!")).toDF("doc_id", "text")
+  }
+
+  /** Ground truth replayed with the BATCH operator: drop ids appearing as
+    * the larger side of any verified pair. */
+  private def nddGroundTruth(corpus: org.apache.spark.sql.DataFrame): Array[Long] = {
+    val droppedIds = Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5)
+      .select($"id_b").distinct().as[Long].collect().toSet
+    corpus.select($"doc_id").as[Long].collect().filterNot(droppedIds).sorted
+  }
+
+  test("streaming near-dup dedup: survivors equal the batch-operator replay " +
+    "(cross-batch drops exercised; shingle-free docs kept)") {
+    val corpus = nddCorpus
+    val got = StreamingOps.runNearDupDedupStream(spark, corpus, "doc_id", "text",
+        threshold = 0.5, slices = 4, indexParts = 8, tag = "spec-a")
+      .select($"doc_id").as[Long].collect().sorted
+    val want = nddGroundTruth(corpus)
+    assert(got.sameElements(want), s"got=${got.mkString(",")} want=${want.mkString(",")}")
+    // the perturbed copies arrive AFTER their originals (later slices) and
+    // every one must be dropped via the persisted index, not within-batch
+    assert(!got.exists(id => id >= 100L && id < 200L))
+    // shingle-free docs can never be near-dups — kept
+    assert(got.contains(200L) && got.contains(201L))
+    assert(got.contains(0L)) // the earlier side of each pair survives
+  }
+
+  test("streaming near-dup dedup: survivor set is micro-batch-boundary " +
+    "invariant (slices=2 vs slices=7)") {
+    val corpus = nddCorpus
+    val a = StreamingOps.runNearDupDedupStream(spark, corpus, "doc_id", "text",
+        threshold = 0.5, slices = 2, indexParts = 8, tag = "spec-b2")
+      .select($"doc_id").as[Long].collect().sorted
+    val b = StreamingOps.runNearDupDedupStream(spark, corpus, "doc_id", "text",
+        threshold = 0.5, slices = 7, indexParts = 8, tag = "spec-b7")
+      .select($"doc_id").as[Long].collect().sorted
+    assert(a.sameElements(b), s"slices=2 ${a.mkString(",")} vs slices=7 ${b.mkString(",")}")
+  }
+
+  test("streaming near-dup dedup: index layout is partition-pruned and " +
+    "param-guarded across appends") {
+    val corpus = nddCorpus
+    StreamingOps.runNearDupDedupStream(spark, corpus, "doc_id", "text",
+      threshold = 0.5, slices = 3, indexParts = 8, tag = "spec-c")
+    val root = graft.util.PidPaths.path("graft_ndd") + "/spec-c"
+    // posting store is partitionBy(pb): a probed-bucket read prunes at the
+    // PartitionFilters level (only the probed directories are scanned)
+    val pruned = spark.read.parquet(s"$root/posting").filter($"pb".isin(0L, 3L))
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("pb"),
+      s"expected partition-pruned posting scan, got:\n$scan")
+    // a later batch with DIFFERENT LSH params must fail loud, not silently
+    // mix incomparable band hashes into the same index
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.nearDupDedupBatch(corpus.limit(3), "doc_id", "text",
+        s"$root/posting", s"$root/shingles", s"$root/survivors",
+        threshold = 0.5, numHashes = 16, bands = 4, indexParts = 8)
+    }
+    assert(e.getMessage.contains("incomparable"))
+  }
 }
