@@ -334,13 +334,17 @@ object StreamingOps {
     * near-dups of an EARLIER doc — earlier within the batch (smaller id) or
     * any doc in the persisted index (arrived in a previous micro-batch).
     *
-    * Scale shape: the index NEVER shuffles. Its posting store is
-    * partitionBy(pb = bh mod indexParts), and the batch's probed pb set
-    * (≤ indexParts longs, collected) becomes a literal partition filter;
-    * the (band, bh) candidate join then BROADCASTS the micro-batch side.
-    * Shingle lookup for the verify step prunes the same way on
-    * sp = xxhash64(id) mod indexParts. Per-batch work is
-    * O(batch × collisions), not O(index). */
+    * Scale shape: the index NEVER shuffles — the (band, bh) candidate join
+    * BROADCASTS the micro-batch side, so per-batch SHUFFLE work is
+    * O(batch + collisions). Scan I/O splits by store width: the posting
+    * store (narrow ~16 B rows) is read within the batch's probed pb set
+    * (partitionBy(pb = bh mod indexParts) → literal partition filter; a
+    * large batch probes all residues, so this is a full — but columnar,
+    * shuffle-free, embarrassingly parallel — scan of the cheap store),
+    * while the WIDE shingle store is only read for verify candidates,
+    * pruned to their sp = xxhash64(id) mod indexParts partitions — in the
+    * normal regime (band collisions rare) a small fraction of the store.
+    * Measured: tools/StreamNddProbe. */
   private[ops] def nearDupDroppedIds(spark: SparkSession,
       batchSh: DataFrame,      // (id, sh) — empty-shingle rows pre-filtered
       batchPosting: DataFrame, // (id, band, bh, pb)
@@ -351,6 +355,10 @@ object StreamingOps {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
     val indexExists = java.nio.file.Files.exists(java.nio.file.Paths.get(postingDir))
+    // candIds is persisted: it feeds the candSp collect, the two semi-filter
+    // broadcasts, and the verify join — without the persist, each consumer
+    // would re-run the index scan + self-join. Bounded by O(batch
+    // collisions); released below once `dropped` is materialized.
     val candIds = (if (!indexExists) within else {
       // probed partitions of the posting layout: ≤ indexParts values
       val probedPb = batchPosting.select(col("pb")).distinct()
@@ -362,12 +370,17 @@ object StreamingOps {
           col("i.band") === col("q.band") && col("i.bh") === col("q.bh"))
         .select(col("i.id").as("id_a"), col("q.id").as("id_b"))
       within.union(cross)
-    }).dropDuplicates("id_a", "id_b")
+    }).dropDuplicates("id_a", "id_b").persist()
     // exact-Jaccard verify: later side's shingles are in the batch; earlier
-    // side's come from the batch or the persisted shingle store (pruned to
-    // the candidate ids' sp partitions — ≤ indexParts values)
+    // side's come from the batch or the persisted shingle store — pruned to
+    // the candidate ids' sp PARTITIONS, then semi-filtered to the candidate
+    // ids themselves via a broadcast (bare longs, O(collisions)) so the
+    // wide shingle rows entering the join are O(candidates), never O(index).
+    // Without the semi-filter the verify join shuffles the whole store per
+    // batch (probe-measured: shuffle grew linearly with index size).
+    val earlierIds = broadcast(candIds.select(col("id_a").as("id")).distinct())
     val earlierSh =
-      if (!indexExists) batchSh
+      if (!indexExists) batchSh.join(earlierIds, Seq("id"), "left_semi")
       else {
         val candSp = candIds
           .select(pmod(xxhash64(col("id_a")), lit(indexParts.toLong)).as("sp"))
@@ -378,16 +391,23 @@ object StreamingOps {
           else spark.read.parquet(shingleDir)
             .filter(col("sp").isInCollection(candSp)) // partition pruning
             .select(col("id"), col("sh"))
-        batchSh.unionByName(idxSh)
+        batchSh.unionByName(idxSh).join(earlierIds, Seq("id"), "left_semi")
       }
-    candIds
+    val laterSh = batchSh // symmetric semi-filter: O(candidates) wide rows
+      .join(broadcast(candIds.select(col("id_b").as("id")).distinct()),
+        Seq("id"), "left_semi")
+    val dropped = broadcast(candIds)
       .join(earlierSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(batchSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(laterSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard", round(col("inter") /
         (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as("id")).distinct()
+      .persist()
+    dropped.count() // materialize now so the candidate persist can release
+    candIds.unpersist()
+    dropped         // caller unpersists after the survivor write
   }
 
   /** One micro-batch transaction of STREAMING NEAR-DUP DEDUP: drop every
@@ -429,17 +449,20 @@ object StreamingOps {
           .as(Seq("band", "bh")))
       .withColumn("pb", pmod(col("bh"), lit(indexParts.toLong)))
       .persist()
+    var dropped: DataFrame = null
     try {
-      val dropped = nearDupDroppedIds(spark, batchSh, batchPosting,
+      dropped = nearDupDroppedIds(spark, batchSh, batchPosting,
         postingDir, shingleDir, threshold, indexParts)
       // survivors first (reads the PRE-batch index), then the index appends
-      batch.join(dropped.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+      batch.join(broadcast(dropped.withColumnRenamed("id", idCol)),
+          Seq(idCol), "left_anti")
         .write.mode("append").parquet(survivorsDir)
       batchPosting.write.mode("append").partitionBy("pb").parquet(postingDir)
       batchSh
         .withColumn("sp", pmod(xxhash64(col("id")), lit(indexParts.toLong)))
         .write.mode("append").partitionBy("sp").parquet(shingleDir)
     } finally {
+      if (dropped != null) dropped.unpersist()
       batchSh.unpersist()
       batchPosting.unpersist()
     }
