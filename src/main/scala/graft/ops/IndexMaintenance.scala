@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Maintenance for the persisted, partitioned ANN / dedup indexes.
+  *
+  * Every incremental append path — [[Similarity.lshIndexAppend]] (bucket=),
+  * [[IvfAnn.indexAppend]] / [[Pq.indexAppend]] (list=, under `/lists`), and
+  * the streaming near-dup stores ([[StreamingOps.nearDupDedupBatch]], pb=/
+  * sp=) — adds a fresh set of files to each touched partition directory per
+  * append. After thousands of appends the data is unchanged but the FILE
+  * COUNT is O(appends × tasks): listing dominates planning, scans open
+  * thousands of tiny files, and partition pruning saves I/O but not
+  * metadata work. Compaction is the standard answer (Iceberg's
+  * rewriteDataFiles; this repo's plain-parquet analog).
+  */
+object IndexMaintenance {
+
+  /** Rewrite a `partitionBy(partCol)` parquet directory so each partition
+    * value holds ONE file (hash-distributing rows by `partCol` routes each
+    * value to exactly one task; the partitioned write then splits per
+    * directory). Underscore-prefixed sidecar children (e.g. the LSH
+    * `_graft_lsh_meta` config) are carried over, so readers and
+    * append-guards see an unchanged index. Returns (filesBefore,
+    * filesAfter) data-file counts.
+    *
+    * Cost is one full shuffle of the index — inherent to compaction and
+    * amortized over every later read; run it offline or, for the streaming
+    * stores, between micro-batches (foreachBatch is serial, so nothing
+    * reads mid-swap). The swap itself is tmp-write + directory move —
+    * NOT atomic against concurrent readers; a deployment on object storage
+    * would publish via a catalog/manifest (Iceberg snapshot commit) instead
+    * of a rename. */
+  def compactPartitionedIndex(spark: SparkSession, dir: String,
+                              partCol: String): (Long, Long) = {
+    import java.nio.file.{Files, Path, Paths}
+    val root = Paths.get(dir)
+    require(Files.isDirectory(root), s"compactPartitionedIndex: no index at $dir")
+
+    def dataFiles(p: Path): Long = {
+      val s = Files.walk(p)
+      try s.filter(f => Files.isRegularFile(f) &&
+          f.getFileName.toString.endsWith(".parquet") &&
+          !f.getFileName.toString.startsWith("_") &&
+          !f.getFileName.toString.startsWith("."))
+        .count()
+      finally s.close()
+    }
+    val before = dataFiles(root)
+
+    val tmp = Paths.get(dir + ".compacting")
+    try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+    catch { case _: Throwable => }
+    spark.read.parquet(dir)
+      .repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+
+    // carry sidecars the parquet read is blind to (_-prefixed children)
+    val ls = Files.list(root)
+    try ls.filter(_.getFileName.toString.startsWith("_"))
+      .forEach { side =>
+        val dst = tmp.resolve(side.getFileName)
+        try { import scala.sys.process._
+          Seq("cp", "-r", side.toString, dst.toString).!
+        } catch { case _: Throwable => }
+      }
+    finally ls.close()
+
+    try { import scala.sys.process._; Seq("rm", "-rf", root.toString).! }
+    catch { case _: Throwable => }
+    Files.move(tmp, root)
+    (before, dataFiles(root))
+  }
+}

@@ -94,6 +94,59 @@ class IndexAppendSpec extends AnyFunSuite {
     assert(e.getMessage.contains("codebook"), e.getMessage)
   }
 
+  test("LSH index compaction: file count drops, results and pruning " +
+    "identical, config sidecar survives (append guard still fails loud)") {
+    val dir = java.nio.file.Files.createTempDirectory("lsh-compact").toString
+    Similarity.lshIndexWrite(half1, "vec_id", "embedding", dir, planes = 4)
+    Similarity.lshIndexAppend(half2, "vec_id", "embedding", dir, planes = 4)
+    val q = queryVec
+    val before = Similarity.lshTopKIndexed(spark, dir, q, k = 8, planes = 4, probes = 5)
+      .as[(Long, Double)].collect().toSeq
+    val (nBefore, nAfter) = IndexMaintenance.compactPartitionedIndex(spark, dir, "bucket")
+    assert(nAfter < nBefore, s"compaction did not shrink: $nBefore -> $nAfter")
+    val afterDf = Similarity.lshTopKIndexed(spark, dir, q, k = 8, planes = 4, probes = 5)
+    assert(afterDf.as[(Long, Double)].collect().toSeq == before)
+    // pruning survives the rewrite
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r
+      .findFirstIn(afterDf.queryExecution.executedPlan.toString).getOrElse("")
+    assert(pf.contains("bucket#"), pf)
+    // the _graft_lsh_meta sidecar was carried: config drift still fails loud
+    val e = intercept[IllegalArgumentException](
+      Similarity.lshIndexAppend(half2, "vec_id", "embedding", dir, planes = 6))
+    assert(e.getMessage.contains("planes=4"))
+  }
+
+  test("streaming near-dup store compaction between micro-batches: " +
+    "cross-batch drops still exact afterwards") {
+    val root = java.nio.file.Files.createTempDirectory("ndd-compact").toString
+    val posting = s"$root/posting"; val shingles = s"$root/shingles"
+    val survivors = s"$root/survivors"
+    // per-id-unique tokens: base docs share no shingles, so the ONLY
+    // near-dup pairs are the injected perturbed copies
+    val mk = (id: Long) => (id, (0 until 10).map(j => s"t${id}x$j").mkString(" "))
+    val batch1 = (0L until 20L).map(mk).toDF("doc_id", "text")
+    StreamingOps.nearDupDedupBatch(batch1, "doc_id", "text",
+      posting, shingles, survivors, indexParts = 8)
+    val (pb0, pb1) = IndexMaintenance.compactPartitionedIndex(spark, posting, "pb")
+    val (sp0, sp1) = IndexMaintenance.compactPartitionedIndex(spark, shingles, "sp")
+    assert(pb1 <= pb0 && sp1 <= sp0)
+    // batch 2: fresh docs + near-copies of batch-1 docs — the copies must be
+    // dropped via the COMPACTED index (cross-batch path)
+    val batch2 = ((20L until 30L).map(mk) ++
+      Seq(0L, 6L, 12L).map(id => (id + 100L, mk(id)._2 + " perturbed")))
+      .toDF("doc_id", "text")
+    StreamingOps.nearDupDedupBatch(batch2, "doc_id", "text",
+      posting, shingles, survivors, indexParts = 8)
+    val kept = spark.read.parquet(survivors).select($"doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == (0L until 30L).toSeq,
+      s"expected 0..29, got ${kept.mkString(",")}")
+    // the param-guard meta (a SIBLING of the compacted dirs) still bites
+    val e = intercept[IllegalArgumentException](
+      StreamingOps.nearDupDedupBatch(batch1, "doc_id", "text",
+        posting, shingles, survivors, numHashes = 16, bands = 4, indexParts = 8))
+    assert(e.getMessage.contains("incomparable"))
+  }
+
   test("IVF append without a centroid sidecar fails loud") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-nosidecar").toString
     val e = intercept[Exception](
