@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   */
 object IndexMaintenance {
 
-  /** Rewrite a `partitionBy(partCol)` parquet directory so each partition
-    * value holds ONE file (hash-distributing rows by `partCol` routes each
-    * value to exactly one task; the partitioned write then splits per
-    * directory). Underscore-prefixed sidecar children (e.g. the LSH
+  /** Rewrite a `partitionBy(partCols…)` parquet directory so each partition
+    * path holds ONE file (hash-distributing rows by the FINEST partition
+    * column routes each of its values to exactly one task; the partitioned
+    * write then splits per directory). Pass every level of a nested layout
+    * in order — e.g. `("batch", "pb")` for the batch-scoped streaming
+    * stores — so the rewrite preserves the directory shape later writes
+    * expect. Underscore-prefixed sidecar children (e.g. the LSH
     * `_graft_lsh_meta` config) are carried over, so readers and
     * append-guards see an unchanged index. Returns (filesBefore,
     * filesAfter) data-file counts.
@@ -33,8 +36,9 @@ object IndexMaintenance {
     * would publish via a catalog/manifest (Iceberg snapshot commit) instead
     * of a rename. */
   def compactPartitionedIndex(spark: SparkSession, dir: String,
-                              partCol: String): (Long, Long) = {
+                              partCols: String*): (Long, Long) = {
     import java.nio.file.{Files, Path, Paths}
+    require(partCols.nonEmpty, "compactPartitionedIndex: no partition columns")
     val root = Paths.get(dir)
     require(Files.isDirectory(root), s"compactPartitionedIndex: no index at $dir")
 
@@ -53,8 +57,8 @@ object IndexMaintenance {
     try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
     catch { case _: Throwable => }
     spark.read.parquet(dir)
-      .repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(tmp.toString)
+      .repartition(col(partCols.last))
+      .write.mode("overwrite").partitionBy(partCols: _*).parquet(tmp.toString)
 
     // carry sidecars the parquet read is blind to (_-prefixed children)
     val ls = Files.list(root)

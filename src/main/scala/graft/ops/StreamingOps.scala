@@ -311,12 +311,13 @@ object StreamingOps {
 
   private def nddCheckOrWriteMeta(spark: SparkSession, postingDir: String,
                                   numHashes: Int, bands: Int, shingleN: Int,
-                                  indexParts: Int): Unit = {
+                                  indexParts: Int, scoped: Boolean): Unit = {
     import spark.implicits._
     val mp = nddMetaPath(postingDir)
     if (java.nio.file.Files.exists(mp)) {
       val m = spark.read.parquet(mp.toString)
-        .select("num_hashes", "bands", "shingle_n", "index_parts").head()
+        .select("num_hashes", "bands", "shingle_n", "index_parts", "scoped")
+        .head()
       require(m.getInt(0) == numHashes && m.getInt(1) == bands &&
         m.getInt(2) == shingleN && m.getInt(3) == indexParts,
         s"streaming near-dup index at $postingDir was built with " +
@@ -324,9 +325,15 @@ object StreamingOps {
           s"shingleN=${m.getInt(2)}, indexParts=${m.getInt(3)}) — append " +
           s"requested ($numHashes, $bands, $shingleN, $indexParts); band " +
           "hashes would be incomparable across batches")
+      require(m.getBoolean(4) == scoped,
+        s"streaming near-dup index at $postingDir was built " +
+          (if (m.getBoolean(4)) "batch-SCOPED (batch=<id> subtrees)"
+           else "UNSCOPED (flat appends)") +
+          " — mixing write modes in one store would break partition " +
+          "discovery; use a consistent batchId convention")
     } else
-      Seq((numHashes, bands, shingleN, indexParts))
-        .toDF("num_hashes", "bands", "shingle_n", "index_parts")
+      Seq((numHashes, bands, shingleN, indexParts, scoped))
+        .toDF("num_hashes", "bands", "shingle_n", "index_parts", "scoped")
         .coalesce(1).write.mode("overwrite").parquet(mp.toString)
   }
 
@@ -349,7 +356,12 @@ object StreamingOps {
       batchSh: DataFrame,      // (id, sh) — empty-shingle rows pre-filtered
       batchPosting: DataFrame, // (id, band, bh, pb)
       postingDir: String, shingleDir: String,
-      threshold: Double, indexParts: Int): DataFrame = {
+      threshold: Double, indexParts: Int, batchId: Long): DataFrame = {
+    // batch-scoped stores: "earlier" is explicit — only strictly-smaller
+    // batch subtrees count, so a RETRY of this batchId never sees its own
+    // first attempt's postings (which would self-match every doc)
+    def earlierOnly(df: DataFrame): DataFrame =
+      if (batchId >= 0) df.filter(col("batch") < batchId) else df
     val within = batchPosting.as("a").join(batchPosting.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
@@ -363,7 +375,7 @@ object StreamingOps {
       // probed partitions of the posting layout: ≤ indexParts values
       val probedPb = batchPosting.select(col("pb")).distinct()
         .collect().map(_.getLong(0)).toSeq
-      val idxPost = spark.read.parquet(postingDir)
+      val idxPost = earlierOnly(spark.read.parquet(postingDir))
         .filter(col("pb").isInCollection(probedPb)) // partition pruning
       val cross = idxPost.as("i")
         .join(broadcast(batchPosting.as("q")),
@@ -388,7 +400,7 @@ object StreamingOps {
         val idxSh =
           if (candSp.isEmpty)
             batchSh.filter(lit(false)) // no candidates -> empty earlier side
-          else spark.read.parquet(shingleDir)
+          else earlierOnly(spark.read.parquet(shingleDir))
             .filter(col("sp").isInCollection(candSp)) // partition pruning
             .select(col("id"), col("sh"))
         batchSh.unionByName(idxSh).join(earlierIds, Seq("id"), "left_semi")
@@ -428,15 +440,27 @@ object StreamingOps {
     * `shingleDir` partitionBy(sp)) — the streaming twin of
     * [[graft.ops.Similarity.lshIndexAppend]]'s grow-in-place layout. A
     * deployment bounds history by date-partitioning the index and dropping
-    * expired partitions (recency-bounded near-dedup). */
+    * expired partitions (recency-bounded near-dedup).
+    *
+    * EXACTLY-ONCE: pass the foreachBatch `batchId` and every write becomes
+    * a batch-scoped OVERWRITE (`<dir>/batch=<id>/…` subtrees, readable as
+    * one partitioned layout), so redelivery of a failed micro-batch — the
+    * at-least-once gap foreachBatch leaves open — converges to the same
+    * bytes instead of appending duplicates; cross-batch probes read only
+    * `batch < batchId`, so a retry never matches its own first attempt.
+    * `batchId = -1` (default) keeps flat append writes for ad-hoc batch
+    * use. One store is one mode — guarded by the config sidecar. */
   def nearDupDedupBatch(batch: DataFrame, idCol: String, textCol: String,
                         postingDir: String, shingleDir: String,
                         survivorsDir: String, threshold: Double = 0.5,
                         numHashes: Int = 32, bands: Int = 8,
-                        shingleN: Int = 3, indexParts: Int = 64): Unit = {
+                        shingleN: Int = 3, indexParts: Int = 64,
+                        batchId: Long = -1L): Unit = {
     require(numHashes % bands == 0)
     val spark = batch.sparkSession
-    nddCheckOrWriteMeta(spark, postingDir, numHashes, bands, shingleN, indexParts)
+    val scoped = batchId >= 0
+    nddCheckOrWriteMeta(spark, postingDir, numHashes, bands, shingleN,
+      indexParts, scoped)
     val base = batch.select(col(idCol).as("id"), col(textCol).as("t"))
     val batchSh = base
       .select(col("id"), TextOps.shingles(col("t"), shingleN).as("sh"))
@@ -452,15 +476,23 @@ object StreamingOps {
     var dropped: DataFrame = null
     try {
       dropped = nearDupDroppedIds(spark, batchSh, batchPosting,
-        postingDir, shingleDir, threshold, indexParts)
-      // survivors first (reads the PRE-batch index), then the index appends
-      batch.join(broadcast(dropped.withColumnRenamed("id", idCol)),
-          Seq(idCol), "left_anti")
-        .write.mode("append").parquet(survivorsDir)
-      batchPosting.write.mode("append").partitionBy("pb").parquet(postingDir)
-      batchSh
+        postingDir, shingleDir, threshold, indexParts, batchId)
+      // survivors first (reads the PRE-batch index), then the index writes
+      val survivors = batch.join(
+        broadcast(dropped.withColumnRenamed("id", idCol)), Seq(idCol), "left_anti")
+      val batchShSp = batchSh
         .withColumn("sp", pmod(xxhash64(col("id")), lit(indexParts.toLong)))
-        .write.mode("append").partitionBy("sp").parquet(shingleDir)
+      if (scoped) { // idempotent: a retry overwrites its own subtrees
+        survivors.write.mode("overwrite").parquet(s"$survivorsDir/batch=$batchId")
+        batchPosting.write.mode("overwrite").partitionBy("pb")
+          .parquet(s"$postingDir/batch=$batchId")
+        batchShSp.write.mode("overwrite").partitionBy("sp")
+          .parquet(s"$shingleDir/batch=$batchId")
+      } else {
+        survivors.write.mode("append").parquet(survivorsDir)
+        batchPosting.write.mode("append").partitionBy("pb").parquet(postingDir)
+        batchShSp.write.mode("append").partitionBy("sp").parquet(shingleDir)
+      }
     } finally {
       if (dropped != null) dropped.unpersist()
       batchSh.unpersist()
@@ -520,15 +552,17 @@ object StreamingOps {
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
     val q = src.writeStream
-      .foreachBatch { (b: DataFrame, _: Long) =>
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        // real batchId → batch-scoped idempotent writes (retry-safe)
         nearDupDedupBatch(b, idCol, textCol, postingDir, shingleDir,
-          survivorsDir, threshold, numHashes, bands, shingleN, indexParts)
+          survivorsDir, threshold, numHashes, bands, shingleN, indexParts,
+          batchId = bid)
       }
       .option("checkpointLocation", s"$root/ckpt")
       .start()
     q.processAllAvailable()
     q.stop()
-    spark.read.parquet(survivorsDir)
+    spark.read.parquet(survivorsDir).drop("batch") // scoped-layout partition col
   }
 
   /** Run the streaming aggregation over a parquet path as a file stream,

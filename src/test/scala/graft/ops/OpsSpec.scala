@@ -846,4 +846,47 @@ class StreamingOpsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("incomparable"))
   }
+
+  test("streaming near-dup dedup: micro-batch RETRY is idempotent " +
+    "(batch-scoped overwrite writes; foreachBatch redelivery converges)") {
+    val root = java.nio.file.Files.createTempDirectory("ndd-retry").toString
+    val posting = s"$root/posting"; val shingles = s"$root/shingles"
+    val survivors = s"$root/survivors"
+    // per-id-unique tokens: only the injected copies are near-dups
+    val mk = (id: Long) => (id, (0 until 10).map(j => s"r${id}y$j").mkString(" "))
+    def run(b: org.apache.spark.sql.DataFrame, bid: Long): Unit =
+      StreamingOps.nearDupDedupBatch(b, "doc_id", "text", posting, shingles,
+        survivors, indexParts = 8, batchId = bid)
+    run((0L until 12L).map(mk).toDF("doc_id", "text"), 0L)
+    val batch1 = ((12L until 18L).map(mk) ++
+      Seq(2L, 7L).map(id => (id + 100L, mk(id)._2 + " perturbed")))
+      .toDF("doc_id", "text")
+    run(batch1, 1L)
+    def kept = spark.read.parquet(survivors)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val once = kept
+    val postRows = spark.read.parquet(posting).count()
+    assert(once == (0L until 18L), s"got ${once.mkString(",")}")
+    // redelivery of batch 1 (crash before the checkpoint commit): the
+    // scoped writes overwrite their own subtrees, the cross-batch probe
+    // reads only batch < 1 — bytes converge instead of duplicating, and
+    // the retry does NOT self-match its first attempt's postings
+    run(batch1, 1L)
+    assert(kept == once, "retry changed the survivor set")
+    assert(spark.read.parquet(posting).count() == postRows,
+      "retry duplicated posting rows")
+    // compaction preserves the two-level scoped layout; the history is
+    // still probed afterwards (a dup of a batch-0 doc dropped cross-batch)
+    val (pb0, pb1) = IndexMaintenance.compactPartitionedIndex(
+      spark, posting, "batch", "pb")
+    IndexMaintenance.compactPartitionedIndex(spark, shingles, "batch", "sp")
+    assert(pb1 <= pb0)
+    run(((18L until 21L).map(mk) :+ (300L, mk(0L)._2 + " perturbed"))
+      .toDF("doc_id", "text"), 2L)
+    assert(kept == (0L until 21L), s"got ${kept.mkString(",")}")
+    // one store is one mode: a flat append into a scoped store fails loud
+    val e = intercept[IllegalArgumentException](
+      run((30L until 33L).map(mk).toDF("doc_id", "text"), -1L))
+    assert(e.getMessage.contains("SCOPED"))
+  }
 }
