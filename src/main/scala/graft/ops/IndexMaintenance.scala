@@ -53,7 +53,9 @@ object IndexMaintenance {
     }
     val before = dataFiles(root)
 
-    val tmp = Paths.get(dir + ".compacting")
+    // derive from the NORMALIZED root: a trailing slash on `dir` must not
+    // nest the temp dir inside the tree we are about to delete
+    val tmp = root.resolveSibling(root.getFileName.toString + ".compacting")
     try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
     catch { case _: Throwable => }
     spark.read.parquet(dir)
@@ -75,5 +77,34 @@ object IndexMaintenance {
     catch { case _: Throwable => }
     Files.move(tmp, root)
     (before, dataFiles(root))
+  }
+
+  /** Recency-bound a batch-SCOPED store (`batch=<id>` subtrees, as written
+    * by [[StreamingOps.nearDupDedupBatch]] with a real batchId): delete
+    * every subtree with id < `keepFromBatchId`. Expired docs no longer
+    * suppress future near-dups — retention-window dedup semantics — and
+    * the per-micro-batch posting scan stays O(retained history), not
+    * O(forever). Apply to the posting AND shingle stores together (a
+    * posting whose shingles expired would verify against nothing). Run
+    * while the stream is quiescent; config sidecars are siblings and
+    * untouched. Returns the number of subtrees dropped. */
+  def expireScopedBatches(dir: String, keepFromBatchId: Long): Int = {
+    import java.nio.file.{Files, Paths}
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) return 0
+    val Part = "batch=(-?\\d+)".r
+    var dropped = 0
+    val ls = Files.list(root)
+    try ls.forEach { child =>
+      child.getFileName.toString match {
+        case Part(id) if id.toLong < keepFromBatchId =>
+          try { import scala.sys.process._
+            Seq("rm", "-rf", child.toString).!
+            dropped += 1
+          } catch { case _: Throwable => }
+        case _ => ()
+      }
+    } finally ls.close()
+    dropped
   }
 }

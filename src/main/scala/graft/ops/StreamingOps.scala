@@ -366,7 +366,18 @@ object StreamingOps {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val indexExists = java.nio.file.Files.exists(java.nio.file.Paths.get(postingDir))
+    // "exists" = has at least one data child: expiry can leave the dir
+    // empty, and an empty-path parquet read fails schema inference
+    val indexExists = {
+      val p = java.nio.file.Paths.get(postingDir)
+      java.nio.file.Files.isDirectory(p) && {
+        val ls = java.nio.file.Files.list(p)
+        try ls.anyMatch { c =>
+          val n = c.getFileName.toString
+          !n.startsWith("_") && !n.startsWith(".")
+        } finally ls.close()
+      }
+    }
     // candIds is persisted: it feeds the candSp collect, the two semi-filter
     // broadcasts, and the verify join — without the persist, each consumer
     // would re-run the index scan + self-join. Bounded by O(batch

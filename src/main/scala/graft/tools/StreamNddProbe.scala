@@ -89,9 +89,9 @@ object StreamNddProbe {
         }
       injected += dups
       val s0 = meter.snapshot
-      val (_, t) = time {
+      val (_, t) = time { // batchId = the production batch-scoped write path
         graft.ops.StreamingOps.nearDupDedupBatch(batch, "doc_id", "text",
-          postingDir, shingleDir, survivorsDir)
+          postingDir, shingleDir, survivorsDir, batchId = k.toLong)
       }
       val s1 = meter.snapshot
       println(f"batch $k%2d: ${hi - lo + dups}%8d docs ($dups%6d injected dups) " +

@@ -889,4 +889,32 @@ class StreamingOpsSpec extends AnyFunSuite {
       run((30L until 33L).map(mk).toDF("doc_id", "text"), -1L))
     assert(e.getMessage.contains("SCOPED"))
   }
+
+  test("streaming near-dup dedup: expiring old batch subtrees gives " +
+    "retention-window semantics (expired docs stop suppressing dups)") {
+    val root = java.nio.file.Files.createTempDirectory("ndd-expire").toString
+    val posting = s"$root/posting"; val shingles = s"$root/shingles"
+    val survivors = s"$root/survivors"
+    val mk = (id: Long) => (id, (0 until 10).map(j => s"e${id}z$j").mkString(" "))
+    def run(rows: Seq[(Long, String)], bid: Long): Unit =
+      StreamingOps.nearDupDedupBatch(rows.toDF("doc_id", "text"), "doc_id",
+        "text", posting, shingles, survivors, indexParts = 8, batchId = bid)
+    def kept = spark.read.parquet(survivors)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    run((0L until 10L).map(mk), 0L)
+    run((10L until 20L).map(mk), 1L)
+    assert(IndexMaintenance.expireScopedBatches(posting, 1L) == 1)
+    assert(IndexMaintenance.expireScopedBatches(shingles, 1L) == 1)
+    // dup of an EXPIRED batch-0 doc is KEPT; dup of a retained batch-1
+    // doc is still dropped
+    run(Seq((100L, mk(3L)._2 + " perturbed"),
+            (101L, mk(15L)._2 + " perturbed")), 2L)
+    assert(kept == ((0L until 20L) :+ 100L), s"got ${kept.mkString(",")}")
+    // expire EVERYTHING: the empty store must read as "no history", and a
+    // dup of the just-expired doc 100 is kept
+    IndexMaintenance.expireScopedBatches(posting, Long.MaxValue)
+    IndexMaintenance.expireScopedBatches(shingles, Long.MaxValue)
+    run(Seq((200L, mk(3L)._2 + " perturbed")), 3L)
+    assert(kept == (((0L until 20L) :+ 100L) :+ 200L), s"got ${kept.mkString(",")}")
+  }
 }
