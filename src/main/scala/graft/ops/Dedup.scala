@@ -106,11 +106,20 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         TextOps.shingles(col("t_a"), shingleN).as("sh_a"),
         TextOps.shingles(col("t_b"), shingleN).as("sh_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .withColumn("jaccard", jaccardFromShingles(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact shingle-Jaccard between two shingle-set columns, rounded to 6 dp
+    * — THE verified-near-dup formula, shared by the batch operators here,
+    * the streaming twin ([[StreamingOps.nearDupDroppedIds]]), and replayed
+    * verbatim by the DuckDB oracle SQL; a threshold/rounding change in one
+    * place is a change everywhere or a spec/oracle failure. */
+  private[ops] def jaccardFromShingles(shA: org.apache.spark.sql.Column,
+                                       shB: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val inter = size(array_intersect(shA, shB)).cast("double")
+    round(inter / (size(shA) + size(shB) - inter), 6)
   }
 
   /** Exact n-gram Jaccard over ALL pairs sharing at least one shingle —

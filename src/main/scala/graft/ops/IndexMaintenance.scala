@@ -31,10 +31,12 @@ object IndexMaintenance {
     * Cost is one full shuffle of the index — inherent to compaction and
     * amortized over every later read; run it offline or, for the streaming
     * stores, between micro-batches (foreachBatch is serial, so nothing
-    * reads mid-swap). The swap itself is tmp-write + directory move —
-    * NOT atomic against concurrent readers; a deployment on object storage
-    * would publish via a catalog/manifest (Iceberg snapshot commit) instead
-    * of a rename. */
+    * reads mid-swap). The swap is move-aside (rename old → .compacted-old,
+    * rename tmp in, delete the old tree): a crash at any point leaves a
+    * recoverable tree on disk, never a silently-missing store — but it is
+    * still NOT atomic against concurrent readers; a deployment on object
+    * storage would publish via a catalog/manifest (Iceberg snapshot
+    * commit) instead of renames. */
   def compactPartitionedIndex(spark: SparkSession, dir: String,
                               partCols: String*): (Long, Long) = {
     import java.nio.file.{Files, Path, Paths}
@@ -73,9 +75,17 @@ object IndexMaintenance {
       }
     finally ls.close()
 
-    try { import scala.sys.process._; Seq("rm", "-rf", root.toString).! }
+    // move-aside swap: two renames, never a window with the data deleted —
+    // a crash leaves either the old tree at `dir` or at `dir`.compacted-old
+    // (recoverable by hand), never a missing store that a streaming reader
+    // would silently treat as "no history"
+    val old = root.resolveSibling(root.getFileName.toString + ".compacted-old")
+    try { import scala.sys.process._; Seq("rm", "-rf", old.toString).! }
     catch { case _: Throwable => }
+    Files.move(root, old)
     Files.move(tmp, root)
+    try { import scala.sys.process._; Seq("rm", "-rf", old.toString).! }
+    catch { case _: Throwable => }
     (before, dataFiles(root))
   }
 

@@ -305,9 +305,13 @@ object StreamingOps {
 
   /** Layout guard sidecar for the streaming near-dup index: LSH params must
     * match across appends or band hashes from different batches would be
-    * incomparable (silently zero cross-batch recall). */
+    * incomparable (silently zero cross-batch recall). Lives INSIDE the
+    * posting dir (underscore child — invisible to parquet reads and to the
+    * hasData check, carried by compaction, same convention as the LSH
+    * index's `_graft_lsh_meta`); a sibling-level name would be shared —
+    * and corrupted — across two stores under one parent. */
   private def nddMetaPath(postingDir: String): java.nio.file.Path =
-    java.nio.file.Paths.get(postingDir).resolveSibling("_ndd_meta.parquet")
+    java.nio.file.Paths.get(postingDir).resolve("_ndd_meta")
 
   private def nddCheckOrWriteMeta(spark: SparkSession, postingDir: String,
                                   numHashes: Int, bands: Int, shingleN: Int,
@@ -366,10 +370,10 @@ object StreamingOps {
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    // "exists" = has at least one data child: expiry can leave the dir
+    // "exists" = has at least one data child: expiry can leave a dir
     // empty, and an empty-path parquet read fails schema inference
-    val indexExists = {
-      val p = java.nio.file.Paths.get(postingDir)
+    def hasData(dir: String): Boolean = {
+      val p = java.nio.file.Paths.get(dir)
       java.nio.file.Files.isDirectory(p) && {
         val ls = java.nio.file.Files.list(p)
         try ls.anyMatch { c =>
@@ -378,6 +382,7 @@ object StreamingOps {
         } finally ls.close()
       }
     }
+    val indexExists = hasData(postingDir)
     // candIds is persisted: it feeds the candSp collect, the two semi-filter
     // broadcasts, and the verify join — without the persist, each consumer
     // would re-run the index scan + self-join. Bounded by O(batch
@@ -408,8 +413,15 @@ object StreamingOps {
         val candSp = candIds
           .select(pmod(xxhash64(col("id_a")), lit(indexParts.toLong)).as("sp"))
           .distinct().collect().map(_.getLong(0)).toSeq
+        // hasData guard: a crash between the posting and shingle writes of
+        // the FIRST batch leaves postings but no shingle store; on the
+        // redelivery all candidates are within-batch (the posting read is
+        // batch-filtered / empty-earlier), so batch shingles alone are
+        // correct — without the guard every retry dies on schema inference
+        // and the stream wedges. Shingles are written LAST, so any batch
+        // the posting read CAN return has its shingles present.
         val idxSh =
-          if (candSp.isEmpty)
+          if (candSp.isEmpty || !hasData(shingleDir))
             batchSh.filter(lit(false)) // no candidates -> empty earlier side
           else earlierOnly(spark.read.parquet(shingleDir))
             .filter(col("sp").isInCollection(candSp)) // partition pruning
@@ -422,9 +434,7 @@ object StreamingOps {
     val dropped = broadcast(candIds)
       .join(earlierSh.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(laterSh.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("jaccard", round(col("inter") /
-        (size(col("sh_a")) + size(col("sh_b")) - col("inter")), 6))
+      .withColumn("jaccard", Dedup.jaccardFromShingles(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_b").as("id")).distinct()
       .persist()
@@ -542,7 +552,8 @@ object StreamingOps {
     val sliced = corpus
       .withColumn("__slice",
         (((row_number().over(w) - 1).cast("long") * slices) / n).cast("int"))
-    (0 until slices).foreach { i =>
+      .persist() // one single-partition sort, not one per slice filter
+    try (0 until slices).foreach { i =>
       val tmp = Files.createTempDirectory("graft-ndd-slice")
       sliced.filter(col("__slice") === i).drop("__slice")
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
@@ -555,7 +566,7 @@ object StreamingOps {
         java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 60000L))
       try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
       catch { case _: Throwable => }
-    }
+    } finally sliced.unpersist()
     val postingDir = s"$root/posting"
     val shingleDir = s"$root/shingles"
     val survivorsDir = s"$root/survivors"

@@ -67,7 +67,9 @@ object StreamNddProbe {
     val postingDir = s"$dir/posting"
     val shingleDir = s"$dir/shingles"
     val survivorsDir = s"$dir/survivors"
+    val bands = 8 // nearDupDedupBatch default: postings per doc
     var injected = 0L
+    var fedSoFar = 0L
     (0 until batches).foreach { k =>
       val lo = k * slice
       val hi = if (k == batches - 1) n else (k + 1) * slice
@@ -94,8 +96,9 @@ object StreamNddProbe {
           postingDir, shingleDir, survivorsDir, batchId = k.toLong)
       }
       val s1 = meter.snapshot
+      fedSoFar += hi - lo + dups // dropped docs' postings are indexed too
       println(f"batch $k%2d: ${hi - lo + dups}%8d docs ($dups%6d injected dups) " +
-        f"in $t%6.1f s, index ${hi * 8}%,d postings, " + // 8 band rows per doc
+        f"in $t%6.1f s, index ${fedSoFar * bands}%,d postings, " +
 
         f"shuffle r/w ${(s1._1 - s0._1) / 1e9}%.2f/${(s1._2 - s0._2) / 1e9}%.2f GB")
     }

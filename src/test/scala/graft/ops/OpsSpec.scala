@@ -890,6 +890,30 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("SCOPED"))
   }
 
+  test("streaming near-dup dedup: redelivery survives a crash between the " +
+    "posting and shingle writes of the FIRST batch (no store wedge)") {
+    val root = java.nio.file.Files.createTempDirectory("ndd-crash").toString
+    val posting = s"$root/posting"; val shingles = s"$root/shingles"
+    val survivors = s"$root/survivors"
+    val mk = (id: Long) => (id, (0 until 10).map(j => s"c${id}w$j").mkString(" "))
+    // a within-batch near-dup pair forces non-empty candidates on the
+    // retry, which is what used to read the missing shingle store
+    val batch0 = ((0L until 10L).map(mk) :+ (50L, mk(1L)._2 + " perturbed"))
+      .toDF("doc_id", "text")
+    def run(): Unit = StreamingOps.nearDupDedupBatch(batch0, "doc_id", "text",
+      posting, shingles, survivors, indexParts = 8, batchId = 0L)
+    run()
+    // simulate the crash window: the shingle write never happened
+    import scala.sys.process._
+    Seq("rm", "-rf", shingles).!
+    run() // redelivery must converge, not die on shingle schema inference
+    val kept = spark.read.parquet(survivors)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == (0L until 10L), s"got ${kept.mkString(",")}")
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(s"$shingles/batch=0")), "shingle store not rebuilt")
+  }
+
   test("streaming near-dup dedup: expiring old batch subtrees gives " +
     "retention-window semantics (expired docs stop suppressing dups)") {
     val root = java.nio.file.Files.createTempDirectory("ndd-expire").toString
