@@ -70,6 +70,19 @@ object OpsQueries {
     docs(s, dir).groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("lang"))
 
+  /** Deterministic 25 % subset by md5-rank of doc_id — same rows on every
+    * run/partitioning (df.sample() is neither), oracle-replayable because
+    * DuckDB computes the identical md5-derived rank. */
+  def sampleFraction(s: SparkSession, dir: String): DataFrame =
+    Sample.byFraction(docs(s, dir), "doc_id", 0.25)
+      .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+
+  /** Training-mix quota: at most 40 docs per language, smallest md5-rank
+    * first — the bounded-agg (window-free) top-k path end to end. */
+  def sampleQuotaLang(s: SparkSession, dir: String): DataFrame =
+    Sample.quotaPerGroup(docs(s, dir), "doc_id", "lang", cap = 40)
+      .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))
+
   def fingerprintMd5(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), md5(lower(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
@@ -409,6 +422,8 @@ object OpsQueries {
     "model_accuracy" -> (modelAccuracy _),
     "text_stats" -> (textStats _),
     "lang_distribution" -> (langDistribution _),
+    "sample_fraction" -> (sampleFraction _),
+    "sample_quota_lang" -> (sampleQuotaLang _),
     "fingerprint_md5" -> (fingerprintMd5 _),
     "similarity_topk" -> (similarityTopK _),
     "dedup_minhash_pairs" -> (minhashLshPairs _),
@@ -650,6 +665,23 @@ object OpsQueries {
          FROM documents ORDER BY doc_id""",
     "lang_distribution" ->
       "SELECT lang, count(*) AS cnt FROM documents GROUP BY lang ORDER BY lang",
+    // the engine's md5Rank32, verbatim: first 8 hex chars of md5(id) as a
+    // 32-bit integer; fraction 0.25 -> threshold floor(0.25 * 2^32)
+    "sample_fraction" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
+               < 1073741824
+         ORDER BY doc_id""",
+    // quota cap 40 per language: row_number over (rank ASC, id ASC) is
+    // exactly TopKPairsAgg's (score DESC, id ASC) with score = -rank
+    "sample_quota_lang" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id, row_number() OVER (
+             PARTITION BY lang
+             ORDER BY try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) ASC,
+                      doc_id ASC) AS rn
+           FROM documents) t
+         WHERE rn <= 40 ORDER BY lang, doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
     // exact per-row top-k ground truth: at planes=1/probes=2 the kNN join

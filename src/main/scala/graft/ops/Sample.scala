@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling — the training-mix constructors a 100 TB corpus
+  * pipeline needs: fixed-fraction subsets and per-group quota caps ("at
+  * most N docs per language"), both pure functions of the doc id so the
+  * SAME subset comes back on every run, partitioning, and cluster size.
+  * `df.sample()` guarantees none of that (seeded per-partition RNG — the
+  * subset changes when the partitioning does).
+  */
+object Sample {
+
+  /** Engine-portable 32-bit rank of an id: the first 8 hex chars of
+    * `md5(cast(id as string))` parsed as a long in [0, 2³²). md5, not
+    * xxhash64, because the DuckDB oracle must compute the identical value
+    * (`try_cast(concat('0x', substr(md5(...), 1, 8)) as bigint)`), and
+    * 32 bits, not 64, so the rank is exact in the Double that the bounded
+    * top-k aggregate compares. */
+  def md5Rank32(id: Column): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Keep ≈`fraction` of rows deterministically: rank(id)/2³² < fraction.
+    * Narrow (filter-only — no shuffle, no state), stable under re-runs and
+    * repartitioning, and disjoint fractions nest: the 0.1 sample is a
+    * subset of the 0.25 sample. */
+  def byFraction(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0,
+      s"byFraction: fraction must be in [0,1], got $fraction")
+    df.filter(md5Rank32(col(idCol)) < math.floor(fraction * 4294967296.0).toLong)
+  }
+
+  /** Per-group quota: the `cap` smallest-rank docs of each group. Equal to
+    * `row_number().over(Window.partitionBy(grp).orderBy(rank, id)) <= cap`
+    * (spec-asserted against that twin) but WITHOUT the window: the bounded
+    * [[graft.sketch.TopKPairsAgg]] combines candidates to ≤cap per group
+    * per map task BEFORE the exchange, so the shuffle carries
+    * O(groups × cap) slim (id, rank) pairs — never the corpus — and no
+    * per-group sort runs; the kept-id set (same O(groups × cap) bound)
+    * then semi-joins the full rows back.
+    *
+    * The id must be integral (the aggregate's key is a long): fails loud
+    * rather than silently null-casting string ids. */
+  def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                    cap: Int): DataFrame = {
+    require(cap >= 1, s"quotaPerGroup: cap must be >= 1, got $cap")
+    val idType = df.schema(idCol).dataType
+    require(Seq("long", "integer", "short", "byte").contains(idType.typeName),
+      s"quotaPerGroup: id column '$idCol' must be integral, got $idType " +
+        "(a string id would silently null under the long cast)")
+    // score = -rank: TopKPairsAgg keeps (score DESC, id ASC) = (rank ASC,
+    // id ASC), the oracle's row_number ordering; 32-bit ranks are exact
+    // as Doubles so the negation loses nothing
+    val keep = df
+      .select(col(groupCol).as("g"), col(idCol).cast("long").as("id"),
+        negate(md5Rank32(col(idCol)).cast("double")).as("s"))
+      .groupBy(col("g"))
+      .agg(graft.sketch.TopKPairsAgg.topkPairs(col("id"), col("s"), cap).as("tk"))
+      .select(explode(col("tk")).as("p"))
+      .select(col("p.id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+}

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deterministic sampling: the bounded-agg quota path must equal its
+  * window twin bit-for-bit, and every decision must be a pure function of
+  * the id (partitioning-invariant). */
+class SampleSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  lazy val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("quotaPerGroup equals the window row_number twin (rank ASC, id ASC)") {
+    val cap = 7
+    val got = Sample.quotaPerGroup(docs, "doc_id", "lang", cap)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().sorted.toSeq
+    val w = Window.partitionBy($"lang")
+      .orderBy(Sample.md5Rank32($"doc_id").asc, $"doc_id".asc)
+    val want = docs.withColumn("rn", row_number().over(w)).filter($"rn" <= cap)
+      .select($"lang", $"doc_id").as[(String, Long)].collect().sorted.toSeq
+    assert(got == want)
+    // every group hit its cap (fixture groups are all larger than 7)
+    val perGroup = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perGroup.values.forall(_ == cap), perGroup.toString)
+  }
+
+  test("quota and fraction decisions are partitioning-invariant") {
+    val a = Sample.quotaPerGroup(docs, "doc_id", "lang", 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val b = Sample.quotaPerGroup(docs.repartition(17, $"text"), "doc_id", "lang", 5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(a == b)
+    val f1 = Sample.byFraction(docs, "doc_id", 0.3)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val f2 = Sample.byFraction(docs.repartition(17), "doc_id", 0.3)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(f1 == f2)
+  }
+
+  test("fractions nest (the 0.1 sample is a subset of the 0.25 sample) " +
+    "and land near the target rate") {
+    val n = docs.count().toDouble
+    val s10 = Sample.byFraction(docs, "doc_id", 0.1)
+      .select($"doc_id").as[Long].collect().toSet
+    val s25 = Sample.byFraction(docs, "doc_id", 0.25)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(s10.subsetOf(s25))
+    assert(math.abs(s25.size / n - 0.25) < 0.06, s"${s25.size / n}")
+    assert(Sample.byFraction(docs, "doc_id", 0.0).count() == 0L)
+    assert(Sample.byFraction(docs, "doc_id", 1.0).count() == n.toLong)
+  }
+
+  test("quota shuffles bounded pairs, not the corpus: the aggregate is " +
+    "partial before the exchange and no window sort exists") {
+    val plan = Sample.quotaPerGroup(docs, "doc_id", "lang", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topk_pairs"), plan.take(2000))
+    assert(!plan.contains("Window"), "quota must not fall back to a window sort")
+  }
+
+  test("string ids fail loud instead of silently null-casting") {
+    val e = intercept[IllegalArgumentException](
+      Sample.quotaPerGroup(docs.withColumn("sid", $"doc_id".cast("string")),
+        "sid", "lang", 5))
+    assert(e.getMessage.contains("integral"))
+  }
+}
