@@ -33,12 +33,19 @@ object Sample {
 
   /** Per-group quota: the `cap` smallest-rank docs of each group. Equal to
     * `row_number().over(Window.partitionBy(grp).orderBy(rank, id)) <= cap`
-    * (spec-asserted against that twin) but WITHOUT the window: the bounded
-    * [[graft.sketch.TopKPairsAgg]] combines candidates to ≤cap per group
-    * per map task BEFORE the exchange, so the shuffle carries
-    * O(groups × cap) slim (id, rank) pairs — never the corpus — and no
-    * per-group sort runs; the kept-id set (same O(groups × cap) bound)
-    * then semi-joins the full rows back.
+    * — spec-asserted against that twin bit-for-bit.
+    *
+    * Why not the window: Spark 4's window is NOT naive here (a Partial
+    * `WindowGroupLimit` keeps ≤cap rows per group per map task before the
+    * exchange — probe-verified), but it still SORTS every map partition's
+    * full data to feed that limit, and what crosses the wire is ≤cap FULL
+    * rows per group per task. This path instead runs the bounded
+    * [[graft.sketch.TopKPairsAgg]] (O(cap) insert with O(1) tail
+    * rejection, no sort anywhere) over slim (id, rank) pairs and
+    * broadcast-semi-joins the kept ids back — wide doc rows never shuffle
+    * at all, at the cost of a second corpus scan for the join. At 100 TB
+    * with kilobyte rows the no-wide-shuffle + no-per-task-sort trade wins;
+    * tools/SampleProbe measures both on the same corpus.
     *
     * The id must be integral (the aggregate's key is a long): fails loud
     * rather than silently null-casting string ids. */
@@ -59,6 +66,8 @@ object Sample {
       .agg(graft.sketch.TopKPairsAgg.topkPairs(col("id"), col("s"), cap).as("tk"))
       .select(explode(col("tk")).as("p"))
       .select(col("p.id").as(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    // keep is O(groups × cap) by construction — broadcast it, or the semi
+    // join shuffles the corpus (probe-measured before the hint)
+    df.join(broadcast(keep), Seq(idCol), "left_semi")
   }
 }
