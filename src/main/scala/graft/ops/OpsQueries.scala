@@ -77,6 +77,13 @@ object OpsQueries {
     Sample.byFraction(docs(s, dir), "doc_id", 0.25)
       .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
 
+  /** Training-mix rates: keep all `de`, half `fr`, 10 % `en`, default 25 %
+    * — the per-group threshold variant of the deterministic sampler. */
+  def sampleMixLang(s: SparkSession, dir: String): DataFrame =
+    Sample.byFractionPerGroup(docs(s, dir), "doc_id", "lang",
+        Map("de" -> 1.0, "fr" -> 0.5, "en" -> 0.1), defaultFraction = 0.25)
+      .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))
+
   /** Training-mix quota: at most 40 docs per language, smallest md5-rank
     * first — the bounded-agg (window-free) top-k path end to end. */
   def sampleQuotaLang(s: SparkSession, dir: String): DataFrame =
@@ -423,6 +430,7 @@ object OpsQueries {
     "text_stats" -> (textStats _),
     "lang_distribution" -> (langDistribution _),
     "sample_fraction" -> (sampleFraction _),
+    "sample_mix_lang" -> (sampleMixLang _),
     "sample_quota_lang" -> (sampleQuotaLang _),
     "fingerprint_md5" -> (fingerprintMd5 _),
     "similarity_topk" -> (similarityTopK _),
@@ -672,6 +680,16 @@ object OpsQueries {
          WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
                < 1073741824
          ORDER BY doc_id""",
+    // per-language thresholds: floor(rate * 2^32) for 1.0 / 0.5 / 0.1 /
+    // default 0.25 — the engine's byFractionPerGroup literals verbatim
+    "sample_mix_lang" ->
+      """SELECT lang, doc_id FROM documents
+         WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
+               < CASE lang WHEN 'de' THEN 4294967296
+                           WHEN 'fr' THEN 2147483648
+                           WHEN 'en' THEN 429496729
+                           ELSE 1073741824 END
+         ORDER BY lang, doc_id""",
     // quota cap 40 per language: row_number over (rank ASC, id ASC) is
     // exactly TopKPairsAgg's (score DESC, id ASC) with score = -rank
     "sample_quota_lang" ->

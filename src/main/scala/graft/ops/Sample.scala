@@ -31,6 +31,24 @@ object Sample {
     df.filter(md5Rank32(col(idCol)) < math.floor(fraction * 4294967296.0).toLong)
   }
 
+  /** Per-group fraction mix ("keep 100 % of de, 10 % of en"): the rate is
+    * looked up per row from the literal `rates` map (absent groups get
+    * `defaultFraction`), then the same rank-threshold filter as
+    * [[byFraction]] — still a narrow, shuffle-free, deterministic filter,
+    * and each group's sample nests across rate changes just like the
+    * global one. */
+  def byFractionPerGroup(df: DataFrame, idCol: String, groupCol: String,
+                         rates: Map[String, Double],
+                         defaultFraction: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"byFractionPerGroup: fraction $f not in [0,1]"))
+    def thr(f: Double): Long = math.floor(f * 4294967296.0).toLong
+    val threshold = rates.foldLeft(lit(thr(defaultFraction))) {
+      case (acc, (g, f)) => when(col(groupCol) === lit(g), lit(thr(f))).otherwise(acc)
+    }
+    df.filter(md5Rank32(col(idCol)) < threshold)
+  }
+
   /** Per-group quota: the `cap` smallest-rank docs of each group. Equal to
     * `row_number().over(Window.partitionBy(grp).orderBy(rank, id)) <= cap`
     * — spec-asserted against that twin bit-for-bit.

@@ -53,6 +53,26 @@ class SampleSpec extends AnyFunSuite {
     assert(Sample.byFraction(docs, "doc_id", 1.0).count() == n.toLong)
   }
 
+  test("byFractionPerGroup honors per-group rates (1.0 keeps everything, " +
+    "0.0 drops everything, absent groups get the default) and nests") {
+    val full = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val mixed = Sample.byFractionPerGroup(docs, "doc_id", "lang",
+        Map("de" -> 1.0, "en" -> 0.0), defaultFraction = 0.5)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(mixed("de") == full("de"))
+    assert(!mixed.contains("en"))
+    val others = full.keySet -- Set("de", "en")
+    others.foreach { g =>
+      assert(math.abs(mixed(g).toDouble / full(g) - 0.5) < 0.15,
+        s"$g: ${mixed(g)} of ${full(g)}")
+    }
+    // per-group nesting: the 0.2-rate en sample is a subset of the 0.6 one
+    def enIds(r: Double) = Sample.byFractionPerGroup(docs, "doc_id", "lang",
+        Map("en" -> r), defaultFraction = 0.0)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(enIds(0.2).subsetOf(enIds(0.6)))
+  }
+
   test("quota shuffles bounded pairs, not the corpus: the aggregate is " +
     "partial before the exchange and no window sort exists") {
     val plan = Sample.quotaPerGroup(docs, "doc_id", "lang", 5)
