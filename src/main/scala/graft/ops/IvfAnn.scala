@@ -189,11 +189,20 @@ object IvfAnn {
         "index storing codes, not raw embeddings; raw appends would corrupt it")
     val cents = readCentroids(df.sparkSession, path)
     require(cents.nonEmpty, s"indexAppend: no centroid sidecar at $path")
+    // id-TYPE guard: mixed id types across appended files corrupt the
+    // layout (later scans fail on schema merge) — fail loud instead
+    val existingId = df.sparkSession.read.parquet(s"$path/lists").schema.head.dataType
+    require(existingId == df.schema(idCol).dataType,
+      s"indexAppend: index at $path stores ids as $existingId, append " +
+        s"brings ${df.schema(idCol).dataType} — mixed id types would " +
+        "corrupt the lists layout")
     assign(df, idCol, embCol, cents)
       .write.mode("append").partitionBy("list").parquet(s"$path/lists")
   }
 
-  private def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+  /** Centroid sidecar read — the ONE place the sidecar format is decoded
+    * (shared with the PQ family; a format change lands everywhere). */
+  private[ops] def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
     import spark.implicits._
     spark.read.parquet(s"$path/centroids")
       .orderBy("list").select("centroid").as[Seq[Double]]

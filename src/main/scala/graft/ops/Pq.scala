@@ -287,12 +287,17 @@ object Pq {
   def indexAppend(df: DataFrame, idCol: String, embCol: String,
                   path: String): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
     val cb = readCodebooks(spark, path) // requires the sidecar — family guard
-    val cents = spark.read.parquet(s"$path/centroids")
-      .orderBy("list").select("centroid").as[Seq[Double]]
-      .collect().map(_.toArray)
+    val cents = IvfAnn.readCentroids(spark, path)
     require(cents.nonEmpty, s"pq indexAppend: no centroid sidecar at $path")
+    // id-TYPE guard: an append whose id type differs from the index's
+    // (long next to int files under one lists/ dir) corrupts the layout —
+    // later scans die on schema merge. Fail loud instead.
+    val existingId = spark.read.parquet(s"$path/lists").schema.head.dataType
+    val incomingId = df.schema(idCol).dataType
+    require(existingId == incomingId,
+      s"pq indexAppend: index at $path stores ids as $existingId, append " +
+        s"brings $incomingId — mixed id types would corrupt the lists layout")
     writeCodes(IvfAnn.assign(df, idCol, embCol, cents), cb, path, "append")
   }
 
@@ -328,9 +333,7 @@ object Pq {
                   k: Int, nprobe: Int): DataFrame = {
     import spark.implicits._
     val cb = readCodebooks(spark, indexPath)
-    val cents = spark.read.parquet(s"$indexPath/centroids")
-      .orderBy("list").select("centroid").as[Seq[Double]]
-      .collect().map(_.toArray)
+    val cents = IvfAnn.readCentroids(spark, indexPath)
     val probed = cents.zipWithIndex
       .map { case (c, i) => (i, IvfAnn.cosineOf(query, c)) }
       .sortBy { case (i, cs) => (-cs, i) }

@@ -147,6 +147,26 @@ class IndexAppendSpec extends AnyFunSuite {
     assert(e.getMessage.contains("incomparable"))
   }
 
+  test("appends with a DIFFERENT id type fail loud across all three " +
+    "families (mixed-type files would corrupt the layout)") {
+    val int32 = half2.withColumn("vid32", $"vec_id".cast("int"))
+    val lsh = java.nio.file.Files.createTempDirectory("lsh-idtype").toString
+    Similarity.lshIndexWrite(half1, "vec_id", "embedding", lsh, planes = 4)
+    val e1 = intercept[IllegalArgumentException](
+      Similarity.lshIndexAppend(int32, "vid32", "embedding", lsh, planes = 4))
+    assert(e1.getMessage.contains("id types"))
+    val ivf = java.nio.file.Files.createTempDirectory("ivf-idtype").toString
+    IvfAnn.indexWrite(half1, "vec_id", "embedding", ivf, nLists = 2)
+    val e2 = intercept[IllegalArgumentException](
+      IvfAnn.indexAppend(int32, "vid32", "embedding", ivf))
+    assert(e2.getMessage.contains("id types"))
+    val pq = java.nio.file.Files.createTempDirectory("pq-idtype").toString
+    Pq.indexWrite(half1, "vec_id", "embedding", pq, nLists = 2, m = 8, sampleN = 200)
+    val e3 = intercept[IllegalArgumentException](
+      Pq.indexAppend(int32, "vid32", "embedding", pq))
+    assert(e3.getMessage.contains("id types"))
+  }
+
   test("IVF append without a centroid sidecar fails loud") {
     val dir = java.nio.file.Files.createTempDirectory("ivf-nosidecar").toString
     val e = intercept[Exception](
