@@ -77,6 +77,54 @@ object OpsQueries {
     Sample.byFraction(docs(s, dir), "doc_id", 0.25)
       .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
 
+  private def ingestSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars",
+      org.apache.spark.sql.types.LongType)))
+
+  /** Stage `lines` (+ injected garbage) as a text landing zone, run it
+    * through the schema-on-ingest gate, return the good side. The oracle is
+    * the source table itself: every real row must round-trip, every
+    * injected line must quarantine (bad-side routing is spec-asserted in
+    * IngestSpec). */
+  private def ingestRoundTrip(s: SparkSession, lines: DataFrame,
+                              badLines: Seq[String], tag: String,
+                              read: String => graft.sources.Ingest.IngestResult): DataFrame = {
+    import s.implicits._
+    graft.util.PidPaths.cleanStaleSiblings("graft_ingest")
+    val root = graft.util.PidPaths.path("graft_ingest") + s"/$tag"
+    lines.unionByName(badLines.toDF("value"))
+      .coalesce(4).write.mode("overwrite").text(root)
+    read(root).good.orderBy(col("doc_id"))
+  }
+
+  /** JSONL landing-zone ingest: documents serialized to JSON lines plus an
+    * unparseable line, a missing-required-field line, and a blank — the
+    * good side must equal the source rows exactly (DuckDB-oracled). */
+  def ingestJsonl(s: SparkSession, dir: String): DataFrame =
+    ingestRoundTrip(s,
+      docs(s, dir).select(to_json(struct(
+        col("doc_id"), col("lang"), col("n_chars"))).as("value")),
+      Seq("""{"doc_id": 7, "lang"""", """{"lang":"xx","n_chars":5}""", "   "),
+      tag = s"jsonl_${System.nanoTime()}",
+      p => graft.sources.Ingest.readJsonl(s, p, ingestSchema,
+        required = Seq("doc_id")))
+
+  /** CSV landing-zone ingest: same round-trip contract as [[ingestJsonl]]
+    * (unclosed-quote line → corrupt sentinel, empty-id line → required
+    * check, blank ignored). */
+  def ingestCsv(s: SparkSession, dir: String): DataFrame =
+    ingestRoundTrip(s,
+      docs(s, dir).select(to_csv(struct(
+        col("doc_id"), col("lang"), col("n_chars"))).as("value")),
+      Seq("\"unclosed, quote", ",xx,5", "   "),
+      tag = s"csv_${System.nanoTime()}",
+      p => graft.sources.Ingest.readCsv(s, p, ingestSchema,
+        required = Seq("doc_id")))
+
   /** Training-mix rates: keep all `de`, half `fr`, 10 % `en`, default 25 %
     * — the per-group threshold variant of the deterministic sampler. */
   def sampleMixLang(s: SparkSession, dir: String): DataFrame =
@@ -431,6 +479,8 @@ object OpsQueries {
     "lang_distribution" -> (langDistribution _),
     "sample_fraction" -> (sampleFraction _),
     "sample_mix_lang" -> (sampleMixLang _),
+    "ingest_jsonl" -> (ingestJsonl _),
+    "ingest_csv" -> (ingestCsv _),
     "sample_quota_lang" -> (sampleQuotaLang _),
     "fingerprint_md5" -> (fingerprintMd5 _),
     "similarity_topk" -> (similarityTopK _),
@@ -680,6 +730,12 @@ object OpsQueries {
          WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
                < 1073741824
          ORDER BY doc_id""",
+    // landing-zone round-trip: every real row survives the schema gate,
+    // every injected malformed line quarantines -> good side == the table
+    "ingest_jsonl" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "ingest_csv" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     // per-language thresholds: floor(rate * 2^32) for 1.0 / 0.5 / 0.1 /
     // default 0.25 — the engine's byFractionPerGroup literals verbatim
     "sample_mix_lang" ->

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Schema-on-ingest: good rows round-trip exactly, malformed and
+  * missing-required rows quarantine WITH their raw line, blanks vanish —
+  * one bad line costs one row, never the job and never a silent null. */
+class IngestSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("lang", StringType),
+    StructField("n_chars", LongType)))
+
+  private def stage(lines: Seq[String]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("ingest-spec").toString
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    dir
+  }
+
+  test("JSONL: valid rows parse, unparseable and missing-required lines " +
+    "quarantine with the raw line, blanks are ignored") {
+    val dir = stage(Seq(
+      """{"doc_id":1,"lang":"en","n_chars":10}""",
+      """{"doc_id":2,"lang":"de","n_chars":20}""",
+      """{"doc_id":3,"lang"""",            // unparseable
+      """{"lang":"xx","n_chars":5}""",     // parseable, doc_id missing
+      "   ", ""))                          // blanks
+    val r = Ingest.readJsonl(spark, dir, schema, required = Seq("doc_id"))
+    val good = r.good.as[(Long, String, Long)].collect().sorted.toSeq
+    assert(good == Seq((1L, "en", 10L), (2L, "de", 20L)))
+    val bad = r.bad.as[String].collect().sorted.toSeq
+    assert(bad == Seq("""{"doc_id":3,"lang"""", """{"lang":"xx","n_chars":5}"""))
+  }
+
+  test("JSONL: wrong-TYPE field nulls that field (PERMISSIVE) and the " +
+    "required check quarantines it when the field is required") {
+    val dir = stage(Seq("""{"doc_id":"notanumber","lang":"en","n_chars":1}"""))
+    val strict = Ingest.readJsonl(spark, dir, schema, required = Seq("doc_id"))
+    assert(strict.good.count() == 0 && strict.bad.count() == 1)
+    val lax = Ingest.readJsonl(spark, dir, schema)
+    assert(lax.good.count() == 1) // kept, doc_id null — caller's contract
+  }
+
+  test("CSV: short rows and unclosed quotes quarantine under the required " +
+    "check / corrupt sentinel; valid rows round-trip") {
+    val dir = stage(Seq(
+      "1,en,10",
+      "2,de,20",
+      "\"unclosed, quote",  // corrupt
+      ",xx,5",              // empty required doc_id
+      "   "))
+    val r = Ingest.readCsv(spark, dir, schema, required = Seq("doc_id"))
+    val good = r.good.as[(Long, String, Long)].collect().sorted.toSeq
+    assert(good == Seq((1L, "en", 10L), (2L, "de", 20L)))
+    assert(r.bad.count() == 2)
+    // the gate never adds its corrupt sentinel to the good schema
+    assert(!r.good.columns.contains("_corrupt"))
+  }
+
+  test("ingest is a narrow plan: no shuffle on either side of the split") {
+    val dir = stage(Seq("""{"doc_id":1,"lang":"en","n_chars":10}"""))
+    val r = Ingest.readJsonl(spark, dir, schema, required = Seq("doc_id"))
+    Seq(r.good, r.bad).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan.take(1000))
+    }
+  }
+}
