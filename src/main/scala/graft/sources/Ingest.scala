@@ -49,8 +49,16 @@ object Ingest {
     * lines ignored. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
                 required: Seq[String] = Seq.empty): IngestResult =
-    split(spark.read.text(path),
-      from_json(col("value"), schema), required)
+    splitJsonl(spark.read.text(path), schema, required)
+
+  /** The JSONL gate on an existing single-column `value: string` frame —
+    * batch OR STREAMING (the split is pure column expressions, so
+    * `readStream.text(landingZone)` flows through unchanged: good side to
+    * the pipeline sink, bad side to the dead-letter sink as two queries
+    * over one source). */
+  def splitJsonl(lines: DataFrame, schema: StructType,
+                 required: Seq[String] = Seq.empty): IngestResult =
+    split(lines, from_json(col("value"), schema), required)
 
   /** CSV ingest (no header; pass `options` for delimiter etc.). Malformed
     * lines yield a null struct under FAILFAST-per-row semantics: from_csv

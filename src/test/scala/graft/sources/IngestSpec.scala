@@ -62,6 +62,29 @@ class IngestSpec extends AnyFunSuite {
     assert(!r.good.columns.contains("_corrupt"))
   }
 
+  test("the same gate runs STREAMING: readStream over the landing zone " +
+    "routes good and bad identically to the batch read") {
+    val dir = stage(Seq(
+      """{"doc_id":1,"lang":"en","n_chars":10}""",
+      """{"doc_id":3,"lang"""",
+      """{"doc_id":2,"lang":"de","n_chars":20}"""))
+    val lines = spark.readStream.text(dir)
+    val r = Ingest.splitJsonl(lines, schema, required = Seq("doc_id"))
+    val tag = System.nanoTime()
+    val qGood = r.good.writeStream.format("memory")
+      .queryName(s"ingest_good_$tag").outputMode("append").start()
+    val qBad = r.bad.writeStream.format("memory")
+      .queryName(s"ingest_bad_$tag").outputMode("append").start()
+    try {
+      qGood.processAllAvailable(); qBad.processAllAvailable()
+      val good = spark.table(s"ingest_good_$tag")
+        .as[(Long, String, Long)].collect().sorted.toSeq
+      assert(good == Seq((1L, "en", 10L), (2L, "de", 20L)))
+      val bad = spark.table(s"ingest_bad_$tag").as[String].collect().toSeq
+      assert(bad == Seq("""{"doc_id":3,"lang""""))
+    } finally { qGood.stop(); qBad.stop() }
+  }
+
   test("ingest is a narrow plan: no shuffle on either side of the split") {
     val dir = stage(Seq("""{"doc_id":1,"lang":"en","n_chars":10}"""))
     val r = Ingest.readJsonl(spark, dir, schema, required = Seq("doc_id"))
