@@ -89,6 +89,23 @@ object IndexMaintenance {
     (before, dataFiles(root))
   }
 
+  /** Append-time id-field guard shared by every incremental index family
+    * (LSH bucket=, IVF/PQ lists): the stored id field — looked up by NAME
+    * when the layout fixes one ("id" for LSH), else the first data column
+    * (IVF/PQ lists store the caller's id first) — must match the incoming
+    * id's type, or mixed int32/int64 files under one layout kill later
+    * scans on schema merge. One copy so the check cannot drift per
+    * family. */
+  private[ops] def requireSameIdType(spark: SparkSession, dataPath: String,
+      storedIdName: Option[String],
+      incoming: org.apache.spark.sql.types.DataType, what: String): Unit = {
+    val sch = spark.read.parquet(dataPath).schema
+    val field = storedIdName.flatMap(n => sch.find(_.name == n)).getOrElse(sch.head)
+    require(field.dataType == incoming,
+      s"$what: index at $dataPath stores ids as ${field.dataType}, append " +
+        s"brings $incoming — mixed id types would corrupt the layout")
+  }
+
   /** Recency-bound a batch-SCOPED store (`batch=<id>` subtrees, as written
     * by [[StreamingOps.nearDupDedupBatch]] with a real batchId): delete
     * every subtree with id < `keepFromBatchId`. Expired docs no longer

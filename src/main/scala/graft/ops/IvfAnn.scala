@@ -189,13 +189,8 @@ object IvfAnn {
         "index storing codes, not raw embeddings; raw appends would corrupt it")
     val cents = readCentroids(df.sparkSession, path)
     require(cents.nonEmpty, s"indexAppend: no centroid sidecar at $path")
-    // id-TYPE guard: mixed id types across appended files corrupt the
-    // layout (later scans fail on schema merge) — fail loud instead
-    val existingId = df.sparkSession.read.parquet(s"$path/lists").schema.head.dataType
-    require(existingId == df.schema(idCol).dataType,
-      s"indexAppend: index at $path stores ids as $existingId, append " +
-        s"brings ${df.schema(idCol).dataType} — mixed id types would " +
-        "corrupt the lists layout")
+    IndexMaintenance.requireSameIdType(df.sparkSession, s"$path/lists",
+      None, df.schema(idCol).dataType, "indexAppend")
     assign(df, idCol, embCol, cents)
       .write.mode("append").partitionBy("list").parquet(s"$path/lists")
   }

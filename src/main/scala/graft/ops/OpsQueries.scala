@@ -109,7 +109,8 @@ object OpsQueries {
       docs(s, dir).select(to_json(struct(
         col("doc_id"), col("lang"), col("n_chars"))).as("value")),
       Seq("""{"doc_id": 7, "lang"""", """{"lang":"xx","n_chars":5}""", "   "),
-      tag = s"jsonl_${System.nanoTime()}",
+      // fixed tag: overwrite mode makes re-runs idempotent, /tmp bounded
+      tag = "jsonl",
       p => graft.sources.Ingest.readJsonl(s, p, ingestSchema,
         required = Seq("doc_id")))
 
@@ -121,7 +122,7 @@ object OpsQueries {
       docs(s, dir).select(to_csv(struct(
         col("doc_id"), col("lang"), col("n_chars"))).as("value")),
       Seq("\"unclosed, quote", ",xx,5", "   "),
-      tag = s"csv_${System.nanoTime()}",
+      tag = "csv",
       p => graft.sources.Ingest.readCsv(s, p, ingestSchema,
         required = Seq("doc_id")))
 

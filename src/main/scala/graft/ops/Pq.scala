@@ -290,14 +290,8 @@ object Pq {
     val cb = readCodebooks(spark, path) // requires the sidecar — family guard
     val cents = IvfAnn.readCentroids(spark, path)
     require(cents.nonEmpty, s"pq indexAppend: no centroid sidecar at $path")
-    // id-TYPE guard: an append whose id type differs from the index's
-    // (long next to int files under one lists/ dir) corrupts the layout —
-    // later scans die on schema merge. Fail loud instead.
-    val existingId = spark.read.parquet(s"$path/lists").schema.head.dataType
-    val incomingId = df.schema(idCol).dataType
-    require(existingId == incomingId,
-      s"pq indexAppend: index at $path stores ids as $existingId, append " +
-        s"brings $incomingId — mixed id types would corrupt the lists layout")
+    IndexMaintenance.requireSameIdType(spark, s"$path/lists",
+      None, df.schema(idCol).dataType, "pq indexAppend")
     writeCodes(IvfAnn.assign(df, idCol, embCol, cents), cb, path, "append")
   }
 

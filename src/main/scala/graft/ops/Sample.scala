@@ -24,7 +24,12 @@ object Sample {
   /** Keep ≈`fraction` of rows deterministically: rank(id)/2³² < fraction.
     * Narrow (filter-only — no shuffle, no state), stable under re-runs and
     * repartitioning, and disjoint fractions nest: the 0.1 sample is a
-    * subset of the 0.25 sample. */
+    * subset of the 0.25 sample.
+    *
+    * NULL-id rows are DROPPED at every fraction, 1.0 included: a row with
+    * no identity has no deterministic sampling decision. Enforce id
+    * presence upstream (the uniqueness check or the ingest gate's
+    * required-field quarantine) if nulls are possible. */
   def byFraction(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"byFraction: fraction must be in [0,1], got $fraction")
@@ -82,10 +87,12 @@ object Sample {
         negate(md5Rank32(col(idCol)).cast("double")).as("s"))
       .groupBy(col("g"))
       .agg(graft.sketch.TopKPairsAgg.topkPairs(col("id"), col("s"), cap).as("tk"))
-      .select(explode(col("tk")).as("p"))
-      .select(col("p.id").as(idCol))
-    // keep is O(groups × cap) by construction — broadcast it, or the semi
-    // join shuffles the corpus (probe-measured before the hint)
-    df.join(broadcast(keep), Seq(idCol), "left_semi")
+      .select(col("g").as(groupCol), explode(col("tk")).as("p"))
+      .select(col(groupCol), col("p.id").as(idCol))
+    // join on (group, id), not id alone: an id kept in one group must not
+    // smuggle its twin in another group past that group's cap. keep is
+    // O(groups × cap) by construction — broadcast it, or the semi join
+    // shuffles the corpus (probe-measured before the hint)
+    df.join(broadcast(keep), Seq(groupCol, idCol), "left_semi")
   }
 }

@@ -220,13 +220,8 @@ object Similarity {
           s"lshIndexAppend: no config sidecar at $path (pre-append-era " +
             "index) - trusting caller-supplied planes")
     }
-    // id-TYPE guard: mixed id types across appended files corrupt the
-    // layout (later scans fail on schema merge) — fail loud instead
-    val existingId = spark.read.parquet(path).schema("id").dataType
-    require(existingId == df.schema(idCol).dataType,
-      s"lshIndexAppend: index at $path stores ids as $existingId, append " +
-        s"brings ${df.schema(idCol).dataType} — mixed id types would " +
-        "corrupt the bucket layout")
+    IndexMaintenance.requireSameIdType(spark, path, Some("id"),
+      df.schema(idCol).dataType, "lshIndexAppend")
     df.select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
         hyperplaneBucket(col(embCol), planes).as("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(path)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -18,35 +18,45 @@ import org.apache.spark.sql.types.StructType
   *   - rows that parse but miss a required field are quarantined too
   *     (pydantic's required-field semantics).
   *
-  * Shape: one `spark.read.text` scan, `from_json`/`from_csv` projection,
-  * and a null-struct split — narrow, shuffle-free, whole-stage-codegen
-  * friendly, and deliberately NOT the DataFrameReader corrupt-column path
-  * (querying only `_corrupt_record` is disallowed and the documented
-  * workaround is caching the parsed frame — a non-starter at corpus
-  * scale). */
+  * Shape: one `spark.read.text` scan, `from_json`/`from_csv` projection
+  * with a `_corrupt` sentinel (on Spark 4 an unparseable line yields a
+  * non-null struct of null FIELDS — struct nullness alone cannot detect a
+  * parse failure, the sentinel can), and a column-predicate split —
+  * narrow, shuffle-free, whole-stage-codegen friendly, and deliberately
+  * NOT the DataFrameReader corrupt-column path (querying only
+  * `_corrupt_record` is disallowed there and the documented workaround is
+  * caching the parsed frame — a non-starter at corpus scale). */
 object Ingest {
 
-  /** `good`: rows matching the schema (required fields present).
-    * `bad`: quarantined raw lines, column `raw` — route to a dead-letter
-    * sink and alert; the validation engine's constraint checks take over
-    * from `good`. */
+  /** `good`: rows matching the schema (parsed clean, required fields
+    * present). `bad`: quarantined raw lines, column `raw` — route to a
+    * dead-letter sink and alert; the validation engine's constraint checks
+    * take over from `good`. */
   final case class IngestResult(good: DataFrame, bad: DataFrame)
 
-  private def split(lines: DataFrame, parsed: org.apache.spark.sql.Column,
+  private val Corrupt = "_graft_corrupt"
+
+  private def parseOpts(options: Map[String, String]): Map[String, String] =
+    options ++ Map("mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> Corrupt)
+
+  /** One routing body for every format: `parsed` must be a struct column
+    * of `schema` + the [[Corrupt]] sentinel field. */
+  private def split(lines: DataFrame, parsed: Column,
                     required: Seq[String]): IngestResult = {
     val withR = lines.select(col("value"), parsed.as("r"))
-    val present = required.foldLeft(col("r").isNotNull) {
+    val present = required.foldLeft(
+      col("r").isNotNull && col(s"r.$Corrupt").isNull) {
       (acc, f) => acc && col(s"r.$f").isNotNull
     }
     IngestResult(
-      good = withR.filter(present).select(col("r.*")),
+      good = withR.filter(present).select(col("r.*")).drop(Corrupt),
       bad = withR.filter(!present && length(trim(col("value"))) > 0)
         .select(col("value").as("raw")))
   }
 
-  /** JSON-lines ingest: unparseable lines → `bad` (from_json yields a NULL
-    * struct), parseable-but-missing-required-field rows → `bad`, blank
-    * lines ignored. */
+  /** JSON-lines ingest: unparseable lines → `bad` (corrupt sentinel set),
+    * parseable-but-missing-required-field rows → `bad`, blank lines
+    * ignored. */
   def readJsonl(spark: SparkSession, path: String, schema: StructType,
                 required: Seq[String] = Seq.empty): IngestResult =
     splitJsonl(spark.read.text(path), schema, required)
@@ -58,28 +68,19 @@ object Ingest {
     * over one source). */
   def splitJsonl(lines: DataFrame, schema: StructType,
                  required: Seq[String] = Seq.empty): IngestResult =
-    split(lines, from_json(col("value"), schema), required)
+    split(lines,
+      from_json(col("value"), schema.add(Corrupt, "string"),
+        parseOpts(Map.empty)),
+      required)
 
-  /** CSV ingest (no header; pass `options` for delimiter etc.). Malformed
-    * lines yield a null struct under FAILFAST-per-row semantics: from_csv
-    * PERMISSIVE would null-fill short rows, so a `_corrupt` sentinel column
-    * routes them to quarantine instead. */
+  /** CSV ingest (no header; pass `options` for delimiter etc.): malformed
+    * lines set the corrupt sentinel → `bad`; short rows null-fill, so
+    * required-field checks catch them. */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
               required: Seq[String] = Seq.empty,
-              options: Map[String, String] = Map.empty): IngestResult = {
-    val withCorrupt = schema.add("_corrupt", "string")
-    val opts = options ++ Map(
-      "mode" -> "PERMISSIVE", "columnNameOfCorruptRecord" -> "_corrupt")
-    val parsed = from_csv(col("value"), withCorrupt, opts)
-    val lines = spark.read.text(path)
-    val withR = lines.select(col("value"), parsed.as("r"))
-    val present = required.foldLeft(
-      col("r").isNotNull && col("r._corrupt").isNull) {
-      (acc, f) => acc && col(s"r.$f").isNotNull
-    }
-    IngestResult(
-      good = withR.filter(present).select(col("r.*")).drop("_corrupt"),
-      bad = withR.filter(!present && length(trim(col("value"))) > 0)
-        .select(col("value").as("raw")))
-  }
+              options: Map[String, String] = Map.empty): IngestResult =
+    split(spark.read.text(path),
+      from_csv(col("value"), schema.add(Corrupt, "string"),
+        parseOpts(options)),
+      required)
 }

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -22,25 +21,6 @@ import org.apache.spark.sql.functions._
   * pass `cc` to ALSO run the connected-components canonicalization).
   */
 object CurateProbe {
-  private def time[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
-
-  private final class ShuffleMeter extends SparkListener {
-    val read = new java.util.concurrent.atomic.AtomicLong
-    val write = new java.util.concurrent.atomic.AtomicLong
-    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-      val m = s.stageInfo.taskMetrics
-      if (m != null) {
-        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    }
-    def snapshot: (Long, Long) = (read.get, write.get)
-  }
-
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val runCc = args.contains("cc")
@@ -55,25 +35,25 @@ object CurateProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val meter = new ShuffleMeter
+    val meter = new ProbeUtil.ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
     val dir = java.nio.file.Files.createTempDirectory("curate-probe").toString
-    val (base, tGen) = time(ProbeCorpus.writeBase(spark, n, dir))
+    val (base, tGen) = ProbeUtil.time(ProbeCorpus.writeBase(spark, n, dir))
     // near-dup mass: every 20th doc gains a one-word-perturbed copy
     val corpus = ProbeCorpus.withNearDups(base, n)
     val total = n + n / 20
     println(f"generated $n base docs in $tGen%.1f s (corpus $total with injected near-dups)")
 
     val s0 = meter.snapshot
-    val (pairRows, tPairs) = time {
+    val (pairRows, tPairs) = ProbeUtil.time {
       graft.ops.Dedup.minhashLshPairs(corpus, "doc_id", "text", threshold = 0.5).count()
     }
     val s1 = meter.snapshot
     println(f"minhashLshPairs: $tPairs%8.1f s, $pairRows verified pairs, " +
       f"shuffle r/w ${(s1._1 - s0._1) / 1e9}%.2f/${(s1._2 - s0._2) / 1e9}%.2f GB")
 
-    val (survivors, tCur) = time {
+    val (survivors, tCur) = ProbeUtil.time {
       graft.ops.Curate.curateWithNearDup(corpus).count()
     }
     val s2 = meter.snapshot
@@ -81,7 +61,7 @@ object CurateProbe {
       f"(${total / tCur}%.0f docs/s), shuffle r/w ${(s2._1 - s1._1) / 1e9}%.2f/" +
       f"${(s2._2 - s1._2) / 1e9}%.2f GB")
 
-    val (stagedSurvivors, tStaged) = time {
+    val (stagedSurvivors, tStaged) = ProbeUtil.time {
       graft.ops.Curate.curateWithNearDupStaged(corpus, s"$dir/staged").count()
     }
     val sS = meter.snapshot
@@ -92,7 +72,7 @@ object CurateProbe {
       println(s"MISMATCH: staged $stagedSurvivors != one-plan $survivors")
 
     if (runCc) {
-      val (ccSurvivors, tCc) = time {
+      val (ccSurvivors, tCc) = ProbeUtil.time {
         graft.ops.Curate.curateWithNearDupCC(corpus).count()
       }
       val s3 = meter.snapshot

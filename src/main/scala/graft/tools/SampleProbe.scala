@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -19,25 +18,6 @@ import org.apache.spark.sql.functions._
   *
   * `runMain graft.tools.SampleProbe [nDocs] [cap]` (default 10M, 1000). */
 object SampleProbe {
-  private def time[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
-
-  private final class ShuffleMeter extends SparkListener {
-    val read = new java.util.concurrent.atomic.AtomicLong
-    val write = new java.util.concurrent.atomic.AtomicLong
-    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-      val m = s.stageInfo.taskMetrics
-      if (m != null) {
-        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    }
-    def snapshot: (Long, Long) = (read.get, write.get)
-  }
-
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val cap = args.lift(1).map(_.toInt).getOrElse(1000)
@@ -52,12 +32,12 @@ object SampleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
-    val meter = new ShuffleMeter
+    val meter = new ProbeUtil.ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
     val dir = java.nio.file.Files.createTempDirectory("sample-probe").toString
     val langs = Array("en", "de", "fr", "es", "ja")
-    val (_, tGen) = time {
+    val (_, tGen) = ProbeUtil.time {
       spark.range(n)
         .select($"id".as("doc_id"),
           element_at(typedlit(langs.toSeq), (pmod($"id", lit(5)) + 1).cast("int"))
@@ -68,7 +48,7 @@ object SampleProbe {
     println(f"generated $n docs over ${langs.length} langs in $tGen%.1f s")
 
     val s0 = meter.snapshot
-    val (aggIds, tAgg) = time {
+    val (aggIds, tAgg) = ProbeUtil.time {
       graft.ops.Sample.quotaPerGroup(docs, "doc_id", "lang", cap)
         .select($"doc_id").as[Long].collect().sorted.toSeq
     }
@@ -76,7 +56,7 @@ object SampleProbe {
     println(f"quotaPerGroup (bounded agg): $tAgg%6.1f s, ${aggIds.size} kept, " +
       f"shuffle r/w ${(s1._1 - s0._1) / 1e6}%.1f/${(s1._2 - s0._2) / 1e6}%.1f MB")
 
-    val (winIds, tWin) = time {
+    val (winIds, tWin) = ProbeUtil.time {
       val w = Window.partitionBy($"lang")
         .orderBy(graft.ops.Sample.md5Rank32($"doc_id").asc, $"doc_id".asc)
       docs.withColumn("rn", row_number().over(w)).filter($"rn" <= cap)

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -23,25 +22,6 @@ import org.apache.spark.sql.functions._
   * `runMain graft.tools.StreamNddProbe [nDocs] [batches]`
   * (default 2,000,000 docs in 8 batches). */
 object StreamNddProbe {
-  private def time[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
-
-  private final class ShuffleMeter extends SparkListener {
-    val read = new java.util.concurrent.atomic.AtomicLong
-    val write = new java.util.concurrent.atomic.AtomicLong
-    override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
-      val m = s.stageInfo.taskMetrics
-      if (m != null) {
-        read.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        write.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    }
-    def snapshot: (Long, Long) = (read.get, write.get)
-  }
-
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(2000000L)
     val batches = args.lift(1).map(_.toInt).getOrElse(8)
@@ -56,11 +36,11 @@ object StreamNddProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val meter = new ShuffleMeter
+    val meter = new ProbeUtil.ShuffleMeter
     spark.sparkContext.addSparkListener(meter)
 
     val dir = java.nio.file.Files.createTempDirectory("stream-ndd-probe").toString
-    val (base, tGen) = time(ProbeCorpus.writeBase(spark, n, dir))
+    val (base, tGen) = ProbeUtil.time(ProbeCorpus.writeBase(spark, n, dir))
     val slice = n / batches
     println(f"generated $n base docs in $tGen%.1f s ($batches batches of $slice)")
 
@@ -91,7 +71,7 @@ object StreamNddProbe {
         }
       injected += dups
       val s0 = meter.snapshot
-      val (_, t) = time { // batchId = the production batch-scoped write path
+      val (_, t) = ProbeUtil.time { // batchId = the production batch-scoped write path
         graft.ops.StreamingOps.nearDupDedupBatch(batch, "doc_id", "text",
           postingDir, shingleDir, survivorsDir, batchId = k.toLong)
       }
@@ -99,7 +79,6 @@ object StreamNddProbe {
       fedSoFar += hi - lo + dups // dropped docs' postings are indexed too
       println(f"batch $k%2d: ${hi - lo + dups}%8d docs ($dups%6d injected dups) " +
         f"in $t%6.1f s, index ${fedSoFar * bands}%,d postings, " +
-
         f"shuffle r/w ${(s1._1 - s0._1) / 1e9}%.2f/${(s1._2 - s0._2) / 1e9}%.2f GB")
     }
 

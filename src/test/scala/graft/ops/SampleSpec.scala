@@ -53,6 +53,25 @@ class SampleSpec extends AnyFunSuite {
     assert(Sample.byFraction(docs, "doc_id", 1.0).count() == n.toLong)
   }
 
+  test("quota caps hold when the same id appears in several groups " +
+    "(keep-set joins on (group, id), not id alone)") {
+    // id 0..9 duplicated into two groups; with cap 3 each group must
+    // return exactly its own 3 smallest-rank rows — an id kept by group A
+    // must not smuggle its twin past group B's cap
+    val two = (0L until 10L).flatMap(i => Seq((i, "a"), (i, "b")))
+      .toDF("doc_id", "grp")
+    val got = Sample.quotaPerGroup(two, "doc_id", "grp", cap = 3)
+      .groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, "b" -> 3L), got.toString)
+  }
+
+  test("null ids are dropped at every fraction (documented: no identity, " +
+    "no deterministic decision)") {
+    val withNull = docs.select($"doc_id", $"lang")
+      .unionByName(Seq((Option.empty[Long], "xx")).toDF("doc_id", "lang"))
+    assert(Sample.byFraction(withNull, "doc_id", 1.0).count() == docs.count())
+  }
+
   test("byFractionPerGroup honors per-group rates (1.0 keeps everything, " +
     "0.0 drops everything, absent groups get the default) and nests") {
     val full = docs.groupBy($"lang").count().as[(String, Long)].collect().toMap

@@ -37,13 +37,24 @@ class IngestSpec extends AnyFunSuite {
     assert(bad == Seq("""{"doc_id":3,"lang"""", """{"lang":"xx","n_chars":5}"""))
   }
 
-  test("JSONL: wrong-TYPE field nulls that field (PERMISSIVE) and the " +
-    "required check quarantines it when the field is required") {
+  test("JSONL: unparseable lines quarantine even with NO required fields " +
+    "(corrupt sentinel, not struct nullness — from_json returns a " +
+    "null-FIELDED struct on garbage)") {
+    val dir = stage(Seq(
+      """{"doc_id":1,"lang":"en","n_chars":10}""",
+      """{"doc_id":3,"lang""""))
+    val r = Ingest.readJsonl(spark, dir, schema) // required = empty
+    assert(r.good.count() == 1)
+    assert(r.bad.as[String].collect().toSeq == Seq("""{"doc_id":3,"lang""""))
+  }
+
+  test("JSONL: a wrong-TYPE field quarantines the row (PERMISSIVE marks " +
+    "the record corrupt), required fields or not") {
     val dir = stage(Seq("""{"doc_id":"notanumber","lang":"en","n_chars":1}"""))
     val strict = Ingest.readJsonl(spark, dir, schema, required = Seq("doc_id"))
     assert(strict.good.count() == 0 && strict.bad.count() == 1)
     val lax = Ingest.readJsonl(spark, dir, schema)
-    assert(lax.good.count() == 1) // kept, doc_id null — caller's contract
+    assert(lax.good.count() == 0 && lax.bad.count() == 1)
   }
 
   test("CSV: short rows and unclosed quotes quarantine under the required " +
