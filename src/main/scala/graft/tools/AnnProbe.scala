@@ -14,12 +14,6 @@ import org.apache.spark.sql.SparkSession
   * probes=2). Results recorded in BASELINE.md.
   */
 object AnnProbe {
-  private def time[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
-
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(5000000L)
     val planes = args.drop(1).headOption.map(_.toInt).getOrElse(16)
@@ -36,7 +30,7 @@ object AnnProbe {
     import spark.implicits._
 
     val dir = java.nio.file.Files.createTempDirectory("ann-probe").toString
-    val (_, tGen) = time {
+    val (_, tGen) = ProbeUtil.time {
       spark.range(n).mapPartitions(_.map { id =>
         // NOT id * golden-gamma: SplitMix64 advances by that constant per
         // draw, so gamma-multiplied seeds make vec id+1's stream vec id's
@@ -59,14 +53,14 @@ object AnnProbe {
         org.apache.spark.sql.functions.avg("count")).head()
     println(f"buckets=${stats.getLong(0)} maxPop=${stats.getLong(1)} avgPop=${stats.getDouble(2)}%.1f")
 
-    val (knnRows, tKnn) = time {
+    val (knnRows, tKnn) = ProbeUtil.time {
       graft.ops.Similarity.knnJoin(embs, "vec_id", "embedding", k = 5,
         planes = planes, probes = 2).count()
     }
     println(f"knnJoin k=5 planes=$planes probes=2: $tKnn%8.1f s, $knnRows rows " +
       f"(${n / tKnn}%.0f rows/s)")
 
-    val (dupRows, tDup) = time {
+    val (dupRows, tDup) = ProbeUtil.time {
       graft.ops.Dedup.embeddingCosineDups(embs, "vec_id", "embedding",
         threshold = 0.99, planes = planes, censusFrac = 0.01).count()
     }

@@ -13,12 +13,6 @@ import graft.model.DocsGen
   * (defaults 10000 × 200 = 2M docs). Results recorded in BASELINE.md.
   */
 object PartScaleProbe {
-  private def time[T](f: => T): (T, Double) = {
-    val t0 = System.nanoTime()
-    val r = f
-    (r, (System.nanoTime() - t0) / 1e9)
-  }
-
   def main(args: Array[String]): Unit = {
     val parts = args.headOption.map(_.toInt).getOrElse(10000)
     val docsPerPart = args.drop(1).headOption.map(_.toInt).getOrElse(200)
@@ -45,18 +39,18 @@ object PartScaleProbe {
     // warm-up (JIT + page cache)
     PartStats.computeFusedTree(docs, maxSample, fanIn = 64)
 
-    val (treeRes, tTree) = time(PartStats.computeFusedTree(docs, maxSample, fanIn = 64))
+    val (treeRes, tTree) = ProbeUtil.time(PartStats.computeFusedTree(docs, maxSample, fanIn = 64))
     println(f"computeFusedTree  : $tTree%8.2f s  (${treeRes._1.size} summaries, " +
       s"fanIn=64 -> ${(parts + 63) / 64} range rows via toLocalIterator)")
-    val (directRes, tDirect) = time(PartStats.computeFused(docs, maxSample))
+    val (directRes, tDirect) = ProbeUtil.time(PartStats.computeFused(docs, maxSample))
     println(f"computeFused      : $tDirect%8.2f s  (${directRes._1.size} summaries, " +
       "single collect)")
 
     val ref = Fit.fit(docs.filter($"part" === 0), snapshotId = 1L, maxSample = maxSample)
-    val (dv, tDist) = time(DriftChecks.mmdDistributed(spark, docs, ref, "probe", 0.01,
+    val (dv, tDist) = ProbeUtil.time(DriftChecks.mmdDistributed(spark, docs, ref, "probe", 0.01,
       maxSample = maxSample))
     println(f"mmdDistributed    : $tDist%8.2f s  (${dv.size} verdicts, zero driver sample transit)")
-    val (mv, tDrv) = time {
+    val (mv, tDrv) = ProbeUtil.time {
       val sp = PartStats.computeFused(docs, maxSample,
         graft.sketch.DocStatsAgg.ModeSample)._2
       DriftChecks.mmd(spark, "probe2", 0.01, ref, sp)
