@@ -60,15 +60,19 @@ object Sample {
     *
     * Why not the window: Spark 4's window is NOT naive here (a Partial
     * `WindowGroupLimit` keeps ≤cap rows per group per map task before the
-    * exchange — probe-verified), but it still SORTS every map partition's
-    * full data to feed that limit, and what crosses the wire is ≤cap FULL
-    * rows per group per task. This path instead runs the bounded
-    * [[graft.sketch.TopKPairsAgg]] (O(cap) insert with O(1) tail
-    * rejection, no sort anywhere) over slim (id, rank) pairs and
-    * broadcast-semi-joins the kept ids back — wide doc rows never shuffle
-    * at all, at the cost of a second corpus scan for the join. At 100 TB
-    * with kilobyte rows the no-wide-shuffle + no-per-task-sort trade wins;
-    * tools/SampleProbe measures both on the same corpus.
+    * exchange — probe-verified), and on one box it WINS wall clock. The
+    * real difference is what crosses the wire, measured by
+    * tools/SampleProbe at 10M rows with an incompressible 1 KB payload:
+    * the window ships ≤cap FULL rows per group per map task — 383 MB at
+    * 32 tasks × 5 groups × cap 1000, a volume that grows with CLUSTER
+    * WIDTH (tasks × groups × cap × rowWidth: ~12 GB at 1000 executors) —
+    * while this path's shuffle is 4 MB of slim (id, rank) pairs,
+    * invariant to row width and cluster size, paying instead one extra
+    * (embarrassingly parallel, fixed-cost) corpus scan for the broadcast
+    * semi-join. Pick the window when the corpus re-scan dominates (narrow
+    * rows, small clusters); pick this when shuffle volume is the
+    * constraint (wide rows, wide clusters, big caps) — the default here
+    * because the engine targets the latter regime.
     *
     * The id must be integral (the aggregate's key is a long): fails loud
     * rather than silently null-casting string ids. */

@@ -21,6 +21,10 @@ object SampleProbe {
   def main(args: Array[String]): Unit = {
     val n = args.headOption.map(_.toLong).getOrElse(10000000L)
     val cap = args.lift(1).map(_.toInt).getOrElse(1000)
+    // "wide": add a ~1 KB payload column — the regime the quota docs claim
+    // favors the agg path (window sorts/ships full rows; the agg's
+    // candidate scan prunes to (group, id) and the semi-join broadcasts)
+    val wide = args.contains("wide")
     val cores = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
@@ -38,14 +42,22 @@ object SampleProbe {
     val dir = java.nio.file.Files.createTempDirectory("sample-probe").toString
     val langs = Array("en", "de", "fr", "es", "ja")
     val (_, tGen) = ProbeUtil.time {
-      spark.range(n)
+      val base = spark.range(n)
         .select($"id".as("doc_id"),
           element_at(typedlit(langs.toSeq), (pmod($"id", lit(5)) + 1).cast("int"))
             .as("lang"))
+      // high-entropy payload (concatenated md5 hex, ~2x compressible like
+      // real text) — an all-'x' filler compresses ~250x under zstd and
+      // silently erases the very shuffle volume the wide mode measures
+      (if (wide) base.withColumn("payload", concat_ws("",
+          (0 until 31).map(i =>
+            md5(concat($"doc_id".cast("string"), lit(s"_$i")))): _*))
+       else base)
         .write.mode("overwrite").parquet(s"$dir/docs")
     }
     val docs = spark.read.parquet(s"$dir/docs")
-    println(f"generated $n docs over ${langs.length} langs in $tGen%.1f s")
+    println(f"generated $n docs over ${langs.length} langs" +
+      (if (wide) " (+1 KB payload col)" else "") + f" in $tGen%.1f s")
 
     val s0 = meter.snapshot
     val (aggIds, tAgg) = ProbeUtil.time {
@@ -67,6 +79,30 @@ object SampleProbe {
       f"shuffle r/w ${(s2._1 - s1._1) / 1e6}%.1f/${(s2._2 - s1._2) / 1e6}%.1f MB")
     println(if (aggIds == winIds) "outputs IDENTICAL"
             else "MISMATCH between agg and window paths")
+
+    if (wide) {
+      // return the PAYLOAD through each plan (a real quota sample keeps the
+      // docs): the window must sort/ship full rows, the agg path reads the
+      // payload only on the post-join scan
+      val w = Window.partitionBy($"lang")
+        .orderBy(graft.ops.Sample.md5Rank32($"doc_id").asc, $"doc_id".asc)
+      val s3 = meter.snapshot
+      val (aggSum, tAggW) = ProbeUtil.time {
+        graft.ops.Sample.quotaPerGroup(docs, "doc_id", "lang", cap)
+          .select(sum(length($"payload"))).as[Long].head()
+      }
+      val s4 = meter.snapshot
+      println(f"quota agg, payload returned:  $tAggW%6.1f s, " +
+        f"shuffle r/w ${(s4._1 - s3._1) / 1e6}%.1f/${(s4._2 - s3._2) / 1e6}%.1f MB")
+      val (winSum, tWinW) = ProbeUtil.time {
+        docs.withColumn("rn", row_number().over(w)).filter($"rn" <= cap)
+          .select(sum(length($"payload"))).as[Long].head()
+      }
+      val s5 = meter.snapshot
+      println(f"window,    payload returned:  $tWinW%6.1f s, " +
+        f"shuffle r/w ${(s5._1 - s4._1) / 1e6}%.1f/${(s5._2 - s4._2) / 1e6}%.1f MB")
+      println(if (aggSum == winSum) "payload sums IDENTICAL" else "MISMATCH")
+    }
 
     try { import scala.sys.process._; Seq("rm", "-rf", dir).! }
     catch { case _: Throwable => }
