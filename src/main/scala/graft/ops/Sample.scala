@@ -94,9 +94,13 @@ object Sample {
       .select(col("g").as(groupCol), explode(col("tk")).as("p"))
       .select(col(groupCol), col("p.id").as(idCol))
     // join on (group, id), not id alone: an id kept in one group must not
-    // smuggle its twin in another group past that group's cap. keep is
-    // O(groups × cap) by construction — broadcast it, or the semi join
-    // shuffles the corpus (probe-measured before the hint)
-    df.join(broadcast(keep), Seq(groupCol, idCol), "left_semi")
+    // smuggle its twin in another group past that group's cap. The group
+    // key is NULL-SAFE (<=>): a null group is its own partition to the
+    // window twin, so plain equality would silently drop it entirely.
+    // keep is O(groups × cap) by construction — broadcast it, or the semi
+    // join shuffles the corpus (probe-measured before the hint)
+    val k = broadcast(keep.withColumnRenamed(groupCol, "__g")
+      .withColumnRenamed(idCol, "__i"))
+    df.join(k, df(groupCol) <=> k("__g") && df(idCol) === k("__i"), "left_semi")
   }
 }

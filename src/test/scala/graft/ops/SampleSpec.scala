@@ -65,6 +65,15 @@ class SampleSpec extends AnyFunSuite {
     assert(got == Map("a" -> 3L, "b" -> 3L), got.toString)
   }
 
+  test("a NULL group is its own quota partition (null-safe join), " +
+    "matching the window twin") {
+    val withNull = (0L until 10L).map(i => (i, if (i < 6) "a" else null))
+      .toDF("doc_id", "grp")
+    val got = Sample.quotaPerGroup(withNull, "doc_id", "grp", cap = 3)
+      .groupBy($"grp").count().as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 3L, (null: String) -> 3L), got.toString)
+  }
+
   test("null ids are dropped at every fraction (documented: no identity, " +
     "no deterministic decision)") {
     val withNull = docs.select($"doc_id", $"lang")
