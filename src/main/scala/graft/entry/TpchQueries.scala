@@ -1,6 +1,6 @@
 package graft.entry
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -126,6 +126,40 @@ object TpchQueries {
       .agg(round(max($"d"), 6).as("ks_d"))
   }
 
+  /** E4 t-digest path, oracle-GATED like [[hllOrders]]: the merged t-digest
+    * of l_quantity must (a) report n/min/max EXACTLY — the query emits them
+    * FROM the digest, the oracle recomputes them from the raw column, so any
+    * weight/extreme drift hash-fails — and (b) place its p50/p95 estimates
+    * inside a ±2% exact-rank window, emitted as booleans the oracle pins to
+    * TRUE. The rank window is computed by a second exact scan (counts below
+    * / at-or-below the estimate), so the gate is tie-robust: l_quantity has
+    * ~2% of mass per distinct value and a rank-vs-value check would be
+    * ambiguous mid-jump. Exercises update → partial serialize → shuffle →
+    * merge → eval end to end on the driver path. */
+  def tdigestQuantity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sketch.{TDigestAgg, TDigestOps}
+    val li = t(s, dir, "lineitem")
+    val bytes = li.agg(TDigestAgg.tdigest($"l_quantity").as("td"))
+      .head.getAs[Array[Byte]](0)
+    val Array(q50, q95) = TDigestOps.quantiles(bytes, Array(0.5, 0.95))
+    def inBound(est: Double, rank: Double, tol: Double): Column = {
+      val nn = count(lit(1)).cast("double")
+      (sum(when($"l_quantity" < est, 1L).otherwise(0L)).cast("double") / nn
+        <= rank + tol) &&
+        (sum(when($"l_quantity" <= est, 1L).otherwise(0L)).cast("double") / nn
+          >= rank - tol)
+    }
+    li.agg(
+      inBound(q50, 0.5, 0.02).as("p50_in_2pct"),
+      inBound(q95, 0.95, 0.02).as("p95_in_2pct"))
+      .select(
+        lit(TDigestOps.n(bytes)).as("n"),
+        lit(TDigestOps.min(bytes)).as("min_qty"),
+        lit(TDigestOps.max(bytes)).as("max_qty"),
+        $"p50_in_2pct", $"p95_in_2pct")
+  }
+
   /** E15: top-k with a deterministic tiebreak. */
   def topkOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -192,6 +226,13 @@ object TpchQueries {
                  sum(c_prod) OVER (ORDER BY q) AS cum_prod FROM c)
          SELECT round(max(abs(cum_ref * 1.0 / t_ref - cum_prod * 1.0 / t_prod)), 6) AS ks_d
          FROM cum, t""",
+    // exact digest fields recomputed from the raw column + literal TRUE
+    // gates: the hash breaks if the merged t-digest miscounts weight,
+    // drifts an extreme, or lands p50/p95 outside the ±2% rank window
+    "tdigest_quantity" ->
+      """SELECT count(*) AS n, min(l_quantity) AS min_qty,
+         max(l_quantity) AS max_qty,
+         TRUE AS p50_in_2pct, TRUE AS p95_in_2pct FROM lineitem""",
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
@@ -209,6 +250,7 @@ object TpchQueries {
     "psi_quantity_buckets" -> (psiQuantityBuckets _),
     "psi_quantity_years" -> (psiQuantityYears _),
     "ks_quantity_years" -> (ksQuantityYears _),
+    "tdigest_quantity" -> (tdigestQuantity _),
     "topk_orders" -> (topkOrders _),
     "events_hourly_agg" -> (eventsHourlyAgg _))
 }

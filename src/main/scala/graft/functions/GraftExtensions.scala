@@ -104,6 +104,24 @@ object GraftExtensions {
         arity("stopword_count", args, 2)
         StopwordCount(args(0), strLits(args(1), "stopword_count", "words"))
       }),
+    // aggregates register like scalars: the analyzer wraps an
+    // AggregateFunction returned by a registry builder in its
+    // AggregateExpression during UnresolvedFunction resolution
+    ("kll_sketch_agg", "mergeable KLL quantile sketch (serialized, binary)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"kll_sketch_agg takes (value[, k]), got ${args.length} arguments")
+        graft.sketch.KllSketchAgg(args(0),
+          if (args.length == 2) intLit(args(1), "kll_sketch_agg", "k") else 200)
+      }),
+    ("tdigest_agg", "mergeable t-digest quantile sketch (serialized, binary)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"tdigest_agg takes (value[, k]), got ${args.length} arguments")
+        graft.sketch.TDigestAgg(args(0),
+          if (args.length == 2) intLit(args(1), "tdigest_agg", "k").toShort
+          else org.apache.datasketches.tdigest.TDigestDouble.DEFAULT_K)
+      }),
     ("text_profile", "single-pass text profile: token/char-class counts + per-word-list hits",
       (args: Seq[Expression]) => {
         require(args.length >= 2,

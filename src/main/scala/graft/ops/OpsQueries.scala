@@ -77,6 +77,58 @@ object OpsQueries {
     Sample.byFraction(docs(s, dir), "doc_id", 0.25)
       .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
 
+  /** Deterministic sequence packing (P24): docs → fixed-token-budget
+    * training sequences, laid out in md5-rank order within rank-derived
+    * shards. The whole assignment — shard, start offset in the shard's
+    * concatenated token stream, pack id — is a pure function of doc ids and
+    * token counts, so DuckDB replays it bit-for-bit with the same window
+    * arithmetic. */
+  def packSequences(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"),
+      TextOps.tokenCountArith(col("text")).as("n_tok"))
+    Pack.packByBudget(d, "doc_id", "n_tok", budget = 512L, shards = 8)
+      .select(col("doc_id"), col("shard"), col("pack"), col("start_off"),
+        col("n_tok"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition profile per doc (P25): exact integer counts +
+    * the cross-multiplied boolean gate, all DuckDB-replayable with no FP
+    * parity risk. The mode count stays inside each row (sort + longest-run
+    * fold over the row's own bigram list) — no corpus-wide explode. */
+  def repetitionStatsQuery(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), TextOps.repetitionStats(col("text")).as("r"))
+      .select(col("doc_id"),
+        col("r.top_bigram_cnt").as("top_bigram_cnt"),
+        col("r.bigram_cnt").as("bigram_cnt"),
+        col("r.dup_trigram_cnt").as("dup_trigram_cnt"),
+        col("r.trigram_cnt").as("trigram_cnt"),
+        TextOps.repetitiveGate(col("r")).as("repetitive"))
+      .orderBy(col("doc_id"))
+
+  /** Benchmark decontamination (P26): every 20th doc plays the eval set;
+    * the report lists corpus docs sharing >= 1 distinct 3-gram shingle with
+    * the eval union (hits = the distinct-shingle intersection size). Eval
+    * members flag themselves by design — eval rows must leave the training
+    * set, not just their near-copies. DuckDB replays the engine shingling
+    * and the intersection count exactly. */
+  def decontaminateReport(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    Decontaminate.contaminationReport(d, "doc_id", "text", bench, "text", n = 3)
+      .orderBy(col("doc_id"))
+  }
+
+  /** The decontaminated corpus — survivors after dropping the report's
+    * flagged docs. */
+  def decontaminateDrop(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    Decontaminate.dropContaminated(d, "doc_id", "text", bench, "text", n = 3)
+      .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+  }
+
   private def ingestSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
@@ -371,6 +423,24 @@ object OpsQueries {
     Curate.curateWithNearDupStaged(docsWithNearDups(s, dir),
       indexScratch("curation_staged")).orderBy(col("doc_id"))
 
+  /** Connected components over the verified EMBEDDING near-dup pairs — the
+    * semantic-cluster twin of `dedup_cc_components` (numeric vec ids,
+    * cosine pair source instead of Jaccard). Exercises the CC loop over a
+    * second id family and pair generator; oracled by a recursive-CTE
+    * closure over the exact all-pairs cosine truth. */
+  def dedupEmbCc(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val dups = e.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), x => x * 1.001).as("embedding"))
+    val pairs = Dedup.embeddingCosineDups(e.union(dups), "vec_id", "embedding",
+      threshold = 0.98, planes = 10)
+    ConnectedComponents.components(pairs)
+      .select(col("id").as("vec_id"), col("component"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Connected components over the verified near-dup pair graph
     * (large-star/small-star; component = min doc_id). DuckDB-oracled by a
     * recursive-CTE transitive closure over the SAME exact-Jaccard pair set —
@@ -480,6 +550,11 @@ object OpsQueries {
     "lang_distribution" -> (langDistribution _),
     "sample_fraction" -> (sampleFraction _),
     "sample_mix_lang" -> (sampleMixLang _),
+    "pack_sequences" -> (packSequences _),
+    "repetition_stats" -> (repetitionStatsQuery _),
+    "decontaminate_report" -> (decontaminateReport _),
+    "decontaminate_drop" -> (decontaminateDrop _),
+    "dedup_emb_cc" -> (dedupEmbCc _),
     "ingest_jsonl" -> (ingestJsonl _),
     "ingest_csv" -> (ingestCsv _),
     "sample_quota_lang" -> (sampleQuotaLang _),
@@ -648,6 +723,64 @@ object OpsQueries {
     """
        SELECT id AS doc_id, component FROM cc ORDER BY doc_id"""
 
+  /** Shared CTE block for the embedding near-dup family: the injected
+    * scaled-copy corpus + exact all-pairs cosine (fold order matches the
+    * engine's left-fold aggregate exactly). */
+  private val embPairCtes: String =
+    """WITH corpus AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
+           FROM embeddings WHERE vec_id % 25 = 0),
+         pairs AS (
+           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_prepend(0.0, list_transform(range(len(a.emb)),
+                 k -> a.emb[CAST(k AS INT) + 1] * b.emb[CAST(k AS INT) + 1])),
+               (acc, v) -> acc + v) AS dot,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(a.emb, x -> x * x)),
+               (acc, v) -> acc + v)) AS na,
+             sqrt(list_reduce(list_prepend(0.0, list_transform(b.emb, x -> x * x)),
+               (acc, v) -> acc + v)) AS nb
+           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)"""
+
+  /** Recursive transitive closure over the >= 0.98 exact-cosine pairs —
+    * the declarative twin of the engine's CC loop on the embedding graph. */
+  private val dedupEmbCcSql: String =
+    embPairCtes.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+       pp AS (SELECT id_a, id_b FROM pairs
+              WHERE round(dot / (na * nb), 6) >= 0.98),
+       e AS (SELECT id_a AS u, id_b AS v FROM pp
+             UNION SELECT id_b, id_a FROM pp),
+       reach(u, v) AS (
+         SELECT u, v FROM e
+         UNION
+         SELECT r.u, e2.v FROM reach r JOIN e e2 ON r.v = e2.u),
+       cc AS (
+         SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
+       SELECT id AS vec_id, component FROM cc ORDER BY vec_id"""
+
+  /** Shared CTE block for decontamination: engine-identical shingling over
+    * the PLAIN documents table (no injected corpus), the per-doc posting
+    * list, and the eval-set (doc_id % 20 = 0) distinct shingle union. */
+  private val deconCtes: String =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+       sh AS (
+         SELECT doc_id,
+           CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
+                ELSE list_distinct(list_transform(range(len(toks) - 2), i ->
+                    array_to_string(toks[i+1:i+3], ' ')))
+           END AS s_list
+         FROM tk),
+       p AS (
+         SELECT doc_id AS id, unnest(s_list) AS s
+         FROM sh WHERE len(s_list) > 0),
+       b AS (SELECT DISTINCT s FROM p WHERE id % 20 = 0)"""
+
   private val curationCcSql: String = ccCtes +
     """,
        dropped AS (SELECT id FROM cc WHERE id <> component),
@@ -677,26 +810,24 @@ object OpsQueries {
     // its sign pattern — and bucket — is identical), and the engine verifies
     // candidates with exact cosine, so the bucketed output equals the truth.
     // Fold order matches the engine's left-fold aggregate exactly.
-    "dedup_emb_cosine" ->
-      """WITH corpus AS (
-           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-           UNION ALL
-           SELECT vec_id + 1000000,
-             list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.001)
-           FROM embeddings WHERE vec_id % 25 = 0),
-         pairs AS (
-           SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_reduce(list_prepend(0.0, list_transform(range(len(a.emb)),
-                 k -> a.emb[CAST(k AS INT) + 1] * b.emb[CAST(k AS INT) + 1])),
-               (acc, v) -> acc + v) AS dot,
-             sqrt(list_reduce(list_prepend(0.0, list_transform(a.emb, x -> x * x)),
-               (acc, v) -> acc + v)) AS na,
-             sqrt(list_reduce(list_prepend(0.0, list_transform(b.emb, x -> x * x)),
-               (acc, v) -> acc + v)) AS nb
-           FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+    "dedup_emb_cosine" -> (embPairCtes +
+      """
          SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos
          FROM pairs WHERE round(dot / (na * nb), 6) >= 0.98
-         ORDER BY id_a, id_b""",
+         ORDER BY id_a, id_b"""),
+    "dedup_emb_cc" -> dedupEmbCcSql,
+    // distinct-shingle intersection with the eval union; engine hits =
+    // matched rows of the (distinct-per-doc shingles) x (distinct bench
+    // set) join, i.e. exactly this count
+    "decontaminate_report" -> (deconCtes + """
+       SELECT p.id AS doc_id, count(*) AS hits
+       FROM p JOIN b USING (s)
+       GROUP BY p.id
+       ORDER BY doc_id"""),
+    "decontaminate_drop" -> (deconCtes + """
+       SELECT doc_id, lang FROM documents
+       WHERE doc_id NOT IN (SELECT DISTINCT p.id FROM p JOIN b USING (s))
+       ORDER BY doc_id"""),
     "dedup_exact_stats" ->
       "SELECT count(DISTINCT text) AS distinct_texts, count(*) AS total FROM documents",
     "dedup_exact_groups" ->
@@ -737,6 +868,57 @@ object OpsQueries {
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "ingest_csv" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    // engine tokenization replayed (lowercase \s+ split, empties dropped),
+    // n-grams WITH duplicates, per-doc mode via unnest+group (exact at
+    // oracle scale), gate by integer cross-multiplication
+    "repetition_stats" ->
+      """WITH tk AS (
+           SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         ng AS (
+           SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN list_transform(range(len(toks) - 1),
+               i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2])
+             ELSE CAST([] AS VARCHAR[]) END AS bg,
+             CASE WHEN len(toks) >= 3 THEN list_transform(range(len(toks) - 2),
+               i -> toks[CAST(i AS INT) + 1] || ' ' || toks[CAST(i AS INT) + 2]
+                    || ' ' || toks[CAST(i AS INT) + 3])
+             ELSE CAST([] AS VARCHAR[]) END AS tg
+           FROM tk),
+         topbg AS (
+           SELECT doc_id, max(c) AS top FROM (
+             SELECT doc_id, b, count(*) AS c
+             FROM (SELECT doc_id, unnest(bg) AS b FROM ng) GROUP BY doc_id, b)
+           GROUP BY doc_id)
+         SELECT n.doc_id,
+           coalesce(t.top, 0) AS top_bigram_cnt,
+           len(n.bg) AS bigram_cnt,
+           len(n.tg) - len(list_distinct(n.tg)) AS dup_trigram_cnt,
+           len(n.tg) AS trigram_cnt,
+           (coalesce(t.top, 0) * 100 > len(n.bg) * 18
+            OR (len(n.tg) - len(list_distinct(n.tg))) * 100 > len(n.tg) * 30) AS repetitive
+         FROM ng n LEFT JOIN topbg t USING (doc_id)
+         ORDER BY n.doc_id""",
+    // the packing layout replayed verbatim: md5Rank32 order, rank-derived
+    // shard (rank % 8), cumulative-token start offsets per shard, pack =
+    // floor(start / 512)
+    "pack_sequences" ->
+      """WITH d AS (
+           SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tok,
+             try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) AS rnk
+           FROM documents),
+         c AS (
+           SELECT doc_id, rnk % 8 AS shard, n_tok,
+             coalesce(sum(n_tok) OVER (
+               PARTITION BY rnk % 8 ORDER BY rnk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+           FROM d)
+         SELECT doc_id, shard, CAST(floor(start_off / 512.0) AS BIGINT) AS pack,
+           start_off, n_tok
+         FROM c ORDER BY doc_id""",
     // per-language thresholds: floor(rate * 2^32) for 1.0 / 0.5 / 0.1 /
     // default 0.25 — the engine's byFractionPerGroup literals verbatim
     "sample_mix_lang" ->

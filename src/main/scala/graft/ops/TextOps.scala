@@ -148,6 +148,53 @@ object TextOps {
       .otherwise("und")
   }
 
+  /** ALL word n-grams, duplicates kept (unlike [[shingles]], whose distinct
+    * set feeds Jaccard) — the unit for repetition fractions. Empty array
+    * under n tokens (`sequence(0, size-n)` would otherwise count DOWN and
+    * fabricate n-grams). */
+  private def ngramsAll(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Repetition profile (the Gopher-rule family: most-common-2-gram mass,
+    * duplicate-3-gram mass) as EXACT integer counts — consumers derive the
+    * fractions, and the DuckDB oracle hash-checks the counts with no FP
+    * parity risk. Struct fields:
+    *   top_bigram_cnt  — occurrences of the most frequent word bigram
+    *   bigram_cnt      — total bigrams (tokens−1, floor 0)
+    *   dup_trigram_cnt — trigram occurrences beyond each one's first
+    *   trigram_cnt     — total trigrams
+    * The per-row mode count is a sort + longest-run fold over the row's own
+    * bigram array (shuffle-free; no explode/groupBy over the corpus — at
+    * 10^12 docs a per-doc mode must never become a corpus-wide shuffle). */
+  def repetitionStats(text: Column): Column = {
+    val toks = tokens(text)
+    val bg = ngramsAll(toks, 2)
+    val tg = ngramsAll(toks, 3)
+    val top = aggregate(array_sort(bg),
+      struct(lit("").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1)
+          .otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+    struct(top.as("top_bigram_cnt"), size(bg).as("bigram_cnt"),
+      (size(tg) - size(array_distinct(tg))).as("dup_trigram_cnt"),
+      size(tg).as("trigram_cnt"))
+  }
+
+  /** The Gopher-style repetition gate over [[repetitionStats]] counts, as
+    * integer cross-multiplication (no division — exact in any engine):
+    * repetitive ⟺ top-bigram mass > 18 % of bigrams OR duplicate-trigram
+    * mass > 30 % of trigrams. */
+  def repetitiveGate(stats: Column): Column =
+    (stats.getField("top_bigram_cnt") * 100 > stats.getField("bigram_cnt") * 18) ||
+      (stats.getField("dup_trigram_cnt") * 100 > stats.getField("trigram_cnt") * 30)
+
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
     * Native single-pass expression (tokenize + n-gram join + first-
     * occurrence distinct); the transform/slice/concat_ws HOF chain it

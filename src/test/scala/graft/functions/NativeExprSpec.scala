@@ -56,6 +56,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(exNull.getMessage.contains("non-null") ||
       exNull.getMessage.contains("hyperplane_bucket"))
   }
+
+  test("sketch aggregates callable from SQL (analyzer wraps AggregateFunction)") {
+    GraftExtensions.register(spark)
+    spark.range(10000).createOrReplaceTempView("sk_in")
+    val r = spark.sql(
+      """SELECT kll_sketch_agg(CAST(id % 100 AS DOUBLE)) AS kll,
+                tdigest_agg(CAST(id % 100 AS DOUBLE)) AS td,
+                tdigest_agg(CAST(id % 100 AS DOUBLE), 50) AS td50
+         FROM sk_in""").head()
+    assert(graft.sketch.KllOps.n(r.getAs[Array[Byte]]("kll")) == 10000L)
+    assert(graft.sketch.TDigestOps.n(r.getAs[Array[Byte]]("td")) == 10000L)
+    assert(graft.sketch.TDigestOps.n(r.getAs[Array[Byte]]("td50")) == 10000L)
+    val med = graft.sketch.TDigestOps.quantiles(r.getAs[Array[Byte]]("td"), Array(0.5))(0)
+    assert(math.abs(med - 49.5) < 5.0, med.toString)
+  }
 }
 
 import org.apache.spark.sql.Column

@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecontaminateSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  // corpus: d1 shares the bench trigram, d2 shares two bench trigrams (one
+  // per bench doc), d3 shares nothing, d4 is an exact bench member
+  private def corpus = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "alpha beta gamma zz red green blue yy"),
+    (3L, "one two three four five"),
+    (4L, "red green blue")
+  ).toDF("doc_id", "text")
+
+  private def bench = Seq(
+    (100L, "alpha beta gamma"),
+    (101L, "red green blue")
+  ).toDF("bench_id", "text")
+
+  test("report counts distinct shared shingles per doc") {
+    val r = Decontaminate.contaminationReport(corpus, "doc_id", "text",
+        bench, "text", n = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("hits")).toMap
+    // d1: "alpha beta gamma" only; d2: that + "red green blue"; d4: itself
+    assert(r == Map(1L -> 1L, 2L -> 2L, 4L -> 1L))
+  }
+
+  test("minHits raises the bar") {
+    val r = Decontaminate.contaminationReport(corpus, "doc_id", "text",
+        bench, "text", n = 3, minHits = 2)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(r == Set(2L))
+  }
+
+  test("dropContaminated keeps exactly the clean docs, all columns") {
+    val surv = Decontaminate.dropContaminated(corpus, "doc_id", "text",
+      bench, "text", n = 3)
+    assert(surv.columns.toSeq == Seq("doc_id", "text"))
+    assert(surv.collect().map(_.getAs[Long]("doc_id")).toSeq == Seq(3L))
+  }
+
+  test("shuffled fallback (bench over the broadcast bound) matches the broadcast path") {
+    val broad = Decontaminate.contaminationReport(corpus, "doc_id", "text",
+      bench, "text", n = 3).collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    val shuf = Decontaminate.contaminationReport(corpus, "doc_id", "text",
+      bench, "text", n = 3, maxBroadcastShingles = 1L)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long])
+    assert(broad.toSeq == shuf.toSeq)
+  }
+
+  test("small bench side is broadcast (corpus side never shuffles before the join)") {
+    val df = Decontaminate.contaminationReport(corpus, "doc_id", "text",
+      bench, "text", n = 3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("self-overlap: a benchmark member inside the corpus always flags itself") {
+    val r = Decontaminate.contaminationReport(corpus, "doc_id", "text",
+        corpus.filter($"doc_id" === 3L), "text", n = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(r.contains(3L))
+  }
+}
