@@ -160,6 +160,34 @@ object TpchQueries {
         $"p50_in_2pct", $"p95_in_2pct")
   }
 
+  /** E3 theta-sketch SET OPERATIONS, oracle-GATED in exact mode: distinct
+    * o_custkey sketches for two order years, combined driver-side via
+    * union / intersection / A-not-B ([[graft.sketch.ThetaOps]]). The
+    * per-year distinct counts here sit far below the 4096 nominal entries,
+    * so every sketch — and every set-op result over them — is in EXACT mode
+    * by construction, and the emitted counts must hash-match DuckDB's
+    * INTERSECT/EXCEPT recomputation exactly. This is the cross-snapshot
+    * primitive HLL can't express (inclusion–exclusion over HLL estimates
+    * compounds error); estimation-mode error bounds are spec-covered in
+    * ThetaSketchAggSpec. */
+  def thetaCustomerOverlap(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.sketch.{ThetaOps, ThetaSketchAgg}
+    val o = t(s, dir, "orders")
+      .select($"o_custkey", year($"o_orderdate").as("y"))
+    def sk(yr: Int): Array[Byte] =
+      o.filter($"y" === yr).agg(ThetaSketchAgg.thetaSketch($"o_custkey"))
+        .head.getAs[Array[Byte]](0)
+    val a = sk(1995)
+    val b = sk(1996)
+    o.sparkSession.range(1).select(
+      lit(ThetaOps.estimateLong(a)).as("n_1995"),
+      lit(ThetaOps.estimateLong(b)).as("n_1996"),
+      lit(ThetaOps.estimateLong(ThetaOps.intersect(a, b))).as("n_both"),
+      lit(ThetaOps.estimateLong(ThetaOps.union(a, b))).as("n_either"),
+      lit(ThetaOps.estimateLong(ThetaOps.aNotB(a, b))).as("n_only_1995"))
+  }
+
   /** E15: top-k with a deterministic tiebreak. */
   def topkOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -233,6 +261,17 @@ object TpchQueries {
       """SELECT count(*) AS n, min(l_quantity) AS min_qty,
          max(l_quantity) AS max_qty,
          TRUE AS p50_in_2pct, TRUE AS p95_in_2pct FROM lineitem""",
+    // exact-mode theta set algebra recomputed declaratively: the hash
+    // breaks if any sketch, or any union/intersection/difference over
+    // them, miscounts by even one key
+    "theta_customer_overlap" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+         b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+         SELECT (SELECT count(*) FROM a) AS n_1995,
+           (SELECT count(*) FROM b) AS n_1996,
+           (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
+           (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_either,
+           (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_1995""",
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
@@ -251,6 +290,7 @@ object TpchQueries {
     "psi_quantity_years" -> (psiQuantityYears _),
     "ks_quantity_years" -> (ksQuantityYears _),
     "tdigest_quantity" -> (tdigestQuantity _),
+    "theta_customer_overlap" -> (thetaCustomerOverlap _),
     "topk_orders" -> (topkOrders _),
     "events_hourly_agg" -> (eventsHourlyAgg _))
 }

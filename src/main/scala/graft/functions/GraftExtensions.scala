@@ -122,6 +122,14 @@ object GraftExtensions {
           if (args.length == 2) intLit(args(1), "tdigest_agg", "k").toShort
           else org.apache.datasketches.tdigest.TDigestDouble.DEFAULT_K)
       }),
+    ("theta_sketch_agg", "mergeable theta distinct sketch with set ops (serialized, binary)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"theta_sketch_agg takes (value[, nominalEntries]), got ${args.length} arguments")
+        graft.sketch.ThetaSketchAgg(args(0),
+          if (args.length == 2) intLit(args(1), "theta_sketch_agg", "nominalEntries")
+          else 4096)
+      }),
     ("text_profile", "single-pass text profile: token/char-class counts + per-word-list hits",
       (args: Seq[Expression]) => {
         require(args.length >= 2,

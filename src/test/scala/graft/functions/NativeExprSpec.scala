@@ -63,11 +63,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val r = spark.sql(
       """SELECT kll_sketch_agg(CAST(id % 100 AS DOUBLE)) AS kll,
                 tdigest_agg(CAST(id % 100 AS DOUBLE)) AS td,
-                tdigest_agg(CAST(id % 100 AS DOUBLE), 50) AS td50
+                tdigest_agg(CAST(id % 100 AS DOUBLE), 50) AS td50,
+                theta_sketch_agg(id % 100) AS theta
          FROM sk_in""").head()
     assert(graft.sketch.KllOps.n(r.getAs[Array[Byte]]("kll")) == 10000L)
     assert(graft.sketch.TDigestOps.n(r.getAs[Array[Byte]]("td")) == 10000L)
     assert(graft.sketch.TDigestOps.n(r.getAs[Array[Byte]]("td50")) == 10000L)
+    assert(graft.sketch.ThetaOps.estimateLong(r.getAs[Array[Byte]]("theta")) == 100L)
     val med = graft.sketch.TDigestOps.quantiles(r.getAs[Array[Byte]]("td"), Array(0.5))(0)
     assert(math.abs(med - 49.5) < 5.0, med.toString)
   }
