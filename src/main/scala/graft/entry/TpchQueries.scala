@@ -175,11 +175,13 @@ object TpchQueries {
     import graft.sketch.{ThetaOps, ThetaSketchAgg}
     val o = t(s, dir, "orders")
       .select($"o_custkey", year($"o_orderdate").as("y"))
-    def sk(yr: Int): Array[Byte] =
-      o.filter($"y" === yr).agg(ThetaSketchAgg.thetaSketch($"o_custkey"))
-        .head.getAs[Array[Byte]](0)
-    val a = sk(1995)
-    val b = sk(1996)
+    // ONE grouped scan builds both sketches (partial->shuffle->final per
+    // year group), not one job per year — the scale shape this file models
+    val byYear = o.filter($"y".isin(1995, 1996))
+      .groupBy($"y").agg(ThetaSketchAgg.thetaSketch($"o_custkey").as("sk"))
+      .collect().map(r => r.getAs[Int]("y") -> r.getAs[Array[Byte]]("sk")).toMap
+    val a = byYear(1995)
+    val b = byYear(1996)
     o.sparkSession.range(1).select(
       lit(ThetaOps.estimateLong(a)).as("n_1995"),
       lit(ThetaOps.estimateLong(b)).as("n_1996"),

@@ -119,8 +119,12 @@ object GraftExtensions {
         require(args.length == 1 || args.length == 2,
           s"tdigest_agg takes (value[, k]), got ${args.length} arguments")
         graft.sketch.TDigestAgg(args(0),
-          if (args.length == 2) intLit(args(1), "tdigest_agg", "k").toShort
-          else org.apache.datasketches.tdigest.TDigestDouble.DEFAULT_K)
+          if (args.length == 2) {
+            val k = intLit(args(1), "tdigest_agg", "k")
+            require(k >= 10 && k <= Short.MaxValue,
+              s"tdigest_agg: k must be in [10, ${Short.MaxValue}], got $k")
+            k.toShort
+          } else org.apache.datasketches.tdigest.TDigestDouble.DEFAULT_K)
       }),
     ("theta_sketch_agg", "mergeable theta distinct sketch with set ops (serialized, binary)",
       (args: Seq[Expression]) => {

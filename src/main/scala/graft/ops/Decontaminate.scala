@@ -34,25 +34,28 @@ object Decontaminate {
     bench.select(explode(TextOps.shingles(col(textCol), n)).as("__s"))
       .distinct()
 
-  /** Contamination report: (id, hits) for every corpus doc sharing >=
-    * `minHits` distinct n-gram shingles with any benchmark doc; `hits` =
-    * number of distinct shingles shared with the benchmark union.
-    *
-    * `maxBroadcastShingles` bounds the driver/executor memory the broadcast
-    * may take; a larger benchmark silently selects the shuffled join (same
-    * answer, corpus-side exchange paid). */
-  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
-                          bench: DataFrame, benchTextCol: String,
-                          n: Int = 3, minHits: Int = 1,
-                          maxBroadcastShingles: Long = 10L * 1000 * 1000): DataFrame = {
-    require(n >= 1, s"contaminationReport: n must be >= 1, got $n")
-    require(minHits >= 1, s"contaminationReport: minHits must be >= 1, got $minHits")
+  /** Resolve the eval side ONCE for repeated gating (e.g. one resolution
+    * per stream, not per micro-batch): up to `maxBroadcastShingles` the
+    * distinct shingle union is collected (exactly the payload the
+    * broadcast hash relation would hold) and rebuilt as a broadcast-hinted
+    * local relation; past the bound the lazy plan is returned and the
+    * join shuffles. The result plugs into [[reportAgainst]]/[[dropAgainst]]. */
+  def prepareBench(bench: DataFrame, benchTextCol: String, n: Int = 3,
+                   maxBroadcastShingles: Long = 10L * 1000 * 1000): DataFrame = {
+    require(n >= 1, s"prepareBench: n must be >= 1, got $n")
     val bs = benchShingles(bench, benchTextCol, n)
-    // cheap bounded count decides the join strategy (the bench frame is
-    // re-evaluated once; callers with an expensive bench plan should persist)
     val probe = math.min(maxBroadcastShingles + 1, Int.MaxValue.toLong).toInt
-    val small = bs.limit(probe).count() <= maxBroadcastShingles
-    val benchSide = if (small) broadcast(bs) else bs
+    val head = bs.limit(probe).collect()
+    if (head.length <= maxBroadcastShingles)
+      broadcast(bench.sparkSession.createDataFrame(
+        java.util.Arrays.asList(head: _*), bs.schema))
+    else bs
+  }
+
+  /** The report body over a pre-resolved eval side ([[prepareBench]]). */
+  def reportAgainst(corpus: DataFrame, idCol: String, textCol: String,
+                    benchSide: DataFrame, n: Int = 3, minHits: Int = 1): DataFrame = {
+    require(minHits >= 1, s"reportAgainst: minHits must be >= 1, got $minHits")
     corpus
       .filter(col(idCol).isNotNull)
       .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("__s"))
@@ -62,17 +65,49 @@ object Decontaminate {
       .filter(col("hits") >= minHits)
   }
 
+  /** The drop body over a pre-resolved eval side ([[prepareBench]]);
+    * NULL-id rows are dropped (see [[dropContaminated]]). */
+  def dropAgainst(corpus: DataFrame, idCol: String, textCol: String,
+                  benchSide: DataFrame, n: Int = 3, minHits: Int = 1): DataFrame =
+    corpus.filter(col(idCol).isNotNull).join(
+      reportAgainst(corpus, idCol, textCol, benchSide, n, minHits).select(col(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Contamination report: (id, hits) for every corpus doc sharing >=
+    * `minHits` distinct n-gram shingles with any benchmark doc; `hits` =
+    * number of distinct shingles shared with the benchmark union.
+    *
+    * NULL-id corpus rows are excluded (no identity → nothing the drop can
+    * anti-join on); [[dropContaminated]] drops them outright, so a
+    * null-id eval copy can never leak through the gate.
+    *
+    * `maxBroadcastShingles` bounds the memory the eval shingle union may
+    * take: up to the bound, the set is collected ONCE (the collected rows
+    * are exactly the payload the broadcast hash relation would hold) and
+    * rebuilt as a local relation, so the bench plan is never evaluated
+    * twice; past the bound, the planner falls back to a shuffled join
+    * (same answer, corpus-side exchange paid) with the bench plan
+    * evaluated once inside the join. */
+  def contaminationReport(corpus: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, benchTextCol: String,
+                          n: Int = 3, minHits: Int = 1,
+                          maxBroadcastShingles: Long = 10L * 1000 * 1000): DataFrame = {
+    require(n >= 1, s"contaminationReport: n must be >= 1, got $n")
+    reportAgainst(corpus, idCol, textCol,
+      prepareBench(bench, benchTextCol, n, maxBroadcastShingles), n, minHits)
+  }
+
   /** The decontaminated corpus: every column of `corpus`, minus docs the
-    * report flags. Anti-join on the (small) contaminated-id set — at scale
-    * AQE converts it to broadcast, so the corpus pays one narrow pass +
-    * the report's match-only shuffle. */
+    * report flags — and minus NULL-id rows, which the report cannot flag
+    * (an anti-join keeps NULL keys), so keeping them would let an
+    * unidentified eval copy slip through the one gate built to stop it.
+    * Anti-join on the (small) contaminated-id set — at scale AQE converts
+    * it to broadcast, so the corpus pays one narrow pass + the report's
+    * match-only shuffle. */
   def dropContaminated(corpus: DataFrame, idCol: String, textCol: String,
                        bench: DataFrame, benchTextCol: String,
                        n: Int = 3, minHits: Int = 1,
-                       maxBroadcastShingles: Long = 10L * 1000 * 1000): DataFrame = {
-    val flagged = contaminationReport(corpus, idCol, textCol, bench,
-      benchTextCol, n, minHits, maxBroadcastShingles)
-      .select(col(idCol))
-    corpus.join(flagged, Seq(idCol), "left_anti")
-  }
+                       maxBroadcastShingles: Long = 10L * 1000 * 1000): DataFrame =
+    dropAgainst(corpus, idCol, textCol,
+      prepareBench(bench, benchTextCol, n, maxBroadcastShingles), n, minHits)
 }

@@ -250,15 +250,22 @@ object OpsQueries {
         threshold = 0.5, maxHamming = 12, chunks = 16)
       .orderBy(col("id_a"), col("id_b"))
 
-  def embCosineDups(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir).select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+  /** Injected scaled-copy embedding corpus + verified cosine pairs — the
+    * single Scala-side source for both embedding near-dup queries, the twin
+    * of the shared `embPairCtes` oracle block (a drift in corpus recipe or
+    * LSH params here would otherwise silently fork the two queries). */
+  private def embCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
     val dups = e.filter(col("vec_id") % 25 === 0)
       .select((col("vec_id") + 1000000L).as("vec_id"),
         transform(col("embedding"), x => x * 1.001).as("embedding"))
     Dedup.embeddingCosineDups(e.union(dups), "vec_id", "embedding",
-        threshold = 0.98, planes = 10)
-      .orderBy(col("id_a"), col("id_b"))
+      threshold = 0.98, planes = 10)
   }
+
+  def embCosineDups(s: SparkSession, dir: String): DataFrame =
+    embCosinePairs(s, dir).orderBy(col("id_a"), col("id_b"))
 
   def annLshTopK(s: SparkSession, dir: String): DataFrame = {
     val queryVec = embs(s, dir).filter(col("vec_id") === 0)
@@ -428,18 +435,10 @@ object OpsQueries {
     * cosine pair source instead of Jaccard). Exercises the CC loop over a
     * second id family and pair generator; oracled by a recursive-CTE
     * closure over the exact all-pairs cosine truth. */
-  def dedupEmbCc(s: SparkSession, dir: String): DataFrame = {
-    val e = embs(s, dir).select(col("vec_id"),
-      col("embedding").cast("array<double>").as("embedding"))
-    val dups = e.filter(col("vec_id") % 25 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"),
-        transform(col("embedding"), x => x * 1.001).as("embedding"))
-    val pairs = Dedup.embeddingCosineDups(e.union(dups), "vec_id", "embedding",
-      threshold = 0.98, planes = 10)
-    ConnectedComponents.components(pairs)
+  def dedupEmbCc(s: SparkSession, dir: String): DataFrame =
+    ConnectedComponents.components(embCosinePairs(s, dir))
       .select(col("id").as("vec_id"), col("component"))
       .orderBy(col("vec_id"))
-  }
 
   /** Connected components over the verified near-dup pair graph
     * (large-star/small-star; component = min doc_id). DuckDB-oracled by a
@@ -535,6 +534,20 @@ object OpsQueries {
       .select(col("doc_id"), col("text"))
       .orderBy(col("doc_id"))
 
+  /** Streaming decontamination: the corpus arrives as hash-split
+    * micro-batches; each is gated against the STATIC eval set (every 20th
+    * doc). The gate is per-row against a fixed shingle union, so survivors
+    * are batch-boundary invariant and the query shares
+    * `decontaminate_drop`'s oracle predicate. */
+  def streamDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    StreamingOps.runDecontaminateStream(s, d.select(col("doc_id"), col("lang"), col("text")),
+        "doc_id", "text", d.filter(col("doc_id") % 20 === 0), "text",
+        shingleN = 3, slices = 3, tag = s"q${System.nanoTime()}")
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   def eventsStreamHourly(s: SparkSession, dir: String): DataFrame =
     StreamingOps.runFileStream(s, s"$dir/events.parquet",
         queryName = s"stream_out_${System.nanoTime()}")
@@ -585,6 +598,7 @@ object OpsQueries {
     "media_features" -> (mediaFeatures _),
     "media_decode" -> (mediaDecode _),
     "events_stream_hourly" -> (eventsStreamHourly _),
+    "stream_decontaminate" -> (streamDecontaminate _),
     "events_stream_dedup" -> (eventsStreamDedup _),
     "stream_near_dup_dedup" -> (streamNearDupDedup _),
     "events_stream_dedup_wm" -> (eventsStreamDedupWm _),
@@ -825,6 +839,12 @@ object OpsQueries {
        GROUP BY p.id
        ORDER BY doc_id"""),
     "decontaminate_drop" -> (deconCtes + """
+       SELECT doc_id, lang FROM documents
+       WHERE doc_id NOT IN (SELECT DISTINCT p.id FROM p JOIN b USING (s))
+       ORDER BY doc_id"""),
+    // the streaming twin's survivors are batch-boundary invariant (per-row
+    // gate vs a static eval set) == the batch drop predicate
+    "stream_decontaminate" -> (deconCtes + """
        SELECT doc_id, lang FROM documents
        WHERE doc_id NOT IN (SELECT DISTINCT p.id FROM p JOIN b USING (s))
        ORDER BY doc_id"""),

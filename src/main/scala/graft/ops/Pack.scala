@@ -46,6 +46,10 @@ object Pack {
                    budget: Long, shards: Int): DataFrame = {
     require(budget >= 1, s"packByBudget: budget must be >= 1, got $budget")
     require(shards >= 1, s"packByBudget: shards must be >= 1, got $shards")
+    val clash = df.columns.toSet.intersect(Set("shard", "start_off", "pack", "__rnk"))
+    require(clash.isEmpty,
+      s"packByBudget: input already has output column(s) ${clash.mkString(", ")} — " +
+        "rename them first (silent overwrite would corrupt caller data)")
     val rank: Column = Sample.md5Rank32(col(idCol))
     val w = Window.partitionBy(col("shard")).orderBy(col("__rnk"), col(idCol))
     df.filter(col(idCol).isNotNull)
@@ -59,10 +63,14 @@ object Pack {
   }
 
   /** Per-shard pack census: packs and total tokens per shard — the summary a
-    * pipeline checks before writing sequence files (every shard must satisfy
-    * `packs == ceil(tokens / budget)` unless a straddling doc pushes the
-    * last start past the final boundary; exact equality when no doc exceeds
-    * the budget is spec-asserted). */
+    * pipeline checks before writing sequence files. By construction
+    * `packs == floor(lastStart / budget) + 1` where `lastStart` is the
+    * shard's final doc's start offset (= tokens − lastDocTokens), which
+    * gives the bound `packs <= ceil(tokens / budget)`: STRICT inequality
+    * whenever the last-starting doc begins before the final budget
+    * boundary but its tokens spill past it — that happens with perfectly
+    * ordinary sub-budget docs, so ceil equality is NOT an invariant
+    * (spec-asserted either way on replayed layouts). */
   def packStats(packed: DataFrame, tokCol: String): DataFrame =
     packed.groupBy(col("shard")).agg(
       (max(col("pack")) + 1).as("packs"),

@@ -587,6 +587,63 @@ object StreamingOps {
     spark.read.parquet(survivorsDir).drop("batch") // scoped-layout partition col
   }
 
+  /** Streaming decontamination — the per-micro-batch twin of
+    * [[Decontaminate.dropContaminated]]: every arriving batch is gated
+    * against a STATIC eval set. The eval shingle union is resolved ONCE
+    * before the stream starts ([[Decontaminate.prepareBench]] — collected
+    * and broadcast when small, never re-evaluated per batch); the gate is
+    * per-row against that fixed set, so the survivor set is
+    * micro-batch-boundary INVARIANT by construction and equals the batch
+    * operator over the full corpus (spec: slices 1 ≡ 4 ≡ batch; the
+    * driver query shares `decontaminate_drop`'s oracle predicate).
+    *
+    * Survivors write as batch-scoped overwrite subtrees (`batch=<id>` —
+    * the P21 exactly-once layout), so a redelivered micro-batch converges
+    * instead of appending duplicates. */
+  def runDecontaminateStream(spark: SparkSession, corpus: DataFrame,
+                             idCol: String, textCol: String,
+                             bench: DataFrame, benchTextCol: String,
+                             shingleN: Int = 3, minHits: Int = 1,
+                             slices: Int = 3, tag: String = "run"): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    graft.util.PidPaths.cleanStaleSiblings("graft_decon")
+    val root = graft.util.PidPaths.path("graft_decon") + s"/$tag"
+    try { import scala.sys.process._; Seq("rm", "-rf", root).! }
+    catch { case _: Throwable => }
+    Files.createDirectories(Paths.get(root))
+    val srcDir = s"$root/src"
+    Files.createDirectories(Paths.get(srcDir))
+    // the gate is order-free, so any deterministic slicing works — hash
+    // split, no global sort needed (unlike the arrival-ordered P21 harness)
+    (0 until slices).foreach { i =>
+      val tmp = Files.createTempDirectory("graft-decon-slice")
+      corpus.filter(pmod(xxhash64(col(idCol)), lit(slices)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
+      Files.copy(part, Paths.get(srcDir, f"s$i%03d.parquet"))
+      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+      catch { case _: Throwable => }
+    }
+    val benchSide = Decontaminate.prepareBench(bench, benchTextCol, shingleN)
+    val survivorsDir = s"$root/survivors"
+    val src = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (b: DataFrame, bid: Long) =>
+        Decontaminate.dropAgainst(b, idCol, textCol, benchSide, shingleN, minHits)
+          .write.mode("overwrite").parquet(s"$survivorsDir/batch=$bid")
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(survivorsDir).drop("batch")
+  }
+
   /** Run the streaming aggregation over a parquet path as a file stream,
     * draining everything available into an in-memory table; returns the
     * result. (The local harness for tests/demos — a deployment would point

@@ -37,18 +37,7 @@ case class KllSketchAgg(
 
   override def update(buffer: KllDoublesSketch, input: InternalRow): KllDoublesSketch = {
     val v = child.eval(input)
-    if (v != null) {
-      buffer.update(v match {
-        case d: Double => d
-        case f: Float => f.toDouble
-        case l: Long => l.toDouble
-        case i: Int => i.toDouble
-        case s: Short => s.toDouble
-        case b: Byte => b.toDouble
-        case d: java.math.BigDecimal => d.doubleValue()
-        case other => other.toString.toDouble
-      })
-    }
+    if (v != null) buffer.update(NumCoerce.toDouble(v))
     buffer
   }
 

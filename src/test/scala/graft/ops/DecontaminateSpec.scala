@@ -60,6 +60,24 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("streaming twin: survivors are micro-batch-boundary invariant and equal the batch drop") {
+    val big = spark.range(200).selectExpr("id AS doc_id",
+      // every 10th doc embeds the eval trigram -> contaminated
+      "CASE WHEN id % 10 = 0 THEN concat('alpha beta gamma tail', id) " +
+        "ELSE concat('w', id, ' x', id, ' y', id, ' z', id) END AS text")
+    val bench = Seq((9999L, "alpha beta gamma")).toDF("doc_id", "text")
+    val batchSurv = Decontaminate.dropContaminated(big, "doc_id", "text",
+      bench, "text", n = 3).select("doc_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def stream(slices: Int) = StreamingOps.runDecontaminateStream(spark, big,
+      "doc_id", "text", bench, "text", shingleN = 3, slices = slices,
+      tag = s"spec$slices")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(stream(1) == batchSurv)
+    assert(stream(4) == batchSurv)
+    assert(batchSurv.size == 180)
+  }
+
   test("self-overlap: a benchmark member inside the corpus always flags itself") {
     val r = Decontaminate.contaminationReport(corpus, "doc_id", "text",
         corpus.filter($"doc_id" === 3L), "text", n = 3)

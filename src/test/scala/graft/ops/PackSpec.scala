@@ -40,21 +40,28 @@ class PackSpec extends AnyFunSuite {
     assert(run(3).toSeq == run(11).toSeq)
   }
 
-  test("packStats: packs == ceil(tokens/budget) when no doc exceeds budget") {
-    // max n_tok = 41 < 128, so no straddling doc can push the last START
-    // past the final full boundary only when... assert the exact identity:
-    // pack indexes are derived from starts, and with every doc shorter than
-    // the budget the last doc starts before ceil(tokens/budget)*budget.
-    val packed = Pack.packByBudget(corpus(2000), "doc_id", "n_tok",
-      budget = 128L, shards = 4)
-    val stats = Pack.packStats(packed, "n_tok").collect()
-    stats.foreach { r =>
-      val tokens = r.getAs[Long]("tokens")
-      val packs = r.getAs[Long]("packs")
-      assert(packs == (tokens + 127L) / 128L,
-        s"shard ${r.getAs[Long]("shard")}: packs=$packs tokens=$tokens")
+  test("packStats: packs == floor(lastStart/budget)+1, bounded by ceil(tokens/budget)") {
+    // the TRUE invariant (ceil equality is NOT one: a sub-budget doc whose
+    // start lands before the final boundary but whose tokens spill past it
+    // gives packs < ceil — several n values below hit that case)
+    Seq(1000, 1500, 2000, 3000).foreach { n =>
+      val packed = Pack.packByBudget(corpus(n), "doc_id", "n_tok",
+        budget = 128L, shards = 4).collect()
+      val stats = Pack.packStats(
+        Pack.packByBudget(corpus(n), "doc_id", "n_tok", 128L, 4), "n_tok")
+        .collect().map(r => r.getAs[Long]("shard") -> r).toMap
+      packed.groupBy(_.getAs[Long]("shard")).foreach { case (shard, rows) =>
+        val ordered = rows.sortBy(r => (SampleTestUtil.rank32(
+          r.getAs[Long]("doc_id")), r.getAs[Long]("doc_id")))
+        val lastStart = ordered.last.getAs[Long]("start_off")
+        val tokens = rows.map(_.getAs[Long]("n_tok")).sum
+        val packs = stats(shard).getAs[Long]("packs")
+        assert(packs == lastStart / 128L + 1L, s"n=$n shard $shard")
+        assert(packs <= (tokens + 127L) / 128L, s"n=$n shard $shard")
+        assert(stats(shard).getAs[Long]("tokens") == tokens)
+      }
+      assert(stats.values.map(_.getAs[Long]("docs")).sum == n.toLong)
     }
-    assert(stats.map(_.getAs[Long]("docs")).sum == 2000L)
   }
 
   test("null ids are dropped; oversized doc keeps its start pack") {
