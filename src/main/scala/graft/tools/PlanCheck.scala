@@ -29,7 +29,8 @@ object PlanCheck {
       plan.toString.split("\n")
         .filter(l => l.contains("ReadSchema") || l.contains("PartitionFilters") ||
           l.contains("PushedFilters") || l.contains("Join") ||
-          l.contains("Aggregate") || l.contains("Exchange"))
+          l.contains("Aggregate") || l.contains("Exchange") ||
+          l.contains("Window"))
         .map(_.trim.take(600)).mkString("\n")
 
     println("=== DocStatsAgg stats pass (field-array inputs, nested pruning) ===")
@@ -60,6 +61,19 @@ object PlanCheck {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     println(interesting(graft.ops.Similarity
       .knnJoin(embs, "vec_id", "embedding", 5, planes = 5, probes = 6)
+      .queryExecution.executedPlan))
+
+    println("\n=== decontamination gate (eval union broadcast; matches-only exchange) ===")
+    val txt = docs.select($"doc_id",
+      concat_ws(" ", transform($"spans.offset", o => concat(lit("w"), o))).as("text"))
+    println(interesting(graft.ops.Decontaminate.contaminationReport(
+      txt, "doc_id", "text",
+      txt.filter(pmod(xxhash64($"doc_id"), lit(20L)) === 0L), "text", n = 3)
+      .queryExecution.executedPlan))
+
+    println("\n=== sequence packing (ONE exchange by shard; per-shard window, no global sort) ===")
+    println(interesting(graft.ops.Pack.packByBudget(
+      txt.select($"doc_id", lit(7L).as("n_tok")), "doc_id", "n_tok", 512L, 8)
       .queryExecution.executedPlan))
     spark.stop()
   }
