@@ -75,16 +75,20 @@ object Curate {
   /** Near-dup drop + gates over an (already exact-deduped) frame — shared by
     * the one-plan and staged pipelines so they are the same computation over
     * differently-materialized inputs. */
-  private def nearDupAndGates(deduped: DataFrame, minQualityMicros: Long,
-                              langs: Seq[String], jaccardThreshold: Double,
-                              shingleN: Int): DataFrame = {
+  private def nearDupDrop(deduped: DataFrame, jaccardThreshold: Double,
+                          shingleN: Int): DataFrame = {
     // every doc_id appearing as the LARGER side of a verified near-dup pair
     val dropped = Dedup.minhashLshPairs(deduped, "doc_id", "text",
         threshold = jaccardThreshold, shingleN = shingleN)
       .select(col("id_b").as("doc_id")).distinct()
-    gates(deduped.join(dropped, Seq("doc_id"), "left_anti"),
-      minQualityMicros, langs)
+    deduped.join(dropped, Seq("doc_id"), "left_anti")
   }
+
+  private def nearDupAndGates(deduped: DataFrame, minQualityMicros: Long,
+                              langs: Seq[String], jaccardThreshold: Double,
+                              shingleN: Int): DataFrame =
+    gates(nearDupDrop(deduped, jaccardThreshold, shingleN),
+      minQualityMicros, langs)
 
   def curateWithNearDup(docs: DataFrame, minQualityMicros: Long = 500000L,
                         langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
@@ -137,6 +141,27 @@ object Curate {
     * doc whose only smaller partners were themselves dropped. CC gives the
     * textbook semantic: one survivor per connected component. Costs an
     * O(log² n)-round loop over the (small) pair set instead of one pass. */
+  /** The FULL pretraining-corpus shape: exact dedup → near-dup drop →
+    * BENCHMARK DECONTAMINATION → quality gate → language gate. The decon
+    * stage sits after dedup (no point shingle-matching docs that are about
+    * to merge) and before the gates (an eval leak must go even if it would
+    * fail quality anyway — auditability: the gate stats then describe the
+    * decontaminated corpus). The eval side resolves once
+    * ([[Decontaminate.prepareBench]]); everything else inherits the
+    * one-plan shapes above. */
+  def curateFull(docs: DataFrame, bench: DataFrame,
+                 benchTextCol: String = "text",
+                 minQualityMicros: Long = 500000L,
+                 langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
+                 jaccardThreshold: Double = 0.5, shingleN: Int = 3,
+                 deconN: Int = 3, deconMinHits: Int = 1): DataFrame = {
+    val kept = nearDupDrop(exactDedup(docs), jaccardThreshold, shingleN)
+    val decon = Decontaminate.dropAgainst(kept, "doc_id", "text",
+      Decontaminate.prepareBench(bench, benchTextCol, deconN),
+      deconN, deconMinHits)
+    gates(decon, minQualityMicros, langs)
+  }
+
   def curateWithNearDupCC(docs: DataFrame, minQualityMicros: Long = 500000L,
                           langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
                           jaccardThreshold: Double = 0.5,

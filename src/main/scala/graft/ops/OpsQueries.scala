@@ -458,6 +458,15 @@ object OpsQueries {
   def curationCc(s: SparkSession, dir: String): DataFrame =
     Curate.curateWithNearDupCC(docsWithNearDups(s, dir)).orderBy(col("doc_id"))
 
+  /** The FULL pipeline: exact dedup → near-dup drop → decontamination
+    * (eval = every 20th ORIGINAL doc) → gates, one composed plan whose
+    * every stage the oracle replays — a leak in any stage breaks the
+    * hash. */
+  def curationDecon(s: SparkSession, dir: String): DataFrame =
+    Curate.curateFull(docsWithNearDups(s, dir),
+        docs(s, dir).filter(col("doc_id") % 20 === 0))
+      .orderBy(col("doc_id"))
+
   def langIdDetect(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), col("lang"),
         TextOps.langId(col("text")).as("detected"))
@@ -591,6 +600,7 @@ object OpsQueries {
     "curation_pipeline" -> (curationPipeline _),
     "curation_near_dup" -> (curationNearDup _),
     "curation_cc" -> (curationCc _),
+    "curation_decon" -> (curationDecon _),
     "curation_staged" -> (curationStaged _),
     "dedup_cc_components" -> (dedupCcComponents _),
     "quality_scores" -> (qualityScores _),
@@ -775,25 +785,56 @@ object OpsQueries {
          SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
        SELECT id AS vec_id, component FROM cc ORDER BY vec_id"""
 
-  /** Shared CTE block for decontamination: engine-identical shingling over
-    * the PLAIN documents table (no injected corpus), the per-doc posting
-    * list, and the eval-set (doc_id % 20 = 0) distinct shingle union. */
-  private val deconCtes: String =
-    """WITH tk AS (
+  /** Engine-identical shingling + posting list over `src` (which must have
+    * (doc_id, text)), with caller-chosen CTE names so several corpora can
+    * be shingled in one oracle query. */
+  private def shinglePosting(src: String, tk: String, sh: String,
+                             post: String): String =
+    s"""$tk AS (
          SELECT doc_id,
-           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
-         FROM documents),
-       sh AS (
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         FROM $src),
+       $sh AS (
          SELECT doc_id,
            CASE WHEN len(toks) < 3 THEN list_distinct([array_to_string(toks, ' ')])
                 ELSE list_distinct(list_transform(range(len(toks) - 2), i ->
                     array_to_string(toks[i+1:i+3], ' ')))
            END AS s_list
-         FROM tk),
-       p AS (
+         FROM $tk),
+       $post AS (
          SELECT doc_id AS id, unnest(s_list) AS s
-         FROM sh WHERE len(s_list) > 0),
+         FROM $sh WHERE len(s_list) > 0)"""
+
+  /** Shared CTE block for decontamination: engine-identical shingling over
+    * the PLAIN documents table (no injected corpus), the per-doc posting
+    * list, and the eval-set (doc_id % 20 = 0) distinct shingle union. */
+  private val deconCtes: String =
+    "WITH " + shinglePosting("documents", "tk", "sh", "p") +
+      """,
        b AS (SELECT DISTINCT s FROM p WHERE id % 20 = 0)"""
+
+  /** The full-pipeline oracle: exact-Jaccard near-dup drop over the
+    * injected corpus, then decontamination of the survivors against the
+    * eval union (every 20th ORIGINAL doc), then the shared gates — every
+    * engine stage replayed declaratively. */
+  private val curationDeconSql: String = nearDupPairCtes +
+    """,
+       dropped AS (
+         SELECT DISTINCT id_b FROM i
+         WHERE round(inter / (n_a + n_b - inter), 6) >= 0.5),
+       surv AS (
+         SELECT doc_id, text FROM corpus
+         WHERE doc_id NOT IN (SELECT id_b FROM dropped)),
+       """ +
+    shinglePosting("surv", "stk", "ssh", "sp") + """,
+       """ +
+    shinglePosting("(SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0)",
+      "btk", "bsh", "bp") + """,
+       b AS (SELECT DISTINCT s FROM bp),
+       dsurv AS (
+         SELECT doc_id, text FROM surv
+         WHERE doc_id NOT IN (SELECT DISTINCT sp.id FROM sp JOIN b USING (s))),
+       """ + gateCtes("dsurv") + gateSelect
 
   private val curationCcSql: String = ccCtes +
     """,
@@ -806,6 +847,7 @@ object OpsQueries {
   val oracleSql: Map[String, String] = Map(
     "curation_near_dup" -> curationNearDupSql,
     "curation_cc" -> curationCcSql,
+    "curation_decon" -> curationDeconSql,
     "curation_staged" -> curationNearDupSql,
     "dedup_cc_components" -> dedupCcComponentsSql,
     "dedup_ngram_jaccard_pairs" -> nearDupJaccardSql,

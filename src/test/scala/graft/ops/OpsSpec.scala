@@ -287,6 +287,29 @@ class CurateSpec extends AnyFunSuite {
     }
   }
 
+  test("curateFull: decon stage drops an eval leak that passes every other stage") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and it was happy with the sun in the garden today"),
+      (2L, "the cat sat on the mat and it was happy with the sun in the garden today"), // exact copy
+      // gate-passing Spanish doc — shares NO trigram with doc 1 (a shared
+      // stopword trigram like "and it was" would flag doc 1 too)
+      (3L, "el perro corre en la casa y los gatos duermen por la noche con el sol"),
+      (4L, "!!!! #### $$$$ %%%% ^^^^ &&&&")) // garbage -> quality gate
+      .toDF("doc_id", "text")
+    // doc 3 is a verbatim member of the eval set: it passes dedup, near-dup
+    // and both gates — ONLY the decon stage can remove it
+    val bench = Seq((100L, "el perro corre en la casa y los gatos duermen por la noche con el sol"))
+      .toDF("bench_id", "text")
+    val out = Curate.curateFull(docs, bench)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L), out.toString)
+    // without the eval set, doc 3 survives — the drop above was decon's
+    val noBench = Curate.curateFull(docs,
+      Seq((100L, "zzz yyy xxx")).toDF("bench_id", "text"))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(noBench == Set(1L, 3L), noBench.toString)
+  }
+
   test("curation pipeline: survivor is min doc_id, stable under repartition") {
     val docs = Seq(9L, 7L, 8L).map(i =>
         (i, "the quick brown fox jumps over the lazy dog and it is a fine day for a run"))
