@@ -77,6 +77,16 @@ object OpsQueries {
     Sample.byFraction(docs(s, dir), "doc_id", 0.25)
       .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
 
+  /** Deterministic 80/10/10 train/val/test split — the reference's seeded
+    * random_split (ml/training.py:248-270) as a pure function of doc_id:
+    * labels survive re-runs, repartitioning, and corpus growth, and DuckDB
+    * replays the rank-interval assignment bit-for-bit. */
+  def sampleSplit(s: SparkSession, dir: String): DataFrame =
+    Sample.splitByFractions(docs(s, dir), "doc_id",
+        Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+      .select(col("doc_id"), col("split"))
+      .orderBy(col("doc_id"))
+
   /** Deterministic sequence packing (P24): docs → fixed-token-budget
     * training sequences, laid out in md5-rank order within rank-derived
     * shards. The whole assignment — shard, start offset in the shard's
@@ -580,6 +590,7 @@ object OpsQueries {
     "ingest_jsonl" -> (ingestJsonl _),
     "ingest_csv" -> (ingestCsv _),
     "sample_quota_lang" -> (sampleQuotaLang _),
+    "sample_split" -> (sampleSplit _),
     "fingerprint_md5" -> (fingerprintMd5 _),
     "similarity_topk" -> (similarityTopK _),
     "dedup_minhash_pairs" -> (minhashLshPairs _),
@@ -923,6 +934,17 @@ object OpsQueries {
       """SELECT doc_id, lang FROM documents
          WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
                < 1073741824
+         ORDER BY doc_id""",
+    // rank-interval split labels: thresholds floor(0.8 * 2^32) and
+    // floor((0.8 + 0.1) * 2^32) — the engine's cumulative doubles verbatim
+    "sample_split" ->
+      """SELECT doc_id,
+           CASE WHEN rnk < 3435973836 THEN 'train'
+                WHEN rnk < 3865470566 THEN 'val'
+                ELSE 'test' END AS split
+         FROM (SELECT doc_id,
+                 try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) AS rnk
+               FROM documents)
          ORDER BY doc_id""",
     // landing-zone round-trip: every real row survives the schema gate,
     // every injected malformed line quarantines -> good side == the table

@@ -36,6 +36,42 @@ object Sample {
     df.filter(md5Rank32(col(idCol)) < math.floor(fraction * 4294967296.0).toLong)
   }
 
+  /** Disjoint, exhaustive train/val/test-style splits — the reference's
+    * seeded `random_split` (ml/training.py:248-270) at corpus scale, but
+    * PURE: the split label is a function of the id alone (rank-interval
+    * membership), so assignments survive re-runs, repartitioning, cluster
+    * resizing, and even corpus growth (an id's label never changes when
+    * other rows are added — torch's random_split reshuffles everything on
+    * any size change). Narrow projection, no shuffle, DuckDB-replayable.
+    *
+    * `fractions` must sum to 1 (±1e-9); row i gets label `labels(k)` where
+    * its 32-bit md5 rank falls in the k-th cumulative interval. The k-th
+    * PREFIX of the splits equals `byFraction` at the same cumulative
+    * fraction — splits and samples nest by construction. NULL-id rows are
+    * dropped ([[byFraction]]'s policy). */
+  def splitByFractions(df: DataFrame, idCol: String,
+                       splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty, "splitByFractions: need at least one split")
+    splits.foreach { case (n, f) =>
+      require(f >= 0.0 && f <= 1.0, s"splitByFractions: fraction $f not in [0,1]")
+      require(n != null && n.nonEmpty, "splitByFractions: empty split label") }
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"splitByFractions: duplicate split labels in ${splits.map(_._1)}")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"splitByFractions: fractions must sum to 1, got $total")
+    // cumulative thresholds in rank space; the LAST interval is closed at
+    // 2^32 so rounding never orphans the top rank
+    val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cum.init.map(c => math.floor(c * 4294967296.0).toLong)
+    val rank = md5Rank32(col(idCol))
+    val label = splits.init.zip(thresholds).reverse.foldLeft(
+      lit(splits.last._1)) { case (acc, ((name, _), thr)) =>
+        when(rank < thr, lit(name)).otherwise(acc)
+    }
+    df.filter(col(idCol).isNotNull).withColumn("split", label)
+  }
+
   /** Per-group fraction mix ("keep 100 % of de, 10 % of en"): the rate is
     * looked up per row from the literal `rates` map (absent groups get
     * `defaultFraction`), then the same rank-threshold filter as

@@ -109,6 +109,37 @@ class SampleSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "quota must not fall back to a window sort")
   }
 
+  test("splitByFractions: disjoint, exhaustive, prefix-nests with byFraction, " +
+    "and invariant to partitioning") {
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val labeled = Sample.splitByFractions(docs, "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    // exhaustive over all non-null ids, exactly one label each
+    assert(labeled.length == docs.count())
+    assert(labeled.map(_._2).toSet == Set("train", "val", "test"))
+    // the train split IS byFraction(0.8) — prefix nesting by construction
+    val train = labeled.filter(_._2 == "train").map(_._1).sorted.toSeq
+    val frac = Sample.byFraction(docs, "doc_id", 0.8)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(train == frac)
+    // pure function of the id: partitioning changes nothing
+    val re = Sample.splitByFractions(docs.repartition(13), "doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect()
+    assert(re.sorted.toSeq == labeled.sorted.toSeq)
+    // rough proportions at 500 docs
+    val counts = labeled.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(counts("train") > counts("val") && counts("train") > counts("test"))
+  }
+
+  test("splitByFractions guards: labels unique, fractions sum to 1") {
+    val ex1 = intercept[IllegalArgumentException](
+      Sample.splitByFractions(docs, "doc_id", Seq(("a", 0.5), ("a", 0.5))))
+    assert(ex1.getMessage.contains("duplicate"))
+    val ex2 = intercept[IllegalArgumentException](
+      Sample.splitByFractions(docs, "doc_id", Seq(("a", 0.5), ("b", 0.4))))
+    assert(ex2.getMessage.contains("sum to 1"))
+  }
+
   test("string ids fail loud instead of silently null-casting") {
     val e = intercept[IllegalArgumentException](
       Sample.quotaPerGroup(docs.withColumn("sid", $"doc_id".cast("string")),
