@@ -180,8 +180,10 @@ object TpchQueries {
     val byYear = o.filter($"y".isin(1995, 1996))
       .groupBy($"y").agg(ThetaSketchAgg.thetaSketch($"o_custkey").as("sk"))
       .collect().map(r => r.getAs[Int]("y") -> r.getAs[Array[Byte]]("sk")).toMap
-    val a = byYear(1995)
-    val b = byYear(1996)
+    // a year with no orders yields no group — count it as the empty set,
+    // not a bare map-lookup crash
+    val a = byYear.getOrElse(1995, ThetaOps.empty)
+    val b = byYear.getOrElse(1996, ThetaOps.empty)
     o.sparkSession.range(1).select(
       lit(ThetaOps.estimateLong(a)).as("n_1995"),
       lit(ThetaOps.estimateLong(b)).as("n_1996"),

@@ -148,7 +148,9 @@ object Curate {
     * fail quality anyway — auditability: the gate stats then describe the
     * decontaminated corpus). The eval side resolves once
     * ([[Decontaminate.prepareBench]]); everything else inherits the
-    * one-plan shapes above. */
+    * one-plan shapes above. NOTE the one-plan form references the
+    * dedup+near-dup subplan twice (both legs of the decon anti-join) — at
+    * volume use [[curateFullStaged]]. */
   def curateFull(docs: DataFrame, bench: DataFrame,
                  benchTextCol: String = "text",
                  minQualityMicros: Long = 500000L,
@@ -156,6 +158,30 @@ object Curate {
                  jaccardThreshold: Double = 0.5, shingleN: Int = 3,
                  deconN: Int = 3, deconMinHits: Int = 1): DataFrame = {
     val kept = nearDupDrop(exactDedup(docs), jaccardThreshold, shingleN)
+    val decon = Decontaminate.dropAgainst(kept, "doc_id", "text",
+      Decontaminate.prepareBench(bench, benchTextCol, deconN),
+      deconN, deconMinHits)
+    gates(decon, minQualityMicros, langs)
+  }
+
+  /** [[curateFull]] with the dedup+near-dup stage MATERIALIZED to
+    * `scratchDir` before the decon anti-join. The one-plan variant
+    * references that stage TWICE (the anti-join's left leg and the
+    * contamination report inside it) on top of the near-dup stage's own
+    * multi-reference — the re-execution class CurateProbe measured at ~4×
+    * and [[curateWithNearDupStaged]] exists to avoid. Use this at volume;
+    * results are bit-identical (spec-asserted). */
+  def curateFullStaged(docs: DataFrame, bench: DataFrame, scratchDir: String,
+                       benchTextCol: String = "text",
+                       minQualityMicros: Long = 500000L,
+                       langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
+                       jaccardThreshold: Double = 0.5, shingleN: Int = 3,
+                       deconN: Int = 3, deconMinHits: Int = 1): DataFrame = {
+    val spark = docs.sparkSession
+    val stage = s"$scratchDir/kept"
+    nearDupDrop(exactDedup(docs), jaccardThreshold, shingleN)
+      .write.mode("overwrite").parquet(stage)
+    val kept = spark.read.parquet(stage)
     val decon = Decontaminate.dropAgainst(kept, "doc_id", "text",
       Decontaminate.prepareBench(bench, benchTextCol, deconN),
       deconN, deconMinHits)

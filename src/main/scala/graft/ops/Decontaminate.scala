@@ -43,8 +43,14 @@ object Decontaminate {
   def prepareBench(bench: DataFrame, benchTextCol: String, n: Int = 3,
                    maxBroadcastShingles: Long = 10L * 1000 * 1000): DataFrame = {
     require(n >= 1, s"prepareBench: n must be >= 1, got $n")
+    require(maxBroadcastShingles >= 0,
+      s"prepareBench: maxBroadcastShingles must be >= 0, got $maxBroadcastShingles")
     val bs = benchShingles(bench, benchTextCol, n)
-    val probe = math.min(maxBroadcastShingles + 1, Int.MaxValue.toLong).toInt
+    // cap BEFORE adding 1: maxBroadcastShingles = Long.MaxValue must mean
+    // "no cap", not an overflow into limit(0) and a silently EMPTY eval set
+    val probe =
+      if (maxBroadcastShingles >= Int.MaxValue - 1L) Int.MaxValue
+      else (maxBroadcastShingles + 1).toInt
     val head = bs.limit(probe).collect()
     if (head.length <= maxBroadcastShingles)
       broadcast(bench.sparkSession.createDataFrame(

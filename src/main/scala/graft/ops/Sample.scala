@@ -60,6 +60,9 @@ object Sample {
     val total = splits.map(_._2).sum
     require(math.abs(total - 1.0) < 1e-9,
       s"splitByFractions: fractions must sum to 1, got $total")
+    require(!df.columns.contains("split"),
+      "splitByFractions: input already has a 'split' column — rename it " +
+        "first (silent overwrite would corrupt caller data)")
     // cumulative thresholds in rank space; the LAST interval is closed at
     // 2^32 so rounding never orphans the top rank
     val cum = splits.map(_._2).scanLeft(0.0)(_ + _).tail

@@ -104,6 +104,11 @@ object ThetaSketchAgg {
   * blobs — the whole point: cross-snapshot overlap questions answered from
   * O(k) state without rescanning either snapshot). */
 object ThetaOps {
+  /** Serialized empty sketch — the identity for union and the safe default
+    * when a grouped aggregation produced no row for a key. */
+  def empty: Array[Byte] =
+    SetOperation.builder().buildUnion().getResult().toByteArray
+
   def fromBytes(bytes: Array[Byte]): Sketch =
     CompactSketch.heapify(Memory.wrap(bytes))
 

@@ -308,6 +308,18 @@ class CurateSpec extends AnyFunSuite {
       Seq((100L, "zzz yyy xxx")).toDF("bench_id", "text"))
       .select($"doc_id").as[Long].collect().toSet
     assert(noBench == Set(1L, 3L), noBench.toString)
+    // the staged (materialized dedup+near-dup stage) variant is bit-identical
+    val scratch = java.nio.file.Files.createTempDirectory("curate-full").toString
+    try {
+      val staged = Curate.curateFullStaged(docs, bench, scratch)
+        .orderBy($"doc_id").collect().toSeq
+      val onePlan = Curate.curateFull(docs, bench)
+        .orderBy($"doc_id").collect().toSeq
+      assert(staged == onePlan, s"staged=$staged onePlan=$onePlan")
+    } finally {
+      import scala.sys.process._
+      Seq("rm", "-rf", scratch).!
+    }
   }
 
   test("curation pipeline: survivor is min doc_id, stable under repartition") {
