@@ -221,6 +221,43 @@ object SparkEntry {
         WHERE a.spans <> b.spans
         ORDER BY a.part, a.doc_id"""
 
+  private val CrossBasePath = s"/tmp/graft_cross_base_$pathToken"
+  private val CrossNewPath = s"/tmp/graft_cross_new_$pathToken"
+
+  /** DuckDB-oracled CROSS-SNAPSHOT uniqueness (E5 incremental, the check
+    * behind ValidationRun.runIncremental): a base corpus and an appended
+    * snapshot's partitions — every 10th doc of the last new part remapped
+    * onto a base doc_id — are materialized to parquet; the engine's
+    * broadcast-into-base-scan semi-join reports exactly the colliding
+    * (new part, doc_id) rows; the oracle replays the membership join. */
+  def entry_uniq_cross_snapshot(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.{DocsGen, PartSpec}
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nBase = math.max(1800L, (1800000 * sf).toLong)
+    cleanStaleSiblings("graft_cross_")
+    DocsGen.docs(spark, nBase, DocsGen.cleanScenario(3))
+      .write.mode("overwrite").parquet(CrossBasePath)
+    // new parts 3,4 sized so every remapped lid exists in base part 0
+    val raw = DocsGen.docs(spark, nBase / 2, Seq(PartSpec(3), PartSpec(4)))
+    raw.withColumn("doc_id",
+        when($"part" === 4 &&
+            pmod(substring($"doc_id", 9, 9).cast("long"), lit(10L)) === 0,
+          concat(lit("doc-000-"), substring($"doc_id", 9, 9)))
+          .otherwise($"doc_id"))
+      .write.mode("overwrite").parquet(CrossNewPath)
+    val (viol, _) = graft.checks.ConstraintChecks.uniquenessCross(
+      spark.read.parquet(CrossNewPath), spark.read.parquet(CrossBasePath), "driver")
+    viol.toDF().select($"part", $"doc_id").orderBy($"part", $"doc_id")
+  }
+
+  private val uniqCrossOracleSql: String =
+    s"""SELECT n.part, n.doc_id
+        FROM read_parquet('$CrossNewPath/*.parquet') n
+        WHERE n.doc_id IN (SELECT doc_id FROM read_parquet('$CrossBasePath/*.parquet'))
+        ORDER BY n.part, n.doc_id"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.entry.TpchQueries.queries ++
@@ -228,7 +265,8 @@ object SparkEntry {
       Map("docs_validation" -> (entry_docs_validation _),
         "docs_drift_inputs" -> (entry_docs_drift_inputs _),
         "docs_constraints" -> (entry_docs_constraints _),
-        "docs_span_seq" -> (entry_docs_span_seq _))
+        "docs_span_seq" -> (entry_docs_span_seq _),
+        "uniq_cross_snapshot" -> (entry_uniq_cross_snapshot _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -237,5 +275,6 @@ object SparkEntry {
     graft.entry.TpchQueries.oracleSql ++ graft.ops.OpsQueries.oracleSql ++
       Map("docs_drift_inputs" -> driftInputsOracleSql,
         "docs_constraints" -> constraintsOracleSql,
-        "docs_span_seq" -> spanSeqOracleSql)
+        "docs_span_seq" -> spanSeqOracleSql,
+        "uniq_cross_snapshot" -> uniqCrossOracleSql)
 }

@@ -158,6 +158,78 @@ object ConstraintChecks {
     if (docIdGroupingIsShuffleFree(docs)) uniquenessBucketed(docs, runId)
     else uniqueness(docs, runId, salts)
 
+  /** CROSS-SNAPSHOT uniqueness (E5, incremental): docs of `newDocs` (the
+    * partitions appended by a snapshot) whose doc_id already exists in
+    * `baseDocs` (the previously-validated corpus). The base side is
+    * 10^12-scale and must only ever be SCANNED, never shuffled wholesale:
+    *
+    *  - both sides project to the same fixed-width 128-bit hash pair as
+    *    [[uniqueness]] (no variable-length ids in any exchange);
+    *  - when the NEW side's plan-estimated size fits `broadcastMaxBytes`
+    *    (the common case — one appended partition vs the whole corpus), its
+    *    distinct key set broadcasts INTO the base scan: one narrow pass over
+    *    base emits only collided keys (bounded by the new side), which
+    *    broadcast back onto the new rows. Zero Exchange anywhere
+    *    (spec-asserted) — the base corpus crosses no network;
+    *  - otherwise one shuffled LEFT SEMI join (AQE skew-splits at runtime).
+    *
+    * Violations attribute to the NEW part (where the collision arrived) —
+    * a full revalidation's [[uniqueness]] attributes a dup to the key's min
+    * part instead; incremental callers want "which appended doc collides",
+    * documented asymmetry. Returns (violations, per-NEW-part collision
+    * counts). */
+  private def crossKeyed(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"part", $"doc_id",
+      xxhash64($"doc_id", lit("u1")).as("h1"),
+      xxhash64($"doc_id", lit("u2")).as("h2"))
+  }
+
+  /** The collided-row plan behind [[uniquenessCross]], exposed so specs can
+    * assert the broadcast path's ZERO-EXCHANGE shape (no `distinct` anywhere:
+    * a semi-join build tolerates duplicate keys, and a dedup would buy an
+    * Exchange for nothing — the broadcast payloads are bounded by the new
+    * side / the collision set either way). */
+  private[graft] def crossCollided(newDocs: DataFrame, baseDocs: DataFrame,
+                                   useBroadcast: Boolean): DataFrame = {
+    val newKeys = crossKeyed(newDocs)
+    val baseKeys = crossKeyed(baseDocs).select("h1", "h2")
+    if (useBroadcast) {
+      // the bounded new-key set rides a broadcast INTO the base scan; only
+      // keys that actually collide survive (output bounded by the new side,
+      // usually ~zero) and broadcast back onto the new rows — the base
+      // corpus crosses no network, and no hash Exchange exists anywhere.
+      val hit = baseKeys.join(broadcast(newKeys.select("h1", "h2")),
+        Seq("h1", "h2"), "left_semi")
+      newKeys.join(broadcast(hit), Seq("h1", "h2"), "left_semi")
+    } else newKeys.join(baseKeys, Seq("h1", "h2"), "left_semi")
+  }
+
+  def uniquenessCross(newDocs: DataFrame, baseDocs: DataFrame, runId: String,
+                      broadcastNew: Option[Boolean] = None,
+                      broadcastMaxBytes: Long = 256L << 20): (Dataset[Violation], Map[Int, Long]) = {
+    val spark = newDocs.sparkSession
+    import spark.implicits._
+    val useBroadcast = broadcastNew.getOrElse {
+      val est = newDocs.select("doc_id").queryExecution.optimizedPlan.stats.sizeInBytes
+      est <= BigInt(broadcastMaxBytes)
+    }
+    val cached = crossCollided(newDocs, baseDocs, useBroadcast).cache()
+    try {
+      val perPart = cached.groupBy($"part").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val violations = cached
+        .select(lit(runId).as("run_id"), $"part",
+          lit("unique_doc_id_cross").as("check_id"), $"doc_id",
+          lit("doc_id already present in base snapshot").as("detail"))
+        .as[Violation]
+        // materialize rows while the cache is alive: collisions are bounded
+        // by the new side and violation consumers write them out anyway
+        .localCheckpoint(true)
+      (violations, perPart)
+    } finally cached.unpersist()
+  }
+
   /** Referential integrity of span.media_ref against the media catalog (E6):
     * explode media spans → LEFT ANTI join vs media. The catalog side is
     * broadcast when small (explicit hint below `broadcastMedia`), else Spark

@@ -362,6 +362,94 @@ object ValidationRun {
     * the reference's persisted fitted state, detector_api/app/detector.py:38-42).
     * Appends results per run; a killed run resumes by rerunning with the same
     * paths. Returns the partitions actually validated this invocation. */
+  case class IncrementalResult(newParts: Seq[Int], carriedParts: Seq[Int],
+                               crossDupCounts: Map[Int, Long])
+
+  /** INCREMENTAL snapshot validation (E12 × E5 at snapshot grain): validate
+    * ONLY the partitions `toSnapshot`'s manifest added over `fromSnapshot`'s,
+    * carry the unchanged partitions' verdicts forward with lineage, and
+    * check the appended doc_ids against the base corpus — never rescanning
+    * the base into a shuffle (ConstraintChecks.uniquenessCross broadcasts
+    * the bounded new-key set into one narrow base scan by default).
+    *
+    * Partition-grain checks (stats, span integrity, referential, drift) are
+    * pure functions of a partition's content + the fitted reference, and
+    * SnapshotCatalog partitions are append-only — so a base partition's
+    * verdict at `toSnapshot` IS its `fromSnapshot` verdict. Carried rows are
+    * rewritten with `snapshot_id = toSnapshot` plus a
+    * `validated_at_snapshot` metric recording the snapshot whose run
+    * actually scanned the data; a chain of carries preserves the ORIGINAL
+    * validation snapshot (the lineage contract: results tables always say
+    * which run looked at the bytes).
+    *
+    * The within-new uniqueness check still runs via run(); cross-snapshot
+    * collisions surface as `unique_doc_id_cross` verdicts attributed to the
+    * NEW part. `ref.snapshotId` should be `toSnapshot` so the appended
+    * rows key consistently. At 100 TB this turns per-snapshot validation
+    * cost from O(corpus) to O(appended partitions) + one narrow base scan. */
+  def runIncremental(spark: SparkSession, table: String, media: DataFrame,
+                     ref: RefState, cfg: RunConfig,
+                     resultsPath: String, violationsPath: String,
+                     fromSnapshot: Long, toSnapshot: Long,
+                     broadcastNew: Option[Boolean] = None): IncrementalResult = {
+    import spark.implicits._
+    val fromParts = SnapshotCatalog.readManifest(table, fromSnapshot).parts
+    val toParts = SnapshotCatalog.readManifest(table, toSnapshot).parts
+    val newParts = (toParts.toSet -- fromParts).toSeq.sorted
+    val carried = fromParts.filter(toParts.toSet).sorted
+    require(fromParts.forall(toParts.toSet),
+      s"runIncremental: snapshot $toSnapshot dropped partitions " +
+        s"${fromParts.filterNot(toParts.toSet).mkString(",")} present in " +
+        s"$fromSnapshot - incremental carry-forward only holds for " +
+        "append-only snapshot chains")
+    require(ref.snapshotId == toSnapshot,
+      s"runIncremental: ref.snapshotId=${ref.snapshotId} != toSnapshot=" +
+        s"$toSnapshot - the new partitions' verdicts would key under the " +
+        "wrong snapshot in the results table (fit or re-stamp the RefState " +
+        "with the snapshot being validated)")
+
+    // 1. full per-partition pass over the NEW partitions only
+    val crossCounts: Map[Int, Long] = if (newParts.nonEmpty) {
+      val newDocs = SnapshotCatalog.read(spark, table, toSnapshot)
+        .filter($"part".isin(newParts: _*))
+      val baseDocs = SnapshotCatalog.read(spark, table, fromSnapshot)
+      val res = run(newDocs, media, ref, cfg.copy(violationsSink = None))
+      // 2. cross-snapshot uniqueness: appended ids vs the base corpus
+      val (xViol, xCounts) = timed("uniqueness_cross")(
+        ConstraintChecks.uniquenessCross(newDocs, baseDocs, cfg.runId,
+          broadcastNew, cfg.mediaBroadcastMaxBytes))
+      val xVerdicts = newParts.map { p =>
+        val n = xCounts.getOrElse(p, 0L)
+        Verdict.now(cfg.runId, p, "unique_doc_id_cross", cfg.alpha, n.toDouble,
+          1.0, Some(n == 0L),
+          Map("violations" -> n.toDouble, "base_snapshot" -> fromSnapshot.toDouble),
+          toSnapshot)
+      }
+      res.verdicts.toDF().unionByName(spark.createDataset(xVerdicts).toDF())
+        .write.mode("append").partitionBy("part").parquet(resultsPath)
+      res.violations.toDF().unionByName(xViol.toDF())
+        .write.mode("append").parquet(violationsPath)
+      xCounts
+    } else Map.empty
+
+    // 3. carry forward the base partitions' verdicts with lineage. The
+    // original validation snapshot survives a chain of carries: only rows
+    // WITHOUT the marker get it stamped (they were scanned at fromSnapshot).
+    if (carried.nonEmpty) {
+      val prior = spark.read.parquet(resultsPath)
+        .filter($"snapshot_id" === fromSnapshot && $"part".isin(carried: _*))
+      prior
+        .withColumn("snapshot_id", lit(toSnapshot))
+        .withColumn("metrics", map_concat(
+          map_filter($"metrics", (k, _) => k =!= "validated_at_snapshot"),
+          map(lit("validated_at_snapshot"),
+            coalesce(element_at($"metrics", lit("validated_at_snapshot")),
+              lit(fromSnapshot.toDouble)))))
+        .write.mode("append").partitionBy("part").parquet(resultsPath)
+    }
+    IncrementalResult(newParts, carried, crossCounts)
+  }
+
   def runResumable(spark: SparkSession, docs: DataFrame, media: DataFrame,
                    ref: RefState, cfg: RunConfig,
                    resultsPath: String, violationsPath: String,
