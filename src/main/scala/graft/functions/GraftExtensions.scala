@@ -134,6 +134,14 @@ object GraftExtensions {
           if (args.length == 2) intLit(args(1), "theta_sketch_agg", "nominalEntries")
           else 4096)
       }),
+    ("freq_items_agg", "mergeable frequent-items (heavy hitters) sketch (serialized, binary)",
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          s"freq_items_agg takes (value[, maxMapSize]), got ${args.length} arguments")
+        graft.sketch.FreqItemsAgg(args(0),
+          if (args.length == 2) intLit(args(1), "freq_items_agg", "maxMapSize")
+          else 256)
+      }),
     ("text_profile", "single-pass text profile: token/char-class counts + per-word-list hits",
       (args: Seq[Expression]) => {
         require(args.length >= 2,
