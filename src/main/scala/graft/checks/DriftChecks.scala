@@ -156,6 +156,72 @@ object DriftChecks {
     }
   }
 
+  /** Wasserstein-1 (earth mover's) distance on the offset distribution — the
+    * drift family's magnitude-sensitive member: KS reads the worst POINT gap
+    * between CDFs, W1 integrates the gap over the value axis, so a small
+    * shift of much mass and a large shift of little mass separate cleanly.
+    *
+    * DEFAULT (deterministic) path: both CDFs exact at the fitted reference's
+    * fixed quantile grid (same integer bin counts as KS/PSI — bit-identical
+    * at any parallelism); KLL fallback evaluates both sketch CDFs on the ref
+    * quantile grid. The distance is GRID-CENSORED: production mass beyond
+    * the reference maximum moves no earth (its fraction is emitted as the
+    * `overflow_frac` metric so callers see what was censored). Like PSI,
+    * W1 has no distribution-free p-value; the verdict gates on the
+    * SPAN-NORMALIZED index (emd / grid span, unit-free in [0,1]) with
+    * p = 1 − min(norm/0.1, 1): 10 % of the support span = full alarm. */
+  def emd(runId: String, alpha: Double, ref: RefState,
+          summaries: Map[Int, PartSummary]): Seq[Verdict] =
+    summaries.toSeq.sortBy(_._1).map { case (part, s) =>
+      if (exactCdf(ref, s)) {
+        val (cum, nProd) = prodCum(s)
+        val nRef = ref.refEdgeCum(ref.refEdgeCum.length - 1)
+        val refCdf = ref.refEdgeCum.map(_.toDouble / nRef)
+        val prodCdf = cum.map(c => if (nProd == 0) 0.0 else c.toDouble / nProd)
+        val d = StatMath.emdFromCdfs(ref.offsetEdges, refCdf, prodCdf)
+        val span = ref.offsetEdges.last - ref.offsetEdges.head
+        val norm = if (span > 0) d / span else 0.0
+        val overflow = if (nProd == 0) 0.0
+          else s.offsetEdgeCounts.last.toDouble / nProd
+        Verdict.now(runId, part, "emd_offset", alpha, d,
+          1.0 - math.min(norm / 0.1, 1.0), None,
+          Map("emd_norm" -> norm, "overflow_frac" -> overflow,
+            "n_prod" -> nProd.toDouble, "exact_cdf" -> 1.0), ref.snapshotId)
+      } else {
+        val qs = Array.tabulate(201)(i => i.toDouble / 200)
+        val edges = KllOps.quantiles(ref.kllBytes, qs).distinct.sorted
+        val refCdfF = KllOps.cdf(ref.kllBytes)
+        val prodCdfF = KllOps.cdf(s.offsetKll)
+        val d = StatMath.emdFromCdfs(edges, edges.map(refCdfF), edges.map(prodCdfF))
+        val span = if (edges.nonEmpty) edges.last - edges.head else 0.0
+        val norm = if (span > 0) d / span else 0.0
+        Verdict.now(runId, part, "emd_offset", alpha, d,
+          1.0 - math.min(norm / 0.1, 1.0), None,
+          Map("emd_norm" -> norm, "n_prod" -> KllOps.n(s.offsetKll).toDouble),
+          ref.snapshotId)
+      }
+    }
+
+  /** Jensen–Shannon divergence (base 2) on the span-kind histogram — the
+    * bounded, symmetric companion to χ² (E8): χ²'s statistic grows with n
+    * at fixed effect size (every tiny shift is "significant" at 10^9 spans),
+    * JSD measures the SIZE of the shift on a fixed [0,1] scale. Exact counts
+    * from the stats pass, category universe = union of both sides (zero
+    * cells are fine — JSD is finite on disjoint support, no eps flooring).
+    * Same index-gate convention as PSI: p = 1 − min(jsd/0.1, 1). */
+  def jsd(runId: String, alpha: Double, ref: RefState,
+          summaries: Map[Int, PartSummary]): Seq[Verdict] = {
+    val cats = (ref.kindHist.keySet ++ summaries.values.flatMap(_.kindHist.keySet)).toSeq.sorted
+    val refCounts = cats.map(c => ref.kindHist.getOrElse(c, 0L)).toArray
+    summaries.toSeq.sortBy(_._1).map { case (part, s) =>
+      val prodCounts = cats.map(c => s.kindHist.getOrElse(c, 0L)).toArray
+      val v = StatMath.jsd(refCounts, prodCounts)
+      Verdict.now(runId, part, "jsd_kind", alpha, v,
+        1.0 - math.min(v / 0.1, 1.0), None,
+        Map("jsd_bits" -> v, "categories" -> cats.length.toDouble), ref.snapshotId)
+    }
+  }
+
   /** MMD + permutation test (E10) on bounded per-partition feature samples vs
     * the fitted reference sample — frouros MMD verbatim in semantics
     * (fit: ml/training.py:131-147; compare: detector_api/app/detector.py:58-60;

@@ -343,6 +343,8 @@ object ValidationRun {
         DriftChecks.ks(cfg.runId, cfg.alpha, ref, summaries) ++
         DriftChecks.chi2(cfg.runId, cfg.alpha, ref, summaries) ++
         DriftChecks.psi(cfg.runId, cfg.alpha, ref, summaries) ++
+        DriftChecks.emd(cfg.runId, cfg.alpha, ref, summaries) ++
+        DriftChecks.jsd(cfg.runId, cfg.alpha, ref, summaries) ++
         (if (!cfg.echoInputValues) mmdVerdicts
          else mmdVerdicts.map(v => v.copy(input_values =
            samples.get(v.part).map(_.map(_.toSeq).toSeq))))

@@ -126,6 +126,51 @@ object TpchQueries {
       .agg(round(max($"d"), 6).as("ks_d"))
   }
 
+  /** Wasserstein-1 distance of l_quantity between two shipdate-year windows
+    * — the magnitude-sensitive drift distance (DriftChecks.emd) replayed on
+    * TPC-H columns from exact empirical CDFs: Σ |ΔCDF| × value gap via
+    * window cumulative sums + lead. */
+  def emdQuantityYears(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_quantity".as("q"), (year($"l_shipdate") >= 1996).as("is_prod"))
+    val counts = li.groupBy($"q")
+      .agg(sum(when(!$"is_prod", 1L).otherwise(0L)).as("c_ref"),
+        sum(when($"is_prod", 1L).otherwise(0L)).as("c_prod"))
+    val w = Window.orderBy($"q").rowsBetween(Window.unboundedPreceding, 0)
+    val wl = Window.orderBy($"q")
+    val tot = counts.agg(sum($"c_ref").as("t_ref"), sum($"c_prod").as("t_prod"))
+    counts
+      .withColumn("cum_ref", sum($"c_ref").over(w))
+      .withColumn("cum_prod", sum($"c_prod").over(w))
+      .withColumn("q_next", lead($"q", 1).over(wl))
+      .filter($"q_next".isNotNull)
+      .crossJoin(tot)
+      .select((abs($"cum_ref" / $"t_ref" - $"cum_prod" / $"t_prod")
+        * ($"q_next" - $"q")).as("area"))
+      .agg(round(sum($"area"), 6).as("emd"))
+  }
+
+  /** Jensen–Shannon divergence (base 2) of l_returnflag between two
+    * shipdate-year windows — the bounded categorical drift size
+    * (DriftChecks.jsd) replayed on TPC-H columns from exact counts. */
+  def jsdReturnflagYears(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select($"l_returnflag".as("f"), (year($"l_shipdate") >= 1996).as("is_prod"))
+    val counts = li.groupBy($"f")
+      .agg(sum(when(!$"is_prod", 1L).otherwise(0L)).as("c_ref"),
+        sum(when($"is_prod", 1L).otherwise(0L)).as("c_prod"))
+    val tot = counts.agg(sum($"c_ref").as("t_ref"), sum($"c_prod").as("t_prod"))
+    counts.crossJoin(tot)
+      .select(($"c_ref" / $"t_ref").as("p"), ($"c_prod" / $"t_prod").as("q"))
+      .withColumn("m", ($"p" + $"q") / 2)
+      .select(
+        (when($"p" > 0, $"p" * log($"p" / $"m") / log(lit(2.0))).otherwise(0.0) / 2 +
+          when($"q" > 0, $"q" * log($"q" / $"m") / log(lit(2.0))).otherwise(0.0) / 2).as("term"))
+      .agg(round(sum($"term"), 6).as("jsd"))
+  }
+
   /** E4 t-digest path, oracle-GATED like [[hllOrders]]: the merged t-digest
     * of l_quantity must (a) report n/min/max EXACTLY — the query emits them
     * FROM the digest, the oracle recomputes them from the raw column, so any
@@ -190,6 +235,38 @@ object TpchQueries {
       lit(ThetaOps.estimateLong(ThetaOps.intersect(a, b))).as("n_both"),
       lit(ThetaOps.estimateLong(ThetaOps.union(a, b))).as("n_either"),
       lit(ThetaOps.estimateLong(ThetaOps.aNotB(a, b))).as("n_only_1995"))
+  }
+
+  /** E13 detection, oracle-gated in the ALWAYS-exact regime: the
+    * frequent-items sketch over l_returnflag (3 distinct keys — no purge at
+    * any SF, every retained count exact) must reproduce the exact per-key
+    * counts above a 20% mass threshold. The estimation-mode guarantees
+    * (no false negatives under purge) are spec-tested (SkewSpec). */
+  def freqHotKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+    val hot = graft.ops.Skew.heavyKeys(li, "l_returnflag", minFrac = 0.2, maxMapSize = 64)
+    s.createDataFrame(hot.map(h => (h.key, h.estimate)))
+      .toDF("k", "cnt").orderBy($"k")
+  }
+
+  /** E13 remedy, end-to-end DuckDB-oracled: a quarter of orders remapped
+    * onto one hot customer key, the hot key DETECTED by the sketch pass
+    * (gated by the literal TRUE column) and the differentiated salted join
+    * applied — the aggregate over the join must equal the plain-join replay
+    * (salting must never change results, only shuffle placement). */
+  def skewJoinHot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o2 = t(s, dir, "orders").select(
+      when(pmod($"o_orderkey", lit(4)) === 0, lit(1L)).otherwise($"o_custkey").as("k"),
+      $"o_totalprice")
+    val cust = t(s, dir, "customer").select($"c_custkey".as("k"), $"c_mktsegment")
+    val hot = graft.ops.Skew.heavyKeys(o2, "k", minFrac = 0.1, maxMapSize = 1024)
+    val joined = graft.ops.Skew.saltedJoinHot(o2, cust, "k", hot.map(_.key), salts = 8)
+    joined.groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("cnt"), round(sum($"o_totalprice"), 2).as("sum_price"))
+      .withColumn("hot_detected", lit(hot.exists(_.key == "1")))
+      .orderBy($"c_mktsegment")
   }
 
   /** E15: top-k with a deterministic tiebreak. */
@@ -258,6 +335,32 @@ object TpchQueries {
                  sum(c_prod) OVER (ORDER BY q) AS cum_prod FROM c)
          SELECT round(max(abs(cum_ref * 1.0 / t_ref - cum_prod * 1.0 / t_prod)), 6) AS ks_d
          FROM cum, t""",
+    "emd_quantity_years" ->
+      """WITH c AS (SELECT l_quantity AS q,
+                 sum(CASE WHEN year(l_shipdate) >= 1996 THEN 0 ELSE 1 END) AS c_ref,
+                 sum(CASE WHEN year(l_shipdate) >= 1996 THEN 1 ELSE 0 END) AS c_prod
+               FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(c_ref) AS t_ref, sum(c_prod) AS t_prod FROM c),
+         cum AS (SELECT q,
+                 sum(c_ref) OVER (ORDER BY q) AS cum_ref,
+                 sum(c_prod) OVER (ORDER BY q) AS cum_prod,
+                 lead(q) OVER (ORDER BY q) AS q_next FROM c)
+         SELECT round(sum(abs(cum_ref * 1.0 / t_ref - cum_prod * 1.0 / t_prod)
+                * (q_next - q)), 6) AS emd
+         FROM cum, t WHERE q_next IS NOT NULL""",
+    "jsd_returnflag_years" ->
+      """WITH c AS (SELECT l_returnflag AS f,
+                 sum(CASE WHEN year(l_shipdate) >= 1996 THEN 0 ELSE 1 END) AS c_ref,
+                 sum(CASE WHEN year(l_shipdate) >= 1996 THEN 1 ELSE 0 END) AS c_prod
+               FROM lineitem GROUP BY 1),
+         t AS (SELECT sum(c_ref) AS t_ref, sum(c_prod) AS t_prod FROM c),
+         pq AS (SELECT c_ref * 1.0 / t_ref AS p, c_prod * 1.0 / t_prod AS q,
+                 (c_ref * 1.0 / t_ref + c_prod * 1.0 / t_prod) / 2 AS m
+               FROM c, t)
+         SELECT round(sum(
+           CASE WHEN p > 0 THEN p * log2(p / m) ELSE 0 END / 2 +
+           CASE WHEN q > 0 THEN q * log2(q / m) ELSE 0 END / 2), 6) AS jsd
+         FROM pq""",
     // exact digest fields recomputed from the raw column + literal TRUE
     // gates: the hash breaks if the merged t-digest miscounts weight,
     // drifts an extreme, or lands p50/p95 outside the ±2% rank window
@@ -276,6 +379,22 @@ object TpchQueries {
            (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS n_both,
            (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS n_either,
            (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS n_only_1995""",
+    // exact-regime heavy hitters: the sketch never purges at 3 distinct
+    // keys, so retained counts must equal the exact groupBy counts
+    "freq_hot_keys" ->
+      """SELECT l_returnflag AS k, count(*) AS cnt FROM lineitem
+         GROUP BY 1
+         HAVING count(*) >= greatest(1, CAST(ceil(0.2 * (SELECT count(*) FROM lineitem)) AS BIGINT))
+         ORDER BY 1""",
+    // plain-join replay: the salted join must be result-invariant, and the
+    // TRUE gate breaks the hash if the sketch pass misses the injected key
+    "skew_join_hot" ->
+      """WITH o2 AS (SELECT CASE WHEN o_orderkey % 4 = 0 THEN 1
+                       ELSE o_custkey END AS k, o_totalprice FROM orders)
+         SELECT c.c_mktsegment, count(*) AS cnt,
+           round(sum(o.o_totalprice), 2) AS sum_price, TRUE AS hot_detected
+         FROM o2 o JOIN customer c ON c.c_custkey = o.k
+         GROUP BY 1 ORDER BY 1""",
     "topk_orders" ->
       """SELECT o_orderkey, o_totalprice FROM orders
          ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
@@ -293,8 +412,12 @@ object TpchQueries {
     "psi_quantity_buckets" -> (psiQuantityBuckets _),
     "psi_quantity_years" -> (psiQuantityYears _),
     "ks_quantity_years" -> (ksQuantityYears _),
+    "emd_quantity_years" -> (emdQuantityYears _),
+    "jsd_returnflag_years" -> (jsdReturnflagYears _),
     "tdigest_quantity" -> (tdigestQuantity _),
     "theta_customer_overlap" -> (thetaCustomerOverlap _),
     "topk_orders" -> (topkOrders _),
+    "freq_hot_keys" -> (freqHotKeys _),
+    "skew_join_hot" -> (skewJoinHot _),
     "events_hourly_agg" -> (eventsHourlyAgg _))
 }

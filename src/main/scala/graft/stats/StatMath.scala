@@ -180,6 +180,46 @@ object StatMath {
     s
   }
 
+  /** Jensen–Shannon divergence (base 2 — bounded [0, 1]) between two count
+    * histograms over the SAME category universe. Exact-count formulation:
+    * zero-count cells contribute zero from that side (0·log 0 = 0), no eps
+    * flooring needed — JSD is finite for disjoint supports, unlike KL/PSI. */
+  def jsd(refCounts: Array[Long], prodCounts: Array[Long]): Double = {
+    require(refCounts.length == prodCounts.length)
+    val nR = refCounts.sum.toDouble
+    val nP = prodCounts.sum.toDouble
+    if (nR == 0 || nP == 0) return if (nR == nP) 0.0 else 1.0
+    val ln2 = math.log(2.0)
+    var s = 0.0
+    var i = 0
+    while (i < refCounts.length) {
+      val p = refCounts(i) / nR
+      val q = prodCounts(i) / nP
+      val m = 0.5 * (p + q)
+      if (p > 0) s += 0.5 * p * math.log(p / m)
+      if (q > 0) s += 0.5 * q * math.log(q / m)
+      i += 1
+    }
+    math.max(0.0, s / ln2)
+  }
+
+  /** Wasserstein-1 (earth mover's) distance between two empirical CDFs
+    * evaluated at shared grid edges: Σ |F_ref(e_j) − F_prod(e_j)| × (e_{j+1}
+    * − e_j). Exact for distributions supported on the edges; grid-censored
+    * otherwise (mass beyond the last edge contributes nothing — the caller
+    * reports it separately). */
+  def emdFromCdfs(edges: Array[Double], refCdf: Array[Double],
+                  prodCdf: Array[Double]): Double = {
+    require(edges.length == refCdf.length && edges.length == prodCdf.length)
+    var s = 0.0
+    var j = 0
+    while (j < edges.length - 1) {
+      s += math.abs(refCdf(j) - prodCdf(j)) * (edges(j + 1) - edges(j))
+      j += 1
+    }
+    s
+  }
+
   /** KS D-statistic between two empirical CDFs evaluated on a merged grid.
     * `refQ`/`prodQ` are CDF evaluators (monotone, in [0,1]). */
   def ksD(grid: Array[Double], refCdf: Double => Double, prodCdf: Double => Double): Double = {

@@ -46,7 +46,7 @@ object ParallelismProbe {
     val a = runAt(2, nDocs)
     val b = runAt(8, nDocs)
     require(a.keySet == b.keySet, s"verdict key sets differ: ${a.size} vs ${b.size}")
-    val sketchBased = Set("ks_offset", "psi_offset")
+    val sketchBased = Set("ks_offset", "psi_offset", "emd_offset")
     var exact = 0
     var banded = 0
     a.keys.toSeq.sorted.foreach { k =>
