@@ -139,6 +139,24 @@ object OpsQueries {
       .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
   }
 
+  /** Hashed-linear classifier scoring (model-based quality filter, the
+    * fastText-inference shape): every doc scored by a deterministic
+    * pseudo-trained weight vector; the bucket weights are materialized to
+    * parquet so DuckDB replays tokenization, md5 feature-hashing, the mean
+    * and the sigmoid end to end. */
+  private val ClassifierDim = 1024
+  private def classifierWeightsPath: String = graft.util.PidPaths.path("graft_clf_w")
+  def classifierScores(s: SparkSession, dir: String): DataFrame = {
+    graft.util.PidPaths.cleanStaleSiblings("graft_clf_w")
+    val w = Classifier.syntheticWeights(ClassifierDim)
+    s.createDataFrame(w.zipWithIndex.toSeq.map { case (wt, b) => (b.toLong, wt) })
+      .toDF("bucket", "weight").coalesce(1)
+      .write.mode("overwrite").parquet(classifierWeightsPath)
+    docs(s, dir).select(col("doc_id"),
+      round(Classifier.scoreCol(col("text"), w), 6).as("score"))
+      .orderBy(col("doc_id"))
+  }
+
   private def ingestSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
@@ -608,6 +626,7 @@ object OpsQueries {
     "knn_join_exact" -> (knnJoinExact _),
     "ann_lsh_exact" -> (annLshExact _),
     "lang_id_detect" -> (langIdDetect _),
+    "classifier_scores" -> (classifierScores _),
     "curation_pipeline" -> (curationPipeline _),
     "curation_near_dup" -> (curationNearDup _),
     "curation_cc" -> (curationCc _),
@@ -1139,6 +1158,24 @@ object OpsQueries {
     "curation_pipeline" -> ("WITH " + gateCtes("documents") + gateSelect),
     // fold order: first profile attaining the max wins (strict-greater
     // replacement in the engine keeps the earliest max)
+    // tokenization, md5 feature-hashing, mean and sigmoid replayed against
+    // the materialized weight table — the full inference path hash-checked
+    "classifier_scores" ->
+      s"""WITH w AS (SELECT bucket, weight
+             FROM read_parquet('$classifierWeightsPath/*.parquet')),
+          tok AS (
+             SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+               x -> len(x) > 0)) AS t
+             FROM documents),
+          b AS (SELECT doc_id,
+                  try_cast(concat('0x', substr(md5(t), 1, 8)) AS bigint)
+                    % $ClassifierDim AS bucket
+                FROM tok),
+          m AS (SELECT b.doc_id, avg(w.weight) AS mu
+                FROM b JOIN w USING (bucket) GROUP BY 1)
+          SELECT d.doc_id, round(1.0 / (1.0 + exp(-coalesce(m.mu, 0.0))), 6) AS score
+          FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
+          ORDER BY d.doc_id""",
     "lang_id_detect" ->
       """WITH t AS (SELECT doc_id, lang,
              list_filter(string_split_regex(lower(text), '\s+'), x -> len(x)>0) AS toks,
