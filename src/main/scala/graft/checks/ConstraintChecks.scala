@@ -265,6 +265,52 @@ object ConstraintChecks {
     * the COUNTS ride the DocStatsAgg scan for free and only dirty partitions
     * are rescanned for rows ([[spanIntegrityRows]]). */
 
+  /** PROBE-SIDE referential check (E6 at huge-catalog scale): when the
+    * media catalog exceeds every broadcast bound but the DOCS' distinct
+    * referenced set is small (the common incremental-validation case — one
+    * appended partition referencing a bounded set of assets vs a 10^9-row
+    * catalog), the right plan broadcasts the REFERENCED set into one narrow
+    * catalog scan instead of shuffling both sides:
+    *
+    *   refs(docs) --distinct--> broadcast → semi-join catalog scan
+    *     → present set (bounded by refs) → broadcast → anti-join docs refs
+    *
+    * The catalog crosses no network and is scanned exactly once; the only
+    * hash Exchange is the bounded refs distinct (needed so the broadcast
+    * payload is the DISTINCT set — doc refs repeat heavily). Same outputs
+    * as [[referential]]. */
+  /** The dangling-ref plan behind [[referentialProbeSide]], exposed so specs
+    * can assert its shape: the ONLY hash Exchange is the bounded
+    * refs-distinct — the catalog side is scan → BroadcastHashJoin, never
+    * exchanged. */
+  private[graft] def probeSideDangling(docs: DataFrame, media: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val refs = docs
+      .select($"part", $"doc_id", explode(col("spans.media_ref")).as("media_ref"))
+      .filter($"media_ref".isNotNull)
+    val refSet = refs.select($"media_ref").distinct()
+    val present = media.select($"media_ref")
+      .join(broadcast(refSet), Seq("media_ref"), "left_semi")
+    refs.join(broadcast(present), Seq("media_ref"), "left_anti")
+  }
+
+  def referentialProbeSide(docs: DataFrame, media: DataFrame, runId: String): (Dataset[Violation], Map[Int, Long]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dangling = probeSideDangling(docs, media).cache()
+    try {
+      val perPart = dangling.groupBy($"part").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val violations = dangling
+        .select(lit(runId).as("run_id"), $"part",
+          lit("ref_media").as("check_id"), $"doc_id",
+          concat(lit("dangling media_ref "), $"media_ref").as("detail"))
+        .as[Violation]
+        .localCheckpoint(true)
+      (violations, perPart)
+    } finally dangling.unpersist()
+  }
+
   /** LAZY violation-row variants: no cache, no count jobs. Used when the
     * per-part counts are already known from the fused stats scan — the
     * returned Datasets are evaluated together in the caller's single

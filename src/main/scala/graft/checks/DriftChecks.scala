@@ -189,7 +189,11 @@ object DriftChecks {
             "n_prod" -> nProd.toDouble, "exact_cdf" -> 1.0), ref.snapshotId)
       } else {
         val qs = Array.tabulate(201)(i => i.toDouble / 200)
-        val edges = KllOps.quantiles(ref.kllBytes, qs).distinct.sorted
+        // an empty reference sketch yields NaN quantiles — drop them (the
+        // distance then reads 0 over an empty grid instead of poisoning
+        // the sort and the span arithmetic)
+        val edges = KllOps.quantiles(ref.kllBytes, qs)
+          .filter(d => !d.isNaN).distinct.sorted
         val refCdfF = KllOps.cdf(ref.kllBytes)
         val prodCdfF = KllOps.cdf(s.offsetKll)
         val d = StatMath.emdFromCdfs(edges, edges.map(refCdfF), edges.map(prodCdfF))

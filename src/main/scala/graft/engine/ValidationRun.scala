@@ -190,17 +190,27 @@ object ValidationRun {
       sinkWrite("unique", r._1)
       r
     })
-    // 4. referential (E6). Two layouts:
+    // 4. referential (E6). Three layouts, auto-laddered:
     //  - fused + broadcastable catalog: dangling-ref COUNTING rides the stats
     //    scan (broadcast media set checked inside DocStatsAgg) — no separate
     //    pass over the table; violation ROWS are materialized afterwards from
     //    the dirty partitions only (partition-pruned anti-join, zero-cost on
     //    a clean table).
-    //  - otherwise: standalone anti-join pass (the shuffled-join path is the
-    //    only option when the catalog can't be broadcast).
+    //  - catalog too big to broadcast but the DOCS side is small (incremental
+    //    runs over appended partitions vs a 10^9-row catalog): PROBE-SIDE
+    //    broadcast — the referenced set broadcasts into one narrow catalog
+    //    scan, the catalog never shuffles.
+    //  - both sides big: shuffled anti-join (AQE converts/splits at runtime).
     val fuseRef = cfg.fusedScan && useBroadcastMedia
     val fRef = if (fuseRef) None else Some(maybeFuture(timed("referential") {
-      val r = ConstraintChecks.referential(docs, media, cfg.runId, useBroadcastMedia)
+      val probeSide = !useBroadcastMedia &&
+        docs.select("doc_id").queryExecution.optimizedPlan.stats.sizeInBytes <=
+          BigInt(cfg.mediaBroadcastMaxBytes)
+      val r = if (probeSide) {
+        log.info("referential path: catalog over the broadcast bound but the " +
+          "docs side is small - probe-side broadcast (catalog never shuffles)")
+        ConstraintChecks.referentialProbeSide(docs, media, cfg.runId)
+      } else ConstraintChecks.referential(docs, media, cfg.runId, useBroadcastMedia)
       sinkWrite("ref", r._1)
       r
     }))
@@ -438,8 +448,21 @@ object ValidationRun {
     // original validation snapshot survives a chain of carries: only rows
     // WITHOUT the marker get it stamped (they were scanned at fromSnapshot).
     if (carried.nonEmpty) {
-      val prior = spark.read.parquet(resultsPath)
-        .filter($"snapshot_id" === fromSnapshot && $"part".isin(carried: _*))
+      val prior =
+        try spark.read.parquet(resultsPath)
+          .filter($"snapshot_id" === fromSnapshot && $"part".isin(carried: _*))
+        catch { case e: Throwable => throw new IllegalStateException(
+          s"runIncremental: cannot read prior results at $resultsPath - " +
+            s"carry-forward needs snapshot $fromSnapshot's verdicts (seed the " +
+            "chain with a full run/runResumable first)", e) }
+      // a silently partial carry would claim coverage the results table
+      // doesn't have — verify every carried partition actually has verdicts
+      val priorParts = prior.select("part").distinct().as[Int].collect().toSet
+      val missing = carried.filterNot(priorParts)
+      require(missing.isEmpty,
+        s"runIncremental: snapshot $fromSnapshot's results cover no verdicts " +
+          s"for carried partitions ${missing.mkString(",")} - refusing a " +
+          "partial carry (validate those partitions first)")
       prior
         .withColumn("snapshot_id", lit(toSnapshot))
         .withColumn("metrics", map_concat(

@@ -70,6 +70,22 @@ object TpchQueries {
     dangling.agg(count(lit(1)).as("dangling_orders"))
   }
 
+  /** E6 PROBE-SIDE layout, same oracle shape as [[refOrdersCustomer]]: the
+    * referenced key set broadcasts into one narrow catalog scan (present
+    * set, bounded) and back onto the probe side — the catalog never
+    * shuffles. The path huge-catalog referential checks take
+    * (ConstraintChecks.referentialProbeSide); here hash-gated on TPC-H. */
+  def refProbeSide(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders").select($"o_custkey")
+    val refSet = orders.distinct()
+    val present = t(s, dir, "customer").select($"c_custkey")
+      .join(broadcast(refSet), $"c_custkey" === $"o_custkey", "left_semi")
+    orders
+      .join(broadcast(present), $"o_custkey" === $"c_custkey", "left_anti")
+      .agg(count(lit(1)).as("dangling_orders"))
+  }
+
   /** E8: chi-squared contingency table — l_returnflag counts per shipdate
     * year (the categorical-drift windows). */
   def chi2ReturnflagYears(s: SparkSession, dir: String): DataFrame = {
@@ -308,6 +324,9 @@ object TpchQueries {
     "ref_orders_customer" ->
       """SELECT count(*) AS dangling_orders FROM orders o
          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""",
+    "ref_probe_side" ->
+      """SELECT count(*) AS dangling_orders FROM orders o
+         WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""",
     "chi2_returnflag_years" ->
       """SELECT year(l_shipdate) AS yr, l_returnflag AS flag, count(*) AS cnt
          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
@@ -408,6 +427,7 @@ object TpchQueries {
     "stats_lineitem" -> (statsLineitem _),
     "unique_orders" -> (uniqueOrders _),
     "ref_orders_customer" -> (refOrdersCustomer _),
+    "ref_probe_side" -> (refProbeSide _),
     "chi2_returnflag_years" -> (chi2ReturnflagYears _),
     "psi_quantity_buckets" -> (psiQuantityBuckets _),
     "psi_quantity_years" -> (psiQuantityYears _),

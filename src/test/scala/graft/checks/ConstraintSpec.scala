@@ -112,4 +112,25 @@ class ConstraintSpec extends AnyFunSuite {
     assert(stats.values.map(_.totalDocs).sum == 6)
     assert(stats.values.map(_.distinctKeys).sum == 3)
   }
+
+  test("probe-side referential: same results as the anti-join paths; catalog never exchanged") {
+    val docs = DocsGen.docs(spark, 4000,
+      Seq(graft.model.PartSpec(0), graft.model.PartSpec(16, danglingRate = 0.10))).cache()
+    val media = DocsGen.media(spark)
+    val (vP, cP) = ConstraintChecks.referentialProbeSide(docs, media, "t")
+    val (vB, cB) = ConstraintChecks.referential(docs, media, "t", broadcastMedia = true)
+    val (vS, cS) = ConstraintChecks.referential(docs, media, "t", broadcastMedia = false)
+    assert(cP == cB && cP == cS)
+    assert(cP.getOrElse(16, 0L) > 0L) // the dangling fixture actually fired
+    def rows(v: org.apache.spark.sql.Dataset[Violation]) =
+      v.collect().map(x => (x.part, x.doc_id, x.detail)).sorted
+    assert(rows(vP).sameElements(rows(vB)))
+    assert(rows(vP).sameElements(rows(vS)))
+    // plan shape: the ONLY hash Exchange is the bounded refs-distinct — the
+    // catalog side is scan -> BroadcastHashJoin, never exchanged
+    val plan = ConstraintChecks.probeSideDangling(docs, media)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    docs.unpersist()
+  }
 }
