@@ -157,6 +157,30 @@ object OpsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** PII scrub over a corpus with deterministically injected emails / IPs /
+    * phone numbers (the raw corpus has none): per-kind counts plus the
+    * md5 of the redacted text, so detection AND the fixed-order rewrite are
+    * both hash-checked against the DuckDB regex replay. Suffix recipe is
+    * pure doc_id arithmetic — SQL-replayable. */
+  private def docsWithPii(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" host 10."), col("doc_id") % 256, lit(".0.1")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" call +1 555-01"), col("doc_id") % 90 + 10, lit(" 4567")))
+          .otherwise(lit(""))).as("text"))
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    Pii.scrub(docsWithPii(s, dir), "text")
+      .select(col("doc_id"), col("emails"), col("ipv4s"), col("phones"),
+        md5(col("text_redacted")).as("red_md5"))
+      .orderBy(col("doc_id"))
+
   private def ingestSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
@@ -627,6 +651,7 @@ object OpsQueries {
     "ann_lsh_exact" -> (annLshExact _),
     "lang_id_detect" -> (langIdDetect _),
     "classifier_scores" -> (classifierScores _),
+    "pii_scrub" -> (piiScrub _),
     "curation_pipeline" -> (curationPipeline _),
     "curation_near_dup" -> (curationNearDup _),
     "curation_cc" -> (curationCc _),
@@ -1176,6 +1201,30 @@ object OpsQueries {
           SELECT d.doc_id, round(1.0 / (1.0 + exp(-coalesce(m.mu, 0.0))), 6) AS score
           FROM documents d LEFT JOIN m ON d.doc_id = m.doc_id
           ORDER BY d.doc_id""",
+    // PII scrub: injection recipe + detection counts + the fixed-order
+    // redaction rewrite (emails -> IPv4 -> phones) replayed with the SAME
+    // regex constants (interpolated from Pii.* — one source of truth; the
+    // patterns live in the RE2 ∩ java.util.regex common subset)
+    "pii_scrub" ->
+      s"""WITH corpus AS (
+            SELECT doc_id, text
+              || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+              || CASE WHEN doc_id % 11 = 0
+                   THEN ' host 10.' || (doc_id % 256) || '.0.1' ELSE '' END
+              || CASE WHEN doc_id % 13 = 0
+                   THEN ' call +1 555-01' || (doc_id % 90 + 10) || ' 4567' ELSE '' END
+              AS text
+            FROM documents)
+          SELECT doc_id,
+            len(regexp_extract_all(text, '${Pii.EmailRe}')) AS emails,
+            len(regexp_extract_all(text, '${Pii.Ipv4Re}')) AS ipv4s,
+            len(regexp_extract_all(text, '${Pii.PhoneRe}')) AS phones,
+            md5(regexp_replace(regexp_replace(regexp_replace(text,
+              '${Pii.EmailRe}', '<EMAIL>', 'g'),
+              '${Pii.Ipv4Re}', '<IP>', 'g'),
+              '${Pii.PhoneRe}', '<PHONE>', 'g')) AS red_md5
+          FROM corpus ORDER BY doc_id""",
     "lang_id_detect" ->
       """WITH t AS (SELECT doc_id, lang,
              list_filter(string_split_regex(lower(text), '\s+'), x -> len(x)>0) AS toks,
