@@ -79,6 +79,12 @@ object GraftExtensions {
         arity("hyperplane_bucket", args, 2)
         HyperplaneBucket(args(0), intLit(args(1), "hyperplane_bucket", "planes"))
       }),
+    ("random_project", "seeded JL sign-matrix random projection to outDim latent dims",
+      (args: Seq[Expression]) => {
+        arity("random_project", args, 3)
+        RandomProject(args(0), intLit(args(1), "random_project", "outDim"),
+          intLit(args(2), "random_project", "seed"))
+      }),
     ("span_flags", "span-integrity flags: bit0 non-monotone offsets, bit1 null kind",
       (args: Seq[Expression]) => { arity("span_flags", args, 2); SpanFlags(args(0), args(1)) }),
     ("whitespace_tokens", "lowercase whitespace tokens of a string",

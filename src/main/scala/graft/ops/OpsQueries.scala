@@ -273,6 +273,25 @@ object OpsQueries {
       embs(s, dir).filter(col("vec_id") =!= 0), "vec_id", "embedding", queryVec, 10)
   }
 
+  /** JL random projection to 8 latent dims, long format (vec_id, j, lat) —
+    * the DuckDB oracle replays the md5 sign-matrix DERIVATION and the
+    * projection, so the whole encoder is hash-gated end to end. */
+  def dimredProject(s: SparkSession, dir: String): DataFrame =
+    DimRed.project(embs(s, dir), "embedding", outDim = 8, seed = 7)
+      .select(col("vec_id"), posexplode(col("latent")).as(Seq("j", "v")))
+      .select(col("vec_id"), col("j"), round(col("v"), 4).as("lat"))
+      .orderBy(col("vec_id"), col("j"))
+
+  /** Two-stage projected→re-ranked top-k (deterministic at every stage, so
+    * fully SQL-replayable unlike the LSH/IVF ANN configs). */
+  def dimredTopK(s: SparkSession, dir: String): DataFrame = {
+    val queryVec = embs(s, dir).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head().getSeq[Double](0).toArray
+    DimRed.projectedTopK(embs(s, dir).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", queryVec, k = 10, outDim = 8, seed = 7, oversample = 4)
+  }
+
   // ---- approximate / non-SQL-expressible operators ----
   // (most of the family is DuckDB-oracled as of round 2 — see oracleSql;
   // only the inherently-approximate ANN queries stay rows-only)
@@ -651,6 +670,8 @@ object OpsQueries {
     "ann_lsh_exact" -> (annLshExact _),
     "lang_id_detect" -> (langIdDetect _),
     "classifier_scores" -> (classifierScores _),
+    "dimred_project" -> (dimredProject _),
+    "dimred_topk" -> (dimredTopK _),
     "pii_scrub" -> (piiScrub _),
     "curation_pipeline" -> (curationPipeline _),
     "curation_near_dup" -> (curationNearDup _),
@@ -1146,6 +1167,54 @@ object OpsQueries {
          dots AS (SELECT x.vec_id, sum(x.e * q.e) AS dot,
                     sqrt(sum(x.e * x.e)) AS nx, sqrt(sum(q.e * q.e)) AS nq
                   FROM x JOIN q USING (i) GROUP BY x.vec_id)
+         SELECT vec_id, round(dot / (nx * nq), 4) AS cos FROM dots
+         ORDER BY cos DESC, vec_id LIMIT 10""",
+    // JL sign-matrix derivation (md5 nibble parity — the same cross-engine
+    // primitive as Sample's rank) AND the projection, replayed end to end
+    "dimred_project" ->
+      """WITH cells AS (
+           SELECT j, i, CASE WHEN strpos('02468ace',
+               substr(md5('rp-7-' || i || '-' || j), 1, 1)) > 0
+             THEN 1.0 ELSE -1.0 END AS s
+           FROM range(8) t1(j), range(64) t2(i)),
+         x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) - 1 AS i
+               FROM embeddings),
+         lat AS (SELECT x.vec_id, c.j, sum(x.e * c.s) / sqrt(8.0) AS v
+                 FROM x JOIN cells c USING (i) GROUP BY x.vec_id, c.j)
+         SELECT vec_id, CAST(j AS INT) AS j, round(v, 4) AS lat
+         FROM lat ORDER BY vec_id, j""",
+    // two-stage retrieval: latent-cosine candidate cut (top 40 = k x
+    // oversample, rounded-6 + id tiebreak) then exact-cosine re-rank —
+    // deterministic at both stages, so the full pipeline hash-checks
+    "dimred_topk" ->
+      """WITH cells AS (
+           SELECT j, i, CASE WHEN strpos('02468ace',
+               substr(md5('rp-7-' || i || '-' || j), 1, 1)) > 0
+             THEN 1.0 ELSE -1.0 END AS s
+           FROM range(8) t1(j), range(64) t2(i)),
+         q AS (SELECT CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) - 1 AS i
+               FROM embeddings WHERE vec_id = 0),
+         x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) - 1 AS i
+               FROM embeddings WHERE vec_id <> 0),
+         qlat AS (SELECT c.j, sum(q.e * c.s) / sqrt(8.0) AS v
+                  FROM q JOIN cells c USING (i) GROUP BY c.j),
+         xlat AS (SELECT x.vec_id, c.j, sum(x.e * c.s) / sqrt(8.0) AS v
+                  FROM x JOIN cells c USING (i) GROUP BY x.vec_id, c.j),
+         latcos AS (SELECT xl.vec_id,
+                      round(sum(xl.v * ql.v) /
+                        (sqrt(sum(xl.v * xl.v)) * sqrt(sum(ql.v * ql.v))), 6)
+                        AS lat_cos
+                    FROM xlat xl JOIN qlat ql USING (j) GROUP BY xl.vec_id),
+         cand AS (SELECT vec_id FROM latcos
+                  ORDER BY lat_cos DESC, vec_id LIMIT 40),
+         dots AS (SELECT x.vec_id, sum(x.e * q.e) AS dot,
+                    sqrt(sum(x.e * x.e)) AS nx, sqrt(sum(q.e * q.e)) AS nq
+                  FROM x JOIN q USING (i)
+                  WHERE x.vec_id IN (SELECT vec_id FROM cand)
+                  GROUP BY x.vec_id)
          SELECT vec_id, round(dot / (nx * nq), 4) AS cos FROM dots
          ORDER BY cos DESC, vec_id LIMIT 10""",
     // streaming twin: complete-mode replay over the full file equals the
