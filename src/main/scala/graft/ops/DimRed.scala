@@ -67,4 +67,94 @@ object DimRed {
       .orderBy(col("cos").desc, col(idCol))
       .limit(k)
   }
+
+  private val MetaDir = "_graft_dimred_meta"
+
+  /** Persist a latent index: `(id, latent, emb)` parquet plus a config
+    * sidecar (outDim, seed) — project ONCE at ingest, query in the small
+    * space forever after. Stage-1 scans prune to `(id, latent)` (~8 doubles
+    * per row instead of 64: an 8× narrower read at query time); the full
+    * vectors ride along so re-ranking needs no second table. */
+  def latentIndexWrite(df: DataFrame, idCol: String, embCol: String,
+                       path: String, outDim: Int = 8, seed: Int = 7): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).as("id"),
+        projectCol(col(embCol), outDim, seed).as("latent"),
+        col(embCol).cast("array<double>").as("emb"))
+      .write.mode("overwrite").parquet(path)
+    // inDim rides in the sidecar: the sign matrix is keyed (outDim, inDim,
+    // seed), so an append with a different embedding width would silently
+    // project through a DIFFERENT matrix — incomparable latent cosines
+    val inDim = firstEmbWidth(df, embCol).getOrElse(-1)
+    Seq((outDim, seed, inDim)).toDF("outDim", "seed", "inDim").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/$MetaDir")
+  }
+
+  private def firstEmbWidth(df: DataFrame, embCol: String): Option[Int] =
+    df.select(size(col(embCol))).limit(1).collect().headOption.map(_.getInt(0))
+
+  /** Incremental append into an existing latent index — new vectors are
+    * projected through the SAME recorded (outDim, seed) matrix (fails loud
+    * on a missing sidecar or an id-type change: mixed matrices would make
+    * latent cosines incomparable across writes). */
+  def latentIndexAppend(df: DataFrame, idCol: String, embCol: String,
+                        path: String): Unit = {
+    val spark = df.sparkSession
+    val (outDim, seed, inDim) = readMeta(spark, path).getOrElse(throw new IllegalArgumentException(
+      s"latentIndexAppend: no config sidecar at $path — not a latent index"))
+    IndexMaintenance.requireSameIdType(spark, path, Some("id"),
+      df.schema(idCol).dataType, "latentIndexAppend")
+    if (inDim > 0) firstEmbWidth(df, embCol).foreach(w => require(w == inDim,
+      s"latentIndexAppend: index at $path was built over $inDim-dim " +
+        s"embeddings, append brings $w-dim — a different sign matrix would " +
+        "make latent cosines incomparable"))
+    df.select(col(idCol).as("id"),
+        projectCol(col(embCol), outDim, seed).as("latent"),
+        col(embCol).cast("array<double>").as("emb"))
+      .write.mode("append").parquet(path)
+  }
+
+  private def readMeta(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Option[(Int, Int, Int)] =
+    try {
+      val meta = spark.read.parquet(s"$path/$MetaDir")
+      val r = meta.select("outDim", "seed").head()
+      // pre-inDim sidecars (none shipped, but the read stays lenient so a
+      // missing column degrades to "skip the width check", not a crash)
+      val in = if (meta.columns.contains("inDim"))
+        meta.select("inDim").head().getInt(0) else -1
+      Some((r.getInt(0), r.getInt(1), in))
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** Two-stage top-k against a persisted latent index: stage 1 ranks by
+    * latent cosine reading ONLY `(id, latent)` (column pruning — the wide
+    * `emb` column never leaves parquet) and keeps the top `k × oversample`
+    * ids; stage 2 re-reads `(id, emb)` joined against that bounded
+    * candidate set (BROADCAST hash join — a literal `isin` of thousands of
+    * ids is an interpreted Or-chain in the parquet pushdown path and
+    * probe-measured 25× slower at C=4000) and exact-cosine re-ranks. One
+    * declarative plan, no driver collect. Results are identical to
+    * [[projectedTopK]] over the same rows (spec-asserted). */
+  def projectedTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                           indexPath: String, query: Array[Double], k: Int,
+                           oversample: Int = 4): DataFrame = {
+    require(k >= 1 && oversample >= 1 && k.toLong * oversample <= Int.MaxValue,
+      s"dimred: bad k=$k oversample=$oversample")
+    val (outDim, seed, _) = readMeta(spark, indexPath).getOrElse(throw new IllegalArgumentException(
+      s"projectedTopKIndexed: no config sidecar at $indexPath — not a latent index"))
+    val qLat = typedlit(projectVec(query, outDim, seed).toSeq)
+    val q = typedlit(query.toSeq)
+    val idx = spark.read.parquet(indexPath)
+    val cand = idx
+      .select(col("id"),
+        round(Similarity.cosine(col("latent"), qLat), 6).as("lat_cos"))
+      .orderBy(col("lat_cos").desc, col("id"))
+      .limit(k * oversample)
+      .select(col("id"))
+    idx.join(broadcast(cand), "id")
+      .select(col("id"), round(Similarity.cosine(col("emb"), q), 4).as("cos"))
+      .orderBy(col("cos").desc, col("id"))
+      .limit(k)
+  }
 }

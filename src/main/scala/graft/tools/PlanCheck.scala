@@ -75,6 +75,18 @@ object PlanCheck {
     println(interesting(graft.ops.Pack.packByBudget(
       txt.select($"doc_id", lit(7L).as("n_tok")), "doc_id", "n_tok", 512L, 8)
       .queryExecution.executedPlan))
+
+    println("\n=== dimred latent index (stage-1 scan prunes to (id, latent); broadcast re-rank) ===")
+    val embRows = (1L to 200L).map { id =>
+      val rng = new graft.stats.StatMath.SplitMix64(id)
+      (id, Seq.fill(64)(rng.nextDouble() * 2 - 1))
+    }
+    graft.ops.DimRed.latentIndexWrite(embRows.toDF("id", "emb"), "id", "emb",
+      s"$work/latent", outDim = 8, seed = 7)
+    val qv = embRows.head._2.toArray
+    println(interesting(graft.ops.DimRed
+      .projectedTopKIndexed(spark, s"$work/latent", qv, k = 5)
+      .queryExecution.executedPlan))
     spark.stop()
   }
 }

@@ -127,4 +127,48 @@ class DimRedSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       DimRed.projectedTopK(df, "id", "emb", q, k = 0)).getMessage.contains("k"))
   }
+
+  test("latent index: indexed == unindexed; append is found; missing sidecar fails loud") {
+    val r = rng(13)
+    val q = randVec(r, 64)
+    val mk = (ids: Seq[Long]) => ids.map { id =>
+      val w = r.nextDouble()
+      (id, randVec(r, 64).zip(q).map { case (n, b) => w * b + (1 - w) * n })
+    }
+    val first = mk(1L to 300L); val extra = mk(301L to 400L)
+    val dir = java.nio.file.Files.createTempDirectory("dimred-idx").toString
+    DimRed.latentIndexWrite(first.toDF("id", "emb"), "id", "emb", dir,
+      outDim = 16, seed = 7)
+    val viaIndex = DimRed.projectedTopKIndexed(spark, dir, q, k = 10)
+      .collect().map(row => (row.getLong(0), row.getDouble(1))).toSeq
+    val direct = DimRed.projectedTopK(first.toDF("id", "emb"), "id", "emb", q,
+      k = 10, outDim = 16).collect().map(row => (row.getLong(0), row.getDouble(1))).toSeq
+    assert(viaIndex == direct)
+    // append: new vectors are projected through the RECORDED config and found
+    DimRed.latentIndexAppend(extra.toDF("id", "emb"), "id", "emb", dir)
+    val afterAppend = DimRed.projectedTopKIndexed(spark, dir, q, k = 10)
+      .collect().map(row => (row.getLong(0), row.getDouble(1))).toSeq
+    val directAll = DimRed.projectedTopK((first ++ extra).toDF("id", "emb"),
+      "id", "emb", q, k = 10, outDim = 16)
+      .collect().map(row => (row.getLong(0), row.getDouble(1))).toSeq
+    assert(afterAppend == directAll)
+    // not-an-index paths fail loud, and mixed id types are refused
+    val bare = java.nio.file.Files.createTempDirectory("dimred-bare").toString
+    first.toDF("id", "emb").write.mode("overwrite").parquet(bare)
+    assert(intercept[IllegalArgumentException](
+      DimRed.latentIndexAppend(extra.toDF("id", "emb"), "id", "emb", bare))
+      .getMessage.contains("sidecar"))
+    assert(intercept[IllegalArgumentException](
+      DimRed.projectedTopKIndexed(spark, bare, q, k = 10))
+      .getMessage.contains("sidecar"))
+    val strIds = extra.map { case (id, v) => (s"d$id", v) }.toDF("id", "emb")
+    assert(intercept[IllegalArgumentException](
+      DimRed.latentIndexAppend(strIds, "id", "emb", dir))
+      .getMessage.contains("id types"))
+    // a different embedding width means a DIFFERENT sign matrix — refused
+    val narrow = extra.map { case (id, v) => (id, v.take(32)) }.toDF("id", "emb")
+    assert(intercept[IllegalArgumentException](
+      DimRed.latentIndexAppend(narrow, "id", "emb", dir))
+      .getMessage.contains("64-dim"))
+  }
 }
