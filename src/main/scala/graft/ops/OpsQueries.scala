@@ -292,6 +292,23 @@ object OpsQueries {
       "vec_id", "embedding", queryVec, k = 10, outDim = 8, seed = 7, oversample = 4)
   }
 
+  /** Latent-space drift (the reference's encode→check_drift composition):
+    * per-dim PSI between even- and odd-id windows, once on identical
+    * distributions (no drift) and once with a +0.8 latent shift injected on
+    * the current side (drift on every dim) — both verdict sets hash-gated. */
+  def latentDrift(s: SparkSession, dir: String): DataFrame = {
+    val lat = DimRed.project(embs(s, dir), "embedding", outDim = 8, seed = 7)
+      .select(col("vec_id"), col("latent"))
+    val ref = lat.filter(col("vec_id") % 2 === 0).select("latent")
+    val cur = lat.filter(col("vec_id") % 2 =!= 0).select("latent")
+    val shifted = cur.select(transform(col("latent"), x => x + lit(0.8)).as("latent"))
+    LatentDrift.psiPerDimLatent(ref, cur, "latent").withColumn("scenario", lit("same"))
+      .unionByName(LatentDrift.psiPerDimLatent(ref, shifted, "latent")
+        .withColumn("scenario", lit("shift")))
+      .select(col("scenario"), col("dim"), col("psi"), col("is_drift"))
+      .orderBy(col("scenario"), col("dim"))
+  }
+
   // ---- approximate / non-SQL-expressible operators ----
   // (most of the family is DuckDB-oracled as of round 2 — see oracleSql;
   // only the inherently-approximate ANN queries stay rows-only)
@@ -672,6 +689,7 @@ object OpsQueries {
     "classifier_scores" -> (classifierScores _),
     "dimred_project" -> (dimredProject _),
     "dimred_topk" -> (dimredTopK _),
+    "latent_drift" -> (latentDrift _),
     "pii_scrub" -> (piiScrub _),
     "curation_pipeline" -> (curationPipeline _),
     "curation_near_dup" -> (curationNearDup _),
@@ -1217,6 +1235,52 @@ object OpsQueries {
                   GROUP BY x.vec_id)
          SELECT vec_id, round(dot / (nx * nq), 4) AS cos FROM dots
          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // full replay of the encode→drift composition: JL projection (same
+    // cells CTE as dimred_project), fixed-edge binning, Laplace-smoothed
+    // per-dim PSI, and the verdicts — for both the null and shifted windows
+    "latent_drift" ->
+      """WITH cells AS (
+           SELECT j, i, CASE WHEN strpos('02468ace',
+               substr(md5('rp-7-' || i || '-' || j), 1, 1)) > 0
+             THEN 1.0 ELSE -1.0 END AS s
+           FROM range(8) t1(j), range(64) t2(i)),
+         x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) - 1 AS i
+               FROM embeddings),
+         lat AS (SELECT x.vec_id, c.j AS dim, sum(x.e * c.s) / sqrt(8.0) AS v
+                 FROM x JOIN cells c USING (i) GROUP BY x.vec_id, c.j),
+         pts AS (
+           SELECT 'same' AS scenario, dim, v, (vec_id % 2 = 0) AS is_ref FROM lat
+           UNION ALL
+           SELECT 'shift', dim,
+             CASE WHEN vec_id % 2 = 0 THEN v ELSE v + 0.8 END,
+             (vec_id % 2 = 0) FROM lat),
+         b AS (SELECT scenario, dim,
+                 CASE WHEN v < -2 THEN 0 WHEN v < -1 THEN 1
+                      WHEN v < -0.5 THEN 2 WHEN v < 0 THEN 3
+                      WHEN v < 0.5 THEN 4 WHEN v < 1 THEN 5
+                      WHEN v < 2 THEN 6 ELSE 7 END AS bucket, is_ref
+               FROM pts),
+         cnt AS (SELECT scenario, dim, bucket,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rc,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+                 FROM b GROUP BY 1, 2, 3),
+         tot AS (SELECT scenario, dim, sum(rc) AS rt, sum(cc) AS ct
+                 FROM cnt GROUP BY 1, 2),
+         allb AS (SELECT t.scenario, t.dim, t.rt, t.ct, gs.bucket
+                  FROM tot t, (SELECT unnest(range(8)) AS bucket) gs),
+         fb AS (SELECT a.scenario, a.dim, a.rt, a.ct, a.bucket,
+                  coalesce(c.rc, 0) AS rc, coalesce(c.cc, 0) AS cc
+                FROM allb a LEFT JOIN cnt c
+                  ON a.scenario = c.scenario AND a.dim = c.dim
+                 AND a.bucket = c.bucket),
+         psi AS (SELECT scenario, dim,
+                   round(sum(((rc + 1.0) / (rt + 8) - (cc + 1.0) / (ct + 8)) *
+                     ln(((rc + 1.0) / (rt + 8)) / ((cc + 1.0) / (ct + 8)))), 4)
+                     AS psi
+                 FROM fb GROUP BY 1, 2)
+         SELECT scenario, CAST(dim AS INT) AS dim, psi, psi > 0.2 AS is_drift
+         FROM psi ORDER BY scenario, dim""",
     // streaming twin: complete-mode replay over the full file equals the
     // batch hourly aggregate, so the batch SQL oracles the stream operator
     "events_stream_hourly" ->
