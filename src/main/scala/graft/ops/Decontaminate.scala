@@ -116,4 +116,103 @@ object Decontaminate {
                        maxBroadcastShingles: Long = 10L * 1000 * 1000): DataFrame =
     dropAgainst(corpus, idCol, textCol,
       prepareBench(bench, benchTextCol, n, maxBroadcastShingles), n, minHits)
+
+  // ---- embedding-space decontamination ----
+  // The n-gram gate catches verbatim/near-verbatim text leaks; paraphrased
+  // or re-rendered eval items survive it. The EMBEDDING-space gate closes
+  // that hole: drop corpus rows whose vector sits within cosine `threshold`
+  // of ANY eval vector (the reference's split discipline lifted to the
+  // latent space its detector actually operates in, ml/training.py:248-270
+  // + testing.py:103-126).
+
+  /** Exact rung: per-pair cosine against the BROADCAST eval matrix
+    * (BroadcastNestedLoopJoin — no shuffle on the corpus side; the only
+    * exchange carries match rows map-combined to (id, hits, max_cos)).
+    * The eval side is size-guarded like [[prepareBench]]: eval sets are
+    * small by nature, and `maxEval` fails loud before a driver-melting
+    * broadcast. At 10⁶+ eval rows use [[embeddingReportLsh]] — same
+    * verify, LSH-pruned candidate generation. */
+  def embeddingReport(corpus: DataFrame, idCol: String, embCol: String,
+                      eval: DataFrame, evalEmbCol: String,
+                      threshold: Double = 0.95,
+                      maxEval: Long = 100000): DataFrame = {
+    val ev = boundedEval(eval, evalEmbCol, maxEval)
+    corpus.crossJoin(broadcast(ev))
+      .select(col(idCol),
+        round(Similarity.cosine(col(embCol).cast("array<double>"), col("__ev")), 6)
+          .as("cos"))
+      .filter(col("cos") >= checkedThreshold(threshold))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"), max(col("cos")).as("max_cos"))
+  }
+
+  /** The embedding-decontaminated corpus: one LEFT ANTI
+    * BroadcastNestedLoopJoin — zero shuffles end to end. NULL embeddings
+    * are dropped like [[dropContaminated]] drops NULL ids: a row the gate
+    * cannot score must not slip through it. */
+  def dropByEmbedding(corpus: DataFrame, idCol: String, embCol: String,
+                      eval: DataFrame, evalEmbCol: String,
+                      threshold: Double = 0.95,
+                      maxEval: Long = 100000): DataFrame = {
+    val ev = boundedEval(eval, evalEmbCol, maxEval)
+    corpus.filter(col(embCol).isNotNull)
+      .join(broadcast(ev),
+        round(Similarity.cosine(col(embCol).cast("array<double>"), col("__ev")), 6)
+          >= checkedThreshold(threshold),
+        "left_anti")
+  }
+
+  /** Scale rung: candidates restricted to hyperplane-bucket collisions
+    * (eval side additionally multi-probed for recall), exact-cosine
+    * verified — the [[Dedup.embeddingCosineDups]] shape across two tables.
+    * The bucketed eval side broadcasts, so the corpus still never
+    * shuffles before the match-only aggregate; per-row verify work drops
+    * from |eval| to the probed buckets' population. Recall < 1 by LSH
+    * nature (raise `probes`/lower `planes` to trade); IDENTICAL direction
+    * copies (true leaks, cos = 1) always share a bucket → recall 1 on
+    * verbatim embedding leaks. */
+  def embeddingReportLsh(corpus: DataFrame, idCol: String, embCol: String,
+                         eval: DataFrame, evalEmbCol: String,
+                         threshold: Double = 0.95, planes: Int = 12,
+                         probes: Int = 1, maxEval: Long = 100000): DataFrame = {
+    require(probes >= 1 && probes <= planes + 1,
+      s"embeddingReportLsh: probes must be in [1, planes + 1], got $probes")
+    val ev = boundedEval(eval, evalEmbCol, maxEval)
+      .select(col("__ev"),
+        Similarity.hyperplaneBucket(col("__ev"), planes).as("__b0"))
+    // columnar multi-probe: each eval vector occupies its own bucket plus
+    // Hamming-1 neighbors on the first probes-1 planes (same probe set as
+    // Similarity.lshTopK)
+    val probeCols = col("__b0") +: (0 until math.min(probes - 1, planes))
+      .map(b => col("__b0").bitwiseXOR(lit(1L << b)))
+    val evProbed = ev.select(col("__ev"),
+      explode(array(probeCols: _*)).as("__b")).distinct()
+    corpus.select(col(idCol), col(embCol).cast("array<double>").as("__emb"),
+        Similarity.hyperplaneBucket(col(embCol), planes).as("__b"))
+      .join(broadcast(evProbed), "__b")
+      .select(col(idCol),
+        round(Similarity.cosine(col("__emb"), col("__ev")), 6).as("cos"))
+      .filter(col("cos") >= checkedThreshold(threshold))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"), max(col("cos")).as("max_cos"))
+  }
+
+  private def checkedThreshold(t: Double): Double = {
+    require(t > 0.0 && t <= 1.0,
+      s"embedding decontamination: threshold must be in (0, 1], got $t")
+    t
+  }
+
+  /** Null-free, double-cast, size-guarded eval side. */
+  private def boundedEval(eval: DataFrame, evalEmbCol: String,
+                          maxEval: Long): DataFrame = {
+    require(maxEval >= 1, s"maxEval must be >= 1, got $maxEval")
+    val ev = eval.filter(col(evalEmbCol).isNotNull)
+      .select(col(evalEmbCol).cast("array<double>").as("__ev"))
+    val n = ev.limit((math.min(maxEval, Int.MaxValue - 1L) + 1).toInt).count()
+    require(n <= maxEval,
+      s"embedding decontamination: eval side has > $maxEval vectors — too " +
+        "large to broadcast; raise maxEval deliberately or pre-filter the eval set")
+    ev
+  }
 }

@@ -309,6 +309,19 @@ object OpsQueries {
       .orderBy(col("scenario"), col("dim"))
   }
 
+  /** Embedding-space decontamination, exact rung: eval = vectors 100–119
+    * of the corpus itself (the verbatim-leak case), so the report must
+    * flag exactly those rows at cos 1.0 plus any accidental ≥ threshold
+    * neighbor — the DuckDB oracle replays every pairwise cosine. The LSH
+    * rung is spec-gated against this exact rung (DecontaminateSpec). */
+  def deconEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val all = embs(s, dir)
+    val evalSet = all.filter(col("vec_id").between(100, 119)).select(col("embedding"))
+    Decontaminate.embeddingReport(all, "vec_id", "embedding",
+      evalSet, "embedding", threshold = 0.99)
+      .orderBy(col("vec_id"))
+  }
+
   // ---- approximate / non-SQL-expressible operators ----
   // (most of the family is DuckDB-oracled as of round 2 — see oracleSql;
   // only the inherently-approximate ANN queries stay rows-only)
@@ -690,6 +703,7 @@ object OpsQueries {
     "dimred_project" -> (dimredProject _),
     "dimred_topk" -> (dimredTopK _),
     "latent_drift" -> (latentDrift _),
+    "decon_embedding" -> (deconEmbedding _),
     "pii_scrub" -> (piiScrub _),
     "curation_pipeline" -> (curationPipeline _),
     "curation_near_dup" -> (curationNearDup _),
@@ -1235,6 +1249,26 @@ object OpsQueries {
                   GROUP BY x.vec_id)
          SELECT vec_id, round(dot / (nx * nq), 4) AS cos FROM dots
          ORDER BY cos DESC, vec_id LIMIT 10""",
+    // every corpus × eval pairwise cosine replayed in fixed element order
+    // (list_transform over range — matches the engine's ascending-index
+    // loop), rounded 6, thresholded, grouped
+    "decon_embedding" ->
+      """WITH ev AS (SELECT embedding AS e FROM embeddings
+                     WHERE vec_id BETWEEN 100 AND 119),
+         pairs AS (
+           SELECT x.vec_id,
+             round(
+               list_sum(list_transform(range(1, 65),
+                 i -> CAST(x.embedding[i] AS DOUBLE) * CAST(ev.e[i] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(x.embedding[i] AS DOUBLE) * CAST(x.embedding[i] AS DOUBLE))))
+                * sqrt(list_sum(list_transform(range(1, 65),
+                    i -> CAST(ev.e[i] AS DOUBLE) * CAST(ev.e[i] AS DOUBLE))))),
+               6) AS cos
+           FROM embeddings x, ev)
+         SELECT vec_id, count(*) AS hits, max(cos) AS max_cos
+         FROM pairs WHERE cos >= 0.99
+         GROUP BY vec_id ORDER BY vec_id""",
     // full replay of the encode→drift composition: JL projection (same
     // cells CTE as dimred_project), fixed-edge binning, Laplace-smoothed
     // per-dim PSI, and the verdicts — for both the null and shifted windows

@@ -84,4 +84,62 @@ class DecontaminateSpec extends AnyFunSuite {
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(r.contains(3L))
   }
+
+  // ---- embedding-space rung ----
+
+  private def embCorpus = {
+    val r = new scala.util.Random(7)
+    // background vectors + two PLANTED leaks: 90 is a verbatim copy of eval
+    // vector A (cos 1.0), 91 a scaled copy of B (cosine is scale-invariant)
+    val a = Array.fill(16)(r.nextDouble() * 2 - 1)
+    val b = Array.fill(16)(r.nextDouble() * 2 - 1)
+    val bg = (1L to 80L).map(id => (id, Array.fill(16)(r.nextDouble() * 2 - 1).toSeq))
+    (bg :+ (90L, a.toSeq) :+ (91L, b.map(_ * 2.5).toSeq),
+      Seq((0L, a.toSeq), (1L, b.toSeq)))
+  }
+
+  test("embeddingReport flags exactly the planted leaks; drop removes them and null rows") {
+    val (cRows, eRows) = embCorpus
+    val c = cRows.toDF("vec_id", "emb")
+    val e = eRows.toDF("eval_id", "emb")
+    val rep = Decontaminate.embeddingReport(c, "vec_id", "emb", e, "emb",
+      threshold = 0.99)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getDouble(2))).toMap
+    assert(rep.keySet == Set(90L, 91L), s"flagged ${rep.keySet}")
+    assert(rep(90L) == ((1L, 1.0)) && rep(91L) == ((1L, 1.0)))
+    val withNull = c.unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Double]])).toDF("vec_id", "emb"))
+    val kept = Decontaminate.dropByEmbedding(withNull, "vec_id", "emb", e, "emb",
+      threshold = 0.99).select($"vec_id").as[Long].collect().toSet
+    assert(kept == (1L to 80L).toSet, s"survivors wrong: missing=${(1L to 80L).toSet -- kept} extra=${kept -- (1L to 80L).toSet}")
+  }
+
+  test("LSH rung == exact rung on verbatim leaks (identical-direction copies always share a bucket)") {
+    val (cRows, eRows) = embCorpus
+    val c = cRows.toDF("vec_id", "emb")
+    val e = eRows.toDF("eval_id", "emb")
+    val exact = Decontaminate.embeddingReport(c, "vec_id", "emb", e, "emb",
+      threshold = 0.99).collect().map(_.toSeq).sortBy(_.head.toString)
+    val lsh = Decontaminate.embeddingReportLsh(c, "vec_id", "emb", e, "emb",
+      threshold = 0.99, planes = 12, probes = 2)
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(lsh.sameElements(exact))
+    // no shuffle reaches the corpus before the match-only aggregate: the
+    // only Exchange keys on the corpus id (post-filter), never on raw rows
+    val plan = Decontaminate.embeddingReport(c, "vec_id", "emb", e, "emb")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("embedding guards are loud: threshold range, oversized eval set") {
+    val (cRows, eRows) = embCorpus
+    val c = cRows.toDF("vec_id", "emb")
+    val e = eRows.toDF("eval_id", "emb")
+    assert(intercept[IllegalArgumentException](
+      Decontaminate.embeddingReport(c, "vec_id", "emb", e, "emb", threshold = 1.5))
+      .getMessage.contains("threshold"))
+    assert(intercept[IllegalArgumentException](
+      Decontaminate.embeddingReport(c, "vec_id", "emb", e, "emb", maxEval = 1))
+      .getMessage.contains("eval side"))
+  }
 }
