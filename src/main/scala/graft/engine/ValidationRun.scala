@@ -64,7 +64,16 @@ case class RunConfig(
     // catalog can no longer OOM the driver by DEFAULT. 256 MB of estimated
     // scan bytes ≈ well under the 20M-entry collect cap the broadcast
     // builder separately enforces (PartStats.broadcastMediaSet).
-    mediaBroadcastMaxBytes: Long = 256L << 20)
+    mediaBroadcastMaxBytes: Long = 256L << 20,
+    // when set, the pass validates the snapshot's OBSERVED schema against
+    // this declared leaf-path contract before anything scans: one
+    // `schema_contract` verdict (part = -1, table grain) plus one violation
+    // row per missing/unexpected/retyped path. Pure driver metadata —
+    // O(columns) at any table size, no job. A broken contract does NOT
+    // abort the pass (the verdict records it and the constraint checks
+    // that can still run, run); callers wanting abort-on-mismatch assert
+    // on the verdict.
+    schemaContract: Option[Seq[graft.checks.SchemaCheck.FieldContract]] = None)
 
 /** The full constraint+drift validation pass — the engine's flagship job.
   *
@@ -344,7 +353,16 @@ object ValidationRun {
         ref.snapshotId)
     }
 
+    // schema gate (E20): driver-metadata check, zero executor time —
+    // computed up front (docs.schema is already resolved), emitted first
+    val schemaGate = cfg.schemaContract.map(c =>
+      SchemaCheck.verdictOf(cfg.runId, docs.schema, c, ref.snapshotId, cfg.alpha))
+    schemaGate.filter(_._2.nonEmpty).foreach { case (_, viol) =>
+      sinkWrite("schema", spark.createDataset(viol))
+    }
+
     val verdicts: Seq[Verdict] =
+      schemaGate.map(_._1).toSeq ++
       statsVerdicts ++
         constraintVerdicts("unique_doc_id", uniqCounts) ++
         constraintVerdicts("ref_media", refCounts) ++
@@ -365,7 +383,9 @@ object ValidationRun {
     sinkWrites.forEach(f => Await.result(f, Duration.Inf))
     val violations =
       if (cfg.violationsSink.isDefined) spark.emptyDataset[Violation]
-      else uniqViol.union(refViol).union(intViol)
+      else schemaGate.map(g => spark.createDataset(g._2))
+        .getOrElse(spark.emptyDataset[Violation])
+        .union(uniqViol).union(refViol).union(intViol)
     Results(spark.createDataset(verdicts), violations, summaries)
   }
 

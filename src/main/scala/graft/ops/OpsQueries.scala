@@ -314,6 +314,33 @@ object OpsQueries {
     * flag exactly those rows at cos 1.0 plus any accidental ≥ threshold
     * neighbor — the DuckDB oracle replays every pairwise cosine. The LSH
     * rung is spec-gated against this exact rung (DecontaminateSpec). */
+  /** Schema-contract validation (E20) on the orders table: the declared
+    * contract deliberately retypes o_totalprice (DECIMAL vs the observed
+    * DOUBLE), declares a column the table lacks (o_comment), and omits one
+    * it has (o_orderpriority) — so all four statuses appear. Types are
+    * Spark SQL strings; the DuckDB oracle replays DESCRIBE output through
+    * the two documented engine-name mappings (VARCHAR→STRING,
+    * TIMESTAMP→TIMESTAMP_NTZ: pyarrow writes isAdjustedToUTC=false, which
+    * Spark surfaces as NTZ and DuckDB as plain TIMESTAMP). Nulls coalesce
+    * to '-' on both sides for hash stability. */
+  def schemaContract(s: SparkSession, dir: String): DataFrame = {
+    import graft.checks.SchemaCheck, SchemaCheck.FieldContract
+    val sch = s.read.parquet(s"$dir/orders.parquet").schema
+    val contract = Seq(
+      FieldContract("o_orderkey", "BIGINT"),
+      FieldContract("o_custkey", "BIGINT"),
+      FieldContract("o_orderstatus", "STRING"),
+      FieldContract("o_totalprice", "DECIMAL(12,2)"),
+      FieldContract("o_orderdate", "TIMESTAMP_NTZ"),
+      FieldContract("o_comment", "STRING"))
+    SchemaCheck.contractCheck(s, sch, contract)
+      .select(col("path"),
+        coalesce(col("expected_type"), lit("-")).as("expected_type"),
+        coalesce(col("observed_type"), lit("-")).as("observed_type"),
+        col("status"))
+      .orderBy(col("path"))
+  }
+
   def deconEmbedding(s: SparkSession, dir: String): DataFrame = {
     val all = embs(s, dir)
     val evalSet = all.filter(col("vec_id").between(100, 119)).select(col("embedding"))
@@ -704,6 +731,7 @@ object OpsQueries {
     "dimred_topk" -> (dimredTopK _),
     "latent_drift" -> (latentDrift _),
     "decon_embedding" -> (deconEmbedding _),
+    "schema_contract" -> (schemaContract _),
     "pii_scrub" -> (piiScrub _),
     "curation_pipeline" -> (curationPipeline _),
     "curation_near_dup" -> (curationNearDup _),
@@ -1269,6 +1297,30 @@ object OpsQueries {
          SELECT vec_id, count(*) AS hits, max(cos) AS max_cos
          FROM pairs WHERE cos >= 0.99
          GROUP BY vec_id ORDER BY vec_id""",
+    // DESCRIBE replayed through the two documented engine-type-name
+    // mappings (VARCHAR→STRING; TIMESTAMP→TIMESTAMP_NTZ, the
+    // isAdjustedToUTC=false parquet logical type both engines read), full
+    // outer join against the same literal contract, same status rules
+    "schema_contract" ->
+      """WITH obs AS (
+           SELECT column_name AS path,
+                  replace(replace(column_type, 'VARCHAR', 'STRING'),
+                          'TIMESTAMP', 'TIMESTAMP_NTZ') AS observed_type
+           FROM (DESCRIBE orders)),
+         con AS (SELECT * FROM (VALUES
+           ('o_orderkey','BIGINT'),('o_custkey','BIGINT'),
+           ('o_orderstatus','STRING'),('o_totalprice','DECIMAL(12,2)'),
+           ('o_orderdate','TIMESTAMP_NTZ'),('o_comment','STRING'))
+           t(path, expected_type))
+         SELECT coalesce(con.path, obs.path) AS path,
+           coalesce(con.expected_type, '-') AS expected_type,
+           coalesce(obs.observed_type, '-') AS observed_type,
+           CASE WHEN con.path IS NULL THEN 'unexpected'
+                WHEN obs.path IS NULL THEN 'missing'
+                WHEN upper(con.expected_type) = upper(obs.observed_type) THEN 'ok'
+                ELSE 'type_mismatch' END AS status
+         FROM con FULL OUTER JOIN obs ON con.path = obs.path
+         ORDER BY path""",
     // full replay of the encode→drift composition: JL projection (same
     // cells CTE as dimred_project), fixed-edge binning, Laplace-smoothed
     // per-dim PSI, and the verdicts — for both the null and shifted windows
