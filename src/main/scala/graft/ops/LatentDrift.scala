@@ -82,6 +82,49 @@ object LatentDrift {
       .orderBy(col("dim"))
   }
 
+  /** Per-dim (dim × bucket) integer counts of a projected frame — the
+    * BOUNDED reference state a streaming window compares against
+    * (outDim × buckets longs, independent of reference-window size). */
+  def binCounts(ref: DataFrame, latentCol: String, outDim: Int,
+                edges: Seq[Double] = DefaultEdges): Array[Array[Long]] = {
+    require(outDim > 0, s"latentDrift: outDim must be > 0, got $outDim")
+    val nb = edges.length + 1
+    val rows = ref.select(posexplode(col(latentCol)).as(Seq("dim", "v")))
+      .select(col("dim"), bucketCol(col("v"), edges).as("bucket"))
+      .groupBy(col("dim"), col("bucket")).count().collect()
+    val m = Array.fill(outDim)(new Array[Long](nb))
+    rows.foreach { r =>
+      val d = r.getInt(0)
+      require(d < outDim, s"latentDrift: reference latent is wider than " +
+        s"outDim=$outDim (saw dim $d)")
+      m(d)(r.getInt(1)) += r.getLong(2)
+    }
+    m
+  }
+
+  /** The Laplace-smoothed per-dim PSI [[psiPerDimLatent]]'s column plan
+    * computes, as a scalar over two count vectors — the single
+    * implementation point the streaming state operator shares. Rounding
+    * matches Spark's `round(_, 4)` (HALF_UP) so streaming ≡ batch ≡ the
+    * DuckDB oracle bit-for-bit. */
+  def psiFromCounts(refC: Array[Long], curC: Array[Long]): Double = {
+    require(refC.length == curC.length && refC.nonEmpty,
+      s"latentDrift: count vectors must be equal-length and non-empty " +
+        s"(${refC.length} vs ${curC.length})")
+    val nb = refC.length
+    val rt = refC.sum
+    val ct = curC.sum
+    var s = 0.0
+    var i = 0
+    while (i < nb) {
+      val p = (refC(i) + 1.0) / (rt + nb)
+      val q = (curC(i) + 1.0) / (ct + nb)
+      s += (p - q) * math.log(p / q)
+      i += 1
+    }
+    BigDecimal(s).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
   /** Project both windows through the same seeded matrix, then score. */
   def psiOnEmbeddings(ref: DataFrame, cur: DataFrame, embCol: String,
                       outDim: Int = 8, seed: Int = 7,

@@ -309,11 +309,49 @@ object OpsQueries {
       .orderBy(col("scenario"), col("dim"))
   }
 
-  /** Embedding-space decontamination, exact rung: eval = vectors 100–119
-    * of the corpus itself (the verbatim-leak case), so the report must
-    * flag exactly those rows at cos 1.0 plus any accidental ≥ threshold
-    * neighbor — the DuckDB oracle replays every pairwise cosine. The LSH
-    * rung is spec-gated against this exact rung (DecontaminateSpec). */
+  /** Streaming twin of latent drift: the SAME two scenarios as
+    * `latent_drift` arrive as two event-time windows — hour 0 carries the
+    * unshifted odd-vec latents ("same"), hour 1 the +0.8-shifted copies
+    * ("shift") — each staged as its own file so each is its own
+    * micro-batch; both score against the even-vec reference count matrix.
+    * Final per-window verdicts relabel window→scenario, so the query
+    * shares the batch oracle bit-for-bit (binning and PSI math are the
+    * same code, LatentDrift.bucketCol/psiFromCounts). */
+  def streamLatentDrift(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val lat = DimRed.project(embs(s, dir), "embedding", outDim = 8, seed = 7)
+      .select(col("vec_id"), col("latent"))
+    val ref = lat.filter(col("vec_id") % 2 === 0).select("latent")
+    val cur = lat.filter(col("vec_id") % 2 =!= 0)
+    val refCounts = LatentDrift.binCounts(ref, "latent", outDim = 8)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val staged = Files.createTempDirectory("graft-latent-q")
+    Seq(
+      cur.select(lit(base).as("ts"), col("latent")),
+      cur.select(lit(new java.sql.Timestamp(base.getTime + 3600000L)).as("ts"),
+        transform(col("latent"), x => x + lit(0.8)).as("latent"))
+    ).zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory("graft-latent-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
+      Files.copy(part, staged.resolve(f"w$i%02d.parquet"))
+      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+      catch { case _: Throwable => }
+    }
+    val out = StreamingOps.runLatentDriftStream(s, staged.toString, refCounts,
+        queryName = s"stream_latent_${System.nanoTime()}")
+      .select(
+        when(col("window_start") === lit(base), lit("same")).otherwise(lit("shift"))
+          .as("scenario"),
+        col("dim"), col("psi"), col("is_drift"))
+      .orderBy(col("scenario"), col("dim"))
+    try { import scala.sys.process._; Seq("rm", "-rf", staged.toString).! }
+    catch { case _: Throwable => }
+    out
+  }
+
   /** Schema-contract validation (E20) on the orders table: the declared
     * contract deliberately retypes o_totalprice (DECIMAL vs the observed
     * DOUBLE), declares a column the table lacks (o_comment), and omits one
@@ -341,6 +379,11 @@ object OpsQueries {
       .orderBy(col("path"))
   }
 
+  /** Embedding-space decontamination, exact rung: eval = vectors 100–119
+    * of the corpus itself (the verbatim-leak case), so the report must
+    * flag exactly those rows at cos 1.0 plus any accidental ≥ threshold
+    * neighbor — the DuckDB oracle replays every pairwise cosine. The LSH
+    * rung is spec-gated against this exact rung (DecontaminateSpec). */
   def deconEmbedding(s: SparkSession, dir: String): DataFrame = {
     val all = embs(s, dir)
     val evalSet = all.filter(col("vec_id").between(100, 119)).select(col("embedding"))
@@ -730,6 +773,7 @@ object OpsQueries {
     "dimred_project" -> (dimredProject _),
     "dimred_topk" -> (dimredTopK _),
     "latent_drift" -> (latentDrift _),
+    "stream_latent_drift" -> (streamLatentDrift _),
     "decon_embedding" -> (deconEmbedding _),
     "schema_contract" -> (schemaContract _),
     "pii_scrub" -> (piiScrub _),
@@ -979,6 +1023,50 @@ object OpsQueries {
          SELECT doc_id, text FROM corpus
          WHERE doc_id NOT IN (SELECT id FROM dropped)),
        """ + gateCtes("surv") + gateSelect
+
+  private val latentDriftOracle: String =
+      """WITH cells AS (
+           SELECT j, i, CASE WHEN strpos('02468ace',
+               substr(md5('rp-7-' || i || '-' || j), 1, 1)) > 0
+             THEN 1.0 ELSE -1.0 END AS s
+           FROM range(8) t1(j), range(64) t2(i)),
+         x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+               generate_subscripts(embedding, 1) - 1 AS i
+               FROM embeddings),
+         lat AS (SELECT x.vec_id, c.j AS dim, sum(x.e * c.s) / sqrt(8.0) AS v
+                 FROM x JOIN cells c USING (i) GROUP BY x.vec_id, c.j),
+         pts AS (
+           SELECT 'same' AS scenario, dim, v, (vec_id % 2 = 0) AS is_ref FROM lat
+           UNION ALL
+           SELECT 'shift', dim,
+             CASE WHEN vec_id % 2 = 0 THEN v ELSE v + 0.8 END,
+             (vec_id % 2 = 0) FROM lat),
+         b AS (SELECT scenario, dim,
+                 CASE WHEN v < -2 THEN 0 WHEN v < -1 THEN 1
+                      WHEN v < -0.5 THEN 2 WHEN v < 0 THEN 3
+                      WHEN v < 0.5 THEN 4 WHEN v < 1 THEN 5
+                      WHEN v < 2 THEN 6 ELSE 7 END AS bucket, is_ref
+               FROM pts),
+         cnt AS (SELECT scenario, dim, bucket,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rc,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+                 FROM b GROUP BY 1, 2, 3),
+         tot AS (SELECT scenario, dim, sum(rc) AS rt, sum(cc) AS ct
+                 FROM cnt GROUP BY 1, 2),
+         allb AS (SELECT t.scenario, t.dim, t.rt, t.ct, gs.bucket
+                  FROM tot t, (SELECT unnest(range(8)) AS bucket) gs),
+         fb AS (SELECT a.scenario, a.dim, a.rt, a.ct, a.bucket,
+                  coalesce(c.rc, 0) AS rc, coalesce(c.cc, 0) AS cc
+                FROM allb a LEFT JOIN cnt c
+                  ON a.scenario = c.scenario AND a.dim = c.dim
+                 AND a.bucket = c.bucket),
+         psi AS (SELECT scenario, dim,
+                   round(sum(((rc + 1.0) / (rt + 8) - (cc + 1.0) / (ct + 8)) *
+                     ln(((rc + 1.0) / (rt + 8)) / ((cc + 1.0) / (ct + 8)))), 4)
+                     AS psi
+                 FROM fb GROUP BY 1, 2)
+         SELECT scenario, CAST(dim AS INT) AS dim, psi, psi > 0.2 AS is_drift
+         FROM psi ORDER BY scenario, dim"""
 
   val oracleSql: Map[String, String] = Map(
     "curation_near_dup" -> curationNearDupSql,
@@ -1324,49 +1412,10 @@ object OpsQueries {
     // full replay of the encode→drift composition: JL projection (same
     // cells CTE as dimred_project), fixed-edge binning, Laplace-smoothed
     // per-dim PSI, and the verdicts — for both the null and shifted windows
-    "latent_drift" ->
-      """WITH cells AS (
-           SELECT j, i, CASE WHEN strpos('02468ace',
-               substr(md5('rp-7-' || i || '-' || j), 1, 1)) > 0
-             THEN 1.0 ELSE -1.0 END AS s
-           FROM range(8) t1(j), range(64) t2(i)),
-         x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
-               generate_subscripts(embedding, 1) - 1 AS i
-               FROM embeddings),
-         lat AS (SELECT x.vec_id, c.j AS dim, sum(x.e * c.s) / sqrt(8.0) AS v
-                 FROM x JOIN cells c USING (i) GROUP BY x.vec_id, c.j),
-         pts AS (
-           SELECT 'same' AS scenario, dim, v, (vec_id % 2 = 0) AS is_ref FROM lat
-           UNION ALL
-           SELECT 'shift', dim,
-             CASE WHEN vec_id % 2 = 0 THEN v ELSE v + 0.8 END,
-             (vec_id % 2 = 0) FROM lat),
-         b AS (SELECT scenario, dim,
-                 CASE WHEN v < -2 THEN 0 WHEN v < -1 THEN 1
-                      WHEN v < -0.5 THEN 2 WHEN v < 0 THEN 3
-                      WHEN v < 0.5 THEN 4 WHEN v < 1 THEN 5
-                      WHEN v < 2 THEN 6 ELSE 7 END AS bucket, is_ref
-               FROM pts),
-         cnt AS (SELECT scenario, dim, bucket,
-                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rc,
-                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
-                 FROM b GROUP BY 1, 2, 3),
-         tot AS (SELECT scenario, dim, sum(rc) AS rt, sum(cc) AS ct
-                 FROM cnt GROUP BY 1, 2),
-         allb AS (SELECT t.scenario, t.dim, t.rt, t.ct, gs.bucket
-                  FROM tot t, (SELECT unnest(range(8)) AS bucket) gs),
-         fb AS (SELECT a.scenario, a.dim, a.rt, a.ct, a.bucket,
-                  coalesce(c.rc, 0) AS rc, coalesce(c.cc, 0) AS cc
-                FROM allb a LEFT JOIN cnt c
-                  ON a.scenario = c.scenario AND a.dim = c.dim
-                 AND a.bucket = c.bucket),
-         psi AS (SELECT scenario, dim,
-                   round(sum(((rc + 1.0) / (rt + 8) - (cc + 1.0) / (ct + 8)) *
-                     ln(((rc + 1.0) / (rt + 8)) / ((cc + 1.0) / (ct + 8)))), 4)
-                     AS psi
-                 FROM fb GROUP BY 1, 2)
-         SELECT scenario, CAST(dim AS INT) AS dim, psi, psi > 0.2 AS is_drift
-         FROM psi ORDER BY scenario, dim""",
+    "latent_drift" -> latentDriftOracle,
+    // the streaming twin stages the SAME two scenarios as two event-time
+    // windows and relabels window→scenario: shared oracle, bit-for-bit
+    "stream_latent_drift" -> latentDriftOracle,
     // streaming twin: complete-mode replay over the full file equals the
     // batch hourly aggregate, so the batch SQL oracles the stream operator
     "events_stream_hourly" ->

@@ -188,6 +188,144 @@ object StreamingOps {
       .filter(col("is_final") && col("event_type") =!= "___sentinel")
   }
 
+  // ---- streaming latent drift (the P30 composition, continuous) ----
+
+  /** Keyed latent bucket row; `ts` carries the watermark tag through the
+    * projection (same contract as [[BucketEvent]]). */
+  case class LatentBucketRow(ts: java.sql.Timestamp,
+                             window_start: java.sql.Timestamp,
+                             window_ms: Long, dim: Int, bucket: Int)
+  /** Custom state: one flat (outDim × buckets) count matrix per window. */
+  case class LatentHist(counts: Array[Long])
+  /** Per-(window, latent-dim) verdict — the streaming analog of
+    * [[LatentDrift.psiPerDimLatent]]'s output rows. */
+  case class LatentWindowVerdict(window_start: java.sql.Timestamp, dim: Int,
+                                 n: Long, psi: Double, is_drift: Boolean,
+                                 is_final: Boolean)
+
+  /** Streaming twin of latent-space drift (P30): per event-time window,
+    * per-dim Laplace-smoothed PSI of the window's latent distribution
+    * against a STATIC reference count matrix (computed once from the
+    * reference window via [[LatentDrift.binCounts]] — outDim × buckets
+    * longs, so the broadcast state is bytes regardless of reference size).
+    * Rows must already carry the projected latent (`DimRed.projectCol` is
+    * a stateless narrow map that composes upstream, on a stream or a
+    * table). State per window is the same bounded matrix; binning and PSI
+    * math are shared with the batch operator ([[LatentDrift.bucketCol]],
+    * [[LatentDrift.psiFromCounts]]), so final streaming verdicts are
+    * BIT-IDENTICAL to the batch scores — spec-asserted, and the driver
+    * query shares the batch oracle. */
+  def latentDriftPerWindow(rows: DataFrame, latentCol: String,
+                           refCounts: Array[Array[Long]],
+                           edges: Seq[Double] = LatentDrift.DefaultEdges,
+                           threshold: Double = 0.2,
+                           windowDuration: String = "1 hour",
+                           watermarkDelay: String = "2 hours"): Dataset[LatentWindowVerdict] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val outDim = refCounts.length
+    require(outDim > 0, "latentDriftPerWindow: refCounts must be non-empty")
+    val nb = edges.length + 1
+    require(refCounts.forall(_.length == nb),
+      s"latentDriftPerWindow: refCounts rows must have ${nb} buckets (edges + 1)")
+    require(threshold > 0, s"latentDriftPerWindow: threshold must be > 0, got $threshold")
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+    val delayMillis = iv.days.toLong * 86400000L + iv.microseconds / 1000L
+
+    val keyed = rows
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        window(col("ts"), windowDuration).getField("start").as("window_start"),
+        (unix_millis(window(col("ts"), windowDuration).getField("end")) + delayMillis)
+          .as("window_ms"),
+        posexplode(col(latentCol)).as(Seq("dim", "v")))
+      .select(col("ts"), col("window_start"), col("window_ms"), col("dim"),
+        LatentDrift.bucketCol(col("v"), edges).as("bucket"))
+      .as[LatentBucketRow]
+
+    def verdicts(ws: java.sql.Timestamp, h: LatentHist,
+                 isFinal: Boolean): List[LatentWindowVerdict] =
+      (0 until outDim).map { d =>
+        val cur = java.util.Arrays.copyOfRange(h.counts, d * nb, (d + 1) * nb)
+        val psi = LatentDrift.psiFromCounts(refCounts(d), cur)
+        LatentWindowVerdict(ws, d, cur.sum, psi, psi > threshold, isFinal)
+      }.toList
+
+    keyed
+      .groupByKey(_.window_start)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (ws: java.sql.Timestamp, it: Iterator[LatentBucketRow], state: GroupState[LatentHist]) =>
+          if (state.hasTimedOut) {
+            val out = verdicts(ws, state.get, isFinal = true)
+            state.remove()
+            out.iterator
+          } else {
+            val h = state.getOption.getOrElse(LatentHist(new Array[Long](outDim * nb)))
+            var timeoutAt = 0L
+            it.foreach { r =>
+              require(r.dim < outDim,
+                s"latentDriftPerWindow: latent dim ${r.dim} exceeds reference outDim $outDim")
+              h.counts(r.dim * nb + r.bucket) += 1L
+              timeoutAt = r.window_ms
+            }
+            state.update(h)
+            state.setTimeoutTimestamp(math.max(timeoutAt,
+              state.getCurrentWatermarkMs() + 1))
+            verdicts(ws, h, isFinal = false).iterator
+          }
+      }
+  }
+
+  /** Drive [[latentDriftPerWindow]] over a parquet path of (ts, latent)
+    * rows as a file stream (one file per micro-batch), then advance the
+    * watermark with a far-future empty-latent sentinel (it explodes to
+    * zero bucket rows but still moves event time) so every window times
+    * out and emits its FINAL per-dim verdicts. Returns the finals. */
+  def runLatentDriftStream(spark: SparkSession, parquetPath: String,
+                           refCounts: Array[Array[Long]],
+                           edges: Seq[Double] = LatentDrift.DefaultEdges,
+                           threshold: Double = 0.2,
+                           windowDuration: String = "1 hour",
+                           queryName: String = "stream_latent_drift"): DataFrame = {
+    import spark.implicits._
+    val latentSchema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("latent", ArrayType(DoubleType))))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-latent")
+    val p = java.nio.file.Paths.get(parquetPath)
+    val ls = java.nio.file.Files.list(p)
+    try ls.filter(_.toString.endsWith(".parquet"))
+      .forEach(f => java.nio.file.Files.copy(f, srcDir.resolve(f.getFileName)))
+    finally ls.close()
+
+    val src = spark.readStream.schema(latentSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val q = latentDriftPerWindow(src, "latent", refCounts, edges, threshold,
+      windowDuration)
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    val maxTs = spark.read.parquet(srcDir.toString)
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    // the sentinel must occupy a GROUP of its own (a 1-dim latent row):
+    // an empty latent would advance event time but leave the sentinel
+    // batch stateless, and the timeout batch it must provoke never runs
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 315360000000L)
+    Seq((sentinel, Seq(0.0))).toDF("ts", "latent")
+      .write.mode("append").parquet(srcDir.toString)
+    q.processAllAvailable()
+    q.stop()
+    try {
+      import scala.sys.process._
+      Seq("rm", "-rf", srcDir.toString).!
+    } catch { case _: Throwable => }
+    // drop the sentinel's own window (anything ≥ 5 years past the data)
+    spark.table(queryName).filter(col("is_final") &&
+      col("window_start") < lit(new java.sql.Timestamp(maxTs.getTime + 157680000000L)))
+  }
+
   /** Streaming EXACT DEDUP: `dropDuplicates(event_id)` maintains a keyed
     * state store so a record arriving again — in the same OR a later
     * micro-batch — is emitted exactly once; the deduped stream then feeds
