@@ -182,14 +182,27 @@ object Dedup {
     * be guaranteed large (e.g. a verification gate) or the corpus is small.
     * Pick the largest width whose radius guarantee covers your threshold. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, chunks: Int = 4): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(TextOps.tokens(col(textCol))).as("sim"))
+                   maxHamming: Int = 3, chunks: Int = 4): DataFrame =
+    hammingPairs64(
+      df.select(col(idCol).as("id"), simhash(TextOps.tokens(col(textCol))).as("sim")),
+      maxHamming, chunks)
+
+  /** The Hamming-chunk pigeonhole join over ANY 64-bit signature column —
+    * the candidate machinery [[simhashPairs]] and the perceptual image
+    * hash ([[Multimodal.imageNearDupPairs]]) share. Input: (id, sim);
+    * output: (id_a, id_b, hamming ≤ maxHamming), id_a < id_b. Same
+    * cost/recall trade as documented above. */
+  def hammingPairs64(hashed: DataFrame, maxHamming: Int, chunks: Int): DataFrame = {
+    require(chunks >= 1 && 64 % chunks == 0,
+      s"hammingPairs64: chunks must divide 64, got $chunks")
+    require(maxHamming >= 0, s"hammingPairs64: maxHamming must be >= 0, got $maxHamming")
     val width = 64 / chunks
-    val chunked = sh.select(col("id"), col("sim"),
+    val mask = if (width == 64) -1L else (1L << width) - 1 // 1L<<64 wraps
+    val chunked = hashed.select(col("id"), col("sim"),
         explode(transform(sequence(lit(0), lit(chunks - 1)), c =>
           struct(c.as("c"),
             call_function("shiftright", col("sim"), c * width)
-              .bitwiseAND((1L << width) - 1).as("v")))).as("ck"))
+              .bitwiseAND(mask).as("v")))).as("ck"))
       .select(col("id"), col("sim"), col("ck.c"), col("ck.v"))
     chunked.as("a").join(chunked.as("b"),
         col("a.c") === col("b.c") && col("a.v") === col("b.v") && col("a.id") < col("b.id"))

@@ -189,6 +189,97 @@ object Multimodal {
     }
   }
 
+  /** Planted near-dup truth: every `dupEvery`-th image gains a twin
+    * re-encoded after ±1-level noise on ~0.5 % of pixels (deterministic
+    * per-ref stream) — byte-different PNG, visually identical, so its
+    * aHash sits within a couple of Hamming bits of the original. Twin ref
+    * = original ref + "-dup" (sorts adjacent for stable pair output). */
+  def withPerturbedCopies(images: Dataset[ImageRow],
+                          dupEvery: Int = 10): Dataset[ImageRow] = {
+    import images.sparkSession.implicits._
+    require(dupEvery >= 1, s"withPerturbedCopies: dupEvery must be >= 1, got $dupEvery")
+    val dups = images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { r =>
+        val keep = (scala.util.hashing.MurmurHash3.stringHash(r.media_ref)
+          % dupEvery + dupEvery) % dupEvery == 0
+        if (!keep) None
+        else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          val rng = new graft.stats.StatMath.SplitMix64(
+            scala.util.hashing.MurmurHash3.stringHash(r.media_ref).toLong * 0x6C8E9CF570932BD5L + 3L)
+          val n = math.max(1, img.getWidth * img.getHeight / 200)
+          var k = 0
+          while (k < n) {
+            val x = (Math.floorMod(rng.nextLong(), img.getWidth.toLong)).toInt
+            val y = (Math.floorMod(rng.nextLong(), img.getHeight.toLong)).toInt
+            val rgb = img.getRGB(x, y)
+            val d = if ((rng.nextLong() & 1L) == 0L) 1 else -1
+            def ch(v: Int) = math.min(255, math.max(0, v + d))
+            img.setRGB(x, y, (ch((rgb >> 16) & 0xff) << 16) |
+              (ch((rgb >> 8) & 0xff) << 8) | ch(rgb & 0xff))
+            k += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Some(ImageRow(r.media_ref + "-dup", bos.toByteArray))
+        }
+      }
+    }
+    images.unionByName(dups)
+  }
+
+  /** 64-bit average-hash (aHash) of a decoded 28×28 luminance grid: box
+    * resize to 8×8, bit i set iff cell i's mean EXCEEDS the 64-cell mean
+    * (strict >, so a uniform image hashes to 0L — the hand-checkable
+    * anchor). The standard perceptual fingerprint: stable under
+    * re-encoding, small crops, and mild noise, so near-identical images
+    * land within a few Hamming bits. */
+  def aHash64(gray28: Array[Double]): Long = {
+    require(gray28.length == Target * Target,
+      s"aHash64: expected ${Target * Target} luminance cells, got ${gray28.length}")
+    val g8 = resizeBox(gray28, Target, Target, 8, 8)
+    val mean = g8.sum / 64.0
+    var h = 0L
+    var i = 0
+    while (i < 64) {
+      if (g8(i) > mean) h |= (1L << i)
+      i += 1
+    }
+    h
+  }
+
+  case class ImageHash(media_ref: String, ahash: Long)
+
+  /** Decode + perceptual-hash a PNG corpus — the same batched, narrow,
+    * shuffle-free scan shape as [[decodeImageFeatures]]. */
+  def imageHashes(images: Dataset[ImageRow]): Dataset[ImageHash] = {
+    import images.sparkSession.implicits._
+    images.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        val (_, _, gray28) = decodeImage(r.payload)
+        ImageHash(r.media_ref, aHash64(gray28))
+      }
+    }
+  }
+
+  /** Perceptual near-duplicate image pairs: real decode → [[aHash64]] →
+    * the Hamming-chunk pigeonhole candidate join shared with text SimHash
+    * ([[Dedup.hammingPairs64]]) → exact Hamming verify. Default chunks=8
+    * (8-bit keys) GUARANTEES recall to radius 7 ≥ the default maxHamming=6;
+    * random images' hashes sit ~32 bits apart, so false pairs at radius 6
+    * are vanishing and the output is the planted near-dup truth
+    * (spec-asserted on perturbed copies). One narrow decode scan + one
+    * slim (id, sim, chunk) self-join — no image bytes ever shuffle. */
+  def imageNearDupPairs(images: Dataset[ImageRow], maxHamming: Int = 6,
+                        chunks: Int = 8): DataFrame =
+    Dedup.hammingPairs64(
+      imageHashes(images).toDF()
+        .select(col("media_ref").as("id"), col("ahash").as("sim")),
+      maxHamming, chunks)
+
   /** Byte-stride subsampling over opaque payloads: keeps every `stride`-th
     * byte as a 1-byte "frame" — the codec-agnostic plumbing shape for video
     * frame-sampling (schema, slicing, array output). A codec-aware variant

@@ -672,6 +672,17 @@ object OpsQueries {
         (0 until 8).map(i => round(element_at(col("features"), i + 1), 6).as(s"f$i")): _*)
       .orderBy(col("media_ref"))
 
+  /** Perceptual image near-dup pairs (P32): 200 synthetic PNGs + a
+    * perturbed twin for every 10th ref — the pairs are exactly the planted
+    * (orig, orig-dup) twins at small Hamming (random images sit ~32 bits
+    * apart). Rows-only by design like `media_decode` (the PNG codec is not
+    * replayable in SQL); the aHash math and the planted-truth exactness
+    * are spec-pinned (MultimodalSpec). */
+  def imageNearDup(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupPairs(
+        Multimodal.withPerturbedCopies(Multimodal.syntheticImages(s, 200)))
+      .orderBy(col("id_a"), col("id_b"))
+
   def eventsStreamDrift(s: SparkSession, dir: String): DataFrame =
     StreamingOps.runDriftStream(s, s"$dir/events.parquet",
         refProps = Array.fill(10)(0.1), windowDuration = "1 day",
@@ -787,6 +798,7 @@ object OpsQueries {
     "fingerprint_rolling" -> (fingerprintRolling _),
     "media_features" -> (mediaFeatures _),
     "media_decode" -> (mediaDecode _),
+    "image_near_dup" -> (imageNearDup _),
     "events_stream_hourly" -> (eventsStreamHourly _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "events_stream_dedup" -> (eventsStreamDedup _),

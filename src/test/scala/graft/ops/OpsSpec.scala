@@ -705,6 +705,48 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().sortBy(_.media_ref)
     f.zip(f2).foreach { case (a, b) => assert(a == b) }
   }
+
+  test("aHash64 hand values: uniform image is 0L; half-dark/half-bright is the column mask") {
+    assert(Multimodal.aHash64(Array.fill(28 * 28)(0.7)) == 0L)
+    // left 14 columns dark, right 14 bright: 8x8 cells 0-3 dark, 4-7 bright
+    // per row -> byte 0xF0 repeated
+    val half = Array.tabulate(28 * 28)(i => if (i % 28 < 14) 0.0 else 1.0)
+    assert(Multimodal.aHash64(half) == 0xF0F0F0F0F0F0F0F0L)
+    assert(intercept[IllegalArgumentException](Multimodal.aHash64(Array(1.0)))
+      .getMessage.contains("784"))
+  }
+
+  test("hammingPairs64: radius filter, chunks=1 degenerates to exact equality") {
+    val hashed = Seq((1L, 0x00FFL), (2L, 0x00FFL), (3L, 0x00FCL))
+      .toDF("id", "sim") // 3 differs from 1/2 in the low 2 bits
+    def pairs(maxH: Int, chunks: Int) =
+      Dedup.hammingPairs64(hashed, maxH, chunks)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(0, 8) == Set((1L, 2L)))
+    assert(pairs(2, 8) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(pairs(1, 8) == Set((1L, 2L))) // hamming 2 excluded by the radius
+    assert(pairs(0, 1) == Set((1L, 2L))) // full-width chunk: exact-equality join
+    assert(intercept[IllegalArgumentException](
+      Dedup.hammingPairs64(hashed, 1, 7)).getMessage.contains("divide"))
+  }
+
+  test("imageNearDupPairs: exactly the planted perturbed twins, partitioning-invariant") {
+    val base = Multimodal.syntheticImages(spark, 60)
+    val corpus = Multimodal.withPerturbedCopies(base, dupEvery = 5)
+    val expected = base.collect().map(_.media_ref)
+      .filter(r => (scala.util.hashing.MurmurHash3.stringHash(r) % 5 + 5) % 5 == 0)
+      .map(r => (r, r + "-dup")).toSet
+    assert(expected.nonEmpty)
+    val got = Multimodal.imageNearDupPairs(corpus)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
+    assert(got.keySet == expected,
+      s"missing=${expected -- got.keySet} extra=${got.keySet -- expected}")
+    assert(got.values.forall(_ <= 6))
+    val reparted = Multimodal.imageNearDupPairs(
+        corpus.repartition(7).as[Multimodal.ImageRow])
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(reparted == expected)
+  }
 }
 
 class StreamingOpsSpec extends AnyFunSuite {
