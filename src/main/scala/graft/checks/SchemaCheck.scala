@@ -48,6 +48,25 @@ object SchemaCheck {
     StructField("observed_type", StringType, nullable = true),
     StructField("status", StringType, nullable = false)))
 
+  /** One (path, status, expected, observed) row per union path — the single
+    * status-rule implementation [[contractCheck]] and [[verdictOf]] share. */
+  private def statusRows(observed: StructType, contract: Seq[FieldContract])
+      : Seq[(String, String, Option[String], Option[String])] = {
+    val dupes = contract.groupBy(_.path).collect { case (p, fs) if fs.size > 1 => p }
+    require(dupes.isEmpty, s"schema contract lists paths twice: ${dupes.take(5).mkString(", ")}")
+    val obs = flatten(observed).toMap
+    val exp = contract.map(f => f.path -> f.expectedType).toMap
+    (obs.keySet ++ exp.keySet).toSeq.sorted.map { path =>
+      val status = (exp.get(path), obs.get(path)) match {
+        case (Some(et), Some(ot)) =>
+          if (et.equalsIgnoreCase(ot)) "ok" else "type_mismatch"
+        case (Some(_), None) => "missing"
+        case _ => "unexpected"
+      }
+      (path, status, exp.get(path), obs.get(path))
+    }
+  }
+
   /** Observed schema vs declared contract → one row per path:
     * `ok` (present, type equal), `type_mismatch`, `missing` (in the
     * contract, absent from the table), `unexpected` (in the table, absent
@@ -55,20 +74,7 @@ object SchemaCheck {
     * and exact on the path. */
   def contractCheck(spark: SparkSession, observed: StructType,
                     contract: Seq[FieldContract]): DataFrame = {
-    val dupes = contract.groupBy(_.path).collect { case (p, fs) if fs.size > 1 => p }
-    require(dupes.isEmpty, s"schema contract lists paths twice: ${dupes.take(5).mkString(", ")}")
-    val obs = flatten(observed).toMap
-    val exp = contract.map(f => f.path -> f.expectedType).toMap
-    val rows = (obs.keySet ++ exp.keySet).toSeq.sorted.map { path =>
-      val o = obs.get(path)
-      val e = exp.get(path)
-      val status = (e, o) match {
-        case (Some(et), Some(ot)) =>
-          if (et.equalsIgnoreCase(ot)) "ok" else "type_mismatch"
-        case (Some(_), None) => "missing"
-        case (None, Some(_)) => "unexpected"
-        case (None, None) => sys.error("unreachable")
-      }
+    val rows = statusRows(observed, contract).map { case (path, status, e, o) =>
       Row(path, e.map(_.toUpperCase).orNull, o.orNull, status)
     }
     spark.createDataFrame(
@@ -108,17 +114,7 @@ object SchemaCheck {
   def verdictOf(runId: String, observed: StructType,
                 contract: Seq[FieldContract], snapshotId: Long,
                 alpha: Double): (Verdict, Seq[Violation]) = {
-    val obs = flatten(observed).toMap
-    val exp = contract.map(f => f.path -> f.expectedType).toMap
-    val statuses = (obs.keySet ++ exp.keySet).toSeq.sorted.map { path =>
-      val status = (exp.get(path), obs.get(path)) match {
-        case (Some(et), Some(ot)) =>
-          if (et.equalsIgnoreCase(ot)) "ok" else "type_mismatch"
-        case (Some(_), None) => "missing"
-        case _ => "unexpected"
-      }
-      (path, status, exp.get(path), obs.get(path))
-    }
+    val statuses = statusRows(observed, contract)
     val counts = statuses.groupBy(_._2).map { case (s, xs) => s -> xs.size.toLong }
     val bad = statuses.filter(_._2 != "ok")
     val verdict = Verdict.now(runId, part = -1, checkId = "schema_contract",

@@ -357,7 +357,9 @@ object ValidationRun {
     // computed up front (docs.schema is already resolved), emitted first
     val schemaGate = cfg.schemaContract.map(c =>
       SchemaCheck.verdictOf(cfg.runId, docs.schema, c, ref.snapshotId, cfg.alpha))
-    schemaGate.filter(_._2.nonEmpty).foreach { case (_, viol) =>
+    // unconditional like every other check's sink write, so a sink consumer
+    // can rely on src=schema existing (empty = contract satisfied)
+    schemaGate.foreach { case (_, viol) =>
       sinkWrite("schema", spark.createDataset(viol))
     }
 
