@@ -87,6 +87,13 @@ object PlanCheck {
     println(interesting(graft.ops.DimRed
       .projectedTopKIndexed(spark, s"$work/latent", qv, k = 5)
       .queryExecution.executedPlan))
+
+    println("\n=== embedding decon, exact rung (BNLJ over the broadcast eval matrix; " +
+      "the only Exchange carries id-grain MATCH rows) ===")
+    val embDf = embRows.toDF("id", "emb")
+    println(interesting(graft.ops.Decontaminate.embeddingReport(
+        embDf, "id", "emb", embDf.limit(10), "emb", threshold = 0.99)
+      .queryExecution.executedPlan))
     spark.stop()
   }
 }
