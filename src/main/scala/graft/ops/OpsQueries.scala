@@ -683,6 +683,16 @@ object OpsQueries {
         Multimodal.withPerturbedCopies(Multimodal.syntheticImages(s, 200)))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** k-sigma outliers (E21) per event_type over the heavy-tailed events
+    * value column — the DuckDB oracle recomputes the per-group mean and
+    * population stddev and replays the flag + rounded z-score. */
+  def outlierEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    graft.checks.Outliers.flag(ev, "value", k = 3.0, groupCols = Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"), col("z_score"))
+      .orderBy(col("event_id"))
+  }
+
   def eventsStreamDrift(s: SparkSession, dir: String): DataFrame =
     StreamingOps.runDriftStream(s, s"$dir/events.parquet",
         refProps = Array.fill(10)(0.1), windowDuration = "1 day",
@@ -799,6 +809,7 @@ object OpsQueries {
     "media_features" -> (mediaFeatures _),
     "media_decode" -> (mediaDecode _),
     "image_near_dup" -> (imageNearDup _),
+    "outlier_events" -> (outlierEvents _),
     "events_stream_hourly" -> (eventsStreamHourly _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "events_stream_dedup" -> (eventsStreamDedup _),
@@ -1424,6 +1435,18 @@ object OpsQueries {
     // full replay of the encode→drift composition: JL projection (same
     // cells CTE as dimred_project), fixed-edge binning, Laplace-smoothed
     // per-dim PSI, and the verdicts — for both the null and shifted windows
+    // per-group mean/stddev_pop recomputed, null-safe group join, same
+    // k-sigma flag and rounded z-score
+    "outlier_events" ->
+      """WITH st AS (SELECT event_type, avg(value) AS mu,
+                       stddev_pop(value) AS sd
+                     FROM events GROUP BY 1)
+         SELECT e.event_id, e.event_type, e.value,
+           round((e.value - st.mu) / st.sd, 4) AS z_score
+         FROM events e JOIN st
+           ON e.event_type IS NOT DISTINCT FROM st.event_type
+         WHERE abs(e.value - st.mu) > 3 * st.sd
+         ORDER BY e.event_id""",
     "latent_drift" -> latentDriftOracle,
     // the streaming twin stages the SAME two scenarios as two event-time
     // windows and relabels window→scenario: shared oracle, bit-for-bit
