@@ -208,8 +208,13 @@ object Dedup {
         col("a.c") === col("b.c") && col("a.v") === col("b.v") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         bit_count(col("a.sim").bitwiseXOR(col("b.sim"))).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
+      // radius filter BEFORE the dedup exchange: hamming is a pure function
+      // of the pair, so the order is result-identical, and the shuffle then
+      // carries only within-radius pairs instead of every chunk-collision
+      // candidate (at narrow chunks the candidate set is orders of
+      // magnitude larger — the 1M-image probe measured the difference)
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SimHash-blocked near-duplicate pairs with exact Jaccard verification:

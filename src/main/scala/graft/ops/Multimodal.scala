@@ -267,14 +267,16 @@ object Multimodal {
 
   /** Perceptual near-duplicate image pairs: real decode → [[aHash64]] →
     * the Hamming-chunk pigeonhole candidate join shared with text SimHash
-    * ([[Dedup.hammingPairs64]]) → exact Hamming verify. Default chunks=8
-    * (8-bit keys) GUARANTEES recall to radius 7 ≥ the default maxHamming=6;
-    * random images' hashes sit ~32 bits apart, so false pairs at radius 6
-    * are vanishing and the output is the planted near-dup truth
-    * (spec-asserted on perturbed copies). One narrow decode scan + one
-    * slim (id, sim, chunk) self-join — no image bytes ever shuffle. */
-  def imageNearDupPairs(images: Dataset[ImageRow], maxHamming: Int = 6,
-                        chunks: Int = 8): DataFrame =
+    * ([[Dedup.hammingPairs64]]) → exact Hamming verify. Default
+    * maxHamming=3 / chunks=4 (16-bit keys): recall GUARANTEED to radius 3
+    * — where noise-twin aHashes live (spec + 1M-probe-asserted) — with
+    * expected candidates ≈ 4n²/2¹⁶. chunks=8 extends the guarantee to
+    * radius 7 but its 8-bit keys make candidates ≈ n²/32 — QUADRATIC by
+    * 10⁶ rows (the first 1M-image probe run filled the disk proving it);
+    * only sensible on small corpora. One narrow decode scan + one slim
+    * (id, sim, chunk) self-join — no image bytes ever shuffle. */
+  def imageNearDupPairs(images: Dataset[ImageRow], maxHamming: Int = 3,
+                        chunks: Int = 4): DataFrame =
     Dedup.hammingPairs64(
       imageHashes(images).toDF()
         .select(col("media_ref").as("id"), col("ahash").as("sim")),

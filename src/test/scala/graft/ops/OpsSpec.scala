@@ -741,7 +741,7 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getInt(2)).toMap
     assert(got.keySet == expected,
       s"missing=${expected -- got.keySet} extra=${got.keySet -- expected}")
-    assert(got.values.forall(_ <= 6))
+    assert(got.values.forall(_ <= 3)) // noise twins live within the radius-3 default
     val reparted = Multimodal.imageNearDupPairs(
         corpus.repartition(7).as[Multimodal.ImageRow])
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
