@@ -307,6 +307,48 @@ object DriftChecks {
     * Returns part → exact MMD distance (√max(mmd²,0), unbiased estimator —
     * identical semantics to [[Mmd.distance]]).
     */
+  /** E22: Pearson-correlation shift between two numeric columns across
+    * windows — the STRUCTURAL drift the marginal tests cannot see (both
+    * marginals can be unchanged while the joint distribution rotates;
+    * corr is the cheapest joint statistic). One map-side-combinable
+    * `corr` aggregate per window (O(windows) result rows, one exchange of
+    * O(windows) scalars), each window's r compared against the reference
+    * window's: (window, r, r_ref, delta, is_drift). Pearson r is
+    * normalization-free (sample vs population factors cancel), so any
+    * engine replays it bit-comparably at the rounding scale. Fails loud
+    * if the reference window is absent. */
+  def corrShift(df: org.apache.spark.sql.DataFrame, xCol: String, yCol: String,
+                windowCol: String, refWindow: Any, threshold: Double = 0.1,
+                scale: Int = 4): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(threshold > 0, s"corrShift: threshold must be > 0, got $threshold")
+    // r = covar_pop / (σx·σy) — corr()'s own formula, but with the division
+    // guarded: ANSI mode makes corr() THROW on a zero-variance window; here
+    // it yields null, which the ref guard below rejects loudly and non-ref
+    // windows simply drop (no correlation to compare)
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val byWindow = df.groupBy(col(windowCol))
+      .agg(covar_pop(x, y).as("__cov"),
+        (stddev_pop(x) * stddev_pop(y)).as("__den"))
+      .select(col(windowCol),
+        when(col("__den") === 0.0 || col("__den").isNull, lit(null))
+          .otherwise(col("__cov") / col("__den")).as("__r"))
+      .filter(col("__r").isNotNull || col(windowCol) === lit(refWindow))
+    val refRows = byWindow.filter(col(windowCol) === lit(refWindow))
+      .select(col("__r")).collect()
+    require(refRows.nonEmpty && !refRows.head.isNullAt(0),
+      s"corrShift: reference window $refWindow has no correlation " +
+        "(absent, single point, or zero variance)")
+    val rRef = refRows.head.getDouble(0)
+    byWindow.filter(col(windowCol) =!= lit(refWindow))
+      .select(col(windowCol),
+        round(col("__r"), scale).as("r"),
+        round(lit(rRef), scale).as("r_ref"),
+        round(abs(col("__r") - lit(rRef)), scale).as("delta"))
+      .withColumn("is_drift", col("delta") > threshold)
+  }
+
   def mmdExactDistance(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
                        ref: RefState, maxRows: Int = 1 << 20,
                        blockSize: Int = 2048): Map[Int, Double] = {

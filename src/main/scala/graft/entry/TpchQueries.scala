@@ -142,6 +142,18 @@ object TpchQueries {
       .agg(round(max($"d"), 6).as("ks_d"))
   }
 
+  /** E22: Pearson-correlation shift of (l_quantity, l_extendedprice)
+    * across shipdate years against the 1995 reference year — the joint
+    * statistic the per-column marginal tests miss. */
+  def corrShiftYears(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.checks.DriftChecks.corrShift(
+        t(s, dir, "lineitem").withColumn("yr", year($"l_shipdate")),
+        "l_quantity", "l_extendedprice", "yr",
+        refWindow = 1995, threshold = 0.002)
+      .orderBy($"yr")
+  }
+
   /** Wasserstein-1 distance of l_quantity between two shipdate-year windows
     * — the magnitude-sensitive drift distance (DriftChecks.emd) replayed on
     * TPC-H columns from exact empirical CDFs: Σ |ΔCDF| × value gap via
@@ -367,6 +379,17 @@ object TpchQueries {
          SELECT round(sum(abs(cum_ref * 1.0 / t_ref - cum_prod * 1.0 / t_prod)
                 * (q_next - q)), 6) AS emd
          FROM cum, t WHERE q_next IS NOT NULL""",
+    // per-year Pearson r (normalization-free, so corr() is engine-equal),
+    // delta vs the 1995 reference year, same rounding and threshold
+    "corr_shift_years" ->
+      """WITH r AS (SELECT year(l_shipdate) AS yr,
+                      corr(l_quantity, l_extendedprice) AS r
+                    FROM lineitem GROUP BY 1),
+         ref AS (SELECT r FROM r WHERE yr = 1995)
+         SELECT r.yr, round(r.r, 4) AS r, round(ref.r, 4) AS r_ref,
+           round(abs(r.r - ref.r), 4) AS delta,
+           round(abs(r.r - ref.r), 4) > 0.002 AS is_drift
+         FROM r, ref WHERE r.yr <> 1995 ORDER BY r.yr""",
     "jsd_returnflag_years" ->
       """WITH c AS (SELECT l_returnflag AS f,
                  sum(CASE WHEN year(l_shipdate) >= 1996 THEN 0 ELSE 1 END) AS c_ref,
@@ -433,6 +456,7 @@ object TpchQueries {
     "psi_quantity_years" -> (psiQuantityYears _),
     "ks_quantity_years" -> (ksQuantityYears _),
     "emd_quantity_years" -> (emdQuantityYears _),
+    "corr_shift_years" -> (corrShiftYears _),
     "jsd_returnflag_years" -> (jsdReturnflagYears _),
     "tdigest_quantity" -> (tdigestQuantity _),
     "theta_customer_overlap" -> (thetaCustomerOverlap _),

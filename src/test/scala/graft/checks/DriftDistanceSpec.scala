@@ -75,4 +75,32 @@ class DriftDistanceSpec extends AnyFunSuite {
     assert(e2 == e8)
     assert(j2 == j8)
   }
+
+  test("corrShift: rotated joint flags while an identical window doesn't; guards loud") {
+    // window 0 (ref): y = x (r = 1); window 1: y = -x (r = -1, delta 2);
+    // window 2: y = x again (delta 0). Marginals of 1 match 0 exactly —
+    // only the joint statistic separates them.
+    val rows = (1 to 50).flatMap { i =>
+      Seq((0, i.toDouble, i.toDouble), (1, i.toDouble, -i.toDouble),
+        (2, i.toDouble, i.toDouble))
+    }
+    val df = rows.toDF("w", "x", "y")
+    val r = DriftChecks.corrShift(df, "x", "y", "w", refWindow = 0, threshold = 0.5)
+      .collect().map(x => x.getInt(0) -> (x.getDouble(3), x.getBoolean(4))).toMap
+    assert(r(1) == ((2.0, true)) && r(2) == ((0.0, false)))
+    val reparted = DriftChecks.corrShift(df.repartition(9), "x", "y", "w",
+        refWindow = 0, threshold = 0.5)
+      .collect().map(x => x.getInt(0) -> (x.getDouble(3), x.getBoolean(4))).toMap
+    assert(reparted == r)
+    assert(intercept[IllegalArgumentException](DriftChecks.corrShift(
+      df, "x", "y", "w", refWindow = 99)).getMessage.contains("reference window"))
+    // zero-variance reference (corr undefined) fails loud, not null-silent
+    val flat = Seq((0, 1.0, 5.0), (0, 2.0, 5.0), (1, 1.0, 2.0), (1, 2.0, 3.0))
+      .toDF("w", "x", "y")
+    assert(intercept[IllegalArgumentException](DriftChecks.corrShift(
+      flat, "x", "y", "w", refWindow = 0)).getMessage.contains("zero variance"))
+    assert(intercept[IllegalArgumentException](DriftChecks.corrShift(
+      df, "x", "y", "w", refWindow = 0, threshold = 0.0))
+      .getMessage.contains("threshold"))
+  }
 }
