@@ -309,6 +309,8 @@ object StreamingOps {
     q.processAllAvailable()
     val maxTs = spark.read.parquet(srcDir.toString)
       .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    require(maxTs != null,
+      s"runLatentDriftStream: no rows with a timestamp under $parquetPath")
     // the sentinel must occupy a GROUP of its own (a 1-dim latent row):
     // an empty latent would advance event time but leave the sentinel
     // batch stateless, and the timeout batch it must provoke never runs
