@@ -328,25 +328,39 @@ object DriftChecks {
     // windows simply drop (no correlation to compare)
     val x = col(xCol).cast("double")
     val y = col(yCol).cast("double")
-    val byWindow = df.groupBy(col(windowCol))
+    // ONE scan: collect the O(windows) aggregate rows once and finish on
+    // the driver (re-filtering the lazy frame would re-run the full
+    // aggregation for the ref lookup AND again for the caller's action)
+    val rows = df.groupBy(col(windowCol))
       .agg(covar_pop(x, y).as("__cov"),
         (stddev_pop(x) * stddev_pop(y)).as("__den"))
       .select(col(windowCol),
         when(col("__den") === 0.0 || col("__den").isNull, lit(null))
           .otherwise(col("__cov") / col("__den")).as("__r"))
-      .filter(col("__r").isNotNull || col(windowCol) === lit(refWindow))
-    val refRows = byWindow.filter(col(windowCol) === lit(refWindow))
-      .select(col("__r")).collect()
-    require(refRows.nonEmpty && !refRows.head.isNullAt(0),
+      .collect()
+    val refRow = rows.find(r => r.get(0) == refWindow)
+    require(refRow.exists(!_.isNullAt(1)),
       s"corrShift: reference window $refWindow has no correlation " +
         "(absent, single point, or zero variance)")
-    val rRef = refRows.head.getDouble(0)
-    byWindow.filter(col(windowCol) =!= lit(refWindow))
-      .select(col(windowCol),
-        round(col("__r"), scale).as("r"),
-        round(lit(rRef), scale).as("r_ref"),
-        round(abs(col("__r") - lit(rRef)), scale).as("delta"))
-      .withColumn("is_drift", col("delta") > threshold)
+    val rRef = refRow.get.getDouble(1)
+    def rnd(v: Double) =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spark = df.sparkSession
+    val winField = df.select(col(windowCol)).schema.fields.head
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      winField,
+      org.apache.spark.sql.types.StructField("r", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("r_ref", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("delta", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("is_drift", org.apache.spark.sql.types.BooleanType)))
+    val out = rows.toSeq
+      .filter(r => r.get(0) != refWindow && !r.isNullAt(1))
+      .map { r =>
+        val delta = rnd(math.abs(r.getDouble(1) - rRef))
+        org.apache.spark.sql.Row(r.get(0), rnd(r.getDouble(1)), rnd(rRef),
+          delta, delta > threshold)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outSchema)
   }
 
   def mmdExactDistance(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,

@@ -14,9 +14,11 @@ import org.apache.spark.sql.functions._
   * rows — a broadcast, never a shuffle of the data), then one narrow scan
   * flags rows with |v − μ| > k·σ. At 100 TB that is two sequential scans
   * and zero data exchanges; the per-group stats frame is the only thing
-  * that moves. NULL values never flag (they are a completeness concern —
-  * E2's null-rate — not an outlier one) and a constant group (σ = 0)
-  * flags nothing. The group join is NULL-SAFE (`<=>`): a null group key is
+  * that moves. NULL and NaN values never flag (data-format concerns —
+  * E2's null-rate / ingest quarantine — not outlier ones; NaN is also
+  * excluded from μ/σ so one NaN cannot poison its group's stats) and a
+  * constant group (σ = 0) flags nothing. The group join is NULL-SAFE
+  * (`<=>`): a null group key is
   * a group like any other, so flag(df) ∪ gate(df) partitions df exactly
   * (the quota-sampler's null-group lesson applied). */
 object Outliers {
@@ -25,7 +27,12 @@ object Outliers {
                         groupCols: Seq[String]): DataFrame = {
     require(!groupCols.contains(valueCol),
       s"outliers: $valueCol cannot be both the value and a group key")
-    val v = col(valueCol).cast("double")
+    // NaN is excluded from the stats like NULL: avg/stddev PROPAGATE NaN,
+    // so one NaN row would poison its group's μ/σ and every comparison
+    // against them would be false — silently disabling the check for the
+    // whole group. NaN rows themselves follow the NULL policy below.
+    val raw = col(valueCol).cast("double")
+    val v = when(!isnan(raw), raw)
     val aggs = Seq(avg(v).as("__mu"), stddev_pop(v).as("__sd"))
     if (groupCols.isEmpty)
       df.crossJoin(broadcast(df.agg(aggs.head, aggs.tail: _*)))
@@ -49,7 +56,7 @@ object Outliers {
     require(k > 0, s"outliers: k must be > 0, got $k")
     val v = col(valueCol).cast("double")
     withStats(df, valueCol, groupCols)
-      .filter(abs(v - col("__mu")) > lit(k) * col("__sd"))
+      .filter(!isnan(v) && abs(v - col("__mu")) > lit(k) * col("__sd"))
       .select(df.columns.map(df(_)) :+
         round((v - col("__mu")) / col("__sd"), zScale).as("z_score"): _*)
   }
@@ -62,7 +69,8 @@ object Outliers {
     require(k > 0, s"outliers: k must be > 0, got $k")
     val v = col(valueCol).cast("double")
     withStats(df, valueCol, groupCols)
-      .filter(v.isNull || !(abs(v - col("__mu")) > lit(k) * col("__sd")))
+      .filter(v.isNull || isnan(v) ||
+        !(abs(v - col("__mu")) > lit(k) * col("__sd")))
       .select(df.columns.map(df(_)): _*)
   }
 }

@@ -189,6 +189,18 @@ object ValidationRun {
           ds.write.mode("overwrite").parquet(s"$sink/src=$name"))))
       }
 
+    // schema gate (E20): driver-metadata check, zero executor time —
+    // genuinely computed BEFORE any check job is submitted (docs.schema is
+    // already resolved), so an abort-on-mismatch caller can bail before
+    // paying any scan. Sink write is unconditional like every other
+    // check's, so a sink consumer can rely on src=schema existing
+    // (empty = contract satisfied).
+    val schemaGate = cfg.schemaContract.map(c =>
+      SchemaCheck.verdictOf(cfg.runId, docs.schema, c, ref.snapshotId, cfg.alpha))
+    schemaGate.foreach { case (_, viol) =>
+      sinkWrite("schema", spark.createDataset(viol))
+    }
+
     // 3. uniqueness (violations stay distributed). AUTO layout selection:
     // a doc_id-bucketed snapshot (BucketedTables) runs the zero-exchange
     // groupBy — the pass's critical-path shuffle disappears on tables that
@@ -351,16 +363,6 @@ object ValidationRun {
         "offset_p50" -> graft.sketch.KllOps.quantiles(s.offsetKll, Array(0.5))(0),
         "offset_p99" -> graft.sketch.KllOps.quantiles(s.offsetKll, Array(0.99))(0)),
         ref.snapshotId)
-    }
-
-    // schema gate (E20): driver-metadata check, zero executor time —
-    // computed up front (docs.schema is already resolved), emitted first
-    val schemaGate = cfg.schemaContract.map(c =>
-      SchemaCheck.verdictOf(cfg.runId, docs.schema, c, ref.snapshotId, cfg.alpha))
-    // unconditional like every other check's sink write, so a sink consumer
-    // can rely on src=schema existing (empty = contract satisfied)
-    schemaGate.foreach { case (_, viol) =>
-      sinkWrite("schema", spark.createDataset(viol))
     }
 
     val verdicts: Seq[Verdict] =

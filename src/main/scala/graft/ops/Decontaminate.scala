@@ -141,24 +141,32 @@ object Decontaminate {
       .select(col(idCol),
         round(Similarity.cosine(col(embCol).cast("array<double>"), col("__ev")), 6)
           .as("cos"))
-      .filter(col("cos") >= checkedThreshold(threshold))
+      // scoreable matches only: a null cosine (width mismatch) or NaN
+      // (zero-norm corpus vector) is unscorable — excluded here, DROPPED
+      // by dropByEmbedding (Spark orders NaN above every number, so an
+      // unguarded >= would mass-flag the corpus against one bad vector)
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= checkedThreshold(threshold))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("hits"), max(col("cos")).as("max_cos"))
   }
 
   /** The embedding-decontaminated corpus: one LEFT ANTI
-    * BroadcastNestedLoopJoin — zero shuffles end to end. NULL embeddings
-    * are dropped like [[dropContaminated]] drops NULL ids: a row the gate
-    * cannot score must not slip through it. */
+    * BroadcastNestedLoopJoin — zero shuffles end to end. A row the gate
+    * CANNOT SCORE must not slip through it: NULL embeddings are dropped
+    * like [[dropContaminated]] drops NULL ids, and so are rows whose
+    * cosine is unscorable against the (validated) eval side — a null
+    * cosine means a width-mismatched vector, NaN means a zero-norm one. */
   def dropByEmbedding(corpus: DataFrame, idCol: String, embCol: String,
                       eval: DataFrame, evalEmbCol: String,
                       threshold: Double = 0.95,
                       maxEval: Long = 100000): DataFrame = {
     val ev = boundedEval(eval, evalEmbCol, maxEval)
+    val c = round(
+      Similarity.cosine(col(embCol).cast("array<double>"), col("__ev")), 6)
     corpus.filter(col(embCol).isNotNull)
       .join(broadcast(ev),
-        round(Similarity.cosine(col(embCol).cast("array<double>"), col("__ev")), 6)
-          >= checkedThreshold(threshold),
+        c.isNull || isnan(c) || c >= checkedThreshold(threshold),
         "left_anti")
   }
 
@@ -192,7 +200,9 @@ object Decontaminate {
       .join(broadcast(evProbed), "__b")
       .select(col(idCol),
         round(Similarity.cosine(col("__emb"), col("__ev")), 6).as("cos"))
-      .filter(col("cos") >= checkedThreshold(threshold))
+      // same scoreable-only rule as the exact rung (rung-parity contract)
+      .filter(col("cos").isNotNull && !isnan(col("cos")) &&
+        col("cos") >= checkedThreshold(threshold))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("hits"), max(col("cos")).as("max_cos"))
   }
@@ -203,16 +213,28 @@ object Decontaminate {
     t
   }
 
-  /** Null-free, double-cast, size-guarded eval side. */
+  /** Null-free, DISTINCT, double-cast, size-guarded eval side. Distinct
+    * so both rungs count `hits` over unique eval vectors (a duplicated
+    * benchmark item must not double-count — and the LSH rung's probe-set
+    * distinct would otherwise disagree with the exact rung). Zero-norm
+    * eval vectors fail LOUD: their cosine is NaN against everything and
+    * Spark orders NaN above every number, so one silently-kept zero
+    * vector would flag the entire corpus. */
   private def boundedEval(eval: DataFrame, evalEmbCol: String,
                           maxEval: Long): DataFrame = {
     require(maxEval >= 1, s"maxEval must be >= 1, got $maxEval")
     val ev = eval.filter(col(evalEmbCol).isNotNull)
       .select(col(evalEmbCol).cast("array<double>").as("__ev"))
+      .distinct()
+    val zeroNorm = ev.filter(
+      aggregate(col("__ev"), lit(0.0), (acc, x) => acc + x * x) === 0.0).count()
+    require(zeroNorm == 0,
+      s"embedding decontamination: eval side has $zeroNorm zero-norm " +
+        "vector(s) — cosine against them is undefined; drop or fix them first")
     val n = ev.limit((math.min(maxEval, Int.MaxValue - 1L) + 1).toInt).count()
     require(n <= maxEval,
-      s"embedding decontamination: eval side has > $maxEval vectors — too " +
-        "large to broadcast; raise maxEval deliberately or pre-filter the eval set")
+      s"embedding decontamination: eval side has > $maxEval DISTINCT vectors " +
+        "— too large to broadcast; raise maxEval deliberately or pre-filter the eval set")
     ev
   }
 }

@@ -323,9 +323,16 @@ object StreamingOps {
       import scala.sys.process._
       Seq("rm", "-rf", srcDir.toString).!
     } catch { case _: Throwable => }
-    // drop the sentinel's own window (anything ≥ 5 years past the data)
-    spark.table(queryName).filter(col("is_final") &&
+    // materialize the O(windows × dims) finals and DROP the memory-sink
+    // table: each invocation uses a fresh queryName, and a never-dropped
+    // update-mode sink would pin every interim row for the session's
+    // lifetime. Sentinel's own window excluded (≥ 5 years past the data).
+    val res = spark.table(queryName).filter(col("is_final") &&
       col("window_start") < lit(new java.sql.Timestamp(maxTs.getTime + 157680000000L)))
+    val rows = res.collect()
+    val schema = res.schema
+    spark.catalog.dropTempView(queryName)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
   }
 
   /** Streaming EXACT DEDUP: `dropDuplicates(event_id)` maintains a keyed

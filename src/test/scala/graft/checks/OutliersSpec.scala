@@ -59,6 +59,21 @@ class OutliersSpec extends AnyFunSuite {
     assert(reparted == grouped)
   }
 
+  test("one NaN neither poisons its group's stats nor flags; partition property holds") {
+    val df = Seq(
+      (1L, 0.0), (2L, 0.0), (3L, 0.0), (4L, 0.0), (5L, 100.0),
+      (6L, Double.NaN)
+    ).toDF("id", "v")
+    // stats over finite values only: the genuine outlier still flags
+    val flagged = Outliers.flag(df, "v", k = 1.0)
+      .select($"id").as[Long].collect().toSet
+    assert(flagged == Set(5L), s"flagged=$flagged")
+    val kept = Outliers.gate(df, "v", k = 1.0)
+      .select($"id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 6L)) // NaN row survives the gate
+    assert((kept ++ flagged) == (1L to 6L).toSet && (kept & flagged).isEmpty)
+  }
+
   test("guards are loud") {
     val df = Seq((1L, 1.0)).toDF("id", "v")
     assert(intercept[IllegalArgumentException](Outliers.flag(df, "v", k = 0.0))

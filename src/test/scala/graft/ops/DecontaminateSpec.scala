@@ -131,6 +131,44 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("unscorable rows: zero-norm eval fails loud; width-mismatch and zero-norm corpus rows drop, never report") {
+    val (cRows, eRows) = embCorpus
+    val c = cRows.toDF("vec_id", "emb")
+    val e = eRows.toDF("eval_id", "emb")
+    // a zero-norm EVAL vector would NaN-match everything (NaN sorts above
+    // every number in Spark) — must be rejected loudly
+    val badEval = e.unionByName(Seq((9L, Seq.fill(16)(0.0))).toDF("eval_id", "emb"))
+    assert(intercept[IllegalArgumentException](
+      Decontaminate.embeddingReport(c, "vec_id", "emb", badEval, "emb"))
+      .getMessage.contains("zero-norm"))
+    // width-mismatched (8-dim) and zero-norm CORPUS rows: unscorable →
+    // dropped by the drop variant, absent from the report
+    val weird = c.unionByName(Seq(
+      (200L, Seq.fill(8)(0.5)), (201L, Seq.fill(16)(0.0))).toDF("vec_id", "emb"))
+    val rep = Decontaminate.embeddingReport(weird, "vec_id", "emb", e, "emb",
+      threshold = 0.99).select($"vec_id").as[Long].collect().toSet
+    assert(rep == Set(90L, 91L), s"report flagged $rep")
+    val kept = Decontaminate.dropByEmbedding(weird, "vec_id", "emb", e, "emb",
+      threshold = 0.99).select($"vec_id").as[Long].collect().toSet
+    assert(kept == (1L to 80L).toSet,
+      s"unscorable rows slipped through: ${kept -- (1L to 80L).toSet}")
+  }
+
+  test("duplicated eval vectors count once: hits agree between rungs and with a distinct eval set") {
+    val (cRows, eRows) = embCorpus
+    val c = cRows.toDF("vec_id", "emb")
+    val e = eRows.toDF("eval_id", "emb")
+    val dupEval = e.unionByName(e) // every eval vector twice
+    def hits(ev: org.apache.spark.sql.DataFrame) =
+      Decontaminate.embeddingReport(c, "vec_id", "emb", ev, "emb", threshold = 0.99)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits(dupEval) == hits(e))
+    val lsh = Decontaminate.embeddingReportLsh(c, "vec_id", "emb", dupEval, "emb",
+        threshold = 0.99, planes = 12, probes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lsh == hits(e))
+  }
+
   test("embedding guards are loud: threshold range, oversized eval set") {
     val (cRows, eRows) = embCorpus
     val c = cRows.toDF("vec_id", "emb")
