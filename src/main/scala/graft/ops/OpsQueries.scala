@@ -683,6 +683,22 @@ object OpsQueries {
         Multimodal.withPerturbedCopies(Multimodal.syntheticImages(s, 200)))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Exact duplicate-substring spans (P33) over the injected corpus: each
+    * appended near-copy shares every original 8-gram with its source, so
+    * both docs' shared prefixes mark as one maximal span; the DuckDB
+    * oracle replays tokenization, gram counting, and the gaps-and-islands
+    * merge bit-for-bit. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.duplicateSpans(docsWithNearDups(s, dir), "doc_id", "text")
+      .orderBy(col("doc_id"), col("start_tok"))
+
+  /** The trimmed corpus from the same spans — md5 of the rebuilt text so
+    * the whole remove-and-rejoin path is hash-gated. */
+  def dupSpansTrim(s: SparkSession, dir: String): DataFrame =
+    SubstringDedup.trim(docsWithNearDups(s, dir), "doc_id", "text")
+      .select(col("doc_id"), md5(col("text_trimmed")).as("h"))
+      .orderBy(col("doc_id"))
+
   /** k-sigma outliers (E21) per event_type over the heavy-tailed events
     * value column — the DuckDB oracle recomputes the per-group mean and
     * population stddev and replays the flag + rounded z-score. */
@@ -810,6 +826,8 @@ object OpsQueries {
     "media_decode" -> (mediaDecode _),
     "image_near_dup" -> (imageNearDup _),
     "outlier_events" -> (outlierEvents _),
+    "dup_spans" -> (dupSpans _),
+    "dup_spans_trim" -> (dupSpansTrim _),
     "events_stream_hourly" -> (eventsStreamHourly _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "events_stream_dedup" -> (eventsStreamDedup _),
@@ -1046,6 +1064,38 @@ object OpsQueries {
          SELECT doc_id, text FROM corpus
          WHERE doc_id NOT IN (SELECT id FROM dropped)),
        """ + gateCtes("surv") + gateSelect
+
+  /** Shared CTE block for the exact duplicate-substring oracles: the
+    * injected corpus, the engine-identical tokenization, 8-gram positions,
+    * the ≥2 corpus-wide gram flag, and the gaps-and-islands span merge —
+    * the full [[SubstringDedup.duplicateSpans]] pipeline in SQL. */
+  private val dupSpanCtes: String =
+    """WITH corpus AS (
+         SELECT doc_id, text FROM documents
+         UNION ALL
+         SELECT doc_id + 1000000, text || ' perturbed'
+         FROM documents WHERE doc_id % 25 = 0),
+       tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM corpus),
+       gg AS (
+         SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+           SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
+             i -> struct_pack(pos := i, g := array_to_string(toks[i+1:i+8], ' ')))) AS u
+           FROM tk WHERE len(toks) >= 8) t),
+       dup AS (SELECT g FROM gg GROUP BY g HAVING count(*) >= 2),
+       m AS (SELECT doc_id, pos FROM gg JOIN dup USING (g)),
+       pe AS (SELECT doc_id, pos,
+                max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+              FROM m),
+       isl AS (SELECT doc_id, pos,
+                 sum(CASE WHEN prev_end IS NULL OR pos > prev_end THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+               FROM pe),
+       sp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 8 AS end_tok
+              FROM isl GROUP BY doc_id, island)"""
 
   private val latentDriftOracle: String =
       """WITH cells AS (
@@ -1435,6 +1485,26 @@ object OpsQueries {
     // full replay of the encode→drift composition: JL projection (same
     // cells CTE as dimred_project), fixed-edge binning, Laplace-smoothed
     // per-dim PSI, and the verdicts — for both the null and shifted windows
+    "dup_spans" ->
+      (dupSpanCtes +
+        " SELECT doc_id, start_tok, end_tok FROM sp ORDER BY doc_id, start_tok"),
+    // trimmed text rebuilt token-by-token outside the spans; DuckDB's
+    // array_to_string of an empty list is NULL where Spark's array_join
+    // is '' — coalesce closes the one divergence
+    "dup_spans_trim" ->
+      (dupSpanCtes + """,
+         spl AS (SELECT doc_id, list(struct_pack(s := start_tok, e := end_tok)) AS spans
+                 FROM sp GROUP BY doc_id)
+         SELECT tk.doc_id,
+           md5(coalesce(array_to_string(
+             list_transform(
+               list_filter(list_transform(range(len(toks)),
+                   i -> struct_pack(t := toks[i+1], i := i)),
+                 x -> spl.spans IS NULL OR
+                      len(list_filter(spl.spans, sp2 -> x.i >= sp2.s AND x.i < sp2.e)) = 0),
+               x -> x.t), ' '), '')) AS h
+         FROM tk LEFT JOIN spl ON tk.doc_id = spl.doc_id
+         ORDER BY tk.doc_id"""),
     // per-group mean/stddev_pop recomputed, null-safe group join, same
     // k-sigma flag and rounded z-score
     "outlier_events" ->

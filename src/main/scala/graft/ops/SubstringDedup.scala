@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact duplicate-SUBSTRING dedup (P33) — the corpus-wide repeated-span
+  * remover ("Deduplicating Training Data Makes Language Models Better",
+  * Lee et al. 2022: exact substrings repeated anywhere in the corpus are
+  * memorization fuel even when whole-document dedup passes). The
+  * suffix-array formulation is replational here: a token position is
+  * duplicated iff its k-token gram occurs ≥ `minCount` times corpus-wide;
+  * runs of duplicated positions merge into maximal token spans per doc
+  * (gaps-and-islands over a per-doc window).
+  *
+  * Scale shape: one gram explode (O(tokens) slim rows), one
+  * map-side-combined gram count (the ONLY corpus-wide exchange — grams
+  * need just a ≥ minCount flag, never a posting list, so no df-cap is
+  * needed and nothing is quadratic), one join back, and a window
+  * PARTITIONED BY doc (bounded by doc length, never a global sort). Every
+  * step — tokenization included — replays bit-for-bit in the DuckDB
+  * oracle.
+  *
+  * Tokens are the engine's lowercase-whitespace tokens; [[trim]] rebuilds
+  * text as surviving tokens joined by single spaces, so trimming
+  * NORMALIZES whitespace/case — document vs reversible span storage
+  * ([[duplicateSpans]]) when the original bytes must survive. */
+object SubstringDedup {
+
+  /** Maximal duplicated token spans: (idCol, start_tok, end_tok) with
+    * token-grain, end-exclusive bounds. */
+  def duplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, minCount: Long = 2): DataFrame = {
+    require(k >= 1, s"substring dedup: k must be >= 1, got $k")
+    require(minCount >= 2, s"substring dedup: minCount must be >= 2, got $minCount")
+    val grams = df
+      .select(col(idCol).as("__id"), TextOps.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= k)
+      .select(col("__id"), posexplode(
+        transform(sequence(lit(0), size(col("__t")) - k),
+          i => array_join(slice(col("__t"), i + 1, lit(k)), " ")))
+        .as(Seq("pos", "g")))
+    val dup = grams.groupBy(col("g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") >= minCount).select(col("g"))
+    val marked = grams.join(dup, "g").select(col("__id"), col("pos"))
+    val w = Window.partitionBy(col("__id")).orderBy(col("pos"))
+    marked
+      .withColumn("__prev_end",
+        max(col("pos") + k).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__island", sum(
+        when(col("__prev_end").isNull || col("pos") > col("__prev_end"), 1L)
+          .otherwise(0L)).over(w))
+      .groupBy(col("__id"), col("__island"))
+      .agg(min(col("pos")).as("start_tok"), (max(col("pos")) + k).as("end_tok"))
+      .select(col("__id").as(idCol), col("start_tok"), col("end_tok"))
+  }
+
+  /** The trimmed corpus: every doc with its duplicated spans' tokens
+    * removed — (idCol, text_trimmed). Docs without spans keep all tokens;
+    * a doc that is entirely duplicated trims to the empty string (drop it
+    * with a length gate downstream if desired). */
+  def trim(df: DataFrame, idCol: String, textCol: String,
+           k: Int = 8, minCount: Long = 2): DataFrame = {
+    val spans = duplicateSpans(df, idCol, textCol, k, minCount)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("start_tok"), col("end_tok"))).as("__spans"))
+    df.join(spans, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          transform(
+            filter(
+              transform(TextOps.tokens(col(textCol)),
+                (t, i) => struct(t.as("t"), i.as("i"))),
+              s => !exists(coalesce(col("__spans"),
+                  array().cast("array<struct<start_tok:int,end_tok:int>>")),
+                sp => s.getField("i") >= sp.getField("start_tok") &&
+                  s.getField("i") < sp.getField("end_tok"))),
+            s => s.getField("t")),
+          " ").as("text_trimmed"))
+  }
+}
