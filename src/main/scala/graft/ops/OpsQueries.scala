@@ -1082,7 +1082,8 @@ object OpsQueries {
        gg AS (
          SELECT doc_id, u.pos AS pos, u.g AS g FROM (
            SELECT doc_id, unnest(list_transform(range(len(toks) - 7),
-             i -> struct_pack(pos := i, g := array_to_string(toks[i+1:i+8], ' ')))) AS u
+             i -> struct_pack(pos := i,
+               g := substr(md5(array_to_string(toks[i+1:i+8], ' ')), 1, 16)))) AS u
            FROM tk WHERE len(toks) >= 8) t),
        dup AS (SELECT g FROM gg GROUP BY g HAVING count(*) >= 2),
        m AS (SELECT doc_id, pos FROM gg JOIN dup USING (g)),

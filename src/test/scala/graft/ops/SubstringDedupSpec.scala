@@ -43,6 +43,14 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(reparted == base)
   }
 
+  test("hashed gram keys produce the same spans as exact string keys") {
+    val hashed = SubstringDedup.duplicateSpans(fixture, "doc_id", "text")
+      .collect().map(_.toSeq).toSet
+    val exact = SubstringDedup.duplicateSpans(fixture, "doc_id", "text",
+      hashGrams = false).collect().map(_.toSeq).toSet
+    assert(hashed == exact && hashed.nonEmpty)
+  }
+
   test("guards are loud") {
     assert(intercept[IllegalArgumentException](SubstringDedup.duplicateSpans(
       fixture, "doc_id", "text", k = 0)).getMessage.contains("k must be"))
