@@ -94,6 +94,14 @@ object PlanCheck {
     println(interesting(graft.ops.Decontaminate.embeddingReport(
         embDf, "id", "emb", embDf.limit(10), "emb", threshold = 0.99)
       .queryExecution.executedPlan))
+
+    println("\n=== exact-substring spans (partial gram count before the slim-key " +
+      "exchange; island window PARTITIONED by doc — no global sort) ===")
+    val sdocs = (1L to 50L).map(i => (i, ("tok " * 20).trim + s" unique$i"))
+      .toDF("doc_id", "text")
+    println(interesting(graft.ops.SubstringDedup.duplicateSpans(
+        sdocs, "doc_id", "text")
+      .queryExecution.executedPlan))
     spark.stop()
   }
 }
