@@ -770,6 +770,91 @@ object OpsQueries {
         queryName = s"stream_out_${System.nanoTime()}")
       .orderBy(col("hr"), col("event_type"))
 
+  /** Line-structured corpus for the line-dedup family (the raw docs are
+    * single-line word soup): each doc rebuilt as 7-token lines, every doc
+    * prefixed with a shared boilerplate header, every 3rd doc suffixed
+    * with a footer whose case/whitespace varies (exercising the
+    * normalized-key merge) — the CCNet use case, deterministically
+    * planted. DuckDB rebuilds the identical corpus. */
+  private def lineCorpus(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val body = transform(sequence(lit(0), ((size(toks) - 1) / 7).cast("int")),
+      i => array_join(slice(toks, i * 7 + 1, lit(7)), " "))
+    val hdr = array(lit("shared corpus license header"))
+    val ftr = when(col("doc_id") % 6 === 0,
+        array(lit("GENERATED BY THE CORPUS  EXPORTER")))
+      .when(col("doc_id") % 3 === 0,
+        array(lit("generated by the corpus exporter")))
+      .otherwise(array().cast("array<string>"))
+    docs(s, dir).select(col("doc_id"),
+      array_join(concat(hdr, body, ftr), "\n").as("text"))
+  }
+
+  /** Duplicated-line census (P34): the planted header appears in every
+    * doc, the footer (both case variants, merged by the normalized key)
+    * in every 3rd — the oracle replays normalization, hashing, counting,
+    * and the min-witness pick. */
+  def lineDedupStats(s: SparkSession, dir: String): DataFrame =
+    LineDedup.lineStats(lineCorpus(s, dir), "doc_id", "text")
+      .orderBy(col("line"))
+
+  /** CCNet keep-first line dedup: the doc-0 copies of header/footer
+    * survive, every other occurrence drops; md5 of the rebuilt text gates
+    * the whole explode→count→join→rebuild path. */
+  def lineDedupKeepFirst(s: SparkSession, dir: String): DataFrame =
+    LineDedup.dedupLines(lineCorpus(s, dir), "doc_id", "text")
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .orderBy(col("doc_id"))
+
+  /** MassiveText-style purge: EVERY occurrence of a repeated line drops. */
+  def lineDedupDropAll(s: SparkSession, dir: String): DataFrame =
+    LineDedup.dedupLines(lineCorpus(s, dir), "doc_id", "text", keepFirst = false)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .orderBy(col("doc_id"))
+
+  /** Top-50 corpus vocabulary with deterministic ranks (P35). */
+  def vocabTop(s: SparkSession, dir: String): DataFrame =
+    Vocab.build(docs(s, dir), "text", topN = 50)
+      .select(col("token"), col("cnt"), col("rank"))
+      .orderBy(col("rank"))
+
+  /** Vocabulary coverage: top-30 vocab from the even-doc half, coverage
+    * measured over the odd-doc half — exact integer counts. */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val vocab = Vocab.build(d.filter(col("doc_id") % 2 === 0), "text", topN = 30)
+    Vocab.coverage(d.filter(col("doc_id") % 2 =!= 0), "text", vocab)
+  }
+
+  /** Token-distribution drift (E23): even docs are the reference window;
+    * odd docs with injected "spark"-mass are production. The oracle
+    * replays vocab build, bucket counts, and the Laplace-smoothed PSI
+    * (shared formula with `latent_drift`); the chi-squared leg is
+    * spec-tested (DuckDB has no incomplete gamma — same split as
+    * `chi2_returnflag_years`). */
+  def tokenDriftQuery(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ref = d.filter(col("doc_id") % 2 === 0)
+    val prod = d.filter(col("doc_id") % 2 =!= 0)
+      .select(concat(col("text"), lit(" spark spark spark spark")).as("text"))
+    Vocab.tokenDrift(ref, prod, "text", topN = 16)
+      .select(col("rank"), col("token"), col("ref_cnt"), col("prod_cnt"),
+        col("psi"), (col("psi") > 0.2).as("is_drift_psi"))
+      .orderBy(col("rank"))
+  }
+
+  /** Canonical text normalization (P36) over a corpus with injected
+    * accents / case / control chars / ragged whitespace — md5 of the
+    * normalized form gates every step cross-engine. */
+  def normalizeTextQuery(s: SparkSession, dir: String): DataFrame = {
+    val messy = docs(s, dir).select(col("doc_id"),
+      concat(lit("  Café ÜBER\tnaïve \n "), col("text"),
+        lit("  ÉLÈVE  ")).as("text"))
+    messy.select(col("doc_id"),
+        md5(TextOps.normalizeText(col("text"))).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_stats" -> (dedupExactStats _),
     "dedup_exact_groups" -> (dedupExactGroups _),
@@ -828,6 +913,13 @@ object OpsQueries {
     "outlier_events" -> (outlierEvents _),
     "dup_spans" -> (dupSpans _),
     "dup_spans_trim" -> (dupSpansTrim _),
+    "line_dedup_stats" -> (lineDedupStats _),
+    "line_dedup_keep_first" -> (lineDedupKeepFirst _),
+    "line_dedup_drop_all" -> (lineDedupDropAll _),
+    "vocab_top" -> (vocabTop _),
+    "vocab_coverage" -> (vocabCoverage _),
+    "token_drift" -> (tokenDriftQuery _),
+    "normalize_text" -> (normalizeTextQuery _),
     "events_stream_hourly" -> (eventsStreamHourly _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "events_stream_dedup" -> (eventsStreamDedup _),
@@ -1141,6 +1233,65 @@ object OpsQueries {
                  FROM fb GROUP BY 1, 2)
          SELECT scenario, CAST(dim AS INT) AS dim, psi, psi > 0.2 AS is_drift
          FROM psi ORDER BY scenario, dim"""
+
+  /** Shared CTEs replaying [[lineCorpus]] + the line explode and the
+    * normalized 16-hex md5 line key — single source for the three
+    * line-dedup oracles. Integer division note: `(len-1)//7` is DuckDB
+    * FLOOR division vs Spark's truncation, identical for the non-negative
+    * lengths here (docs are non-empty). */
+  private val lineCorpusCtes: String =
+    """WITH tk AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+       lc AS (
+         SELECT doc_id,
+           ['shared corpus license header'] ||
+           list_transform(range((len(toks) - 1) // 7 + 1), i ->
+             array_to_string(toks[i*7+1:i*7+7], ' ')) ||
+           (CASE WHEN doc_id % 6 = 0 THEN ['GENERATED BY THE CORPUS  EXPORTER']
+                 WHEN doc_id % 3 = 0 THEN ['generated by the corpus exporter']
+                 ELSE CAST([] AS VARCHAR[]) END) AS lines
+         FROM tk),
+       lr AS (
+         SELECT doc_id, unnest(lines) AS line,
+                generate_subscripts(lines, 1) - 1 AS line_no
+         FROM lc),
+       lk AS (
+         SELECT doc_id, line_no, line,
+           substr(md5(trim(regexp_replace(lower(line), '\s+', ' ', 'g'))), 1, 16) AS key
+         FROM lr)"""
+
+  /** The survivor-filter + doc rebuild tail shared by the two dedup
+    * policies; `keepPred` is the survival predicate over (cnt, rn). */
+  private def lineDedupTailSql(keepPred: String): String =
+    s""",
+       w AS (
+         SELECT doc_id, line_no, line,
+           count(*) OVER (PARTITION BY key) AS cnt,
+           row_number() OVER (PARTITION BY key ORDER BY doc_id, line_no) AS rn
+         FROM lk),
+       keep AS (SELECT doc_id, line_no, line FROM w WHERE $keepPred),
+       reb AS (
+         SELECT doc_id,
+           array_to_string(list(line ORDER BY line_no), chr(10)) AS text
+         FROM keep GROUP BY doc_id)
+       SELECT d.doc_id, md5(coalesce(r.text, '')) AS h
+       FROM (SELECT DISTINCT doc_id FROM documents) d
+         LEFT JOIN reb r ON d.doc_id = r.doc_id
+       ORDER BY d.doc_id"""
+
+  /** Token counts + deterministic (cnt DESC, token ASC) ranking over a
+    * source relation — shared by the vocabulary-family oracles. */
+  private def vocabCtes(src: String): String =
+    s"""WITH tok AS (
+         SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                  x -> len(x) > 0)) AS token
+         FROM $src),
+       vc AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+       vr AS (SELECT token, cnt,
+                row_number() OVER (ORDER BY cnt DESC, token) AS rank
+              FROM vc)"""
 
   val oracleSql: Map[String, String] = Map(
     "curation_near_dup" -> curationNearDupSql,
@@ -1506,6 +1657,83 @@ object OpsQueries {
                x -> x.t), ' '), '')) AS h
          FROM tk LEFT JOIN spl ON tk.doc_id = spl.doc_id
          ORDER BY tk.doc_id"""),
+    "line_dedup_stats" ->
+      (lineCorpusCtes + """
+         SELECT min(line) AS line,
+                count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_total
+         FROM lk GROUP BY key HAVING count(*) >= 2
+         ORDER BY line"""),
+    "line_dedup_keep_first" ->
+      (lineCorpusCtes + lineDedupTailSql("cnt < 2 OR rn = 1")),
+    "line_dedup_drop_all" ->
+      (lineCorpusCtes + lineDedupTailSql("cnt < 2")),
+    "vocab_top" ->
+      (vocabCtes("documents") + """
+         SELECT token, cnt, CAST(rank AS INT) AS rank
+         FROM vr WHERE rank <= 50 ORDER BY rank"""),
+    "vocab_coverage" ->
+      (vocabCtes("(SELECT * FROM documents WHERE doc_id % 2 = 0)") + """,
+         vocab AS (SELECT token FROM vr WHERE rank <= 30),
+         tgt AS (
+           SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                    x -> len(x) > 0)) AS token
+           FROM documents WHERE doc_id % 2 <> 0),
+         j AS (SELECT t.token, v.token AS v_tok
+               FROM tgt t LEFT JOIN vocab v ON t.token = v.token)
+         SELECT count(*) AS total_tokens,
+                sum(CASE WHEN v_tok IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab_tokens,
+                sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
+                count(DISTINCT CASE WHEN v_tok IS NULL THEN token END) AS distinct_oov
+         FROM j"""),
+    // vocab build + OOV-bucket counts + the SAME Laplace-smoothed PSI
+    // formula as latent_drift (nb = topN+1 = 17); the chi-squared leg is
+    // spec-tested, not oracled (DuckDB has no incomplete gamma — the
+    // chi2_returnflag_years split)
+    "token_drift" ->
+      (vocabCtes("(SELECT * FROM documents WHERE doc_id % 2 = 0)") + """,
+         vocab AS (SELECT token, CAST(rank AS INT) AS rank
+                   FROM vr WHERE rank <= 16),
+         prod_tok AS (
+           SELECT unnest(list_filter(string_split_regex(
+                    lower(text || ' spark spark spark spark'), '\s+'),
+                    x -> len(x) > 0)) AS token
+           FROM documents WHERE doc_id % 2 <> 0),
+         rc AS (SELECT coalesce(v.rank, 0) AS rank, count(*) AS ref_cnt
+                FROM tok t LEFT JOIN vocab v ON t.token = v.token GROUP BY 1),
+         pc AS (SELECT coalesce(v.rank, 0) AS rank, count(*) AS prod_cnt
+                FROM prod_tok t LEFT JOIN vocab v ON t.token = v.token GROUP BY 1),
+         buckets AS (SELECT CAST(unnest(range(17)) AS INT) AS rank),
+         jj AS (
+           SELECT b.rank,
+                  coalesce(v.token, '<oov>') AS token,
+                  coalesce(rc.ref_cnt, 0) AS ref_cnt,
+                  coalesce(pc.prod_cnt, 0) AS prod_cnt
+           FROM buckets b
+             LEFT JOIN rc ON b.rank = rc.rank
+             LEFT JOIN pc ON b.rank = pc.rank
+             LEFT JOIN vocab v ON b.rank = v.rank),
+         tot AS (SELECT sum(ref_cnt) AS rt, sum(prod_cnt) AS ct FROM jj),
+         p AS (SELECT round(sum(
+                   ((ref_cnt + 1.0) / (rt + 17) - (prod_cnt + 1.0) / (ct + 17)) *
+                   ln(((ref_cnt + 1.0) / (rt + 17)) /
+                      ((prod_cnt + 1.0) / (ct + 17)))), 4) AS psi
+               FROM jj, tot)
+         SELECT jj.rank, jj.token, jj.ref_cnt, jj.prod_cnt, p.psi,
+                p.psi > 0.2 AS is_drift_psi
+         FROM jj, p ORDER BY jj.rank"""),
+    // translate-before-lower accent fold, control chars to spaces,
+    // whitespace collapse, trim — every step byte-replayed
+    "normalize_text" ->
+      ("""SELECT doc_id,
+            md5(trim(regexp_replace(regexp_replace(
+              lower(translate('  Café ÜBER' || chr(9) || 'naïve ' || chr(10) ||
+                ' ' || text || '  ÉLÈVE  ',
+                '""" + graft.ops.TextOps.accentFrom + """',
+                '""" + graft.ops.TextOps.accentTo + """')),
+              '[\x00-\x1f\x7f]', ' ', 'g'),
+              '\s+', ' ', 'g'))) AS h
+          FROM documents ORDER BY doc_id"""),
     // per-group mean/stddev_pop recomputed, null-safe group join, same
     // k-sigma flag and rounded z-score
     "outlier_events" ->

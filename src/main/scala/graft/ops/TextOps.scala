@@ -195,6 +195,29 @@ object TextOps {
     (stats.getField("top_bigram_cnt") * 100 > stats.getField("bigram_cnt") * 18) ||
       (stats.getField("dup_trigram_cnt") * 100 > stats.getField("trigram_cnt") * 30)
 
+  /** The Latin-1/Latin-Extended accent fold used by [[normalizeText]]:
+    * a fixed `translate` table (engine-portable — DuckDB's `translate`
+    * applies the identical map, unlike locale-dependent NFKD libraries).
+    * Codepoint-per-codepoint, so `translate` length semantics hold. */
+  private[graft] val accentFrom = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿ" +
+    "ÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝ"
+  private[graft] val accentTo = "aaaaaaceeeeiiiinooooouuuuyy" +
+    "AAAAAACEEEEIIIINOOOOOUUUUY"
+
+  /** Deterministic text normalization (P36) — the canonical form a
+    * dedup/fingerprint key wants: accent fold (fixed table), lowercase,
+    * control chars to spaces, whitespace runs collapsed, trimmed. Pure
+    * column expression (codegen'd, shuffle-free) whose every step replays
+    * bit-identically in DuckDB (`translate`/`lower`/`regexp_replace`/
+    * `trim`), so normalized-text hashes oracle across engines. NOT a
+    * full NFKC pass — that needs ICU; this is the reproducible subset a
+    * cross-engine pipeline can actually promise. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(translate(text, accentFrom, accentTo)),
+        "[\\x00-\\x1f\\x7f]", " "),
+      "\\s+", " "))
+
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
     * Native single-pass expression (tokenize + n-gram join + first-
     * occurrence distinct); the transform/slice/concat_ws HOF chain it
