@@ -855,7 +855,24 @@ object OpsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Compaction PLAN (E24) over file metadata synthesized from the docs
+    * table (one "file" per doc: part = doc_id%4, bytes = n_chars — real
+    * file listings aren't SQL-visible; the binning math is what's under
+    * test). smallBytes=400 leaves the large-doc quartile as keeps;
+    * targetBytes=1500 bins the rest by running-sum start offset. The
+    * EXECUTION path (read→coalesce→atomic dir swap→manifest commit) is
+    * spec-tested on a real SnapshotCatalog table (CompactionSpec). */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = docs(s, dir).select(
+      (col("doc_id") % 4).cast("int").as("part"),
+      concat(lit("f"), lpad(col("doc_id").cast("string"), 8, "0")).as("file"),
+      col("n_chars").as("bytes"))
+    graft.engine.Compaction.plan(files, targetBytes = 1500L, smallBytes = 400L)
+      .orderBy(col("part"), col("file"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "compaction_plan" -> (compactionPlan _),
     "dedup_exact_stats" -> (dedupExactStats _),
     "dedup_exact_groups" -> (dedupExactGroups _),
     "dedup_exact_drop" -> (dedupExactDrop _),
@@ -1657,6 +1674,22 @@ object OpsQueries {
                x -> x.t), ' '), '')) AS h
          FROM tk LEFT JOIN spl ON tk.doc_id = spl.doc_id
          ORDER BY tk.doc_id"""),
+    // running-sum start-offset binning replayed with the same window
+    "compaction_plan" ->
+      """WITH f AS (SELECT CAST(doc_id % 4 AS INT) AS part,
+                      'f' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS file,
+                      n_chars AS bytes
+                    FROM documents),
+         w AS (SELECT part, file, bytes,
+                 sum(CASE WHEN bytes < 400 THEN bytes ELSE 0 END)
+                   OVER (PARTITION BY part ORDER BY file
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+               FROM f)
+         SELECT part, file, bytes,
+           CASE WHEN bytes < 400 THEN 'rewrite' ELSE 'keep' END AS action,
+           CASE WHEN bytes < 400 THEN CAST((cum - bytes) // 1500 AS INT)
+                ELSE -1 END AS bin
+         FROM w ORDER BY part, file""",
     "line_dedup_stats" ->
       (lineCorpusCtes + """
          SELECT min(line) AS line,
