@@ -765,6 +765,47 @@ object OpsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming token-distribution drift (E23 twin): the odd-doc corpus
+    * arrives as two event-time windows — hour 0 unchanged ("same"), hour 1
+    * with injected "spark"-mass ("shift") — scored per window against the
+    * even-doc reference vocabulary. Finals are bit-identical to the batch
+    * scorer (spec-asserted), so the oracle replays the same PSI formula. */
+  def streamTokenDrift(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val d = docs(s, dir)
+    val ref = d.filter(col("doc_id") % 2 === 0)
+    val cur = d.filter(col("doc_id") % 2 =!= 0)
+    val vocab = Vocab.build(ref, "text", topN = 16)
+    val refCounts = Vocab.bucketCountVector(ref, "text", vocab, topN = 16)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val staged = Files.createTempDirectory("graft-token-q")
+    Seq(
+      cur.select(lit(base).as("ts"), col("text")),
+      cur.select(lit(new java.sql.Timestamp(base.getTime + 3600000L)).as("ts"),
+        concat(col("text"), lit(" spark spark spark spark")).as("text"))
+    ).zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory("graft-token-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
+      Files.copy(part, staged.resolve(f"w$i%02d.parquet"))
+      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+      catch { case _: Throwable => }
+    }
+    val out = StreamingOps.runTokenDriftStream(s, staged.toString, vocab,
+        refCounts, threshold = 0.05,
+        queryName = s"stream_token_${System.nanoTime()}")
+      .select(
+        when(col("window_start") === lit(base), lit("same")).otherwise(lit("shift"))
+          .as("scenario"),
+        col("n"), col("psi"), col("is_drift"))
+      .orderBy(col("scenario"))
+    try { import scala.sys.process._; Seq("rm", "-rf", staged.toString).! }
+    catch { case _: Throwable => }
+    out
+  }
+
   def eventsStreamHourly(s: SparkSession, dir: String): DataFrame =
     StreamingOps.runFileStream(s, s"$dir/events.parquet",
         queryName = s"stream_out_${System.nanoTime()}")
@@ -942,6 +983,7 @@ object OpsQueries {
     "events_stream_dedup" -> (eventsStreamDedup _),
     "stream_near_dup_dedup" -> (streamNearDupDedup _),
     "events_stream_dedup_wm" -> (eventsStreamDedupWm _),
+    "stream_token_drift" -> (streamTokenDrift _),
     "events_stream_drift" -> (eventsStreamDrift _))
 
   /** Exact n-gram-Jaccard ground truth over the injected near-dup corpus —
@@ -1755,6 +1797,45 @@ object OpsQueries {
          SELECT jj.rank, jj.token, jj.ref_cnt, jj.prod_cnt, p.psi,
                 p.psi > 0.2 AS is_drift_psi
          FROM jj, p ORDER BY jj.rank"""),
+    // the streaming twin's two per-window finals, replayed with the same
+    // vocab + Laplace-smoothed PSI as token_drift (threshold 0.05)
+    "stream_token_drift" ->
+      (vocabCtes("(SELECT * FROM documents WHERE doc_id % 2 = 0)") + """,
+         vocab AS (SELECT token, CAST(rank AS INT) AS rank
+                   FROM vr WHERE rank <= 16),
+         wt AS (
+           SELECT 'same' AS scenario,
+             unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0)) AS token
+           FROM documents WHERE doc_id % 2 <> 0
+           UNION ALL
+           SELECT 'shift',
+             unnest(list_filter(string_split_regex(
+               lower(text || ' spark spark spark spark'), '\s+'),
+               x -> len(x) > 0))
+           FROM documents WHERE doc_id % 2 <> 0),
+         cc AS (SELECT scenario, coalesce(v.rank, 0) AS rank, count(*) AS cnt
+                FROM wt LEFT JOIN vocab v ON wt.token = v.token GROUP BY 1, 2),
+         rc AS (SELECT coalesce(v.rank, 0) AS rank, count(*) AS cnt
+                FROM tok t LEFT JOIN vocab v ON t.token = v.token GROUP BY 1),
+         bks AS (SELECT s.scenario, CAST(unnest(range(17)) AS INT) AS rank
+                 FROM (SELECT DISTINCT scenario FROM wt) s),
+         f AS (SELECT b.scenario, b.rank,
+                 coalesce(cc.cnt, 0) AS cnt,
+                 coalesce((SELECT rc.cnt FROM rc WHERE rc.rank = b.rank), 0) AS rcnt
+               FROM bks b LEFT JOIN cc ON b.scenario = cc.scenario
+                 AND b.rank = cc.rank),
+         tt AS (SELECT scenario, sum(cnt) AS ct, sum(rcnt) AS rt
+                FROM f GROUP BY scenario)
+         SELECT f.scenario, CAST(tt.ct AS BIGINT) AS n,
+           round(sum(((rcnt + 1.0) / (rt + 17) - (cnt + 1.0) / (ct + 17)) *
+             ln(((rcnt + 1.0) / (rt + 17)) / ((cnt + 1.0) / (ct + 17)))), 4) AS psi,
+           round(sum(((rcnt + 1.0) / (rt + 17) - (cnt + 1.0) / (ct + 17)) *
+             ln(((rcnt + 1.0) / (rt + 17)) / ((cnt + 1.0) / (ct + 17)))), 4) > 0.05
+             AS is_drift
+         FROM f JOIN tt ON f.scenario = tt.scenario
+         GROUP BY f.scenario, tt.ct, tt.rt
+         ORDER BY f.scenario"""),
     // translate-before-lower accent fold, control chars to spaces,
     // whitespace collapse, trim — every step byte-replayed
     "normalize_text" ->

@@ -244,6 +244,21 @@ object StreamingOps {
         LatentDrift.bucketCol(col("v"), edges).as("bucket"))
       .as[LatentBucketRow]
 
+    psiPerWindowStateful(keyed, refCounts, nb, threshold, "latentDriftPerWindow")
+  }
+
+  /** The shared stateful per-window bucket-count PSI runner behind
+    * [[latentDriftPerWindow]] and [[tokenDriftPerWindow]]: state per
+    * window is one flat (outDim × nb) long matrix; finals fire on
+    * event-time timeout after the watermark passes the window end. */
+  private def psiPerWindowStateful(keyed: Dataset[LatentBucketRow],
+                                   refCounts: Array[Array[Long]], nb: Int,
+                                   threshold: Double,
+                                   opName: String): Dataset[LatentWindowVerdict] = {
+    val spark = keyed.sparkSession
+    import spark.implicits._
+    val outDim = refCounts.length
+
     def verdicts(ws: java.sql.Timestamp, h: LatentHist,
                  isFinal: Boolean): List[LatentWindowVerdict] =
       (0 until outDim).map { d =>
@@ -265,7 +280,7 @@ object StreamingOps {
             var timeoutAt = 0L
             it.foreach { r =>
               require(r.dim < outDim,
-                s"latentDriftPerWindow: latent dim ${r.dim} exceeds reference outDim $outDim")
+                s"$opName: dim ${r.dim} exceeds reference outDim $outDim")
               h.counts(r.dim * nb + r.bucket) += 1L
               timeoutAt = r.window_ms
             }
@@ -275,6 +290,97 @@ object StreamingOps {
             verdicts(ws, h, isFinal = false).iterator
           }
       }
+  }
+
+  /** Streaming twin of token-distribution drift (E23): per event-time
+    * window, Laplace-smoothed PSI of the window's token mass over a
+    * STATIC reference vocabulary (rank 1..topN + OOV bucket 0) against
+    * the reference's own bucket counts. The vocabulary rides a
+    * stream-static broadcast join (≤ topN rows); state per window is one
+    * (topN+1)-long count vector. PSI math is [[LatentDrift.psiFromCounts]]
+    * — shared with the batch [[Vocab.tokenDrift]], so final streaming
+    * verdicts are bit-identical to batch scores on the same window.
+    * `vocab` must be (token, rank) with ranks 1..topN (from
+    * [[Vocab.build]]); `refCounts` is the (topN+1)-vector from
+    * [[Vocab.bucketCountVector]]. */
+  def tokenDriftPerWindow(rows: DataFrame, textCol: String,
+                          vocab: DataFrame, refCounts: Array[Long],
+                          threshold: Double = 0.2,
+                          windowDuration: String = "1 hour",
+                          watermarkDelay: String = "2 hours"): Dataset[LatentWindowVerdict] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    require(refCounts.nonEmpty, "tokenDriftPerWindow: refCounts must be non-empty")
+    val nb = refCounts.length
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermarkDelay))
+    val delayMillis = iv.days.toLong * 86400000L + iv.microseconds / 1000L
+
+    val keyed = rows
+      .withWatermark("ts", watermarkDelay)
+      .select(col("ts"),
+        window(col("ts"), windowDuration).getField("start").as("window_start"),
+        (unix_millis(window(col("ts"), windowDuration).getField("end")) + delayMillis)
+          .as("window_ms"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab.select(col("token"), col("rank"))), Seq("token"), "left")
+      .select(col("ts"), col("window_start"), col("window_ms"),
+        lit(0).as("dim"),
+        coalesce(col("rank"), lit(0)).cast("int").as("bucket"))
+      .as[LatentBucketRow]
+
+    psiPerWindowStateful(keyed, Array(refCounts), nb, threshold,
+      "tokenDriftPerWindow")
+  }
+
+  /** File-staged harness for [[tokenDriftPerWindow]] (same shape as
+    * [[runLatentDriftStream]]): streams (ts, text) parquet files one per
+    * micro-batch, appends a far-future sentinel row to push the watermark
+    * past every real window, and returns only the FINAL verdicts. */
+  def runTokenDriftStream(spark: SparkSession, parquetPath: String,
+                          vocab: DataFrame, refCounts: Array[Long],
+                          threshold: Double = 0.2,
+                          windowDuration: String = "1 hour",
+                          queryName: String = "stream_token_drift"): DataFrame = {
+    import spark.implicits._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType),
+      StructField("text", StringType)))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-tokens")
+    val p = java.nio.file.Paths.get(parquetPath)
+    val ls = java.nio.file.Files.list(p)
+    try ls.filter(_.toString.endsWith(".parquet"))
+      .forEach(f => java.nio.file.Files.copy(f, srcDir.resolve(f.getFileName)))
+    finally ls.close()
+
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+    val q = tokenDriftPerWindow(src, "text", vocab, refCounts, threshold,
+      windowDuration)
+      .writeStream.outputMode("update")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    val maxTs = spark.read.parquet(srcDir.toString)
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    require(maxTs != null,
+      s"runTokenDriftStream: no rows with a timestamp under $parquetPath")
+    // sentinel: one token, far enough ahead to time out every real window
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 315360000000L)
+    Seq((sentinel, "sentinel")).toDF("ts", "text")
+      .write.mode("append").parquet(srcDir.toString)
+    q.processAllAvailable()
+    q.stop()
+    try {
+      import scala.sys.process._
+      Seq("rm", "-rf", srcDir.toString).!
+    } catch { case _: Throwable => }
+    val res = spark.table(queryName).filter(col("is_final") &&
+      col("window_start") < lit(new java.sql.Timestamp(maxTs.getTime + 157680000000L)))
+    val rows = res.collect()
+    val outSchema = res.schema
+    spark.catalog.dropTempView(queryName)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), outSchema)
   }
 
   /** Drive [[latentDriftPerWindow]] over a parquet path of (ts, latent)

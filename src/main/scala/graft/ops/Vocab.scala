@@ -56,6 +56,21 @@ object Vocab {
       count_distinct(when(col("__v").isNull, col("token"))).as("distinct_oov"))
   }
 
+  /** The (topN+1)-long bucket count vector of a corpus against a
+    * (token, rank) vocabulary — index 0 is the OOV bucket, index r the
+    * vocab token ranked r. The static-reference input both the batch
+    * [[tokenDrift]] and the streaming twin
+    * ([[StreamingOps.tokenDriftPerWindow]]) score against. */
+  def bucketCountVector(df: DataFrame, textCol: String, vocab: DataFrame,
+                        topN: Int): Array[Long] = {
+    val counts = df.select(explode(TextOps.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab.select(col("token"), col("rank"))), Seq("token"), "left")
+      .groupBy(coalesce(col("rank"), lit(0)).cast("int").as("rank"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ topN+1 rows
+    Array.tabulate(topN + 1)(i => counts.getOrElse(i, 0L))
+  }
+
   /** Token-distribution drift between a reference and a production corpus
     * (E23): project both onto the REFERENCE's top-N vocabulary plus one
     * OOV bucket, then score the two count vectors with Laplace-smoothed
