@@ -102,6 +102,19 @@ object PlanCheck {
     println(interesting(graft.ops.SubstringDedup.duplicateSpans(
         sdocs, "doc_id", "text")
       .queryExecution.executedPlan))
+
+    println("\n=== line dedup (partial count before the slim hashed-key exchange; " +
+      "dup-only join-back; doc-grain rebuild aggregate) ===")
+    println(interesting(graft.ops.LineDedup.dedupLines(
+        sdocs, "doc_id", "text")
+      .queryExecution.executedPlan))
+
+    println("\n=== compaction plan (window PARTITIONED by part — no global sort; " +
+      "metadata-grain rows only) ===")
+    val fmeta = (1 to 100).map(i => (i % 4, f"f$i%04d", (i * 97 % 900 + 10).toLong))
+      .toDF("part", "file", "bytes")
+    println(interesting(graft.engine.Compaction.plan(fmeta, 1000L, 500L)
+      .queryExecution.executedPlan))
     spark.stop()
   }
 }
