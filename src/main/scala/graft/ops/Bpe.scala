@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding tokenizer TRAINING (P37) — the op that turns a
+  * corpus into a subword vocabulary (Sennrich et al. 2016, "Neural
+  * Machine Translation of Rare Words with Subword Units"). The textbook
+  * formulation loops over the corpus per merge; the scalable one — used
+  * here — observes that merges depend only on the DISTINCT-WORD frequency
+  * table: the corpus is touched ONCE (one map-side-combined word count,
+  * the only corpus-grain exchange), and every merge round then runs over
+  * the vocabulary-sized word table (Zipf-capped — millions of rows
+  * regardless of corpus size, with a `minFreq` floor for the hapax tail).
+  *
+  * Symbol representation: a word's symbols joined by TWO spaces plus an
+  * end-of-word marker ("low" → "l  o  w  </w>"). One merge is then ONE
+  * literal (non-regex) replace of " a  b " with " ab " over the
+  * double-space-padded string: the match consumes one space from each
+  * neighboring gap, so ADJACENT occurrences still match in the same pass
+  * (their shared gap has two spaces), while same-symbol runs merge
+  * greedily LEFTMOST ("a a a" → "aa a") because the scan resumes after
+  * each match — exactly canonical BPE application, in one pass, with no
+  * lookaround (so Spark's and DuckDB's literal `replace` agree
+  * byte-for-byte and the whole derivation is oracle-replayable with the
+  * merge rounds unrolled). Symbols never contain whitespace (they come
+  * from whitespace tokens), so the encoding is unambiguous.
+  *
+  * Determinism: the winning pair per round is argmax by (count DESC,
+  * pair ASC) — tied pairs never resolve by arrival order, so the merge
+  * table is identical under any partitioning (spec-asserted). */
+object Bpe {
+
+  /** The distinct-word frequency table of a corpus: (word, freq), the
+    * only corpus-grain pass of BPE training. */
+  def wordFreqs(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextOps.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Initial symbol form: characters double-space-joined, plus the
+    * end-of-word marker ("low" → "l  o  w  </w>"). Codepoint-grain
+    * (Spark `split(w, "")`), replayed per-char in the oracle. */
+  private[ops] def symbolize(word: Column): Column =
+    concat(array_join(split(word, ""), "  "), lit("  </w>"))
+
+  /** Adjacent symbol pairs of a double-space symbol string, each as
+    * "a b" (single-space, the merge-table form). Empty array for
+    * single-symbol words. */
+  private[ops] def pairsOf(sym: Column): Column = {
+    val t = split(sym, "  ")
+    when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", slice(t, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Train `numMerges` BPE merges over the word-frequency table of `df`.
+    * Returns the merge table: (merge_rank, pair, freq) — merge_rank
+    * 1-based in application order, `pair` the space-separated symbol pair
+    * merged, `freq` its frequency-weighted count when chosen.
+    *
+    * Each round aggregates pair counts over the word table (weighted by
+    * word freq, map-side combined — O(distinct pairs) slim rows move),
+    * picks the (count DESC, pair ASC) argmax via TakeOrdered (ONE row to
+    * the driver), and applies it with one narrow literal replace. Stops
+    * early when no pair repeats (freq-weighted count < 2). */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+            minFreq: Long = 1): DataFrame = {
+    require(numMerges >= 1, s"bpe: numMerges must be >= 1, got $numMerges")
+    val spark = df.sparkSession
+    var words = wordFreqs(df, textCol)
+      .filter(col("freq") >= minFreq)
+      .select(symbolize(col("word")).as("sym"), col("freq"))
+    words.persist() // vocabulary-sized (Zipf-capped); hot across rounds
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val top = words
+        .select(explode(pairsOf(col("sym"))).as("pair"), col("freq"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect() // ONE row — the argmax pair
+      if (top.isEmpty || top.head.getLong(1) < 2) exhausted = true
+      else {
+        val pair = top.head.getString(0)
+        merges += ((rank, pair, top.head.getLong(1)))
+        val prev = words
+        words = prev.select(mergeOnce(col("sym"), pair).as("sym"), col("freq"))
+          .persist()
+        words.count() // materialize before releasing the previous round
+        prev.unpersist(blocking = false)
+        rank += 1
+      }
+    }
+    words.unpersist(blocking = false)
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "pair", "freq")
+  }
+
+  /** The padded literal replace: "  " + sym + "  ", replace
+    * " a  b " → " ab ", strip the padding back off (the pad spaces are
+    * exactly the outermost two chars unless consumed-and-restored by an
+    * edge match, so a plain trim of spaces is correct — symbols never
+    * start or end with a space). */
+  private[ops] def mergeOnce(sym: Column, pair: String): Column = {
+    val Array(a, b) = pair.split(" ", 2)
+    trim(replace(concat(lit("  "), sym, lit("  ")),
+      lit(s" $a  $b "), lit(s" ${a + b} ")))
+  }
+
+  /** Apply a trained merge table to text: every word symbolized, merges
+    * replayed in rank order, subword tokens returned per doc in a
+    * `subwords` array column. The narrow per-row twin of [[train]]'s
+    * application step — ONE pass, no shuffle. */
+  def encode(df: DataFrame, textCol: String, merges: Seq[String]): DataFrame = {
+    val sym = transform(TextOps.tokens(col(textCol)), w =>
+      merges.foldLeft(symbolize(w))((acc, pair) => mergeOnce(acc, pair)))
+    df.withColumn("subwords",
+      flatten(transform(sym, s => split(s, "  "))))
+  }
+}

@@ -912,8 +912,29 @@ object OpsQueries {
       .orderBy(col("part"), col("file"))
   }
 
+  /** BPE tokenizer training (P37): 8 merges over the docs corpus — the
+    * merge table itself is the result. The DuckDB oracle replays the
+    * ENTIRE derivation with the 8 rounds unrolled: word counts, symbol
+    * init, weighted pair counts, the (count DESC, pair ASC) argmax, and
+    * the padded literal-replace application. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame =
+    Bpe.train(docs(s, dir), "text", numMerges = 8).orderBy(col("merge_rank"))
+
+  /** BPE encoding with the trained table: per-doc subword count + md5 of
+    * the subword sequence — the apply path hash-gated end to end. */
+  def bpeEncode(s: SparkSession, dir: String): DataFrame = {
+    val merges = Bpe.train(docs(s, dir), "text", numMerges = 8)
+      .orderBy(col("merge_rank")).collect().map(_.getString(1)).toSeq
+    Bpe.encode(docs(s, dir).select(col("doc_id"), col("text")), "text", merges)
+      .select(col("doc_id"), size(col("subwords")).as("n_subwords"),
+        md5(array_join(col("subwords"), " ")).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "compaction_plan" -> (compactionPlan _),
+    "bpe_merges" -> (bpeMerges _),
+    "bpe_encode" -> (bpeEncode _),
     "dedup_exact_stats" -> (dedupExactStats _),
     "dedup_exact_groups" -> (dedupExactGroups _),
     "dedup_exact_drop" -> (dedupExactDrop _),
@@ -1352,7 +1373,64 @@ object OpsQueries {
                 row_number() OVER (ORDER BY cnt DESC, token) AS rank
               FROM vc)"""
 
+  /** The k-round BPE derivation unrolled as chained CTEs: s0 is the
+    * symbolized word-freq table; round i computes weighted pair counts
+    * (p_i), the deterministic argmax (m_i), and the merged symbol table
+    * (s_i) via the same padded literal replace the engine applies. */
+  private def bpeCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH w AS (
+           SELECT word, count(*) AS freq FROM (
+             SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+               x -> len(x) > 0)) AS word
+             FROM documents) GROUP BY word),
+         s0 AS (SELECT word,
+             array_to_string(list_transform(range(length(word)), i -> word[i+1]), '  ')
+               || '  </w>' AS sym, freq
+           FROM w)""")
+    (1 to k).foreach { i =>
+      sb.append(s""",
+         p$i AS (SELECT pair, sum(freq) AS cnt FROM (
+             SELECT unnest(CASE WHEN len(t) >= 2
+                 THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+                 ELSE CAST([] AS VARCHAR[]) END) AS pair, freq
+             FROM (SELECT string_split(sym, '  ') AS t, freq FROM s${i - 1}))
+           GROUP BY pair),
+         m$i AS (SELECT pair, cnt FROM p$i ORDER BY cnt DESC, pair ASC LIMIT 1),
+         s$i AS (SELECT s.word, trim(replace('  ' || s.sym || '  ',
+             ' ' || split_part(m.pair, ' ', 1) || '  ' || split_part(m.pair, ' ', 2) || ' ',
+             ' ' || replace(m.pair, ' ', '') || ' ')) AS sym, s.freq
+           FROM s${i - 1} s, m$i m)""")
+    }
+    sb.toString
+  }
+
+  private def bpeMergesOracle(k: Int): String =
+    bpeCtes(k) + "\n SELECT merge_rank, pair, freq FROM (" +
+      (1 to k).map(i =>
+        s"SELECT $i AS merge_rank, pair, cnt AS freq FROM m$i")
+        .mkString(" UNION ALL ") +
+      ") ORDER BY merge_rank"
+
+  private def bpeEncodeOracle(k: Int): String =
+    bpeCtes(k) + s""",
+       tk2 AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS toks
+         FROM documents),
+       dw AS (SELECT doc_id, unnest(toks) AS word,
+                generate_subscripts(toks, 1) AS pos
+              FROM tk2),
+       enc AS (SELECT d.doc_id,
+                 array_to_string(list(s.sym ORDER BY d.pos), '  ') AS symline
+               FROM dw d JOIN s$k s USING (word) GROUP BY d.doc_id)
+       SELECT doc_id, len(string_split(symline, '  ')) AS n_subwords,
+              md5(replace(symline, '  ', ' ')) AS h
+       FROM enc ORDER BY doc_id"""
+
   val oracleSql: Map[String, String] = Map(
+    "bpe_merges" -> bpeMergesOracle(8),
+    "bpe_encode" -> bpeEncodeOracle(8),
     "curation_near_dup" -> curationNearDupSql,
     "curation_cc" -> curationCcSql,
     "curation_decon" -> curationDeconSql,
