@@ -160,7 +160,8 @@ object Bench {
     // compiled generator twin — bit-identical to DocsGen.docs (equality
     // spec-gated), ~3x faster evaluation; trims the untimed setup phase
     val (snap, genSec) = time(SnapshotCatalog.commit(table,
-      graft.model.DocsGenFast.docs(setup, nDocs, scenario), codec))
+      graft.model.DocsGenFast.docs(setup, nDocs, scenario), codec,
+      appendedParts = Some(scenario.map(_.part))))
     val ref = {
       import setup.implicits._
       Fit.fit(setup.read.parquet(s"$table/data").filter($"part" === 0),

@@ -9,12 +9,23 @@ import scala.jdk.CollectionConverters._
   * Iceberg catalog (no Iceberg runtime jar ships in this environment; see
   * SURVEY.md §7). Gives the behaviors the engine actually needs from
   * "Iceberg-shaped" storage: snapshot-pinned reads, per-partition lineage,
-  * and atomic manifest commits (write-temp + atomic rename).
+  * atomic manifest commits (write-temp + atomic rename), and the snapshot
+  * LIFECYCLE ops (E25) — [[rollbackTo]] and [[expireSnapshots]] with
+  * orphaned-partition GC, the part-grain analogs of Iceberg's
+  * `rollback_to_snapshot` and `expire_snapshots`.
   *
   * Layout: `<table>/data/part=<p>/...parquet` plus
   * `<table>/_snapshots/v<N>.json` listing the partitions and row counts that
   * make up snapshot N. Readers pin a snapshot id and only see partitions in
   * that manifest. Storage API stays plain `spark.read.parquet`.
+  *
+  * Part-grain contract (manifests track PARTS, not files — SURVEY.md §7
+  * records the substitution): a part id belongs to the snapshot that
+  * introduced it, so committers append FRESH part ids. Appending rows into
+  * a live part id keeps the current snapshot correct but leaks the rows
+  * into older pinned reads of that part; appending into a part id orphaned
+  * by a rollback makes the rows invisible until expiry GCs the dir — pass
+  * `appendedParts` to get the loud guard against the latter.
   */
 object SnapshotCatalog {
 
@@ -22,27 +33,113 @@ object SnapshotCatalog {
 
   private def snapDir(table: String): Path = Paths.get(table, "_snapshots")
 
+  /** All manifest ids present (not expired), ascending. */
+  def manifestIds(table: String): Seq[Long] = {
+    val dir = snapDir(table)
+    if (!Files.exists(dir)) return Seq.empty
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq.sorted
+  }
+
   /** Append a new snapshot: writes `df` (must carry an int `part` column)
-    * partitioned by part under data/, then commits manifest v(N+1).
+    * partitioned by part under data/, then commits manifest v(N+1) whose
+    * part set is the CURRENT manifest's parts plus the appended ones —
+    * never a raw directory listing, so partitions orphaned by a rollback
+    * stay invisible (they exist on disk for older pinned readers until
+    * [[expireSnapshots]] GCs them).
+    *
+    * `appendedParts`: the part ids `df` carries, when the caller knows them
+    * (a generator's scenario spec, an ingest batch's partition range) —
+    * skips the post-write footer scan AND enables the loud orphan-reuse
+    * guard. Default None derives fresh parts as written-dirs minus
+    * historically-referenced dirs (one partition-column-only footer job).
     * `codec`: parquet compression. zstd trades plentiful CPU for scarce
     * memory/disk bandwidth — the right default for scan-bound validation
     * passes (see BASELINE.md bandwidth probe); snappy kept for compat. */
-  def commit(table: String, df: DataFrame, codec: String = "zstd"): Snapshot = {
+  def commit(table: String, df: DataFrame, codec: String = "zstd",
+             appendedParts: Option[Seq[Int]] = None): Snapshot = {
     val spark = df.sparkSession
+    val live: Set[Int] = currentSnapshotId(table)
+      .map(readManifest(table, _).parts.toSet).getOrElse(Set.empty)
+    val historical: Set[Int] =
+      manifestIds(table).flatMap(readManifest(table, _).parts).toSet
+    appendedParts.foreach { ps =>
+      val orphanReuse = ps.toSet.intersect(historical -- live)
+      require(orphanReuse.isEmpty,
+        s"commit: parts ${orphanReuse.toSeq.sorted.mkString(",")} were orphaned " +
+          "by a rollback — expireSnapshots must GC them before the ids can be " +
+          "reused (appending now would mix new rows into retired data dirs)")
+    }
     df.write.mode("append").option("compression", codec)
       .partitionBy("part").parquet(s"$table/data")
-    val parts = spark.read.parquet(s"$table/data")
-      .select("part").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    val fresh: Set[Int] = appendedParts match {
+      case Some(ps) => ps.toSet
+      case None =>
+        val dirParts = spark.read.parquet(s"$table/data")
+          .select("part").distinct().collect().map(_.getInt(0)).toSet
+        // written-now = on disk but never referenced by any manifest; dirs
+        // orphaned by a rollback are in `historical`, so they stay out
+        dirParts -- historical
+    }
+    val parts = (live ++ fresh).toSeq.sorted
     val id = currentSnapshotId(table).getOrElse(0L) + 1L
     val snap = Snapshot(id, parts, System.currentTimeMillis())
+    writeManifest(table, id, parts, snap.createdAtMs)
+    snap
+  }
+
+  private def writeManifest(table: String, id: Long, parts: Seq[Int],
+                            createdAtMs: Long): Unit = {
     Files.createDirectories(snapDir(table))
     val json =
-      s"""{"snapshot_id":$id,"created_at_ms":${snap.createdAtMs},"parts":[${parts.mkString(",")}]}"""
+      s"""{"snapshot_id":$id,"created_at_ms":$createdAtMs,"parts":[${parts.mkString(",")}]}"""
     val tmp = snapDir(table).resolve(s".v$id.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapDir(table).resolve(s"v$id.json"),
       StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Roll the table back to `toSnapshotId`'s state by committing a NEW
+    * manifest (current+1) with the target's part set — Iceberg
+    * `rollback_to_snapshot` semantics: history is never rewritten, the
+    * rolled-past snapshots stay pinned-readable, and the parts they
+    * introduced become orphans that [[expireSnapshots]] later GCs. */
+  def rollbackTo(table: String, toSnapshotId: Long): Snapshot = {
+    val ids = manifestIds(table)
+    require(ids.contains(toSnapshotId),
+      s"rollbackTo: snapshot $toSnapshotId does not exist (have ${ids.mkString(",")})")
+    val target = readManifest(table, toSnapshotId)
+    val id = ids.max + 1
+    val snap = Snapshot(id, target.parts, System.currentTimeMillis())
+    writeManifest(table, id, target.parts, snap.createdAtMs)
     snap
+  }
+
+  /** Expire every snapshot older than the newest `keepLast` manifests:
+    * their manifest files are deleted, and any part directory no longer
+    * referenced by a RETAINED manifest is GC'd (orphan cleanup — the only
+    * way data ever leaves the table, exactly like Iceberg's
+    * expire_snapshots + orphan-file removal). Returns
+    * (expiredSnapshotIds, removedPartDirs). Retained reads are untouched;
+    * reading an expired id fails loud (its manifest is gone). */
+  def expireSnapshots(table: String, keepLast: Int): (Seq[Long], Seq[Int]) = {
+    require(keepLast >= 1, s"expireSnapshots: keepLast must be >= 1, got $keepLast")
+    val ids = manifestIds(table)
+    require(ids.nonEmpty, s"expireSnapshots: no snapshots at $table")
+    val (expire, retain) = ids.splitAt(math.max(0, ids.size - keepLast))
+    val retainedParts = retain.flatMap(readManifest(table, _).parts).toSet
+    val expiredParts = expire.flatMap(readManifest(table, _).parts).toSet
+    val gcParts = (expiredParts -- retainedParts).toSeq.sorted
+    gcParts.foreach { p =>
+      val dir = Paths.get(table, "data", s"part=$p")
+      if (Files.exists(dir))
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
+    expire.foreach(i => Files.deleteIfExists(snapDir(table).resolve(s"v$i.json")))
+    (expire, gcParts)
   }
 
   def currentSnapshotId(table: String): Option[Long] = {
