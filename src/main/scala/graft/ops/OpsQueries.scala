@@ -237,6 +237,16 @@ object OpsQueries {
         Map("de" -> 1.0, "fr" -> 0.5, "en" -> 0.1), defaultFraction = 0.25)
       .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))
 
+  /** Temperature-scaled training mix (P22 extension): τ=2 flattening at a
+    * 50 % row budget — rare languages upweighted per the multilingual-LM
+    * sampling rule, rates derived from the corpus's own counts and
+    * replayed in SQL (power → normalize → cap → round(6) → rank
+    * threshold). */
+  def sampleTemperature(s: SparkSession, dir: String): DataFrame =
+    Sample.byTemperature(docs(s, dir), "doc_id", "lang",
+        tau = 2.0, budgetFraction = 0.5)
+      .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))
+
   /** Training-mix quota: at most 40 docs per language, smallest md5-rank
     * first — the bounded-agg (window-free) top-k path end to end. */
   def sampleQuotaLang(s: SparkSession, dir: String): DataFrame =
@@ -867,6 +877,32 @@ object OpsQueries {
     Vocab.coverage(d.filter(col("doc_id") % 2 =!= 0), "text", vocab)
   }
 
+  /** Stupid-Backoff bigram LM (P38): trained on the documents corpus at
+    * minCount=2, every doc scored against it — per-doc token count, log10
+    * prob sum, and per-token avg, all DuckDB-replayed (counts are exact
+    * integers; the scores are deterministic log/ratio arithmetic over
+    * them). `ppl` stays out of the oracle projection: 10^(−avg) amplifies
+    * the last-ulp pow difference past 4-dp rounding on unseen-heavy docs;
+    * the spec covers it. */
+  def lmScore(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lm = LangModel.train(d, "text", minCount = 2)
+    LangModel.scoreDocs(d, "doc_id", "text", lm)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("logprob_sum"), 6).as("lp_sum"),
+        round(col("avg_logprob"), 6).as("avg_lp"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The perplexity gate (CCNet keep-the-head rule) at maxPpl=2000 over
+    * the same model — survivor doc_ids. */
+  def lmGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lm = LangModel.train(d, "text", minCount = 2)
+    LangModel.gateByPerplexity(d, "doc_id", "text", lm, maxPpl = 2000.0)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Token-distribution drift (E23): even docs are the reference window;
     * odd docs with injected "spark"-mass are production. The oracle
     * replays vocab build, bucket counts, and the Laplace-smoothed PSI
@@ -944,6 +980,7 @@ object OpsQueries {
     "lang_distribution" -> (langDistribution _),
     "sample_fraction" -> (sampleFraction _),
     "sample_mix_lang" -> (sampleMixLang _),
+    "sample_temperature" -> (sampleTemperature _),
     "pack_sequences" -> (packSequences _),
     "repetition_stats" -> (repetitionStatsQuery _),
     "decontaminate_report" -> (decontaminateReport _),
@@ -999,6 +1036,8 @@ object OpsQueries {
     "vocab_coverage" -> (vocabCoverage _),
     "token_drift" -> (tokenDriftQuery _),
     "normalize_text" -> (normalizeTextQuery _),
+    "lm_score" -> (lmScore _),
+    "lm_gate" -> (lmGate _),
     "events_stream_hourly" -> (eventsStreamHourly _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "events_stream_dedup" -> (eventsStreamDedup _),
@@ -1361,6 +1400,40 @@ object OpsQueries {
          LEFT JOIN reb r ON d.doc_id = r.doc_id
        ORDER BY d.doc_id"""
 
+  /** The Stupid-Backoff bigram-LM derivation (P38) shared by the two LM
+    * oracles: token lists, (w1, w2) pairs with a NULL-context head row per
+    * doc, unigram counts = w2 counts (N summed BEFORE the minCount=2
+    * prune, like the engine), pruned count tables, and the per-pair
+    * scoring CASE summed to doc grain. */
+  private val lmCtes: String =
+    """WITH toks AS (
+         SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS l
+         FROM documents),
+       big AS (
+         SELECT doc_id,
+           CASE WHEN i = 0 THEN NULL ELSE l[i] END AS w1,
+           l[i + 1] AS w2
+         FROM (SELECT doc_id, l, unnest(range(len(l))) AS i FROM toks)),
+       ug_all AS (SELECT w2 AS w, count(*) AS cnt FROM big GROUP BY w2),
+       nt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM ug_all),
+       ug AS (SELECT w, cnt FROM ug_all WHERE cnt >= 2),
+       bg AS (SELECT w1, w2, count(*) AS cnt FROM big WHERE w1 IS NOT NULL
+              GROUP BY w1, w2 HAVING count(*) >= 2),
+       lp AS (
+         SELECT b.doc_id,
+           CASE WHEN bc.cnt IS NOT NULL THEN log10(CAST(bc.cnt AS DOUBLE) / u1.cnt)
+                WHEN b.w1 IS NULL AND u2.cnt IS NOT NULL THEN log10(u2.cnt / nt.total)
+                WHEN u2.cnt IS NOT NULL THEN log10(0.4 * u2.cnt / nt.total)
+                ELSE log10(0.4 / nt.total) END AS lpv
+         FROM big b
+           CROSS JOIN nt
+           LEFT JOIN bg bc ON b.w1 = bc.w1 AND b.w2 = bc.w2
+           LEFT JOIN ug u1 ON b.w1 = u1.w
+           LEFT JOIN ug u2 ON b.w2 = u2.w),
+       doc AS (SELECT doc_id, count(*) AS n_tokens, sum(lpv) AS s
+               FROM lp GROUP BY doc_id)"""
+
   /** Token counts + deterministic (cnt DESC, token ASC) ranking over a
     * source relation — shared by the vocabulary-family oracles. */
   private def vocabCtes(src: String): String =
@@ -1580,6 +1653,22 @@ object OpsQueries {
          FROM c ORDER BY doc_id""",
     // per-language thresholds: floor(rate * 2^32) for 1.0 / 0.5 / 0.1 /
     // default 0.25 — the engine's byFractionPerGroup literals verbatim
+    // temperature mixing: counts, q = p^(1/2), single-pass normalize, cap,
+    // round(6), the same floor(f * 2^32) rank threshold as the other samplers
+    "sample_temperature" ->
+      """WITH cnts AS (SELECT lang, count(*) AS cnt FROM documents
+                       WHERE lang IS NOT NULL GROUP BY lang),
+         nt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnts),
+         q AS (SELECT lang, cnt, power(cnt / nt.total, 0.5) AS qv
+               FROM cnts CROSS JOIN nt),
+         zt AS (SELECT sum(qv) AS z FROM q),
+         f AS (SELECT lang,
+                 round(least(1.0, (0.5 * nt.total) * (qv / zt.z) / cnt), 6) AS fr
+               FROM q CROSS JOIN zt CROSS JOIN nt)
+         SELECT d.lang, d.doc_id FROM documents d JOIN f ON d.lang = f.lang
+         WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
+               < CAST(floor(f.fr * 4294967296) AS BIGINT)
+         ORDER BY d.lang, d.doc_id""",
     "sample_mix_lang" ->
       """SELECT lang, doc_id FROM documents
          WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
@@ -1926,6 +2015,22 @@ object OpsQueries {
               '[\x00-\x1f\x7f]', ' ', 'g'),
               '\s+', ' ', 'g'))) AS h
           FROM documents ORDER BY doc_id"""),
+    // Stupid-Backoff bigram LM replayed end to end: bigram explode with a
+    // NULL-context head row, unigram counts (= w2 counts) and N before the
+    // minCount prune, both count tables pruned at 2, then the three-way
+    // scoring CASE (bigram ratio / alpha-backoff unigram / alpha floor)
+    "lm_score" -> (lmCtes +
+      """
+         SELECT d.doc_id, coalesce(doc.n_tokens, 0) AS n_tokens,
+           round(doc.s, 6) AS lp_sum, round(doc.s / doc.n_tokens, 6) AS avg_lp
+         FROM (SELECT DISTINCT doc_id FROM documents) d
+           LEFT JOIN doc USING (doc_id)
+         ORDER BY doc_id"""),
+    "lm_gate" -> (lmCtes +
+      """
+         SELECT doc_id FROM doc
+         WHERE s IS NOT NULL AND power(10, -(s / n_tokens)) <= 2000.0
+         ORDER BY doc_id"""),
     // per-group mean/stddev_pop recomputed, null-safe group join, same
     // k-sigma flag and rounded z-score
     "outlier_events" ->

@@ -93,6 +93,60 @@ object Sample {
     df.filter(md5Rank32(col(idCol)) < threshold)
   }
 
+  /** Temperature-scaled mixture rates (the multilingual-LM sampling rule,
+    * Conneau & Lample 2019 §3.1 / T5's mixing): group g with share
+    * p_g = n_g/N is drawn with probability q_g ∝ p_g^(1/τ) — τ=1 keeps
+    * natural proportions, τ>1 flattens toward uniform (upweights rare
+    * groups), τ<1 sharpens. Realized as per-group keep FRACTIONS against
+    * a row budget B = budgetFraction·N: f_g = min(1, B·q_g/n_g), rounded
+    * to 6 decimals so the decision is engine-replayable.
+    *
+    * Deterministic: groups fold in sorted-key order. Single-pass
+    * normalization — a group capped at 1 does NOT redistribute its unmet
+    * mass (iterative waterfilling would hit B exactly but has no
+    * closed-form SQL replay; the shortfall is bounded by the capped
+    * groups' total share — documented trade). */
+  def temperatureRates(counts: Seq[(String, Long)], tau: Double,
+                       budgetFraction: Double): Map[String, Double] = {
+    require(tau > 0.0, s"temperatureRates: tau must be > 0, got $tau")
+    require(budgetFraction >= 0.0 && budgetFraction <= 1.0,
+      s"temperatureRates: budgetFraction must be in [0,1], got $budgetFraction")
+    require(counts.nonEmpty, "temperatureRates: no groups")
+    counts.foreach { case (g, c) =>
+      require(g != null, "temperatureRates: null group key (drop null-group rows upstream)")
+      require(c >= 1, s"temperatureRates: group '$g' has count $c") }
+    val n = counts.map(_._2).sum.toDouble
+    val sorted = counts.sortBy(_._1)
+    val qs = sorted.map { case (g, c) => (g, math.pow(c / n, 1.0 / tau)) }
+    val z = qs.map(_._2).sum
+    val budget = budgetFraction * n
+    val byGroup = sorted.toMap
+    qs.map { case (g, q) =>
+      val f = math.min(1.0, budget * (q / z) / byGroup(g))
+      g -> BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+  }
+
+  /** Temperature-mixed deterministic subset: one O(groups) count
+    * aggregation, rates from [[temperatureRates]], then the same narrow
+    * rank-threshold filter as [[byFractionPerGroup]] — shuffle-free after
+    * the count, nested across budget changes (f_g is monotone in the
+    * budget, so a smaller budget's subset is contained in a larger
+    * one's). NULL-group rows are dropped (no deterministic mixing
+    * decision without a group — the null-id policy applied to groups). */
+  def byTemperature(df: DataFrame, idCol: String, groupCol: String,
+                    tau: Double, budgetFraction: Double): DataFrame = {
+    require(df.schema(groupCol).dataType.typeName == "string",
+      s"byTemperature: group column '$groupCol' must be string, got " +
+        s"${df.schema(groupCol).dataType} (cast explicitly — a silent cast " +
+        "would make the rate keys engine-ambiguous)")
+    val nonNull = df.filter(col(groupCol).isNotNull)
+    val counts = nonNull.groupBy(col(groupCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq // O(groups)
+    val rates = temperatureRates(counts, tau, budgetFraction)
+    byFractionPerGroup(nonNull, idCol, groupCol, rates, defaultFraction = 0.0)
+  }
+
   /** Per-group quota: the `cap` smallest-rank docs of each group. Equal to
     * `row_number().over(Window.partitionBy(grp).orderBy(rank, id)) <= cap`
     * — spec-asserted against that twin bit-for-bit.

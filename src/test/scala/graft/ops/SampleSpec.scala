@@ -146,4 +146,47 @@ class SampleSpec extends AnyFunSuite {
         "sid", "lang", 5))
     assert(e.getMessage.contains("integral"))
   }
+
+  test("temperatureRates: hand values, tau=1 identity, flattening, cap") {
+    // a:80 b:20, tau=2, budget 50%: q ∝ sqrt(p); f_a ≈ .41667, f_b ≈ .83333
+    val r = Sample.temperatureRates(Seq(("a", 80L), ("b", 20L)), 2.0, 0.5)
+    val z = math.sqrt(0.8) + math.sqrt(0.2)
+    assert(math.abs(r("a") - math.min(1, 50 * (math.sqrt(0.8) / z) / 80)) < 1e-6)
+    assert(math.abs(r("b") - math.min(1, 50 * (math.sqrt(0.2) / z) / 20)) < 1e-6)
+    // tau=1: every group keeps exactly the budget fraction
+    val r1 = Sample.temperatureRates(Seq(("a", 80L), ("b", 20L)), 1.0, 0.3)
+    assert(r1("a") == 0.3 && r1("b") == 0.3)
+    // flattening upweights the rare group, and a tiny group caps at 1
+    assert(r("b") > r("a"))
+    val rc = Sample.temperatureRates(Seq(("big", 10000L), ("tiny", 3L)), 5.0, 0.5)
+    assert(rc("tiny") == 1.0)
+  }
+
+  test("byTemperature: deterministic, nested across budgets, null groups dropped") {
+    val d = docs.select($"doc_id", $"lang")
+      .union(Seq((9999999L, null.asInstanceOf[String])).toDF("doc_id", "lang"))
+    val small = Sample.byTemperature(d, "doc_id", "lang", 2.0, 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    val big = Sample.byTemperature(d, "doc_id", "lang", 2.0, 0.6)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big), "smaller budget must nest inside the larger")
+    assert(!big.contains(9999999L), "null-group rows are dropped")
+    val again = Sample.byTemperature(d.repartition(13), "doc_id", "lang", 2.0, 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(again == small, "partitioning-invariant")
+    // realized sizes track the rates (exact threshold filter, so just sanity)
+    assert(small.nonEmpty && big.size > small.size)
+  }
+
+  test("byTemperature guards: non-string group, bad tau/budget") {
+    assert(intercept[IllegalArgumentException](
+      Sample.byTemperature(docs, "doc_id", "doc_id", 1.0, 0.5))
+      .getMessage.contains("string"))
+    assert(intercept[IllegalArgumentException](
+      Sample.temperatureRates(Seq(("a", 1L)), 0.0, 0.5))
+      .getMessage.contains("tau"))
+    assert(intercept[IllegalArgumentException](
+      Sample.temperatureRates(Seq(("a", 1L)), 1.0, 1.5))
+      .getMessage.contains("budgetFraction"))
+  }
 }
