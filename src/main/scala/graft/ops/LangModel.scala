@@ -40,7 +40,15 @@ object LangModel {
     * when rare rows are pruned). */
   case class BigramLm(unigrams: DataFrame, bigrams: DataFrame,
                       totalTokens: Long, unigramRows: Long, bigramRows: Long,
-                      alpha: Double)
+                      alpha: Double) {
+    /** Release the persisted model tables (train() persists them —
+      * vocabulary-grain, reused by every scoring join; long-lived sessions
+      * call this when done, the lshTopKIndexedBatch lesson). */
+    def release(): Unit = {
+      unigrams.unpersist(blocking = false)
+      bigrams.unpersist(blocking = false)
+    }
+  }
 
   /** Adjacent token pairs of a doc as (w1, w2) structs, w1 NULL for the
     * head token (every token appears exactly once as a w2). Built from
@@ -77,14 +85,22 @@ object LangModel {
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
     // every token is exactly one w2 row, so unigram counts (and N) ride
     // the same exploded shape as the bigram counts
+    // the model tables persist at train time: they're vocabulary-grain
+    // (bounded by distinct tokens/pairs, not corpus size), every scoring
+    // join reads them, and counting them would otherwise re-run the
+    // corpus explode once per count. BigramLm.release() frees them.
     val uniAll = pairs.groupBy(col("w2").as("w")).agg(count(lit(1)).as("cnt"))
+      .persist()
     val totalRow = uniAll.agg(sum(col("cnt"))).collect()(0)
     val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
-    val uni = uniAll.filter(col("cnt") >= minCount)
+    val uni = uniAll.filter(col("cnt") >= minCount).persist()
+    val uniRows = uni.count()
+    uniAll.unpersist(blocking = false)
     val big = pairs.filter(col("w1").isNotNull)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= minCount)
-    BigramLm(uni, big, total, uni.count(), big.count(), alpha)
+      .persist()
+    BigramLm(uni, big, total, uniRows, big.count(), alpha)
   }
 
   /** Score every doc: (id, n_tokens, logprob_sum, avg_logprob, ppl) —

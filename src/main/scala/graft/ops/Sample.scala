@@ -115,6 +115,9 @@ object Sample {
     counts.foreach { case (g, c) =>
       require(g != null, "temperatureRates: null group key (drop null-group rows upstream)")
       require(c >= 1, s"temperatureRates: group '$g' has count $c") }
+    require(counts.map(_._1).distinct.size == counts.size,
+      "temperatureRates: duplicate group keys (the rate map would silently " +
+        "keep one of each pair)")
     val n = counts.map(_._2).sum.toDouble
     val sorted = counts.sortBy(_._1)
     val qs = sorted.map { case (g, c) => (g, math.pow(c / n, 1.0 / tau)) }
