@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, X
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native codegen twins of the interpreted text-pipeline column chains.
@@ -96,6 +96,36 @@ case class BandHashes(child: Expression, bands: Int, rows: Int) extends UnaryExp
   override def prettyName: String = "band_hashes"
 }
 
+/** Adjacent-token bigram pairs of a string: (w1, w2) structs, w1 NULL for
+  * the head token — every token appears exactly once as a w2. Native twin
+  * of `LangModel.bigramsOf(TextOps.tokens(text))`, whose HOF form has a
+  * performance landmine the 10M-doc LmProbe caught: `transform`'s lambda is
+  * interpreted and its `tokens(text)` subtree is NOT common-subexpression
+  * eliminated, so the tokenizer re-ran per ELEMENT — O(len²) per doc. Here
+  * the text tokenizes once and the struct array builds in one pass. */
+case class BigramPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("w1", StringType, nullable = true),
+      StructField("w2", StringType, nullable = false))),
+    containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"bigram_pairs needs string, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    TextNative.bigramPairs(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextNative.bigramPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramPairs =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_pairs"
+}
+
 case class MinHashSig(child: Expression, numHashes: Int) extends UnaryExpression {
   require(numHashes >= 1 && numHashes <= 1024)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
@@ -167,6 +197,26 @@ object TextNative {
     new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size())))
   }
 
+  /** Static so generated code can call it. One tokenization, one pass:
+    * n tokens → n (w1, w2) structs — (null, t0), (t0, t1), …; empty text
+    * (zero tokens) → empty array. */
+  def bigramPairs(text: UTF8String): ArrayData = {
+    val toksAd = tokens(text)
+    val nt = toksAd.numElements()
+    if (nt == 0) return new GenericArrayData(new Array[AnyRef](0))
+    val out = new Array[AnyRef](nt)
+    var prev: UTF8String = null
+    var i = 0
+    while (i < nt) {
+      val cur = toksAd.getUTF8String(i)
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](prev, cur))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** MinHash signature: slot i = min over shingles of xxhash64(shingle, i).
     * Each shingle's bytes hash once (`hashUTF8String(s, 42)`); the k slot
     * variants are cheap `hashInt` folds of that base — algebraically equal
@@ -218,6 +268,8 @@ object TextNative {
     ColumnBridge.toColumn(WhitespaceTokens(ColumnBridge.toExpr(text)))
   def word_shingles(text: Column, n: Int): Column =
     ColumnBridge.toColumn(WordShingles(ColumnBridge.toExpr(text), n))
+  def bigram_pairs(text: Column): Column =
+    ColumnBridge.toColumn(BigramPairs(ColumnBridge.toExpr(text)))
   def minhash_sig(shingles: Column, numHashes: Int): Column =
     ColumnBridge.toColumn(MinHashSig(ColumnBridge.toExpr(shingles), numHashes))
   def band_hashes(sig: Column, bands: Int, rows: Int): Column =

@@ -51,9 +51,13 @@ object LangModel {
   }
 
   /** Adjacent token pairs of a doc as (w1, w2) structs, w1 NULL for the
-    * head token (every token appears exactly once as a w2). Built from
-    * the token array in place — no window, no self-join. */
-  private[ops] def bigramsOf(t: Column): Column = {
+    * head token (every token appears exactly once as a w2). RETAINED HOF
+    * TWIN of the native [[graft.functions.BigramPairs]] — NativeExprSpec
+    * asserts bit-identity. Not used on the hot path: `transform`'s lambda
+    * is interpreted and re-evaluates the `t` subtree per element (the
+    * 10M-doc LmProbe measured the tokenizer running O(len²) per doc —
+    * train 622 s before, see BASELINE.md). */
+  private[graft] def bigramsOf(t: Column): Column = {
     val empty = array().cast("array<struct<w1:string,w2:string>>")
     val head = when(size(t) >= 1,
       array(struct(lit(null).cast("string"), element_at(t, 1)))
@@ -67,7 +71,7 @@ object LangModel {
 
   private def explodedPairs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("__id"),
-        explode(bigramsOf(TextOps.tokens(col(textCol)))).as("__p"))
+        explode(graft.functions.TextNative.bigram_pairs(col(textCol))).as("__p"))
       .select(col("__id"), col("__p.w1").as("w1"), col("__p.w2").as("w2"))
 
   /** Train a bigram Stupid-Backoff model. `minCount` prunes the hapax
@@ -81,7 +85,7 @@ object LangModel {
     require(minCount >= 1, s"langmodel: minCount must be >= 1, got $minCount")
     require(alpha > 0.0 && alpha <= 1.0, s"langmodel: alpha must be in (0,1], got $alpha")
     val pairs = df
-      .select(explode(bigramsOf(TextOps.tokens(col(textCol)))).as("__p"))
+      .select(explode(graft.functions.TextNative.bigram_pairs(col(textCol))).as("__p"))
       .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
     // every token is exactly one w2 row, so unigram counts (and N) ride
     // the same exploded shape as the bigram counts

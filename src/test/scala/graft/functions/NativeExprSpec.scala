@@ -181,6 +181,27 @@ class NativeExprSpec extends AnyFunSuite {
     assert(r.getSeq[Any](0) == r.getSeq[Any](1))
   }
 
+  test("bigram_pairs native == retained HOF twin (LangModel.bigramsOf)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", " ", "one", "a b", "a b c", "  tabs\tand\nnewlines  x  ",
+        "这是一个中文句子 with mixed  content", "Ünïcode CASE Folding ß").toDF("text"))
+    val diff = docs.select(
+        TextNative.bigram_pairs($"text").as("n"),
+        graft.ops.LangModel.bigramsOf(graft.ops.TextOps.tokens($"text")).as("h"))
+      .filter(!($"n" <=> $"h")).count()
+    assert(diff == 0, "bigram pairs")
+    // head/order semantics pinned by hand: w1 NULL exactly once, on token 0
+    val rows = Seq("x y z").toDF("text")
+      .select(explode(TextNative.bigram_pairs($"text")).as("p"))
+      .select($"p.w1", $"p.w2").collect()
+    assert(rows.map(r => (Option(r.getString(0)), r.getString(1))).toSeq ==
+      Seq((None, "x"), (Some("x"), "y"), (Some("y"), "z")))
+    // SQL surface
+    graft.functions.GraftExtensions.register(spark)
+    assert(spark.sql("SELECT size(bigram_pairs('a b c')) AS s").head().getInt(0) == 3)
+  }
+
   /** The previous HOF cosine (Similarity r1). */
   private def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, v) => s + v)
