@@ -66,6 +66,40 @@ object GraftExtensions {
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
     require(args.length == n, s"$fn takes $n arguments, got ${args.length}")
 
+  /** Foldable integral literal widened to long (INT or BIGINT argument). */
+  private def longLit(e: Expression, fn: String, arg: String): Long = e match {
+    case other if other.foldable &&
+        (other.dataType == IntegerType || other.dataType == org.apache.spark.sql.types.LongType) =>
+      other.eval() match {
+        case null => throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be a non-null integral literal, got NULL")
+        case v: Int => v.toLong
+        case v: Long => v
+        case v => throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be an integral literal, got $v")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be an integral literal, got $other")
+  }
+
+  /** Foldable numeric literal as double (for rates like fpp). */
+  private def doubleLit(e: Expression, fn: String, arg: String): Double = e match {
+    case other if other.foldable =>
+      other.eval() match {
+        case null => throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be a non-null numeric literal, got NULL")
+        case v: Double => v
+        case v: Float => v.toDouble
+        case v: Int => v.toDouble
+        case v: Long => v.toDouble
+        case v: org.apache.spark.sql.types.Decimal => v.toDouble
+        case v => throw new IllegalArgumentException(
+          s"$fn: argument '$arg' must be a numeric literal, got $v")
+      }
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument '$arg' must be a numeric literal, got $other")
+  }
+
   /** (name, info, builder) for every native expression. */
   val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_sim", "cosine similarity of two numeric arrays",
@@ -89,6 +123,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => { arity("span_flags", args, 2); SpanFlags(args(0), args(1)) }),
     ("whitespace_tokens", "lowercase whitespace tokens of a string",
       (args: Seq[Expression]) => { arity("whitespace_tokens", args, 1); WhitespaceTokens(args(0)) }),
+    ("bigram_pairs", "adjacent-token (w1, w2) bigram structs, w1 NULL at the head",
+      (args: Seq[Expression]) => { arity("bigram_pairs", args, 1); BigramPairs(args(0)) }),
     ("word_shingles", "distinct n-gram word shingles of a string",
       (args: Seq[Expression]) => {
         arity("word_shingles", args, 2)
@@ -139,6 +175,22 @@ object GraftExtensions {
         graft.sketch.ThetaSketchAgg(args(0),
           if (args.length == 2) intLit(args(1), "theta_sketch_agg", "nominalEntries")
           else 4096)
+      }),
+    ("bloom_filter_agg", "mergeable Bloom membership filter (serialized, binary)",
+      (args: Seq[Expression]) => {
+        require(args.length >= 1 && args.length <= 3,
+          s"bloom_filter_agg takes (value[, expectedItems[, fpp]]), got ${args.length} arguments")
+        val expected =
+          if (args.length >= 2) longLit(args(1), "bloom_filter_agg", "expectedItems")
+          else 1000000L
+        val fpp = if (args.length == 3) doubleLit(args(2), "bloom_filter_agg", "fpp")
+          else 0.01
+        graft.sketch.BloomFilterAgg(args(0), expected, fpp)
+      }),
+    ("bloom_might_contain", "membership probe against a literal Bloom filter blob",
+      (args: Seq[Expression]) => {
+        arity("bloom_might_contain", args, 2)
+        BloomMightContain(args(0), args(1))
       }),
     ("freq_items_agg", "mergeable frequent-items (heavy hitters) sketch (serialized, binary)",
       (args: Seq[Expression]) => {

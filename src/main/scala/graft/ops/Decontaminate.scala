@@ -117,6 +117,84 @@ object Decontaminate {
     dropAgainst(corpus, idCol, textCol,
       prepareBench(bench, benchTextCol, n, maxBroadcastShingles), n, minHits)
 
+  // ---- Bloom-bounded decontamination ----
+  // The exact gate's memory story has two regimes: the eval shingle union
+  // fits the broadcast bound (one narrow corpus pass), or it doesn't and
+  // the corpus pays a shuffled join. The Bloom rung removes the second
+  // regime: the eval side compresses to a FIXED byte budget chosen from
+  // (expectedShingles, fpp) — a 100M-shingle eval set at fpp 1e-3 is
+  // ~170 MB regardless of shingle length, and 10M is ~17 MB — so the
+  // corpus ALWAYS runs the narrow broadcast-free pass. The trade is
+  // one-sided error: a shingle the filter wrongly claims (prob ≤ fpp)
+  // inflates a doc's hit count, so flagging is a SUPERSET of exact
+  // (quantified over-drop, ~fpp × shingles-per-doc expected spurious hits
+  // per clean doc — size minHits accordingly); an exact-shared shingle is
+  // NEVER missed, so no eval leak can slip through. The production shape
+  // for 10⁹-doc eval unions (e.g. decontaminating against an entire
+  // held-out SNAPSHOT rather than a benchmark suite).
+
+  /** Build the benchmark's Bloom filter: distinct eval shingles folded
+    * into one fixed-size blob ([[graft.sketch.BloomFilterAgg]] — bit-
+    * identical across partitionings). `expectedShingles` must bound the
+    * TRUE distinct count or fpp degrades (checked: fails loud if the
+    * actual count exceeds it, the silent-recall-loss guard). */
+  def prepareBenchBloom(bench: DataFrame, benchTextCol: String, n: Int = 3,
+                        expectedShingles: Long = 10L * 1000 * 1000,
+                        fpp: Double = 0.001): Array[Byte] = {
+    require(n >= 1, s"prepareBenchBloom: n must be >= 1, got $n")
+    val bs = benchShingles(bench, benchTextCol, n)
+    val row = bs.agg(
+      graft.sketch.BloomFilterAgg.bloomFilter(col("__s"), expectedShingles, fpp)
+        .as("bf"),
+      count(lit(1)).as("n")).head()
+    val actual = row.getLong(1)
+    require(actual <= expectedShingles,
+      s"prepareBenchBloom: eval set has $actual distinct shingles > " +
+        s"expectedShingles=$expectedShingles — the filter is oversubscribed " +
+        "and its false-positive rate is no longer fpp; raise expectedShingles")
+    row.getAs[Array[Byte]](0)
+  }
+
+  /** Bloom-gated contamination report: same (id, hits) shape as
+    * [[contaminationReport]], hits counted over the doc's distinct
+    * shingles that MIGHT be in the eval set — per doc, hits_bloom ≥
+    * hits_exact (the filter never misses an inserted shingle), so at any
+    * `minHits` the flagged set is a superset of the exact gate's. One
+    * narrow corpus pass: the probe inlines into codegen
+    * ([[graft.functions.BloomMightContain]]), non-matching shingles die
+    * in-stage, and the only exchange carries match rows map-combined to
+    * (doc, hits) — exactly the exact path's shuffle shape, with the
+    * broadcast replaced by a task-constant blob. */
+  def reportByBloom(corpus: DataFrame, idCol: String, textCol: String,
+                    filterBlob: Array[Byte], n: Int = 3,
+                    minHits: Int = 1): DataFrame = {
+    require(n >= 1, s"reportByBloom: n must be >= 1, got $n")
+    require(minHits >= 1, s"reportByBloom: minHits must be >= 1, got $minHits")
+    require(filterBlob != null && filterBlob.nonEmpty,
+      "reportByBloom: empty filter blob")
+    corpus
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("__s"))
+      .filter(graft.functions.BloomMightContain.bloom_might_contain(
+        lit(filterBlob), col("__s")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("hits"))
+      .filter(col("hits") >= minHits)
+  }
+
+  /** The Bloom-decontaminated corpus: [[dropContaminated]] semantics with
+    * the eval side as a fixed-size blob — NULL-id rows dropped for the
+    * same cannot-flag-must-not-slip reason. Guaranteed to drop every doc
+    * the exact gate drops (no false negatives); may over-drop at the fpp
+    * rate. */
+  def dropByBloom(corpus: DataFrame, idCol: String, textCol: String,
+                  filterBlob: Array[Byte], n: Int = 3,
+                  minHits: Int = 1): DataFrame =
+    corpus.filter(col(idCol).isNotNull).join(
+      reportByBloom(corpus, idCol, textCol, filterBlob, n, minHits)
+        .select(col(idCol)),
+      Seq(idCol), "left_anti")
+
   // ---- embedding-space decontamination ----
   // The n-gram gate catches verbatim/near-verbatim text leaks; paraphrased
   // or re-rendered eval items survive it. The EMBEDDING-space gate closes

@@ -139,6 +139,36 @@ object OpsQueries {
       .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
   }
 
+  /** Bloom-bounded decontamination (the fixed-byte-budget eval side),
+    * oracle-GATED like `hll_orders`: DuckDB replays the exact flagged
+    * count; the engine-side columns flip — breaking the hash — if the
+    * one-sided-error contract is violated. `missed` counts exact-flagged
+    * docs the bloom gate failed to flag (MUST be 0: a Bloom filter has no
+    * false negatives, so any miss is a build/probe canonicalization bug);
+    * `fp_within_bound` bounds the over-flagging at 3× the expected
+    * false-positive mass (fpp × total shingle probes). */
+  def deconBloom(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val bench = d.filter(col("doc_id") % 20 === 0)
+    val fpp = 0.001
+    val blob = Decontaminate.prepareBenchBloom(bench, "text", n = 3,
+      expectedShingles = 1000000L, fpp = fpp)
+    val bloomIds = Decontaminate.reportByBloom(d, "doc_id", "text", blob, n = 3)
+      .select(col("doc_id")).persist()
+    val exactIds = Decontaminate.contaminationReport(d, "doc_id", "text",
+      bench, "text", n = 3).select(col("doc_id")).persist()
+    val nExact = exactIds.count()
+    val missed = exactIds.join(bloomIds, Seq("doc_id"), "left_anti").count()
+    val spurious = bloomIds.join(exactIds, Seq("doc_id"), "left_anti").count()
+    val probes = d.filter(col("doc_id").isNotNull)
+      .select(explode(TextOps.shingles(col("text"), 3)).as("__s")).count()
+    bloomIds.unpersist(blocking = false)
+    exactIds.unpersist(blocking = false)
+    import s.implicits._
+    Seq((nExact, missed, spurious <= math.max(10.0, 3.0 * fpp * probes)))
+      .toDF("n_exact", "missed", "fp_within_bound")
+  }
+
   /** Hashed-linear classifier scoring (model-based quality filter, the
     * fastText-inference shape): every doc scored by a deterministic
     * pseudo-trained weight vector; the bucket weights are materialized to
@@ -985,6 +1015,7 @@ object OpsQueries {
     "repetition_stats" -> (repetitionStatsQuery _),
     "decontaminate_report" -> (decontaminateReport _),
     "decontaminate_drop" -> (decontaminateDrop _),
+    "decon_bloom" -> (deconBloom _),
     "dedup_emb_cc" -> (dedupEmbCc _),
     "ingest_jsonl" -> (ingestJsonl _),
     "ingest_csv" -> (ingestCsv _),
@@ -1543,6 +1574,13 @@ object OpsQueries {
        SELECT doc_id, lang FROM documents
        WHERE doc_id NOT IN (SELECT DISTINCT p.id FROM p JOIN b USING (s))
        ORDER BY doc_id"""),
+    // exact flagged count + the bloom gate's structural booleans: missed=0
+    // is the no-false-negatives law (a miss is a canonicalization bug),
+    // fp_within_bound the quantified over-drop trade
+    "decon_bloom" -> (deconCtes + """
+       SELECT CAST(count(DISTINCT p.id) AS BIGINT) AS n_exact,
+         CAST(0 AS BIGINT) AS missed, TRUE AS fp_within_bound
+       FROM p JOIN b USING (s)"""),
     // the streaming twin's survivors are batch-boundary invariant (per-row
     // gate vs a static eval set) == the batch drop predicate
     "stream_decontaminate" -> (deconCtes + """

@@ -60,6 +60,54 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("bloom rung: equals the exact gate on the fixture, never misses an exact hit at volume") {
+    // fixture scale: a tight filter makes FPs on 9 distinct corpus
+    // shingles essentially impossible -> bloom report == exact report
+    val blob = Decontaminate.prepareBenchBloom(bench, "text", n = 3,
+      expectedShingles = 100, fpp = 1e-9)
+    val exact = Decontaminate.contaminationReport(corpus, "doc_id", "text",
+        bench, "text", n = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("hits")).toMap
+    val bloom = Decontaminate.reportByBloom(corpus, "doc_id", "text", blob, n = 3)
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("hits")).toMap
+    assert(bloom == exact)
+
+    // volume: 2000 docs, every 10th contaminated; at fpp 0.01 the flagged
+    // set must CONTAIN the exact set (no false negatives, one-sided error)
+    val big = spark.range(2000).selectExpr("id AS doc_id",
+      "CASE WHEN id % 10 = 0 THEN concat('alpha beta gamma tail', id) " +
+        "ELSE concat('w', id, ' x', id, ' y', id, ' z', id) END AS text")
+    val blob2 = Decontaminate.prepareBenchBloom(bench, "text", n = 3,
+      expectedShingles = 100, fpp = 0.01)
+    val exactIds = Decontaminate.contaminationReport(big, "doc_id", "text",
+      bench, "text", n = 3).collect().map(_.getAs[Long]("doc_id")).toSet
+    val bloomIds = Decontaminate.reportByBloom(big, "doc_id", "text", blob2, n = 3)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exactIds.subsetOf(bloomIds),
+      s"bloom missed exact hits: ${exactIds -- bloomIds}")
+    // over-flagging is the documented trade but must stay near fpp scale
+    assert((bloomIds -- exactIds).size <= 60,
+      s"${(bloomIds -- exactIds).size} spurious flags at fpp 0.01 over ~8k shingles")
+    // drop containment: every exact-dropped doc is bloom-dropped
+    val bloomSurv = Decontaminate.dropByBloom(big, "doc_id", "text", blob2, n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exactSurv = Decontaminate.dropContaminated(big, "doc_id", "text",
+      bench, "text", n = 3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomSurv.subsetOf(exactSurv))
+  }
+
+  test("bloom rung guards: oversubscribed filter and bad params fail loud") {
+    val ex = intercept[IllegalArgumentException] {
+      Decontaminate.prepareBenchBloom(bench, "text", n = 3,
+        expectedShingles = 1, fpp = 0.01) // fixture has 2 distinct shingles
+    }
+    assert(ex.getMessage.contains("oversubscribed"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      Decontaminate.reportByBloom(corpus, "doc_id", "text",
+        Array.emptyByteArray, n = 3)
+    }
+  }
+
   test("streaming twin: survivors are micro-batch-boundary invariant and equal the batch drop") {
     val big = spark.range(200).selectExpr("id AS doc_id",
       // every 10th doc embeds the eval trigram -> contaminated
