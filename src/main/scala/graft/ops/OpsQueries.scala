@@ -169,6 +169,21 @@ object OpsQueries {
       .toDF("n_exact", "missed", "fp_within_bound")
   }
 
+  /** DSIR importance resampling (P39): select 50 docs from the corpus
+    * with probability ∝ softmax of the hashed-bigram importance weight
+    * against the ENGLISH slice as target — weight fitting, md5 feature
+    * hashing, Laplace smoothing, the per-doc fold, the deterministic
+    * Gumbel keys, and the top-k are ALL replayed in DuckDB (selection
+    * compares full-precision keys whose Gumbel spacing is orders of
+    * magnitude above any float-fold ulp). */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lr = Dsir.featureLogRatios(d.filter(col("lang") === "en"), d, "text",
+      dim = 1024, smoothing = 1.0)
+    Dsir.selectTopK(d, "doc_id", "text", lr, k = 50)
+      .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))
+  }
+
   /** Hashed-linear classifier scoring (model-based quality filter, the
     * fastText-inference shape): every doc scored by a deterministic
     * pseudo-trained weight vector; the bucket weights are materialized to
@@ -1016,6 +1031,7 @@ object OpsQueries {
     "decontaminate_report" -> (decontaminateReport _),
     "decontaminate_drop" -> (decontaminateDrop _),
     "decon_bloom" -> (deconBloom _),
+    "dsir_select" -> (dsirSelect _),
     "dedup_emb_cc" -> (dedupEmbCc _),
     "ingest_jsonl" -> (ingestJsonl _),
     "ingest_csv" -> (ingestCsv _),
@@ -1574,6 +1590,42 @@ object OpsQueries {
        SELECT doc_id, lang FROM documents
        WHERE doc_id NOT IN (SELECT DISTINCT p.id FROM p JOIN b USING (s))
        ORDER BY doc_id"""),
+    // DSIR end to end: bigram features with the md5 bucket, Laplace-
+    // smoothed target/raw log-ratios over all 1024 buckets, per-doc weight
+    // sums, the pure Gumbel key from the md5 rank, and the top-50 window
+    "dsir_select" ->
+      """WITH toks AS (
+           SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS l
+           FROM documents),
+         feat AS (
+           SELECT doc_id, lang,
+             try_cast(concat('0x', substr(md5(l[i] || ' ' || l[i + 1]), 1, 8)) AS bigint)
+               % 1024 AS bucket
+           FROM (SELECT doc_id, lang, l, unnest(range(1, len(l))) AS i FROM toks)),
+         tc AS (SELECT bucket, count(*) AS c FROM feat WHERE lang = 'en' GROUP BY 1),
+         rc AS (SELECT bucket, count(*) AS c FROM feat GROUP BY 1),
+         tn AS (SELECT coalesce(sum(c), 0) + 1024.0 AS n FROM tc),
+         rn AS (SELECT coalesce(sum(c), 0) + 1024.0 AS n FROM rc),
+         lr AS (SELECT b.bucket,
+                  ln((coalesce(tc.c, 0) + 1.0) / tn.n) -
+                  ln((coalesce(rc.c, 0) + 1.0) / rn.n) AS v
+                FROM (SELECT unnest(range(1024)) AS bucket) b
+                  CROSS JOIN tn CROSS JOIN rn
+                  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)),
+         w AS (SELECT f.doc_id, sum(lr.v) AS lw
+               FROM feat f JOIN lr USING (bucket) GROUP BY 1),
+         keyed AS (
+           SELECT d.doc_id, d.lang,
+             coalesce(w.lw, 0.0) - ln(-ln(
+               (try_cast(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS bigint)
+                 + 0.5) / 4294967296.0)) AS key
+           FROM documents d LEFT JOIN w USING (doc_id)
+           WHERE d.doc_id IS NOT NULL),
+         sel AS (SELECT doc_id, lang,
+                   row_number() OVER (ORDER BY key DESC, doc_id) AS rn
+                 FROM keyed)
+         SELECT doc_id, lang FROM sel WHERE rn <= 50 ORDER BY doc_id""",
     // exact flagged count + the bloom gate's structural booleans: missed=0
     // is the no-false-negatives law (a miss is a canonicalization bug),
     // fp_within_bound the quantified over-drop trade
