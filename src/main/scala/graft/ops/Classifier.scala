@@ -34,7 +34,21 @@ object Classifier {
     pmod(conv(substring(md5(token), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
 
   /** Score expression over a text column. `weights.length` is the hash
-    * dimension. */
+    * dimension.
+    *
+    * Formulation note (ClassifierProbe, 2M docs, interleaved min-of-3):
+    * `toks` is referenced three times (transform arg + size twice), so the
+    * interpreted tokenizer runs 3× per row — but the single-reference
+    * struct-accumulator fold measures at PARITY (0.36 vs 0.38 M docs/s):
+    * what it saves in tokenizations it spends allocating an interpreted
+    * `CreateNamedStruct` row per TOKEN. The BigramPairs/LmProbe lesson
+    * (9.4× there) only bites when the re-evaluated subtree sits inside a
+    * per-element lambda — O(len²); a constant number of extra O(len)
+    * argument passes is noise. Single-shot A/B runs of the probe flipped
+    * 2× in BOTH directions before the interleaved protocol settled it —
+    * the bench's min-of-interleaved discipline applies to micro-probes
+    * too. Twin retained as [[scoreColStructFold]]; bit-identity
+    * spec-asserted. */
   def scoreCol(text: Column, weights: Array[Double], bias: Double = 0.0): Column = {
     require(weights.nonEmpty, "classifier: weights must be non-empty")
     val dim = weights.length
@@ -45,6 +59,27 @@ object Classifier {
       lit(0.0), (acc, x) => acc + x)
     val z = lit(bias) + when(size(toks) > 0, sum / size(toks)).otherwise(lit(0.0))
     lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** The single-reference struct-accumulator fold — bit-identical to
+    * [[scoreCol]] and MEASURED SLOWER (see the formulation note); retained
+    * for the spec twin and ClassifierProbe's reproducible comparison. */
+  private[graft] def scoreColStructFold(text: Column, weights: Array[Double],
+                                        bias: Double = 0.0): Column = {
+    val dim = weights.length
+    val w = typedlit(weights.toSeq)
+    aggregate(
+      graft.functions.TextNative.whitespace_tokens(text),
+      struct(lit(0.0).as("s"), lit(0).as("n")),
+      (acc, t) => struct(
+        (acc.getField("s") +
+          element_at(w, (bucketOf(t, dim) + 1).cast("int"))).as("s"),
+        (acc.getField("n") + 1).as("n")),
+      acc => {
+        val z = lit(bias) + when(acc.getField("n") > 0,
+          acc.getField("s") / acc.getField("n")).otherwise(lit(0.0))
+        lit(1.0) / (lit(1.0) + exp(-z))
+      })
   }
 
   /** Add a `score` column to `docs`. */

@@ -36,6 +36,17 @@ class ClassifierSpec extends AnyFunSuite {
     assert(math.abs(got(4L) - expected(Seq("solo"))) < 1e-12)
   }
 
+  test("scoreCol == the struct-fold twin, bit-exact (the measured-slower single-reference form)") {
+    val w = Classifier.syntheticWeights(512, seed = 9L)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .union(Seq("", " ", "solo", "这是 mixed 内容", "Ünïcode ß").toDF("text"))
+    val diff = docs.select(Classifier.scoreCol($"text", w, bias = 0.25).as("n"),
+        Classifier.scoreColStructFold($"text", w, bias = 0.25).as("h"))
+      .filter(!($"n" <=> $"h")).count()
+    assert(diff == 0, "struct-fold twin diverged from the production score")
+  }
+
   test("gate keeps exactly the at-or-above-threshold docs; scores partitioning-invariant") {
     val w = Classifier.syntheticWeights(256)
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
