@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination — drop training documents that overlap an
@@ -155,16 +155,25 @@ object Decontaminate {
     row.getAs[Array[Byte]](0)
   }
 
+  /** Per-row Bloom hit count: how many of the doc's DISTINCT shingles
+    * MIGHT be in the eval set. A pure scalar expression — the shingle
+    * array is an HOF argument exactly once, the membership probe is a
+    * per-element call against the task-constant filter — so everything
+    * built on it is exchange-free. */
+  private def bloomHits(textCol: Column, filterBlob: Array[Byte], n: Int): Column =
+    size(filter(TextOps.shingles(textCol, n),
+      s => graft.functions.BloomMightContain.bloom_might_contain(
+        lit(filterBlob), s)))
+
   /** Bloom-gated contamination report: same (id, hits) shape as
     * [[contaminationReport]], hits counted over the doc's distinct
     * shingles that MIGHT be in the eval set — per doc, hits_bloom ≥
     * hits_exact (the filter never misses an inserted shingle), so at any
-    * `minHits` the flagged set is a superset of the exact gate's. One
-    * narrow corpus pass: the probe inlines into codegen
-    * ([[graft.functions.BloomMightContain]]), non-matching shingles die
-    * in-stage, and the only exchange carries match rows map-combined to
-    * (doc, hits) — exactly the exact path's shuffle shape, with the
-    * broadcast replaced by a task-constant blob. */
+    * `minHits` the flagged set is a superset of the exact gate's.
+    * ZERO exchanges (plan-asserted): where the exact path must join the
+    * eval side and shuffle its matches, membership against the blob is a
+    * per-row scalar, so the report is a narrow scan — the whole point of
+    * paying the fpp trade. */
   def reportByBloom(corpus: DataFrame, idCol: String, textCol: String,
                     filterBlob: Array[Byte], n: Int = 3,
                     minHits: Int = 1): DataFrame = {
@@ -174,11 +183,7 @@ object Decontaminate {
       "reportByBloom: empty filter blob")
     corpus
       .filter(col(idCol).isNotNull)
-      .select(col(idCol), explode(TextOps.shingles(col(textCol), n)).as("__s"))
-      .filter(graft.functions.BloomMightContain.bloom_might_contain(
-        lit(filterBlob), col("__s")))
-      .groupBy(col(idCol))
-      .agg(count(lit(1)).as("hits"))
+      .select(col(idCol), bloomHits(col(textCol), filterBlob, n).as("hits"))
       .filter(col("hits") >= minHits)
   }
 
@@ -186,14 +191,18 @@ object Decontaminate {
     * the eval side as a fixed-size blob — NULL-id rows dropped for the
     * same cannot-flag-must-not-slip reason. Guaranteed to drop every doc
     * the exact gate drops (no false negatives); may over-drop at the fpp
-    * rate. */
+    * rate. ONE narrow filter, zero exchanges — no report join needed
+    * because the hit count is a per-row scalar. */
   def dropByBloom(corpus: DataFrame, idCol: String, textCol: String,
                   filterBlob: Array[Byte], n: Int = 3,
-                  minHits: Int = 1): DataFrame =
-    corpus.filter(col(idCol).isNotNull).join(
-      reportByBloom(corpus, idCol, textCol, filterBlob, n, minHits)
-        .select(col(idCol)),
-      Seq(idCol), "left_anti")
+                  minHits: Int = 1): DataFrame = {
+    require(n >= 1, s"dropByBloom: n must be >= 1, got $n")
+    require(minHits >= 1, s"dropByBloom: minHits must be >= 1, got $minHits")
+    require(filterBlob != null && filterBlob.nonEmpty,
+      "dropByBloom: empty filter blob")
+    corpus.filter(col(idCol).isNotNull)
+      .filter(bloomHits(col(textCol), filterBlob, n) < minHits)
+  }
 
   // ---- embedding-space decontamination ----
   // The n-gram gate catches verbatim/near-verbatim text leaks; paraphrased

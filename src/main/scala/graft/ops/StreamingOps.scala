@@ -858,6 +858,34 @@ object StreamingOps {
                              bench: DataFrame, benchTextCol: String,
                              shingleN: Int = 3, minHits: Int = 1,
                              slices: Int = 3, tag: String = "run"): DataFrame = {
+    val benchSide = Decontaminate.prepareBench(bench, benchTextCol, shingleN)
+    runGatedDocStream(spark, corpus, idCol, slices, tag,
+      b => Decontaminate.dropAgainst(b, idCol, textCol, benchSide, shingleN, minHits))
+  }
+
+  /** Streaming twin of the BLOOM decontamination rung: the eval side is a
+    * fixed-byte blob resolved once before the stream starts
+    * ([[Decontaminate.prepareBenchBloom]]), and the per-batch gate is a
+    * pure per-row scalar ([[Decontaminate.dropByBloom]] — zero exchanges
+    * per micro-batch, nothing broadcast, nothing joined). Survivors are
+    * micro-batch-boundary invariant for the same per-row-gate reason as
+    * the exact twin, and flagged ⊇ exact-flagged carries over batchwise. */
+  def runDecontaminateStreamBloom(spark: SparkSession, corpus: DataFrame,
+                                  idCol: String, textCol: String,
+                                  filterBlob: Array[Byte],
+                                  shingleN: Int = 3, minHits: Int = 1,
+                                  slices: Int = 3, tag: String = "run"): DataFrame =
+    runGatedDocStream(spark, corpus, idCol, slices, tag,
+      b => Decontaminate.dropByBloom(b, idCol, textCol, filterBlob, shingleN, minHits))
+
+  /** Shared harness for per-row doc gates run as a file stream: hash-split
+    * the corpus into `slices` micro-batches (the gates are order-free, so
+    * no global sort is needed — unlike the arrival-ordered P21 harness),
+    * drop per batch via `gate`, write survivors as batch-scoped overwrite
+    * subtrees (the exactly-once layout), read the union back. */
+  private def runGatedDocStream(spark: SparkSession, corpus: DataFrame,
+                                idCol: String, slices: Int, tag: String,
+                                gate: DataFrame => DataFrame): DataFrame = {
     import java.nio.file.{Files, Paths}
     graft.util.PidPaths.cleanStaleSiblings("graft_decon")
     val root = graft.util.PidPaths.path("graft_decon") + s"/$tag"
@@ -866,8 +894,6 @@ object StreamingOps {
     Files.createDirectories(Paths.get(root))
     val srcDir = s"$root/src"
     Files.createDirectories(Paths.get(srcDir))
-    // the gate is order-free, so any deterministic slicing works — hash
-    // split, no global sort needed (unlike the arrival-ordered P21 harness)
     (0 until slices).foreach { i =>
       val tmp = Files.createTempDirectory("graft-decon-slice")
       corpus.filter(pmod(xxhash64(col(idCol)), lit(slices)) === i)
@@ -879,15 +905,13 @@ object StreamingOps {
       try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
       catch { case _: Throwable => }
     }
-    val benchSide = Decontaminate.prepareBench(bench, benchTextCol, shingleN)
     val survivorsDir = s"$root/survivors"
     val src = spark.readStream.schema(corpus.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (b: DataFrame, bid: Long) =>
-        Decontaminate.dropAgainst(b, idCol, textCol, benchSide, shingleN, minHits)
-          .write.mode("overwrite").parquet(s"$survivorsDir/batch=$bid")
+        gate(b).write.mode("overwrite").parquet(s"$survivorsDir/batch=$bid")
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")

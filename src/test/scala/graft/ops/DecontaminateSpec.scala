@@ -94,6 +94,21 @@ class DecontaminateSpec extends AnyFunSuite {
     val exactSurv = Decontaminate.dropContaminated(big, "doc_id", "text",
       bench, "text", n = 3).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(bloomSurv.subsetOf(exactSurv))
+
+    // the blob gate is a per-row scalar: ZERO exchanges in report and drop
+    for (df <- Seq(
+        Decontaminate.dropByBloom(big, "doc_id", "text", blob2, n = 3),
+        Decontaminate.reportByBloom(big, "doc_id", "text", blob2, n = 3))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), plan)
+    }
+
+    // streaming twin: per-row gate ⇒ micro-batch-boundary invariant and
+    // equal to the batch drop
+    val streamSurv = StreamingOps.runDecontaminateStreamBloom(spark, big,
+        "doc_id", "text", blob2, shingleN = 3, slices = 4, tag = "bloomspec")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamSurv == bloomSurv)
   }
 
   test("bloom rung guards: oversubscribed filter and bad params fail loud") {
