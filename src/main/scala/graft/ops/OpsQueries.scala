@@ -977,6 +977,29 @@ object OpsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** HTML extraction (P40): every doc wrapped in a deterministic HTML
+    * template exercising the full strip surface — a comment containing a
+    * tag, paired `<style>`/`<script>` blocks (the script body holds `<`,
+    * `&&` and a fake `</p>` closer), entities incl. double-encoded
+    * `&amp;lt;` (must decode ONE level, to literal `&lt;`), `&nbsp;`, and
+    * block/inline tags; docs with doc_id % 7 == 0 additionally get an
+    * UNCLOSED trailing `<script>` opener whose raw-JS tail must drop to
+    * EOF. Result = md5 of the extracted visible text per doc. */
+  def htmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val wrapped = docs(s, dir).select(col("doc_id"), concat(
+      lit("<html><head><title>T &amp; U</title>" +
+        "<style media=\"all\">p { color: red; }</style>" +
+        "<script type=\"text/javascript\">var x = 1 < 2 && \"</p>\";</script>" +
+        "</head><body><!-- nav <p> skip --><h1>Doc &lt;#</h1><p>"),
+      col("text"),
+      lit("</p><br>tail&nbsp;&amp;lt;end&#39;s&quot;</body></html>"),
+      when(col("doc_id") % 7 === 0,
+        "<script>var trailing = 'never visible'").otherwise("")).as("text"))
+    wrapped.select(col("doc_id"),
+        md5(TextOps.extractHtmlText(col("text"))).as("h"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Compaction PLAN (E24) over file metadata synthesized from the docs
     * table (one "file" per doc: part = doc_id%4, bytes = n_chars — real
     * file listings aren't SQL-visible; the binning math is what's under
@@ -1083,6 +1106,7 @@ object OpsQueries {
     "vocab_coverage" -> (vocabCoverage _),
     "token_drift" -> (tokenDriftQuery _),
     "normalize_text" -> (normalizeTextQuery _),
+    "html_extract" -> (htmlExtract _),
     "lm_score" -> (lmScore _),
     "lm_gate" -> (lmGate _),
     "events_stream_hourly" -> (eventsStreamHourly _),
@@ -2105,6 +2129,38 @@ object OpsQueries {
               '[\x00-\x1f\x7f]', ' ', 'g'),
               '\s+', ' ', 'g'))) AS h
           FROM documents ORDER BY doc_id"""),
+    // P40 HTML extraction replayed step for step: the same wrap template,
+    // then comments -> paired/unclosed script -> paired/unclosed style ->
+    // all tags -> the fixed entity table (nbsp/lt/gt/quot/#39/apos, amp
+    // LAST so &amp;lt; decodes one level) -> whitespace collapse
+    "html_extract" ->
+      ("""WITH w AS (
+            SELECT doc_id,
+              '<html><head><title>T &amp; U</title>' ||
+              '<style media="all">p { color: red; }</style>' ||
+              '<script type="text/javascript">var x = 1 < 2 && "</p>";</script>' ||
+              '</head><body><!-- nav <p> skip --><h1>Doc &lt;#</h1><p>' ||
+              text ||
+              '</p><br>tail&nbsp;&amp;lt;end&#39;s&quot;</body></html>' ||
+              CASE WHEN doc_id % 7 = 0
+                   THEN '<script>var trailing = ''never visible'''
+                   ELSE '' END AS t
+            FROM documents)
+          SELECT doc_id, md5(trim(regexp_replace(
+            replace(replace(replace(replace(replace(replace(replace(
+              regexp_replace(regexp_replace(regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(
+                t,
+                '(?s)<!--.*?-->', ' ', 'g'),
+                '(?is)<script[^>]*>.*?</script[^>]*>', ' ', 'g'),
+                '(?is)<script[^>]*>.*$', ' ', 'g'),
+                '(?is)<style[^>]*>.*?</style[^>]*>', ' ', 'g'),
+                '(?is)<style[^>]*>.*$', ' ', 'g'),
+                '(?s)<[^>]*>', ' ', 'g'),
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&apos;', ''''), '&amp;', '&'),
+            '\s+', ' ', 'g'))) AS h
+          FROM w ORDER BY doc_id"""),
     // Stupid-Backoff bigram LM replayed end to end: bigram explode with a
     // NULL-context head row, unigram counts (= w2 counts) and N before the
     // minCount prune, both count tables pruned at 2, then the three-way

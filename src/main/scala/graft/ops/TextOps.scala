@@ -218,6 +218,45 @@ object TextOps {
         "[\\x00-\\x1f\\x7f]", " "),
       "\\s+", " "))
 
+  /** The fixed entity table [[extractHtmlText]] decodes, applied strictly
+    * AFTER tag stripping (so `&lt;script&gt;` in content decodes to visible
+    * `<script>` text and is never executed as a strippable tag) and with
+    * `&amp;` LAST (so double-encoded `&amp;lt;` correctly yields the
+    * literal text `&lt;`, one decode level per pass — the HTML5 rule). */
+  private[graft] val htmlEntities: Seq[(String, String)] = Seq(
+    "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+    "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+
+  /** HTML → visible text (P40) — the extraction step every web-crawl
+    * pipeline runs before any text op (dedup keys, quality gates, LM
+    * training all want rendered text, not markup). Deliberately a
+    * DETERMINISTIC REGEX SUBSET, not a parser: like [[normalizeText]] vs
+    * NFKC, the point is a transform two engines replay bit-identically —
+    * comments, `<script>`/`<style>` blocks (paired, then unclosed-to-EOF),
+    * and all remaining tags drop to a space; the fixed entity table decodes
+    * AFTER stripping; whitespace collapses. Pure codegen'd column chain
+    * (`regexp_replace`/`replace`), shuffle-free, one pass over the corpus.
+    * Documented non-goals (a parser's job, not a cross-engine subset's):
+    * `>` inside a quoted attribute ends the tag early; CDATA is treated as
+    * ordinary text. Plain text without markup passes through unchanged
+    * modulo whitespace collapse (spec-asserted). */
+  def extractHtmlText(html: Column): Column = {
+    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
+    // paired blocks first (non-greedy), then a stray unclosed opener drops
+    // everything to EOF — trailing raw JS/CSS must never leak into text
+    val noScript = regexp_replace(
+      regexp_replace(noComments, "(?is)<script[^>]*>.*?</script[^>]*>", " "),
+      "(?is)<script[^>]*>.*$", " ")
+    val noStyle = regexp_replace(
+      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style[^>]*>", " "),
+      "(?is)<style[^>]*>.*$", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
+    val decoded = htmlEntities.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to))
+    }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.
     * Native single-pass expression (tokenize + n-gram join + first-
     * occurrence distinct); the transform/slice/concat_ws HOF chain it
