@@ -114,4 +114,44 @@ object ConnectedComponents {
     components(pairs, idA, idB)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idOut))
+
+  /** Survivor set under a SCORE policy: within each component the member
+    * with the highest score survives (tie → minimum id); every other
+    * member drops. Where [[droppedByComponent]]'s min-id root is an
+    * arbitrary-but-deterministic pick, a training corpus usually wants to
+    * keep the BEST copy of a near-dup cluster (highest quality score), not
+    * the earliest-crawled one.
+    *
+    * `scored` provides one (idCol, scoreCol) row per node — it must cover
+    * every node in `pairs` (an unscored node fails LOUD at execution via
+    * `raise_error`: silently dropping it or keeping it unconditionally
+    * would both corrupt the policy) and must be id-unique (duplicate score
+    * rows double-count a node; the output set stays correct only because
+    * the survivor pick is per-component deterministic, so the contract is
+    * documented rather than re-aggregated here — callers pass dedup
+    * output). Scale shape: every row past [[components]] is a slim (id,
+    * component, score) triple — one id-keyed join, one component-grain
+    * min-struct agg (map-side combined), one component-keyed join back;
+    * works for any orderable id type. Returns dropped ids (one column,
+    * `idOut`). */
+  def droppedByPolicy(pairs: DataFrame, scored: DataFrame, idCol: String,
+                      scoreCol: String, idA: String = "id_a",
+                      idB: String = "id_b", idOut: String = "doc_id",
+                      maxIterations: Int = 30): DataFrame = {
+    val comps = components(pairs, idA, idB, maxIterations)
+    val s = scored.select(col(idCol).as("id"),
+      col(scoreCol).cast("double").as("__score"))
+    val withScore = comps.join(s, Seq("id"), "left").select(col("id"),
+      col("component"),
+      coalesce(col("__score"), raise_error(concat(
+        lit("droppedByPolicy: no score for node "), col("id").cast("string")))
+        .cast("double")).as("__score"))
+    // survivor = lexicographic min of (-score, id): max score, tie min id
+    val surv = withScore.groupBy(col("component"))
+      .agg(min(struct((-col("__score")).as("ns"), col("id").as("id"))).as("w"))
+      .select(col("component"), col("w.id").as("__surv"))
+    withScore.join(surv, Seq("component"))
+      .filter(col("id") =!= col("__surv"))
+      .select(col("id").as(idOut))
+  }
 }

@@ -199,4 +199,35 @@ object Curate {
     gates(deduped.join(dropped, Seq("doc_id"), "left_anti"),
       minQualityMicros, langs)
   }
+
+  /** [[curateWithNearDupCC]] with a QUALITY-AWARE survivor policy: the
+    * highest-quality member of each near-dup component survives (tie →
+    * min doc_id) instead of the arbitrary min-id root — keep the cleanest
+    * copy, drop the boilerplate-laden mirrors. Quality (the same
+    * TextProfile formula the downstream gate applies, so the survivor
+    * decision and the gate can never disagree about a doc's quality) is
+    * scored ONLY for docs appearing in a verified near-dup pair — a
+    * semi-join against the node set (small by construction, broadcast
+    * under AQE) keeps the corpus from paying a second full TextProfile
+    * pass. Like the sibling pipelines, one declarative plan whose pair
+    * subplan is re-executed per reference; materialize via the staged
+    * pattern (curateWithNearDupStaged's scratchDir trade) when composing
+    * at volume. */
+  def curateWithNearDupQualityCC(docs: DataFrame,
+                                 minQualityMicros: Long = 500000L,
+                                 langs: Seq[String] = Seq("en", "es", "de", "fr", "zh"),
+                                 jaccardThreshold: Double = 0.5,
+                                 shingleN: Int = 3): DataFrame = {
+    val deduped = exactDedup(docs)
+    val pairs = Dedup.minhashLshPairs(deduped, "doc_id", "text",
+      threshold = jaccardThreshold, shingleN = shingleN)
+    val nodes = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val (_, qualityMicros, _) = graft.ops.TextOps.gateColumns(col("text"))
+    val scored = deduped.join(nodes, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), qualityMicros.as("q"))
+    val dropped = ConnectedComponents.droppedByPolicy(pairs, scored, "doc_id", "q")
+    gates(deduped.join(dropped, Seq("doc_id"), "left_anti"),
+      minQualityMicros, langs)
+  }
 }

@@ -684,6 +684,12 @@ object OpsQueries {
   def curationCc(s: SparkSession, dir: String): DataFrame =
     Curate.curateWithNearDupCC(docsWithNearDups(s, dir)).orderBy(col("doc_id"))
 
+  /** Quality-policy CC curation: near-dup components → keep each
+    * component's HIGHEST-QUALITY member (tie → min id) → gates. */
+  def curationCcQuality(s: SparkSession, dir: String): DataFrame =
+    Curate.curateWithNearDupQualityCC(docsWithNearDups(s, dir))
+      .orderBy(col("doc_id"))
+
   /** The FULL pipeline: exact dedup → near-dup drop → decontamination
     * (eval = every 20th ORIGINAL doc) → gates, one composed plan whose
     * every stage the oracle replays — a leak in any stage breaks the
@@ -1088,6 +1094,7 @@ object OpsQueries {
     "curation_pipeline" -> (curationPipeline _),
     "curation_near_dup" -> (curationNearDup _),
     "curation_cc" -> (curationCc _),
+    "curation_cc_quality" -> (curationCcQuality _),
     "curation_decon" -> (curationDecon _),
     "curation_staged" -> (curationStaged _),
     "dedup_cc_components" -> (dedupCcComponents _),
@@ -1347,6 +1354,29 @@ object OpsQueries {
          WHERE doc_id NOT IN (SELECT id FROM dropped)),
        """ + gateCtes("surv") + gateSelect
 
+  /** Oracle for the QUALITY-policy CC curation: components over the same
+    * pair closure, survivor = row_number()=1 by (quality DESC, id ASC)
+    * within each component (the window twin of the engine's min-struct
+    * pick), then the shared gates. The gate CTEs run over the full corpus
+    * here (pure per-doc projections — filtering to survivors at the final
+    * select is equivalent and avoids a second CTE instantiation). */
+  private val curationCcQualitySql: String = ccCtes + ",\n" +
+    gateCtes("corpus") +
+    """,
+       ccsurv AS (
+         SELECT cc.component, cc.id
+         FROM cc JOIN q ON q.doc_id = cc.id
+         QUALIFY row_number() OVER (PARTITION BY cc.component
+           ORDER BY q.quality_micros DESC, cc.id ASC) = 1),
+       ccdropped AS (
+         SELECT id FROM cc WHERE id NOT IN (SELECT id FROM ccsurv))
+       SELECT q.doc_id, lid.lang, q.quality_micros, q.n_tokens
+       FROM q JOIN lid ON lid.doc_id = q.doc_id
+       WHERE q.quality_micros >= 500000
+         AND lid.lang IN ('en','es','de','fr','zh')
+         AND q.doc_id NOT IN (SELECT id FROM ccdropped)
+       ORDER BY q.doc_id"""
+
   /** Shared CTE block for the exact duplicate-substring oracles: the
     * injected corpus, the engine-identical tokenization, 8-gram positions,
     * the ≥2 corpus-wide gram flag, and the gaps-and-islands span merge —
@@ -1577,6 +1607,7 @@ object OpsQueries {
     "bpe_encode" -> bpeEncodeOracle(8),
     "curation_near_dup" -> curationNearDupSql,
     "curation_cc" -> curationCcSql,
+    "curation_cc_quality" -> curationCcQualitySql,
     "curation_decon" -> curationDeconSql,
     "curation_staged" -> curationNearDupSql,
     "dedup_cc_components" -> dedupCcComponentsSql,

@@ -83,6 +83,59 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(droppedPairwise == Seq(3L), "smaller-id-wins keeps the bridged doc")
   }
 
+  test("droppedByPolicy: highest score survives, tie breaks to min id, " +
+    "unscored node fails loud") {
+    val pairs = Seq((1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    // component {1,2,3}: node 2 has the top score -> 1 and 3 drop
+    val scored = Seq((1L, 10L), (2L, 99L), (3L, 50L)).toDF("doc_id", "q")
+    val dropped = ConnectedComponents.droppedByPolicy(pairs, scored, "doc_id", "q")
+      .as[Long].collect().sorted.toSeq
+    assert(dropped == Seq(1L, 3L), s"got $dropped")
+    // equal scores: min id survives (the droppedByComponent root rule)
+    val tie = ConnectedComponents.droppedByPolicy(
+        Seq((7L, 8L)).toDF("id_a", "id_b"),
+        Seq((7L, 5L), (8L, 5L)).toDF("doc_id", "q"), "doc_id", "q")
+      .as[Long].collect().toSeq
+    assert(tie == Seq(8L))
+    // a node missing from `scored` must fail loud, not silently resolve
+    val ex = intercept[Exception] {
+      ConnectedComponents.droppedByPolicy(pairs,
+        Seq((1L, 10L), (2L, 99L)).toDF("doc_id", "q"), "doc_id", "q")
+        .collect()
+    }
+    assert(ex.getMessage != null)
+  }
+
+  test("curateWithNearDupQualityCC: the best-quality cluster member " +
+    "survives where the min-id root rule would keep a worse doc") {
+    import org.apache.spark.sql.functions.col
+    val base = "the quick brown fox jumps over the lazy dog and runs to the " +
+      "big red barn where it sleeps for the night in a warm bed of hay"
+    // doc 11 extends doc 10 with enough rich text to score strictly higher
+    // quality while keeping shingle Jaccard >= 0.5 (appended shingles < base
+    // shingle count)
+    val richer = base + " and it dreams of the green fields in the valley"
+    val docs = Seq(
+      (10L, base), (11L, richer),
+      (50L, "a completely different document about the weather in the city " +
+        "of paris where it rains for most of the autumn and the people use " +
+        "umbrellas to stay dry on their way to work every single day"))
+      .toDF("doc_id", "text")
+    // precondition: 11 really does out-score 10 under the gate formula
+    val (_, q, _) = TextOps.gateColumns(col("text"))
+    val scores = docs.select(col("doc_id"), q.as("q")).as[(Long, Long)]
+      .collect().toMap
+    assert(scores(11L) > scores(10L),
+      s"fixture broke: q(11)=${scores(11L)} !> q(10)=${scores(10L)}")
+    val out = Curate.curateWithNearDupQualityCC(docs).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 50L), s"expected best-quality survivor, got $out")
+    // and the min-id policy keeps 10 on the same fixture
+    val ccOut = Curate.curateWithNearDupCC(docs).select("doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(ccOut == Seq(10L, 50L), s"got $ccOut")
+  }
+
   test("curateWithNearDupCC: one survivor per near-dup cluster end-to-end") {
     // three near-identical texts (pairwise Jaccard > 0.5) + one unrelated —
     // long enough in stopword/letter mix to clear the quality/lang gates
