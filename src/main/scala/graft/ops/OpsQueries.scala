@@ -954,6 +954,18 @@ object OpsQueries {
       .select(col("doc_id")).orderBy(col("doc_id"))
   }
 
+  /** Streaming twin of the perplexity gate: the same model trained on the
+    * static corpus, the arriving corpus gated per micro-batch — survivors
+    * must equal the batch gate's, so it shares `lm_gate`'s oracle. */
+  def streamLmGate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val lm = LangModel.train(d, "text", minCount = 2)
+    StreamingOps.runLmGateStream(s, d.select(col("doc_id"), col("text")),
+        "doc_id", "text", lm, maxPpl = 2000.0, slices = 3,
+        tag = s"q${System.nanoTime()}")
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   /** Token-distribution drift (E23): even docs are the reference window;
     * odd docs with injected "spark"-mass are production. The oracle
     * replays vocab build, bucket counts, and the Laplace-smoothed PSI
@@ -1116,6 +1128,7 @@ object OpsQueries {
     "html_extract" -> (htmlExtract _),
     "lm_score" -> (lmScore _),
     "lm_gate" -> (lmGate _),
+    "stream_lm_gate" -> (streamLmGate _),
     "events_stream_hourly" -> (eventsStreamHourly _),
     "stream_decontaminate" -> (streamDecontaminate _),
     "events_stream_dedup" -> (eventsStreamDedup _),
@@ -2204,6 +2217,13 @@ object OpsQueries {
            LEFT JOIN doc USING (doc_id)
          ORDER BY doc_id"""),
     "lm_gate" -> (lmCtes +
+      """
+         SELECT doc_id FROM doc
+         WHERE s IS NOT NULL AND power(10, -(s / n_tokens)) <= 2000.0
+         ORDER BY doc_id"""),
+    // the streaming twin gates micro-batches against the same frozen model;
+    // survivors must equal the batch gate's, so the oracle is identical
+    "stream_lm_gate" -> (lmCtes +
       """
          SELECT doc_id FROM doc
          WHERE s IS NOT NULL AND power(10, -(s / n_tokens)) <= 2000.0

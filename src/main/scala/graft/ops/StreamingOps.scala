@@ -878,6 +878,21 @@ object StreamingOps {
     runGatedDocStream(spark, corpus, idCol, slices, tag,
       b => Decontaminate.dropByBloom(b, idCol, textCol, filterBlob, shingleN, minHits))
 
+  /** Streaming twin of the P38 perplexity gate: the model tables are
+    * trained/persisted ONCE on the static reference corpus before the
+    * stream starts, and each micro-batch is gated by
+    * [[LangModel.gateByPerplexity]] against them — scoring is per-doc
+    * (model joins are batch-local, broadcast under `maxBroadcastRows`),
+    * so survivors are micro-batch-boundary invariant like the
+    * decontamination twins. The production shape for filtering an
+    * arriving crawl against a frozen reference LM. */
+  def runLmGateStream(spark: SparkSession, corpus: DataFrame, idCol: String,
+                      textCol: String, lm: LangModel.BigramLm,
+                      maxPpl: Double, slices: Int = 3,
+                      tag: String = "run"): DataFrame =
+    runGatedDocStream(spark, corpus, idCol, slices, tag,
+      b => LangModel.gateByPerplexity(b, idCol, textCol, lm, maxPpl))
+
   /** Shared harness for per-row doc gates run as a file stream: hash-split
     * the corpus into `slices` micro-batches (the gates are order-free, so
     * no global sort is needed — unlike the arrival-ordered P21 harness),

@@ -73,6 +73,24 @@ class LangModelSpec extends AnyFunSuite {
     assert(keepOne == Set(1L))
   }
 
+  test("streaming twin: per-micro-batch gate survivors equal the batch gate") {
+    val docs = spark.range(60).select(col("id").as("doc_id"),
+      when(col("id") % 5 === 0, lit("zq xv jk"))   // unseen-floor gibberish
+        .otherwise(concat(lit("w"), (col("id") % 7).cast("string"), lit(" w"),
+          (col("id") % 3).cast("string"), lit(" tail"))).as("text"))
+    val lm = LangModel.train(docs.filter(col("doc_id") % 5 =!= 0), "text",
+      minCount = 2)
+    val scored = LangModel.scoreDocs(docs, "doc_id", "text", lm)
+      .agg(expr("percentile(ppl, 0.5)")).collect()(0).getDouble(0)
+    val batch = LangModel.gateByPerplexity(docs, "doc_id", "text", lm, scored)
+      .select("doc_id").as[Long].collect().toSet
+    val stream = StreamingOps.runLmGateStream(spark, docs, "doc_id", "text",
+        lm, scored, slices = 4, tag = "lmspec")
+      .select("doc_id").as[Long].collect().toSet
+    assert(stream == batch, s"stream=$stream batch=$batch")
+    assert(batch.nonEmpty && batch.size < 60, "fixture must actually gate")
+  }
+
   test("partitioning invariance and broadcast-vs-shuffled join path equality") {
     val docs = spark.range(200).select(col("id").as("doc_id"),
       concat(lit("w"), (col("id") % 7).cast("string"), lit(" w"),
