@@ -298,6 +298,19 @@ object OpsQueries {
     Sample.quotaPerGroup(docs(s, dir), "doc_id", "lang", cap = 40)
       .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))
 
+  /** Token-budget selection: the best half (by gate quality, tokens as
+    * the budget unit) of the corpus under the greedy prefix rule — the
+    * two-pass distributed prefix sum end to end, oracled by a global
+    * window cumsum. */
+  def sampleTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val (_, q, nTok) = TextOps.gateColumns(col("text"))
+    val scored = docs(s, dir).select(col("doc_id"), q.as("q"),
+      nTok.cast("long").as("n_tok"))
+    val total = scored.agg(sum(col("n_tok"))).collect()(0).getLong(0)
+    Sample.selectByTokenBudget(scored, "doc_id", "q", "n_tok", total / 2)
+      .select(col("doc_id")).orderBy(col("doc_id"))
+  }
+
   def fingerprintMd5(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), md5(lower(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
@@ -1077,6 +1090,7 @@ object OpsQueries {
     "ingest_jsonl" -> (ingestJsonl _),
     "ingest_csv" -> (ingestCsv _),
     "sample_quota_lang" -> (sampleQuotaLang _),
+    "sample_token_budget" -> (sampleTokenBudget _),
     "sample_split" -> (sampleSplit _),
     "fingerprint_md5" -> (fingerprintMd5 _),
     "similarity_topk" -> (similarityTopK _),
@@ -1847,6 +1861,20 @@ object OpsQueries {
          WHERE rn <= 40 ORDER BY lang, doc_id""",
     "fingerprint_md5" ->
       "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    // the greedy token-budget prefix replayed as ONE global window cumsum
+    // over the gate-formula quality scores (budget = half the corpus's
+    // tokens, integer division like the engine's Long division)
+    "sample_token_budget" ->
+      ("WITH " + gateCtes("documents") +
+        """,
+         tot AS (SELECT sum(n_tokens) AS t FROM q),
+         c AS (SELECT doc_id,
+             sum(n_tokens) OVER (ORDER BY quality_micros DESC, doc_id ASC
+               ROWS UNBOUNDED PRECEDING) AS cum
+           FROM q)
+         SELECT doc_id FROM c
+         WHERE cum <= (SELECT t // 2 FROM tot)
+         ORDER BY doc_id"""),
     // exact per-row top-k ground truth: at planes=1/probes=2 the kNN join
     // probes BOTH buckets (structurally total recall), so its output equals
     // this all-pairs top-k. The fold replays the engine's left-fold cosine

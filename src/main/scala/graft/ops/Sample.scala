@@ -172,6 +172,107 @@ object Sample {
     *
     * The id must be integral (the aggregate's key is a long): fails loud
     * rather than silently null-casting string ids. */
+  /** Greedy token-budget selection ("the best B tokens"): docs are laid
+    * out in (score DESC, id ASC) order and the selected set is the longest
+    * PREFIX whose inclusive running token total stays ≤ `budget` — the
+    * constructor for "train on the top-quality slice of the corpus up to
+    * a token budget" (budget in TOKENS, which is what an LM run actually
+    * consumes, not rows). Prefix semantics — stop at the first doc that
+    * would overflow — rather than first-fit packing: deterministic,
+    * nested under budget growth, and exactly replayable as a SQL window
+    * cumsum.
+    *
+    * Scale shape — the canonical TWO-PASS DISTRIBUTED PREFIX SUM (a
+    * single global window is a one-partition sort at 10^12 docs):
+    * range-partition slim (id, -score, tok) rows on the layout key, sum
+    * tokens per range (O(parts) rows to the driver), prefix the partition
+    * offsets there, then each partition computes its members' exact
+    * global running totals locally (sort-within-partition + a broadcast
+    * offset array — `mapPartitions` deliberately, because a
+    * `Window.partitionBy(pid)` would force a second full shuffle of rows
+    * the range exchange already placed). Partitions whose offset exceeds
+    * the budget are pruned before the scan, and a partition stops
+    * emitting at its first overflow (totals are monotone). The ranged
+    * frame backs both passes, so it persists MEMORY_AND_DISK; the Managed
+    * variant exposes `release()` (same contract as
+    * [[Similarity.lshTopKIndexedBatchManaged]]).
+    *
+    * Contracts: ids must be UNIQUE (the layout key is (score, id) — a
+    * duplicated id makes the cut nondeterministic between its copies;
+    * dedup upstream) and non-null (dropped, as everywhere in [[Sample]]);
+    * a null score or null/negative token count fails LOUD via
+    * `raise_error` — silent nulls would corrupt the running total. The
+    * selection is partitioning- and parallelism-invariant: range
+    * boundaries move with sampling, but the prefix rule depends only on
+    * the total order (spec-asserted). */
+  def selectByTokenBudget(df: DataFrame, idCol: String, scoreCol: String,
+                          tokCol: String, budget: Long,
+                          parts: Int = 0): DataFrame =
+    selectByTokenBudgetManaged(df, idCol, scoreCol, tokCol, budget, parts)._1
+
+  /** [[selectByTokenBudget]] plus the release handle for its two-pass
+    * persist. Call `release()` once the returned plan has been consumed;
+    * calling earlier only costs a recompute. */
+  def selectByTokenBudgetManaged(df: DataFrame, idCol: String,
+                                 scoreCol: String, tokCol: String,
+                                 budget: Long, parts: Int = 0)
+      : (DataFrame, () => Unit) = {
+    require(budget >= 0, s"selectByTokenBudget: budget must be >= 0, got $budget")
+    require(parts >= 0, s"selectByTokenBudget: parts must be >= 0, got $parts")
+    val spark = df.sparkSession
+    val nParts = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val idType = df.schema(idCol).dataType
+    val slim = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        when(col(scoreCol).isNull, raise_error(concat(
+            lit("selectByTokenBudget: null score for id "),
+            col(idCol).cast("string"))).cast("double"))
+          .otherwise(negate(col(scoreCol).cast("double"))).as("__ns"),
+        when(col(tokCol).isNull || col(tokCol).cast("long") < 0,
+            raise_error(concat(
+              lit("selectByTokenBudget: null/negative token count for id "),
+              col(idCol).cast("string"))).cast("long"))
+          .otherwise(col(tokCol).cast("long")).as("__tok"))
+    val ranged = slim.repartitionByRange(nParts, col("__ns"), col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pass 1: per-range token totals — O(parts) rows to the driver
+    // (partition 0 holds the smallest keys = the highest scores, so
+    // range index order IS layout order)
+    val totals = ranged.groupBy(spark_partition_id().as("__pid"))
+      .agg(sum(col("__tok")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+    val offsets = new Array[Long](maxPid + 1)
+    var acc = 0L
+    (0 to maxPid).foreach { p => offsets(p) = acc; acc += totals.getOrElse(p, 0L) }
+    val offB = spark.sparkContext.broadcast(offsets)
+    val live = (0 to maxPid).filter(p => offsets(p) <= budget).map(_.asInstanceOf[Any])
+    // pass 2: local sort + sequential running total per surviving range
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__sel", idType)))
+    val sorted = ranged
+      .withColumn("__pid", spark_partition_id())
+      .filter(col("__pid").isin(live: _*))
+      .sortWithinPartitions(col("__ns"), col("__id"))
+    val selected = sorted.mapPartitions { it =>
+      var cum = 0L
+      var pidInit = false
+      var over = false
+      it.flatMap { r =>
+        if (!pidInit) { cum = offB.value(r.getInt(3)); pidInit = true }
+        if (over) None
+        else {
+          cum += r.getLong(2)
+          if (cum <= budget) Some(org.apache.spark.sql.Row(r.get(0)))
+          else { over = true; None } // totals are monotone: nothing later fits
+        }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    val out = df.join(selected, df(idCol) === col("__sel"), "left_semi")
+    (out, () => { ranged.unpersist(blocking = false); () })
+  }
+
   def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
                     cap: Int): DataFrame = {
     require(cap >= 1, s"quotaPerGroup: cap must be >= 1, got $cap")

@@ -189,4 +189,62 @@ class SampleSpec extends AnyFunSuite {
       Sample.temperatureRates(Seq(("a", 1L)), 1.0, 1.5))
       .getMessage.contains("budgetFraction"))
   }
+
+  test("selectByTokenBudget: greedy prefix by (score DESC, id ASC), " +
+    "inclusive boundary, budgets nest") {
+    // layout order: id 3 (q 90), id 1 (q 80), id 4 (q 80), id 2 (q 10)
+    // running tokens:      10,        30,        60,          70
+    val docs = Seq(
+      (1L, 80L, 20L), (2L, 10L, 10L), (3L, 90L, 10L), (4L, 80L, 30L))
+      .toDF("doc_id", "q", "tok")
+    def sel(b: Long) = Sample.selectByTokenBudget(docs, "doc_id", "q", "tok", b)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sel(9L) == Set.empty[Long], "first doc overflows -> empty prefix")
+    assert(sel(10L) == Set(3L), "inclusive boundary")
+    assert(sel(59L) == Set(3L, 1L), "id 4 would overflow; prefix STOPS there")
+    assert(sel(60L) == Set(3L, 1L, 4L))
+    assert(sel(1000L) == Set(1L, 2L, 3L, 4L))
+    // nesting
+    assert(sel(10L).subsetOf(sel(60L)) && sel(60L).subsetOf(sel(1000L)))
+  }
+
+  test("selectByTokenBudget: partitioning- and parts-invariant " +
+    "(two-pass prefix sum equals the global window rule)") {
+    val rnd = new scala.util.Random(7)
+    val docs = Seq.tabulate(500)(i =>
+      (i.toLong, rnd.nextInt(100).toLong, (1 + rnd.nextInt(50)).toLong))
+      .toDF("doc_id", "q", "tok")
+    // driver-side global replay of the prefix rule
+    val rows = docs.as[(Long, Long, Long)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+    var cum = 0L
+    val expected = rows.takeWhile { case (_, _, t) => cum += t; cum <= 3000L }
+      .map(_._1).toSet
+    for (d <- Seq(docs, docs.repartition(17)); p <- Seq(2, 8)) {
+      val got = Sample.selectByTokenBudget(d, "doc_id", "q", "tok", 3000L, parts = p)
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expected, s"parts=$p diverged")
+    }
+    // managed release leaves no persisted blocks behind
+    val (out, release) = Sample.selectByTokenBudgetManaged(
+      docs, "doc_id", "q", "tok", 3000L)
+    assert(out.count() == expected.size)
+    release()
+  }
+
+  test("selectByTokenBudget guards: null score / null or negative tokens " +
+    "fail loud; bad budget rejected") {
+    val bad1 = Seq((1L, Option.empty[Long], Option(5L)),
+      (2L, Option(3L), Option(5L))).toDF("doc_id", "q", "tok")
+    assert(intercept[Exception](
+      Sample.selectByTokenBudget(bad1, "doc_id", "q", "tok", 10L).collect())
+      .getMessage != null)
+    val bad2 = Seq((1L, Option(3L), Option(-5L))).toDF("doc_id", "q", "tok")
+    assert(intercept[Exception](
+      Sample.selectByTokenBudget(bad2, "doc_id", "q", "tok", 10L).collect())
+      .getMessage != null)
+    assert(intercept[IllegalArgumentException](
+      Sample.selectByTokenBudget(bad1, "doc_id", "q", "tok", -1L))
+      .getMessage.contains("budget"))
+  }
 }
