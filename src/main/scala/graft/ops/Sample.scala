@@ -48,7 +48,14 @@ object Sample {
     * its 32-bit md5 rank falls in the k-th cumulative interval. The k-th
     * PREFIX of the splits equals `byFraction` at the same cumulative
     * fraction — splits and samples nest by construction. NULL-id rows are
-    * dropped ([[byFraction]]'s policy). */
+    * dropped ([[byFraction]]'s policy).
+    *
+    * GROUP-AWARE (leakage-free) splits fall out of keying on the group
+    * column instead of the doc id: `splitByFractions(df, "source", ...)`
+    * labels every doc of a source identically — no source ever straddles
+    * train/test (the held-out-domain rule near-dup leakage demands). The
+    * fractions then apportion GROUPS, not rows: realized row shares track
+    * them only as far as group sizes are iid (spec-asserted). */
   def splitByFractions(df: DataFrame, idCol: String,
                        splits: Seq[(String, Double)]): DataFrame = {
     require(splits.nonEmpty, "splitByFractions: need at least one split")

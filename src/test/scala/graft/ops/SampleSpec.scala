@@ -232,6 +232,19 @@ class SampleSpec extends AnyFunSuite {
     release()
   }
 
+  test("group-keyed splitByFractions is leakage-free: no group straddles " +
+    "a split boundary") {
+    val docs = Seq.tabulate(300)(i => (i.toLong, s"src${i % 23}"))
+      .toDF("doc_id", "source")
+    val split = Sample.splitByFractions(docs, "source",
+      Seq("train" -> 0.8, "test" -> 0.2))
+    val straddlers = split.groupBy($"source")
+      .agg(countDistinct($"split").as("n")).filter($"n" > 1).count()
+    assert(straddlers == 0L, "a source appeared in more than one split")
+    assert(split.select("split").distinct().count() == 2,
+      "fixture must actually populate both splits")
+  }
+
   test("selectByTokenBudget guards: null score / null or negative tokens " +
     "fail loud; bad budget rejected") {
     val bad1 = Seq((1L, Option.empty[Long], Option(5L)),
