@@ -159,11 +159,15 @@ object Decontaminate {
     * MIGHT be in the eval set. A pure scalar expression — the shingle
     * array is an HOF argument exactly once, the membership probe is a
     * per-element call against the task-constant filter — so everything
-    * built on it is exchange-free. */
+    * built on it is exchange-free. NULL text coalesces to 0 hits: a doc
+    * with no shingles cannot be contaminated, so the gate must KEEP it
+    * (the exact twin's explode drops such rows from the report, never
+    * from the corpus — `size(null)` is NULL in Spark 4 and a bare
+    * `hits < minHits` filter would silently DROP them instead). */
   private def bloomHits(textCol: Column, filterBlob: Array[Byte], n: Int): Column =
-    size(filter(TextOps.shingles(textCol, n),
+    coalesce(size(filter(TextOps.shingles(textCol, n),
       s => graft.functions.BloomMightContain.bloom_might_contain(
-        lit(filterBlob), s)))
+        lit(filterBlob), s))), lit(0))
 
   /** Bloom-gated contamination report: same (id, hits) shape as
     * [[contaminationReport]], hits counted over the doc's distinct
@@ -183,7 +187,10 @@ object Decontaminate {
       "reportByBloom: empty filter blob")
     corpus
       .filter(col(idCol).isNotNull)
-      .select(col(idCol), bloomHits(col(textCol), filterBlob, n).as("hits"))
+      // long like the exact report's count — "same (id, hits) shape" must
+      // mean the schema too, not just the values
+      .select(col(idCol),
+        bloomHits(col(textCol), filterBlob, n).cast("long").as("hits"))
       .filter(col("hits") >= minHits)
   }
 

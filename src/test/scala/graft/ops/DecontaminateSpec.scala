@@ -111,6 +111,25 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(streamSurv == bloomSurv)
   }
 
+  test("null-text docs cannot be contaminated: the bloom gate KEEPS them, " +
+    "like the exact twin (size(null) is NULL in Spark 4 — a bare " +
+    "hits<minHits filter would silently drop them)") {
+    val c = Seq((1L, "alpha beta gamma tail1"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val blob = Decontaminate.prepareBenchBloom(bench, "text", n = 3,
+      expectedShingles = 100, fpp = 1e-6)
+    val bloomKept = Decontaminate.dropByBloom(c, "doc_id", "text", blob, n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val exactKept = Decontaminate.dropContaminated(c, "doc_id", "text",
+        bench, "text", n = 3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(exactKept == Set(2L), s"fixture: doc 1 must be contaminated, got $exactKept")
+    assert(bloomKept == exactKept, s"bloom=$bloomKept exact=$exactKept")
+    // and the report schema matches the exact report's (long hits)
+    assert(Decontaminate.reportByBloom(c, "doc_id", "text", blob, n = 3)
+      .schema("hits").dataType.typeName == "long")
+  }
+
   test("bloom rung guards: oversubscribed filter and bad params fail loud") {
     val ex = intercept[IllegalArgumentException] {
       Decontaminate.prepareBenchBloom(bench, "text", n = 3,
