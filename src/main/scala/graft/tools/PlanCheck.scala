@@ -115,6 +115,23 @@ object PlanCheck {
       .toDF("part", "file", "bytes")
     println(interesting(graft.engine.Compaction.plan(fmeta, 1000L, 500L)
       .queryExecution.executedPlan))
+
+    println("\n=== bloom decontamination gate (per-row scalar against the " +
+      "task-constant blob — ZERO Exchange anywhere) ===")
+    val blob = graft.ops.Decontaminate.prepareBenchBloom(
+      txt.filter(pmod(xxhash64($"doc_id"), lit(20L)) === 0L), "text", n = 3,
+      expectedShingles = 100000L, fpp = 0.01)
+    println(interesting(graft.ops.Decontaminate.dropByBloom(
+        txt, "doc_id", "text", blob, n = 3)
+      .queryExecution.executedPlan))
+
+    println("\n=== token-budget selection (ONE range exchange + local " +
+      "sort-within-partitions; NO single-partition window, NO global sort) ===")
+    val (tb, tbRelease) = graft.ops.Sample.selectByTokenBudgetManaged(
+      txt.select($"doc_id", pmod(xxhash64($"doc_id"), lit(100L)).as("q"),
+        lit(7L).as("n_tok")), "doc_id", "q", "n_tok", 10000L)
+    println(interesting(tb.queryExecution.executedPlan))
+    tbRelease()
     spark.stop()
   }
 }
