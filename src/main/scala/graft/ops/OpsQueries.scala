@@ -1008,6 +1008,12 @@ object OpsQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus composition report over (source, lang): exact-integer doc/
+    * token/quality-mass accounting from one TextProfile pass. */
+  def corpusReport(s: SparkSession, dir: String): DataFrame =
+    TextOps.corpusReport(docs(s, dir), "source", "text")
+      .orderBy(col("source"), col("lang"))
+
   /** HTML extraction (P40): every doc wrapped in a deterministic HTML
     * template exercising the full strip surface — a comment containing a
     * tag, paired `<style>`/`<script>` blocks (the script body holds `<`,
@@ -1140,6 +1146,7 @@ object OpsQueries {
     "token_drift" -> (tokenDriftQuery _),
     "normalize_text" -> (normalizeTextQuery _),
     "html_extract" -> (htmlExtract _),
+    "corpus_report" -> (corpusReport _),
     "lm_score" -> (lmScore _),
     "lm_gate" -> (lmGate _),
     "stream_lm_gate" -> (streamLmGate _),
@@ -2201,6 +2208,19 @@ object OpsQueries {
               '[\x00-\x1f\x7f]', ' ', 'g'),
               '\s+', ' ', 'g'))) AS h
           FROM documents ORDER BY doc_id"""),
+    // composition report replayed from the shared gate CTEs (quality and
+    // n_tokens from q, language from lid), exact-integer sums
+    "corpus_report" ->
+      ("WITH " + gateCtes("documents") +
+        """
+         SELECT d.source, lid.lang,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(sum(q.n_tokens) AS BIGINT) AS tokens,
+           CAST(sum(q.quality_micros) AS BIGINT) AS quality_micros_sum
+         FROM documents d
+           JOIN q ON q.doc_id = d.doc_id
+           JOIN lid ON lid.doc_id = d.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2"""),
     // P40 HTML extraction replayed step for step: the same wrap template,
     // then comments -> paired/unclosed script -> paired/unclosed style ->
     // all tags -> the fixed entity table (nbsp/lt/gt/quot/#39/apos, amp

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the training-data pipeline: tokenization,
@@ -217,6 +217,29 @@ object TextOps {
       regexp_replace(lower(translate(text, accentFrom, accentTo)),
         "[\\x00-\\x1f\\x7f]", " "),
       "\\s+", " "))
+
+  /** Corpus composition report: per (group, language) doc counts, token
+    * totals, and quality mass — the one-pass dashboard a pipeline reads
+    * before committing a training mix (which sources dominate, what the
+    * per-language token budget actually is, where the quality mass sits).
+    * ONE shared TextProfile evaluation per row ([[gateColumns]] — not
+    * three text passes) feeding ONE map-side-combined group aggregation;
+    * all outputs are exact integers (quality reported as a SUM of micros,
+    * not a float mean, so the report oracles bit-for-bit and re-aggregates
+    * exactly across report merges: avg = quality_micros_sum/docs when a
+    * reader wants it). NULL-group rows keep their row under a NULL group
+    * key (a report must account for every doc, unlike a mixing decision —
+    * [[Sample.byTemperature]] drops them because it cannot DECIDE). */
+  def corpusReport(docs: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val (lang, q, nTok) = gateColumns(col(textCol))
+    docs.select(col(groupCol), lang.as("lang"), q.as("__q"),
+        nTok.cast("long").as("__t"))
+      .groupBy(col(groupCol), col("lang"))
+      .agg(count(lit(1)).as("docs"),
+        sum(col("__t")).as("tokens"),
+        sum(col("__q")).as("quality_micros_sum"))
+  }
 
   /** The fixed entity table [[extractHtmlText]] decodes, applied strictly
     * AFTER tag stripping (so `&lt;script&gt;` in content decodes to visible
