@@ -225,11 +225,18 @@ class SampleSpec extends AnyFunSuite {
         .select("doc_id").as[Long].collect().toSet
       assert(got == expected, s"parts=$p diverged")
     }
-    // managed release leaves no persisted blocks behind
+    // managed release leaves no persisted blocks behind (unpersist is
+    // async — poll like IndexAppendSpec)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val (out, release) = Sample.selectByTokenBudgetManaged(
       docs, "doc_id", "q", "tok", 3000L)
     assert(out.count() == expected.size)
     release()
+    val deadline = System.nanoTime() + 10000000000L
+    while (spark.sparkContext.getPersistentRDDs.keySet.size > before.size &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+    assert(spark.sparkContext.getPersistentRDDs.keySet.subsetOf(before),
+      "selectByTokenBudgetManaged leaked persisted RDDs past release()")
   }
 
   test("group-keyed splitByFractions is leakage-free: no group straddles " +
