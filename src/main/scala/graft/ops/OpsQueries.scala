@@ -307,8 +307,14 @@ object OpsQueries {
     val scored = docs(s, dir).select(col("doc_id"), q.as("q"),
       nTok.cast("long").as("n_tok"))
     val total = scored.agg(sum(col("n_tok"))).collect()(0).getLong(0)
-    Sample.selectByTokenBudget(scored, "doc_id", "q", "n_tok", total / 2)
-      .select(col("doc_id")).orderBy(col("doc_id"))
+    // managed variant: materialize the id list, release the two-pass
+    // persist deterministically (the annLshBatch pattern)
+    val (sel, release) = Sample.selectByTokenBudgetManaged(
+      scored, "doc_id", "q", "n_tok", total / 2)
+    val out = sel.select(col("doc_id")).orderBy(col("doc_id"))
+    val rows = out.collect()
+    release()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   def fingerprintMd5(s: SparkSession, dir: String): DataFrame =
