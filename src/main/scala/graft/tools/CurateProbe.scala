@@ -79,6 +79,19 @@ object CurateProbe {
       println(f"curateWithNearDupCC: $tCc%8.1f s, $ccSurvivors survivors " +
         f"(${total / tCc}%.0f docs/s), shuffle r/w ${(s3._1 - sS._1) / 1e9}%.2f/" +
         f"${(s3._2 - sS._2) / 1e9}%.2f GB")
+      // quality policy: same components, survivor = best gate quality —
+      // survivor COUNT must equal the min-id policy's (one per component)
+      val (qSurvivors, tQ) = ProbeUtil.time {
+        graft.ops.Curate.curateWithNearDupQualityCC(corpus).count()
+      }
+      val s4 = meter.snapshot
+      println(f"curateWithNearDupQualityCC: $tQ%8.1f s, $qSurvivors survivors " +
+        f"(${total / tQ}%.0f docs/s), shuffle r/w ${(s4._1 - s3._1) / 1e9}%.2f/" +
+        f"${(s4._2 - s3._2) / 1e9}%.2f GB")
+      if (qSurvivors != ccSurvivors)
+        println(s"NOTE: quality policy kept $qSurvivors vs min-id $ccSurvivors " +
+          "— differing counts mean a gate disagreement, not a component one " +
+          "(a best-quality survivor can pass a gate its min-id twin fails)")
     }
 
     try { import scala.sys.process._; Seq("rm", "-rf", dir).! }
