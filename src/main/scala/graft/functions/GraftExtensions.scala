@@ -207,6 +207,20 @@ object GraftExtensions {
         TextProfile(args.head, args.tail.zipWithIndex.map { case (a, i) =>
           strLits(a, "text_profile", s"wordList$i")
         })
+      }),
+    // composed builders (not single native Expressions): the builder
+    // re-expands the library's own column chain around the SQL argument,
+    // so SQL and Scala callers share one definition
+    ("extract_html_text", "HTML -> visible text (deterministic regex subset, P40)",
+      (args: Seq[Expression]) => {
+        arity("extract_html_text", args, 1)
+        ComposedText.htmlExtract(args(0), graft.ops.TextOps.htmlEntities)
+      }),
+    ("normalize_text", "deterministic text normalization (accent fold + case + whitespace, P36)",
+      (args: Seq[Expression]) => {
+        arity("normalize_text", args, 1)
+        ComposedText.normalize(args(0), graft.ops.TextOps.accentFrom,
+          graft.ops.TextOps.accentTo)
       })
   ).map { case (name, _usage, builder) =>
     // two-arg ExpressionInfo(className, name): the 3-arg overload is

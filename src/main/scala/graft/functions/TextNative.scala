@@ -275,3 +275,42 @@ object TextNative {
   def band_hashes(sig: Column, bands: Int, rows: Int): Column =
     ColumnBridge.toColumn(BandHashes(ColumnBridge.toExpr(sig), bands, rows))
 }
+
+/** Expression-level composed text chains shared by the Scala API
+  * ([[graft.ops.TextOps.extractHtmlText]]/[[graft.ops.TextOps.normalizeText]])
+  * and the SQL registrations in [[GraftExtensions]] — ONE definition, two
+  * surfaces. Built from Spark's own codegen'd string expressions
+  * (RegExpReplace / StringReplace / StringTranslate / Lower / StringTrim),
+  * the exact operators the functions-API chain analyzes to — a registry
+  * builder must return RESOLVABLE catalyst nodes, which the Spark-4
+  * Column-node functions API no longer yields directly. */
+object ComposedText {
+  import org.apache.spark.sql.catalyst.expressions.{Literal, Lower,
+    RegExpReplace, StringReplace, StringTranslate, StringTrim}
+
+  private def rr(c: Expression, p: String, r: String): Expression =
+    RegExpReplace(c, Literal(p), Literal(r))
+
+  /** The P40 HTML→text chain over `entities`
+    * ([[graft.ops.TextOps.htmlEntities]]). */
+  def htmlExtract(child: Expression,
+                  entities: Seq[(String, String)]): Expression = {
+    val noComments = rr(child, "(?s)<!--.*?-->", " ")
+    val noScript = rr(rr(noComments,
+      "(?is)<script[^>]*>.*?</script[^>]*>", " "),
+      "(?is)<script[^>]*>.*$", " ")
+    val noStyle = rr(rr(noScript,
+      "(?is)<style[^>]*>.*?</style[^>]*>", " "),
+      "(?is)<style[^>]*>.*$", " ")
+    val noTags = rr(noStyle, "(?s)<[^>]*>", " ")
+    val decoded = entities.foldLeft(noTags) { case (c, (f, t)) =>
+      StringReplace(c, Literal(f), Literal(t))
+    }
+    StringTrim(rr(decoded, "\\s+", " "))
+  }
+
+  /** The P36 normalization chain over the fixed accent table. */
+  def normalize(child: Expression, from: String, to: String): Expression =
+    StringTrim(rr(rr(Lower(StringTranslate(child, Literal(from), Literal(to))),
+      "[\\x00-\\x1f\\x7f]", " "), "\\s+", " "))
+}

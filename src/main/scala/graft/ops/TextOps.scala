@@ -212,11 +212,11 @@ object TextOps {
     * `trim`), so normalized-text hashes oracle across engines. NOT a
     * full NFKC pass — that needs ICU; this is the reproducible subset a
     * cross-engine pipeline can actually promise. */
-  def normalizeText(text: Column): Column =
-    trim(regexp_replace(
-      regexp_replace(lower(translate(text, accentFrom, accentTo)),
-        "[\\x00-\\x1f\\x7f]", " "),
-      "\\s+", " "))
+  def normalizeText(text: Column): Column = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(graft.functions.ComposedText.normalize(
+      ColumnBridge.toExpr(text), accentFrom, accentTo))
+  }
 
   /** Corpus composition report: per (group, language) doc counts, token
     * totals, and quality mass — the one-pass dashboard a pipeline reads
@@ -264,20 +264,9 @@ object TextOps {
     * ordinary text. Plain text without markup passes through unchanged
     * modulo whitespace collapse (spec-asserted). */
   def extractHtmlText(html: Column): Column = {
-    val noComments = regexp_replace(html, "(?s)<!--.*?-->", " ")
-    // paired blocks first (non-greedy), then a stray unclosed opener drops
-    // everything to EOF — trailing raw JS/CSS must never leak into text
-    val noScript = regexp_replace(
-      regexp_replace(noComments, "(?is)<script[^>]*>.*?</script[^>]*>", " "),
-      "(?is)<script[^>]*>.*$", " ")
-    val noStyle = regexp_replace(
-      regexp_replace(noScript, "(?is)<style[^>]*>.*?</style[^>]*>", " "),
-      "(?is)<style[^>]*>.*$", " ")
-    val noTags = regexp_replace(noStyle, "(?s)<[^>]*>", " ")
-    val decoded = htmlEntities.foldLeft(noTags) { case (c, (from, to)) =>
-      replace(c, lit(from), lit(to))
-    }
-    trim(regexp_replace(decoded, "\\s+", " "))
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    ColumnBridge.toColumn(graft.functions.ComposedText.htmlExtract(
+      ColumnBridge.toExpr(html), htmlEntities))
   }
 
   /** Word n-gram shingles (distinct), the unit for Jaccard/MinHash dedup.

@@ -55,6 +55,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(exNull.getMessage.contains("non-null") ||
       exNull.getMessage.contains("hyperplane_bucket"))
+    // composed builders: SQL re-expands the library's own column chain
+    assert(spark.sql("SELECT extract_html_text('<p>a &amp; b</p>')")
+      .head().getString(0) == "a & b")
+    assert(spark.sql("SELECT normalize_text('  Café  X ')")
+      .head().getString(0) == "cafe x")
   }
 
   test("sketch aggregates callable from SQL (analyzer wraps AggregateFunction)") {
