@@ -292,6 +292,17 @@ object OpsQueries {
         tau = 2.0, budgetFraction = 0.5)
       .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))
 
+  /** Exact-budget temperature mix: τ=4 at an 80 % row budget forces the
+    * four rare languages to cap, and WATERFILLING redistributes their
+    * unmet share onto `en` so the expected keep hits the budget exactly
+    * (the single-pass rule undershoots here by ~24 % of the corpus). The
+    * oracle replays the closed form as a bool_and window over the
+    * c/q capping order. */
+  def sampleTemperatureWaterfill(s: SparkSession, dir: String): DataFrame =
+    Sample.byTemperatureWaterfill(docs(s, dir), "doc_id", "lang",
+        tau = 4.0, budgetFraction = 0.8)
+      .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))
+
   /** Training-mix quota: at most 40 docs per language, smallest md5-rank
     * first — the bounded-agg (window-free) top-k path end to end. */
   def sampleQuotaLang(s: SparkSession, dir: String): DataFrame =
@@ -1092,6 +1103,7 @@ object OpsQueries {
     "sample_fraction" -> (sampleFraction _),
     "sample_mix_lang" -> (sampleMixLang _),
     "sample_temperature" -> (sampleTemperature _),
+    "sample_temperature_wf" -> (sampleTemperatureWaterfill _),
     "pack_sequences" -> (packSequences _),
     "repetition_stats" -> (repetitionStatsQuery _),
     "decontaminate_report" -> (decontaminateReport _),
@@ -1850,6 +1862,40 @@ object OpsQueries {
          f AS (SELECT lang,
                  round(least(1.0, (0.5 * nt.total) * (qv / zt.z) / cnt), 6) AS fr
                FROM q CROSS JOIN zt CROSS JOIN nt)
+         SELECT d.lang, d.doc_id FROM documents d JOIN f ON d.lang = f.lang
+         WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
+               < CAST(floor(f.fr * 4294967296) AS BIGINT)
+         ORDER BY d.lang, d.doc_id""",
+    // waterfilled temperature mixing: the capped set is the maximal prefix
+    // in ascending c/q order (bool_and window); uncapped rates use the
+    // budget/τ-mass remaining AFTER the capped prefix (filter-sum), so the
+    // expected keep hits the budget exactly. Float sequence matches the
+    // engine's (remainder = total - prefix cumsum, same order, round(6)).
+    "sample_temperature_wf" ->
+      """WITH cnts AS (SELECT lang, count(*) AS cnt FROM documents
+                       WHERE lang IS NOT NULL GROUP BY lang),
+         nt AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnts),
+         q AS (SELECT lang, cnt, power(cnt / nt.total, 0.25) AS qv
+               FROM cnts CROSS JOIN nt),
+         zt AS (SELECT sum(qv) AS z FROM q),
+         ord AS (SELECT lang, cnt, qv,
+             coalesce(sum(cnt) OVER (ORDER BY cnt / qv, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_c,
+             coalesce(sum(qv) OVER (ORDER BY cnt / qv, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_q
+           FROM q),
+         caps AS (SELECT o.lang, o.cnt, o.qv,
+             bool_and(o.cnt * (zt.z - o.cum_q) <= (0.8 * nt.total - o.cum_c) * o.qv)
+               OVER (ORDER BY o.cnt / o.qv, o.lang
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS capped
+           FROM ord o CROSS JOIN zt CROSS JOIN nt),
+         bz AS (SELECT
+             0.8 * max(nt.total) - coalesce(sum(cnt) FILTER (WHERE capped), 0) AS bp,
+             max(zt.z) - coalesce(sum(qv) FILTER (WHERE capped), 0) AS zp
+           FROM caps CROSS JOIN zt CROSS JOIN nt),
+         f AS (SELECT lang, CASE WHEN capped THEN 1.0
+                 ELSE round(greatest(0.0, bz.bp * (qv / bz.zp) / cnt), 6) END AS fr
+               FROM caps CROSS JOIN bz)
          SELECT d.lang, d.doc_id FROM documents d JOIN f ON d.lang = f.lang
          WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
                < CAST(floor(f.fr * 4294967296) AS BIGINT)

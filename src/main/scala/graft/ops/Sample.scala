@@ -137,6 +137,58 @@ object Sample {
     }.toMap
   }
 
+  /** [[temperatureRates]] with exact-budget WATERFILLING: a group capped
+    * at 1.0 redistributes its unmet share over the remaining groups in
+    * τ-proportion, so the expected keep Σ min(1, f_g)·n_g equals the row
+    * budget B EXACTLY (modulo the 6 dp rate rounding) — where the
+    * single-pass rule undershoots by the capped groups' unmet mass
+    * (documented trade there). Closed form, not a fixpoint loop: visit
+    * groups in ascending n_g/q_g (capping order; group-name tie-break);
+    * a group caps iff n_g·Z′ ≤ B′·q_g under the remaining budget B′ and
+    * τ-mass Z′ (subtracting each capped group's n and q as it caps); the
+    * FIRST non-capping group ends the capped prefix — every later group
+    * has a larger ratio against the same frozen B′/Z′, so none caps.
+    * Deterministic, O(G log G) driver-side over the O(groups) count
+    * table, and replayable in SQL as a bool_and window over the ratio
+    * order (the driver query's oracle does exactly that). Uncapped rates
+    * are monotone in the budget, so subsets still NEST across budget
+    * changes. */
+  def temperatureRatesWaterfill(counts: Seq[(String, Long)], tau: Double,
+                                budgetFraction: Double): Map[String, Double] = {
+    require(tau > 0.0, s"temperatureRatesWaterfill: tau must be > 0, got $tau")
+    require(budgetFraction >= 0.0 && budgetFraction <= 1.0,
+      s"temperatureRatesWaterfill: budgetFraction must be in [0,1], got $budgetFraction")
+    require(counts.nonEmpty, "temperatureRatesWaterfill: no groups")
+    counts.foreach { case (g, c) =>
+      require(g != null, "temperatureRatesWaterfill: null group key " +
+        "(drop null-group rows upstream)")
+      require(c >= 1, s"temperatureRatesWaterfill: group '$g' has count $c") }
+    require(counts.map(_._1).distinct.size == counts.size,
+      "temperatureRatesWaterfill: duplicate group keys (the rate map would " +
+        "silently keep one of each pair)")
+    val n = counts.map(_._2).sum.toDouble
+    val byGroup = counts.toMap
+    val qs = counts.map { case (g, c) => g -> math.pow(c / n, 1.0 / tau) }
+    val order = qs.sortBy { case (g, q) => (byGroup(g).toDouble / q, g) }
+    val b = budgetFraction * n
+    val z = qs.map(_._2).sum
+    // remainders as total-minus-prefix-sum (not repeated subtraction) so a
+    // SQL window cumsum replays the same float sequence
+    var cumC = 0.0; var cumQ = 0.0
+    var capping = true
+    order.map { case (g, q) =>
+      val c = byGroup(g).toDouble
+      if (capping && c * (z - cumQ) <= (b - cumC) * q) {
+        cumC += c; cumQ += q
+        g -> 1.0
+      } else {
+        capping = false
+        val f = math.max(0.0, (b - cumC) * (q / (z - cumQ)) / c)
+        g -> BigDecimal(f).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+  }
+
   /** Temperature-mixed deterministic subset: one O(groups) count
     * aggregation, rates from [[temperatureRates]], then the same narrow
     * rank-threshold filter as [[byFractionPerGroup]] — shuffle-free after
@@ -145,7 +197,21 @@ object Sample {
     * one's). NULL-group rows are dropped (no deterministic mixing
     * decision without a group — the null-id policy applied to groups). */
   def byTemperature(df: DataFrame, idCol: String, groupCol: String,
-                    tau: Double, budgetFraction: Double): DataFrame = {
+                    tau: Double, budgetFraction: Double): DataFrame =
+    byTemperatureWith(df, idCol, groupCol, tau, budgetFraction,
+      temperatureRates)
+
+  /** [[byTemperature]] with the exact-budget waterfilling rates. */
+  def byTemperatureWaterfill(df: DataFrame, idCol: String, groupCol: String,
+                             tau: Double, budgetFraction: Double): DataFrame =
+    byTemperatureWith(df, idCol, groupCol, tau, budgetFraction,
+      temperatureRatesWaterfill)
+
+  private def byTemperatureWith(df: DataFrame, idCol: String,
+                                groupCol: String, tau: Double,
+                                budgetFraction: Double,
+                                rater: (Seq[(String, Long)], Double, Double) => Map[String, Double])
+      : DataFrame = {
     require(df.schema(groupCol).dataType.typeName == "string",
       s"byTemperature: group column '$groupCol' must be string, got " +
         s"${df.schema(groupCol).dataType} (cast explicitly — a silent cast " +
@@ -153,7 +219,7 @@ object Sample {
     val nonNull = df.filter(col(groupCol).isNotNull)
     val counts = nonNull.groupBy(col(groupCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq // O(groups)
-    val rates = temperatureRates(counts, tau, budgetFraction)
+    val rates = rater(counts, tau, budgetFraction)
     byFractionPerGroup(nonNull, idCol, groupCol, rates, defaultFraction = 0.0)
   }
 

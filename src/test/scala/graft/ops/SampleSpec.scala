@@ -162,6 +162,40 @@ class SampleSpec extends AnyFunSuite {
     assert(rc("tiny") == 1.0)
   }
 
+  test("temperatureRatesWaterfill: hits the budget exactly where the " +
+    "single-pass rule undershoots; equals it when nothing caps; nests") {
+    // capping fixture: tiny groups cap under flattening, big absorbs the
+    // redistributed mass
+    val counts = Seq(("big", 550L), ("mid", 400L), ("small", 40L), ("tiny", 10L))
+    val n = counts.map(_._2).sum.toDouble
+    def keep(r: Map[String, Double]) =
+      counts.map { case (g, c) => math.min(1.0, r(g)) * c }.sum
+    val single = Sample.temperatureRates(counts, 4.0, 0.6)
+    val wf = Sample.temperatureRatesWaterfill(counts, 4.0, 0.6)
+    assert(wf("tiny") == 1.0 && wf("small") == 1.0, s"fixture must cap: $wf")
+    assert(wf("big") < 1.0 && wf("mid") < 1.0, s"fixture needs 2 uncapped: $wf")
+    assert(keep(single) < 0.6 * n - 1.0, "single-pass must undershoot here")
+    assert(math.abs(keep(wf) - 0.6 * n) < 0.01, s"waterfill must hit B: ${keep(wf)}")
+    // uncapped groups only gain mass vs single-pass; uncapped shares stay
+    // tau-proportional among themselves
+    assert(wf("big") > single("big") && wf("mid") > single("mid"))
+    val qb = math.pow(550 / n, 0.25); val qm = math.pow(400 / n, 0.25)
+    assert(math.abs(wf("big") * 550 / qb - wf("mid") * 400 / qm) /
+      (wf("big") * 550 / qb) < 1e-4, "tau-proportionality among uncapped")
+    // no caps -> identical to the single pass
+    val flat = Seq(("a", 100L), ("b", 100L), ("c", 100L))
+    assert(Sample.temperatureRatesWaterfill(flat, 2.0, 0.5) ==
+      Sample.temperatureRates(flat, 2.0, 0.5))
+    // rates monotone in budget -> subsets nest
+    val lo = Sample.temperatureRatesWaterfill(counts, 4.0, 0.4)
+    val hi = Sample.temperatureRatesWaterfill(counts, 4.0, 0.8)
+    counts.foreach { case (g, _) => assert(lo(g) <= hi(g) + 1e-9, g) }
+    // guards shared with the single-pass rule
+    assert(intercept[IllegalArgumentException](
+      Sample.temperatureRatesWaterfill(Seq(("a", 1L)), 0.0, 0.5))
+      .getMessage.contains("tau"))
+  }
+
   test("byTemperature: deterministic, nested across budgets, null groups dropped") {
     val d = docs.select($"doc_id", $"lang")
       .union(Seq((9999999L, null.asInstanceOf[String])).toDF("doc_id", "lang"))
