@@ -790,6 +790,31 @@ object OpsQueries {
       .select(col("doc_id"), md5(col("text_trimmed")).as("h"))
       .orderBy(col("doc_id"))
 
+  /** Gap-rule sessionization at the session grain: 6 h inactivity splits
+    * a user's event stream; exact integer micro durations so the DuckDB
+    * lag + cumsum window replay hash-matches bit for bit. */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame =
+    Temporal.sessionStats(s.read.parquet(s"$dir/events.parquet"),
+        "user_id", "ts", "event_id", gapSeconds = 21600L)
+      .orderBy(col("user_id"), col("session_idx"))
+
+  /** As-of join: each purchase attributed to the user's latest
+    * at-or-before view. Oracled by DuckDB's NATIVE `ASOF JOIN` — an
+    * independent implementation of the semantics, not a replay of ours. */
+  def eventsAsofView(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    Temporal.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("ts"), col("user_id")),
+        ev.filter(col("event_type") === "view")
+          .select(col("event_id"), col("ts"), col("user_id")),
+        "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("r_event_id").as("view_id"), col("r_ts").as("view_ts"),
+        col("gap_us"))
+      .orderBy(col("purchase_id"))
+  }
+
   /** k-sigma outliers (E21) per event_type over the heavy-tailed events
     * value column — the DuckDB oracle recomputes the per-group mean and
     * population stddev and replays the flag + rounded z-score. */
@@ -1154,6 +1179,8 @@ object OpsQueries {
     "media_decode" -> (mediaDecode _),
     "image_near_dup" -> (imageNearDup _),
     "outlier_events" -> (outlierEvents _),
+    "events_sessionize" -> (eventsSessionize _),
+    "events_asof_view" -> (eventsAsofView _),
     "dup_spans" -> (dupSpans _),
     "dup_spans_trim" -> (dupSpansTrim _),
     "line_dedup_stats" -> (lineDedupStats _),
@@ -2340,6 +2367,36 @@ object OpsQueries {
            ON e.event_type IS NOT DISTINCT FROM st.event_type
          WHERE abs(e.value - st.mu) > 3 * st.sd
          ORDER BY e.event_id""",
+    // gap-rule sessions replayed as the identical lag + cumsum windows;
+    // durations in exact integer micros (date_diff('microsecond'))
+    "events_sessionize" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 21600000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                 CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+               FROM o)
+         SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts) AS first_ts, max(ts) AS last_ts,
+           date_diff('microsecond', min(ts), max(ts)) AS duration_us
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    // DuckDB's NATIVE ASOF JOIN (l.ts >= r.ts picks the latest
+    // at-or-before right row) — an independent oracle of the semantics,
+    // not a replay of the union-and-carry plan. Right-side (user, ts)
+    // duplicates don't exist in the test data (asserted by the engine's
+    // tie-rule spec instead).
+    "events_asof_view" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+           v.ts AS view_ts, date_diff('microsecond', v.ts, p.ts) AS gap_us
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+           ON p.user_id = v.user_id AND p.ts >= v.ts
+         ORDER BY purchase_id""",
     "latent_drift" -> latentDriftOracle,
     // the streaming twin stages the SAME two scenarios as two event-time
     // windows and relabels window→scenario: shared oracle, bit-for-bit

@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time operators over keyed streams-at-rest: gap-rule
+  * sessionization and the as-of (latest-at-or-before) join. Both reduce
+  * to ONE hash exchange on the key plus one in-partition sort — the
+  * minimal shape for per-key temporal logic at corpus scale; neither
+  * explodes candidates or loops on the driver.
+  *
+  * Skew note (both operators): a single pathological key (a bot user with
+  * 10⁸ events) serializes inside one task, the inherent floor for per-key
+  * ORDER-dependent logic. Mitigate upstream with a per-key event cap
+  * ([[Sample.quotaPerGroup]]) or a coarse time-bucket pre-split when keys
+  * that hot are expected; the operators themselves stay declarative so
+  * AQE can at least size the exchange.
+  *
+  * NULL policy (shared with the samplers): rows with a NULL key or NULL
+  * timestamp are dropped — no identity or no event time means no
+  * deterministic session/match decision. Gate upstream if nulls matter.
+  */
+object Temporal {
+
+  /** Exact integer microseconds between two timestamps. `timestamp_diff`,
+    * not `unix_micros`, because the test tables carry TIMESTAMP_NTZ and a
+    * cast to TimestampType would shift by the session zone (non-linearly
+    * across DST); the diff is zone-free on both timestamp types, and
+    * DuckDB's `date_diff('microsecond', …)` replays it exactly. */
+  private def microsBetween(from: Column, to: Column): Column =
+    timestamp_diff("MICROSECOND", from, to)
+
+  private def requireTs(df: DataFrame, tsCol: String, op: String): Unit = {
+    val t = df.schema(tsCol).dataType.typeName
+    require(t == "timestamp" || t == "timestamp_ntz",
+      s"$op: '$tsCol' must be a timestamp type, got ${df.schema(tsCol).dataType}")
+  }
+
+  /** Per-key gap-rule session index: a new session starts when the time
+    * since the key's previous event exceeds `gapSeconds`. Appends
+    * `session_idx` (1-based, dense per key, ordered by event time).
+    *
+    * Plan: one Exchange(key) + one window sort by (ts, id) shared by the
+    * `lag` and the running `sum` (Spark plans both over the same window
+    * spec in a single Window node — no second exchange, no second sort).
+    * The id column breaks ties so the index is deterministic even with
+    * equal timestamps. Replayable in SQL as the identical lag + cumsum
+    * windows (the driver query's DuckDB oracle). */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                 gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"sessionize: gapSeconds must be > 0, got $gapSeconds")
+    requireTs(df, tsCol, "sessionize")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(idCol))
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prevTs = lag(col(tsCol), 1).over(w)
+    val newSession = when(
+      prevTs.isNull || microsBetween(prevTs, col(tsCol)) > gapSeconds * 1000000L,
+      lit(1L)).otherwise(lit(0L))
+    df.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("session_idx", sum(newSession).over(cum))
+  }
+
+  /** [[sessionize]] rolled up to the session grain: one row per (key,
+    * session) with the event count, first/last event time, and the exact
+    * integer duration in microseconds (micros, not a float division, so
+    * the DuckDB oracle hash-matches bit for bit).
+    *
+    * The groupBy re-shuffles on (key, session_idx) — Catalyst cannot know
+    * the window's Exchange(key) already co-located every session — but the
+    * partial aggregate collapses each task's rows to its session count
+    * first, so the second exchange moves O(sessions) slim rows, not the
+    * corpus. */
+  def sessionStats(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
+                   gapSeconds: Long): DataFrame =
+    sessionize(df, keyCol, tsCol, idCol, gapSeconds)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"),
+        microsBetween(min(col(tsCol)), max(col(tsCol))).as("duration_us"))
+
+  /** As-of join: attach to each left row the LATEST right row of the same
+    * key with `right.ts <= left.ts` (inner semantics — left rows with no
+    * prior right row, or none within `toleranceSeconds` when set, are
+    * dropped). The classic event-attribution / point-in-time-lookup
+    * operator ("which view preceded this purchase", "which model version
+    * was live when this prediction was made").
+    *
+    * UNION-AND-CARRY, not a join: both sides are tagged and unioned, ONE
+    * hash exchange on the key, one in-partition sort by (ts, side, id),
+    * and a running `last(right-payload, ignoreNulls)` carries the newest
+    * right row forward onto every left row. No per-key candidate
+    * explosion (an equi-join on key followed by a range filter is
+    * O(|L_k|·|R_k|) per key BEFORE filtering — quadratic on hot keys), no
+    * sort-merge of two separately-shuffled sides; |L|+|R| slim rows move
+    * exactly once. Right rows sort BEFORE left rows at equal timestamps
+    * (side 0 < 1), so an equal-ts right row matches — "at or before",
+    * DuckDB `ASOF JOIN ... ON l.ts >= r.ts` semantics, which the driver
+    * query uses as an INDEPENDENT native oracle (not a replay). Among
+    * right rows with identical (key, ts) the largest right id wins
+    * (deterministic; spec-pinned against brute force on a tie fixture).
+    *
+    * Output: every left column, then `r_<rightIdCol>`, `r_ts`, and
+    * `r_<c>` for each requested payload column, plus exact integer
+    * `gap_us = left.ts - right.ts` in microseconds. */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, rightIdCol: String,
+               rightPayload: Seq[String] = Nil,
+               toleranceSeconds: Option[Long] = None): DataFrame = {
+    toleranceSeconds.foreach(t => require(t > 0,
+      s"asofJoin: toleranceSeconds must be > 0, got $t"))
+    Seq(left, right).foreach(d => requireTs(d, tsCol, "asofJoin"))
+    require(left.schema(tsCol).dataType == right.schema(tsCol).dataType,
+      s"asofJoin: both sides must share the timestamp type, got " +
+        s"${left.schema(tsCol).dataType} vs ${right.schema(tsCol).dataType}")
+    val rStruct = struct(
+      (col(rightIdCol).as("rid") +: col(tsCol).as("rts") +:
+        rightPayload.map(c => col(c).as(s"p_$c"))): _*)
+    val rStructType = right.select(rStruct.as("s")).schema("s").dataType
+    val ltCols = left.columns.toSeq
+    val otherLeft = ltCols.filterNot(c => c == keyCol || c == tsCol)
+
+    val lt = left.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select((ltCols.map(col) ++ Seq(lit(1).as("graft_side"),
+        lit(null).cast(rStructType).as("graft_rpay"))): _*)
+    val rt = right.filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select((Seq(col(keyCol), col(tsCol)) ++
+        otherLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(lit(0).as("graft_side"), rStruct.as("graft_rpay"))): _*)
+    val unioned = lt.unionByName(rt.select(lt.columns.map(col): _*))
+
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col("graft_side"),
+        col("graft_rpay").getField("rid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = last(col("graft_rpay"), ignoreNulls = true).over(w)
+
+    val matched = unioned
+      .withColumn("graft_match", carried)
+      .filter(col("graft_side") === 1 && col("graft_match").isNotNull)
+    val gapUs = microsBetween(col("graft_match").getField("rts"), col(tsCol))
+    val bounded = toleranceSeconds match {
+      case Some(t) => matched.filter(gapUs <= t * 1000000L)
+      case None    => matched
+    }
+    bounded.select((ltCols.map(col) ++ Seq(
+      col("graft_match").getField("rid").as(s"r_$rightIdCol"),
+      col("graft_match").getField("rts").as("r_ts")) ++
+      rightPayload.map(c =>
+        col("graft_match").getField(s"p_$c").as(s"r_$c")) ++
+      Seq(gapUs.as("gap_us"))): _*)
+  }
+}
