@@ -852,6 +852,16 @@ object OpsQueries {
         queryName = s"stream_dedup_wm_${System.nanoTime()}")
       .orderBy(col("event_type"))
 
+  /** STREAMING gap-rule sessions via native session_window state merging:
+    * append-mode rows land exactly once when the watermark closes each
+    * session; the oracle replays the gap rule as lag + cumsum windows —
+    * the same `diff > gap` boundary as the batch `events_sessionize`
+    * (touching ranges merge; spec-pinned on an exact-gap fixture). */
+  def eventsStreamSessions(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.runSessionStream(s, s"$dir/events.parquet", gap = "6 hours",
+        queryName = s"stream_sessions_${System.nanoTime()}")
+      .orderBy(col("user_id"), col("first_ts"))
+
   /** STREAMING near-dup dedup over the injected near-dup corpus, staged as
     * an id-ordered 4-slice file stream: every doc that is a verified
     * near-dup (exact Jaccard ≥ 0.5) of ANY earlier-arriving doc is dropped
@@ -1200,6 +1210,7 @@ object OpsQueries {
     "events_stream_dedup" -> (eventsStreamDedup _),
     "stream_near_dup_dedup" -> (streamNearDupDedup _),
     "events_stream_dedup_wm" -> (eventsStreamDedupWm _),
+    "events_stream_sessions" -> (eventsStreamSessions _),
     "stream_token_drift" -> (streamTokenDrift _),
     "events_stream_drift" -> (eventsStreamDrift _))
 
@@ -2566,6 +2577,26 @@ object OpsQueries {
       """SELECT event_type, count(*) AS cnt, round(sum(value), 4) AS sum_v
          FROM (SELECT DISTINCT event_id, event_type, value FROM events)
          GROUP BY event_type ORDER BY event_type""",
+    // streaming session_window merges ranges that TOUCH, so the boundary
+    // equals the batch rule (new session iff diff > gap — spec-pinned on
+    // an exact-gap fixture); session grain keyed by (user, first_ts) —
+    // no stable ordinal exists on a stream
+    "events_stream_sessions" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 21600000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                 sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sid
+               FROM o)
+         SELECT user_id, count(*) AS n_events, min(ts) AS first_ts,
+           max(ts) AS last_ts,
+           date_diff('microsecond', min(ts), max(ts)) AS duration_us
+         FROM s GROUP BY user_id, sid ORDER BY user_id, first_ts""",
     "events_stream_drift" ->
       """WITH e AS (SELECT event_type, date_trunc('day', ts) AS window_start,
                CAST(least(greatest(floor(value / 10.0), 0), 9) AS INT) AS bucket FROM events),

@@ -941,6 +941,71 @@ object StreamingOps {
     * result. (The local harness for tests/demos — a deployment would point
     * readStream at the live landing zone and writeStream at the results
     * table.) */
+  /** Gap-rule session windows over the stream (E17 × P41): Spark's native
+    * `session_window(ts, gap)` IS the gap rule in streaming form —
+    * sessions for a key merge in state while events arrive within `gap`,
+    * close when the event-time watermark passes the session end, and
+    * their state is evicted (bounded memory over an unbounded stream; the
+    * batch twin is [[Temporal.sessionStats]]). The boundary agrees with
+    * the batch rule: events exactly `gap` apart stay in ONE session (the
+    * native window merges touching ranges — spec-pinned on an exact-gap
+    * fixture), so the session partition is identical to
+    * [[Temporal.sessionize]]'s `diff > gap` split on any input, and the
+    * batch lag+cumsum replay oracles this query directly. No per-key
+    * session counter exists on a stream (a
+    * session's ordinal can change while earlier sessions are still open),
+    * so the streaming grain is (user, first_ts), not (user, idx). */
+  def sessionAgg(events: DataFrame, gap: String = "6 hours",
+                 watermark: String = "12 hours"): DataFrame =
+    events
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("n_events"), col("first_ts"), col("last_ts"),
+        timestamp_diff("MICROSECOND", col("first_ts"), col("last_ts"))
+          .as("duration_us"))
+
+  /** Drive [[sessionAgg]] over a staged file stream to completion: append
+    * mode (a session row is emitted exactly once, when the watermark
+    * closes it), sentinel event 10 years ahead to push the watermark past
+    * every real session, memory sink. Same harness contract as
+    * [[runDriftStream]]. */
+  def runSessionStream(spark: SparkSession, parquetPath: String,
+                       gap: String = "6 hours",
+                       queryName: String = "stream_sessions"): DataFrame = {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-sess")
+    val p = java.nio.file.Paths.get(parquetPath)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val ls = java.nio.file.Files.list(p)
+      try ls.filter(_.toString.endsWith(".parquet"))
+        .forEach(f => java.nio.file.Files.copy(f, srcDir.resolve(f.getFileName)))
+      finally ls.close()
+    } else java.nio.file.Files.copy(p, srcDir.resolve(p.getFileName))
+
+    val src = spark.readStream.schema(eventSchema).parquet(srcDir.toString)
+    val q = sessionAgg(src, gap)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    val maxTs = spark.read.parquet(srcDir.toString)
+      .agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 315360000000L)
+    Seq((Long.MaxValue, sentinel, -1L, "___sentinel", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("append").parquet(srcDir.toString)
+    q.processAllAvailable()
+    q.stop()
+    try {
+      import scala.sys.process._
+      Seq("rm", "-rf", srcDir.toString).!
+    } catch { case _: Throwable => }
+    spark.table(queryName).filter(col("user_id") =!= -1L)
+  }
+
   def runFileStream(spark: SparkSession, parquetPath: String,
                     queryName: String = "stream_out"): DataFrame = {
     // file-stream sources need a DIRECTORY; stage a single-file input

@@ -802,6 +802,41 @@ class StreamingOpsSpec extends AnyFunSuite {
       spark.read.parquet("/root/testdata/sf0.001/events.parquet").count())
   }
 
+  test("streaming session_window equals the batch gap-rule twin at the " +
+    "session grain; the exact-gap boundary MERGES (same > rule as batch)") {
+    val streamed = StreamingOps.runSessionStream(spark,
+        "/root/testdata/sf0.001/events.parquet", gap = "6 hours",
+        queryName = "sess_spec")
+      .orderBy($"user_id", $"first_ts")
+      .select($"user_id", $"n_events", $"duration_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    val batch = Temporal.sessionStats(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet"),
+        "user_id", "ts", "event_id", 21600L)
+      .orderBy($"user_id", $"first_ts")
+      .select($"user_id", $"n_events", $"duration_us")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // exact-boundary fixture: events EXACTLY gap apart merge (touching
+    // session ranges coalesce) — the same `diff > gap` split rule as the
+    // batch index; one microsecond past the gap splits in both
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val atGap = new java.sql.Timestamp(t0.getTime + 21600000L)
+    val pastGap = new java.sql.Timestamp(t0.getTime + 21600001L)
+    def fixture(t1: java.sql.Timestamp) =
+      Seq((1L, t0, 7L, "view", 0.0, ""), (2L, t1, 7L, "view", 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    def streamSessions(fix: org.apache.spark.sql.DataFrame, qn: String) = {
+      val d = java.nio.file.Files.createTempDirectory("graft-sess-fix").toString
+      fix.coalesce(1).write.mode("overwrite").parquet(d)
+      StreamingOps.runSessionStream(spark, d, gap = "6 hours", queryName = qn).count()
+    }
+    assert(streamSessions(fixture(atGap), "sess_boundary_at") == 1)
+    assert(Temporal.sessionStats(fixture(atGap), "user_id", "ts", "event_id", 21600L).count() == 1)
+    assert(streamSessions(fixture(pastGap), "sess_boundary_past") == 2)
+    assert(Temporal.sessionStats(fixture(pastGap), "user_id", "ts", "event_id", 21600L).count() == 2)
+  }
+
   // uniform reference over 10 value-buckets of width 10
   private val refUniform = Array.fill(10)(0.1)
 
