@@ -42,9 +42,9 @@ object Temporal {
     * `session_idx` (1-based, dense per key, ordered by event time).
     *
     * Plan: one Exchange(key) + one window sort by (ts, id) shared by the
-    * `lag` and the running `sum` (Spark plans both over the same window
-    * spec in a single Window node — no second exchange, no second sort).
-    * The id column breaks ties so the index is deterministic even with
+    * `lag` and the running `sum` (two adjacent Window nodes over the same
+    * partitioning/ordering — no second exchange, no second sort;
+    * PLANS.md). The id column breaks ties so the index is deterministic even with
     * equal timestamps. Replayable in SQL as the identical lag + cumsum
     * windows (the driver query's DuckDB oracle). */
   def sessionize(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
@@ -66,11 +66,11 @@ object Temporal {
     * integer duration in microseconds (micros, not a float division, so
     * the DuckDB oracle hash-matches bit for bit).
     *
-    * The groupBy re-shuffles on (key, session_idx) — Catalyst cannot know
-    * the window's Exchange(key) already co-located every session — but the
-    * partial aggregate collapses each task's rows to its session count
-    * first, so the second exchange moves O(sessions) slim rows, not the
-    * corpus. */
+    * The rollup is EXCHANGE-FREE past the window's own shuffle: hash
+    * partitioning on the key satisfies the (key, session_idx) clustered
+    * distribution (partition keys ⊆ grouping keys), so Catalyst plans
+    * partial→final HashAggregate with no second exchange — one shuffle
+    * total for the whole session pipeline (plan-audited in PLANS.md). */
   def sessionStats(df: DataFrame, keyCol: String, tsCol: String, idCol: String,
                    gapSeconds: Long): DataFrame =
     sessionize(df, keyCol, tsCol, idCol, gapSeconds)

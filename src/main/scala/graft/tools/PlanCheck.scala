@@ -132,6 +132,23 @@ object PlanCheck {
         lit(7L).as("n_tok")), "doc_id", "q", "n_tok", 10000L)
     println(interesting(tb.queryExecution.executedPlan))
     tbRelease()
+
+    val ev = spark.range(2000).select(col("id").as("event_id"),
+      timestamp_micros(lit(1704067200000000L) +
+        pmod(xxhash64(col("id"), lit("ts")), lit(86400000000L))).as("ts"),
+      pmod(xxhash64(col("id"), lit("u")), lit(50L)).as("user_id"))
+
+    println("\n=== session rollup (ONE Exchange by key feeds the Window; the " +
+      "grain-collapsing partial agg runs BEFORE the session-grain exchange) ===")
+    println(interesting(graft.ops.Temporal.sessionStats(ev, "user_id", "ts",
+      "event_id", 21600L).queryExecution.executedPlan))
+
+    println("\n=== as-of join (union-and-carry: ONE Exchange, ONE Window, " +
+      "NO Join operator anywhere) ===")
+    println(interesting(graft.ops.Temporal.asofJoin(
+      ev.filter(pmod(col("event_id"), lit(4L)) === 0L),
+      ev.filter(pmod(col("event_id"), lit(4L)) =!= 0L),
+      "user_id", "ts", "event_id").queryExecution.executedPlan))
     spark.stop()
   }
 }

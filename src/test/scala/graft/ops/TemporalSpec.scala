@@ -116,6 +116,12 @@ class TemporalSpec extends AnyFunSuite {
     val sessPlan = Temporal.sessionize(events, "user_id", "ts", "event_id", 21600L)
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(sessPlan).size == 1, sessPlan)
+    // the session-grain rollup rides the SAME exchange: hash(user_id)
+    // satisfies the (user_id, session_idx) clustered distribution, so the
+    // whole pipeline is one shuffle
+    val statsPlan = Temporal.sessionStats(events, "user_id", "ts", "event_id",
+      21600L).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(statsPlan).size == 1, statsPlan)
   }
 
   test("guards: non-timestamp ts and bad gap/tolerance fail loud") {
