@@ -790,6 +790,14 @@ object OpsQueries {
       .select(col("doc_id"), md5(col("text_trimmed")).as("h"))
       .orderBy(col("doc_id"))
 
+  /** Per-doc top-5 tf-idf keywords (P42): smoothed sklearn idf, ranks on
+    * the 6 dp-rounded score (cross-engine ln() ULP noise cannot flip a
+    * near-tie), ties by term. minDf=2 prunes the hapax tail before the
+    * idf join. */
+  def tfidfKeywords(s: SparkSession, dir: String): DataFrame =
+    Vocab.tfIdfTopTerms(docs(s, dir), "doc_id", "text", k = 5, minDf = 2)
+      .orderBy(col("doc_id"), col("rnk"))
+
   /** Gap-rule sessionization at the session grain: 6 h inactivity splits
     * a user's event stream; exact integer micro durations so the DuckDB
     * lag + cumsum window replay hash-matches bit for bit. */
@@ -1189,6 +1197,7 @@ object OpsQueries {
     "media_decode" -> (mediaDecode _),
     "image_near_dup" -> (imageNearDup _),
     "outlier_events" -> (outlierEvents _),
+    "tfidf_keywords" -> (tfidfKeywords _),
     "events_sessionize" -> (eventsSessionize _),
     "events_asof_view" -> (eventsAsofView _),
     "dup_spans" -> (dupSpans _),
@@ -2378,6 +2387,30 @@ object OpsQueries {
            ON e.event_type IS NOT DISTINCT FROM st.event_type
          WHERE abs(e.value - st.mu) > 3 * st.sd
          ORDER BY e.event_id""",
+    // tf-idf replayed end to end: whitespace tokenization, per-(doc,term)
+    // tf, df with the minDf prune, smoothed idf ln((1+N)/(1+df))+1, rank
+    // on the ROUNDED score (ties by term) — the engine ranks identically
+    "tfidf_keywords" ->
+      """WITH base AS (SELECT doc_id, text FROM documents
+                       WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+         n AS (SELECT count(*) AS nd FROM base),
+         tf AS (SELECT doc_id, t.term, count(*) AS tf
+                FROM base, unnest(list_filter(
+                  string_split_regex(lower(text), '\s+'),
+                  x -> len(x) > 0)) AS t(term)
+                GROUP BY 1, 2),
+         dfq AS (SELECT term, count(*) AS df FROM tf
+                 GROUP BY 1 HAVING count(*) >= 2),
+         sc AS (SELECT tf.doc_id, tf.term,
+                  round(tf.tf * (ln((n.nd + 1.0) / (dfq.df + 1.0)) + 1.0), 6)
+                    AS tfidf
+                FROM tf JOIN dfq USING (term) CROSS JOIN n),
+         r AS (SELECT doc_id, term, tfidf,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY tfidf DESC, term ASC) AS rnk
+               FROM sc)
+         SELECT doc_id, rnk, term, tfidf AS score FROM r WHERE rnk <= 5
+         ORDER BY doc_id, rnk""",
     // gap-rule sessions replayed as the identical lag + cumsum windows;
     // durations in exact integer micros (date_diff('microsecond'))
     "events_sessionize" ->

@@ -56,6 +56,54 @@ object Vocab {
       count_distinct(when(col("__v").isNull, col("token"))).as("distinct_oov"))
   }
 
+  /** Per-document top-k tf-idf keywords (P42): the classic
+    * corpus-statistics keyword extractor — term frequency per doc times
+    * smoothed inverse document frequency (sklearn's
+    * `ln((1+N)/(1+df)) + 1`, never log-of-zero, never a negative weight),
+    * deterministic rank ties broken by term.
+    *
+    * Scale shape: one explode into slim (doc, term) rows + a
+    * map-side-combined count (the gram-count shape), a term-grain df
+    * aggregate with a `minDf` prune (bounds the vocabulary BEFORE the
+    * join — rare garbage terms never join back), an AQE-decided join of
+    * (doc, term, tf) against the pruned idf table (broadcast when the
+    * vocab fits, sort-merge when it doesn't — declarative either way),
+    * and a per-doc top-k via partial `collect_list` + `array_sort` +
+    * `slice`: per-doc candidate lists are bounded by the doc's own
+    * distinct-term count, so the "window top-k" pathology (sorting ALL
+    * candidates per key after shuffling them) has no candidate explosion
+    * to amplify here, and the partial aggregate still combines before the
+    * exchange. The corpus size rides the plan as a 1-row cross join —
+    * no separate count job, no driver scalar. */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 5, minDf: Long = 2): DataFrame = {
+    require(k >= 1, s"tfIdfTopTerms: k must be >= 1, got $k")
+    require(minDf >= 1, s"tfIdfTopTerms: minDf must be >= 1, got $minDf")
+    val base = df.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+    val nd = base.agg(count(lit(1)).as("__nd"))
+    val tf = base
+      .select(col(idCol).as("__doc"),
+        explode(TextOps.tokens(col(textCol))).as("term"))
+      .groupBy(col("__doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .crossJoin(nd)
+      .select(col("term"),
+        (log((col("__nd") + lit(1.0)) / (col("df") + lit(1.0))) + lit(1.0))
+          .as("idf"))
+    tf.join(idf, Seq("term"))
+      // rank on the ROUNDED score: a sub-ULP ln() difference between
+      // engines must not flip a near-tie's rank (6 dp is the repo-wide
+      // float-output contract; rounded ties break by term)
+      .withColumn("tfidf", round(col("tf") * col("idf"), 6))
+      .groupBy(col("__doc"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("tfidf")).as("neg"), col("term").as("term")))), 1, k).as("top"))
+      .select(col("__doc").as(idCol), posexplode(col("top")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.term").as("term"), (-col("col.neg")).as("score"))
+  }
+
   /** The (topN+1)-long bucket count vector of a corpus against a
     * (token, rank) vocabulary — index 0 is the OOV bucket, index r the
     * vocab token ranked r. The static-reference input both the batch

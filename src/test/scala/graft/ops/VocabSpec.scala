@@ -81,4 +81,32 @@ class VocabSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Vocab.build(fixture, "text", topN = 0)).getMessage.contains("topN"))
   }
+
+
+  test("tfIdfTopTerms: hand values (smoothed idf, minDf prune, " +
+    "rounded-rank ties by term); partitioning-invariant; guards") {
+    // df: the=3 cat=3 sat=2 dog=2 (mat, ran pruned at minDf=2); N=4
+    // idf = ln(5/(df+1))+1: df3 -> 1.223144, df2 -> 1.510826 (6 dp)
+    val got = Vocab.tfIdfTopTerms(fixture, "doc_id", "text", k = 5, minDf = 2)
+      .orderBy($"doc_id", $"rnk")
+      .as[(Long, Long, String, Double)].collect().toSeq
+    val want = Seq(
+      (1L, 1L, "sat", 1.510826), (1L, 2L, "cat", 1.223144), (1L, 3L, "the", 1.223144),
+      (2L, 1L, "the", 2.446287), (2L, 2L, "sat", 1.510826), (2L, 3L, "cat", 1.223144),
+      (3L, 1L, "dog", 3.021651), (3L, 2L, "the", 2.446287),
+      (4L, 1L, "dog", 1.510826), (4L, 2L, "cat", 1.223144))
+    assert(got == want, got.toString)
+    val rep = Vocab.tfIdfTopTerms(fixture.repartition(7), "doc_id", "text", 5, 2)
+      .orderBy($"doc_id", $"rnk").as[(Long, Long, String, Double)].collect().toSeq
+    assert(rep == want)
+    val k1 = Vocab.tfIdfTopTerms(fixture, "doc_id", "text", k = 1, minDf = 2)
+      .as[(Long, Long, String, Double)].collect()
+    assert(k1.length == 4 && k1.forall(_._2 == 1L))
+    assert(intercept[IllegalArgumentException](
+      Vocab.tfIdfTopTerms(fixture, "doc_id", "text", 0))
+      .getMessage.contains("k must"))
+    assert(intercept[IllegalArgumentException](
+      Vocab.tfIdfTopTerms(fixture, "doc_id", "text", 1, 0))
+      .getMessage.contains("minDf"))
+  }
 }
