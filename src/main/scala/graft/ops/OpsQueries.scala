@@ -303,6 +303,17 @@ object OpsQueries {
         tau = 4.0, budgetFraction = 0.8)
       .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))
 
+  /** Epoch upsampling (P43): de repeated 2.5 epochs, fr 1.25, en
+    * DOWNsampled to 0.4 (the f<1 degenerate = byFraction), others 1.0 —
+    * the deterministic data-mixing constructor with a copy-index column.
+    * The oracle replays floor + fractional rank threshold + range
+    * unnest. */
+  def sampleUpsample(s: SparkSession, dir: String): DataFrame =
+    Sample.upsampleByFactors(docs(s, dir), "doc_id", "lang",
+        Map("de" -> 2.5, "fr" -> 1.25, "en" -> 0.4), defaultFactor = 1.0)
+      .select(col("lang"), col("doc_id"), col("epoch"))
+      .orderBy(col("lang"), col("doc_id"), col("epoch"))
+
   /** Training-mix quota: at most 40 docs per language, smallest md5-rank
     * first — the bounded-agg (window-free) top-k path end to end. */
   def sampleQuotaLang(s: SparkSession, dir: String): DataFrame =
@@ -1147,6 +1158,7 @@ object OpsQueries {
     "sample_mix_lang" -> (sampleMixLang _),
     "sample_temperature" -> (sampleTemperature _),
     "sample_temperature_wf" -> (sampleTemperatureWaterfill _),
+    "sample_upsample" -> (sampleUpsample _),
     "pack_sequences" -> (packSequences _),
     "repetition_stats" -> (repetitionStatsQuery _),
     "decontaminate_report" -> (decontaminateReport _),
@@ -1947,6 +1959,22 @@ object OpsQueries {
          WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)
                < CAST(floor(f.fr * 4294967296) AS BIGINT)
          ORDER BY d.lang, d.doc_id""",
+    // epoch upsampling: floor(f) copies + one more below the fractional
+    // rank threshold, copies unnested as 0-based epochs; null ids dropped
+    "sample_upsample" ->
+      """WITH f AS (SELECT lang, doc_id,
+           CASE lang WHEN 'de' THEN 2.5 WHEN 'fr' THEN 1.25
+                     WHEN 'en' THEN 0.4 ELSE 1.0 END AS fac,
+           try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) AS rnk
+         FROM documents WHERE doc_id IS NOT NULL),
+         c AS (SELECT lang, doc_id,
+             CAST(floor(fac) AS BIGINT) +
+             CASE WHEN rnk < CAST(floor((fac - floor(fac)) * 4294967296) AS BIGINT)
+                  THEN 1 ELSE 0 END AS copies
+           FROM f)
+         SELECT lang, doc_id, e.epoch
+         FROM c, unnest(range(copies)) AS e(epoch)
+         WHERE copies > 0 ORDER BY lang, doc_id, epoch""",
     "sample_mix_lang" ->
       """SELECT lang, doc_id FROM documents
          WHERE try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint)

@@ -110,9 +110,10 @@ object Sample {
     *
     * Deterministic: groups fold in sorted-key order. Single-pass
     * normalization — a group capped at 1 does NOT redistribute its unmet
-    * mass (iterative waterfilling would hit B exactly but has no
-    * closed-form SQL replay; the shortfall is bounded by the capped
-    * groups' total share — documented trade). */
+    * mass (the shortfall is bounded by the capped groups' total share).
+    * [[temperatureRatesWaterfill]] closes that gap with a closed-form
+    * capping prefix that IS SQL-replayable — use it when the budget must
+    * be hit exactly. */
   def temperatureRates(counts: Seq[(String, Long)], tau: Double,
                        budgetFraction: Double): Map[String, Double] = {
     require(tau > 0.0, s"temperatureRates: tau must be > 0, got $tau")
@@ -206,6 +207,44 @@ object Sample {
                              tau: Double, budgetFraction: Double): DataFrame =
     byTemperatureWith(df, idCol, groupCol, tau, budgetFraction,
       temperatureRatesWaterfill)
+
+  /** Deterministic EPOCH upsampling — the data-mixing "repeat source X
+    * for 2.3 epochs" constructor. Each row gets ⌊f_g⌋ full copies plus
+    * one more iff rank(id) < frac(f_g)·2³², emitted with an `epoch`
+    * column (0-based copy index) so downstream packing and shuffling can
+    * tell copies apart. Pure function of (id, group):
+    * run/partitioning/cluster-size invariant; copies are MONOTONE in the
+    * factor (the floor and the rank indicator both are), so mixes NEST
+    * across factor changes the way subsets nest across budgets; f < 1
+    * degenerates to [[byFractionPerGroup]] at rate f with an epoch-0 tag
+    * (same rank threshold — spec-asserted). NARROW: project + generate
+    * (explode of a 0..copies−1 sequence) — no shuffle, no state, the
+    * output explodes in place on whatever partitioning the input has.
+    *
+    * NULL-group rows take `defaultFactor` (a factor map miss, same as
+    * [[byFractionPerGroup]]); NULL-id rows are dropped (no identity → no
+    * deterministic copy decision — the shared null-id policy). Factors
+    * are capped at 1000 — an upsample beyond that is almost certainly a
+    * unit bug, and the guard bounds the worst-case row explosion. */
+  def upsampleByFactors(df: DataFrame, idCol: String, groupCol: String,
+                        factors: Map[String, Double],
+                        defaultFactor: Double = 1.0): DataFrame = {
+    (factors.values.toSeq :+ defaultFactor).foreach(f =>
+      require(f >= 0.0 && f <= 1000.0,
+        s"upsampleByFactors: factor $f not in [0,1000]"))
+    val fac = factors.foldLeft(lit(defaultFactor)) {
+      case (acc, (g, f)) => when(col(groupCol) === lit(g), lit(f)).otherwise(acc)
+    }
+    val copies = floor(fac).cast("long") +
+      when(md5Rank32(col(idCol)) <
+        floor((fac - floor(fac)) * lit(4294967296.0)).cast("long"), 1L)
+        .otherwise(0L)
+    df.filter(col(idCol).isNotNull)
+      .withColumn("__copies", copies)
+      .filter(col("__copies") > 0)
+      .withColumn("epoch", explode(sequence(lit(0L), col("__copies") - 1)))
+      .drop("__copies")
+  }
 
   private def byTemperatureWith(df: DataFrame, idCol: String,
                                 groupCol: String, tau: Double,

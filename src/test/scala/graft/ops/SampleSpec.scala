@@ -301,4 +301,56 @@ class SampleSpec extends AnyFunSuite {
       Sample.selectByTokenBudget(bad1, "doc_id", "q", "tok", -1L))
       .getMessage.contains("budget"))
   }
+
+
+  test("upsampleByFactors: floor+fractional epoch copies; f<1 degenerates " +
+    "to byFractionPerGroup; copies monotone in f; narrow plan; guards") {
+    val d = docs.select($"doc_id", $"lang")
+    val up = Sample.upsampleByFactors(d, "doc_id", "lang",
+      Map("de" -> 2.5, "en" -> 0.4), defaultFactor = 1.0)
+    // every de doc appears 2 or 3 times, epochs contiguous from 0
+    val de = up.filter($"lang" === "de").groupBy($"doc_id")
+      .agg(count(lit(1)).as("c"), min($"epoch").as("lo"), max($"epoch").as("hi"))
+      .collect()
+    assert(de.nonEmpty && de.forall { r =>
+      val c = r.getAs[Long]("c")
+      (c == 2L || c == 3L) && r.getAs[Long]("lo") == 0L && r.getAs[Long]("hi") == c - 1 })
+    val rate = de.map(_.getAs[Long]("c")).sum.toDouble / de.length
+    assert(rate > 2.2 && rate < 2.8, s"realized de rate $rate")
+    // en at 0.4 is EXACTLY byFractionPerGroup(0.4), tagged epoch 0
+    val enUp = up.filter($"lang" === "en").select($"doc_id", $"epoch")
+      .as[(Long, Long)].collect().toSet
+    val enFr = Sample.byFractionPerGroup(d.filter($"lang" === "en"),
+        "doc_id", "lang", Map("en" -> 0.4))
+      .select($"doc_id").as[Long].collect().map(_ -> 0L).toSet
+    assert(enUp == enFr && enUp.nonEmpty)
+    // other langs (default 1.0): exactly one epoch-0 copy each
+    val others = up.filter(!$"lang".isin("de", "en"))
+    assert(others.count() == d.filter(!$"lang".isin("de", "en")).count())
+    assert(others.filter($"epoch" =!= 0L).count() == 0)
+    // copies monotone in the factor -> mixes nest
+    def copiesOf(f: Double) = Sample.upsampleByFactors(d, "doc_id", "lang",
+        Map("de" -> f), 1.0).filter($"lang" === "de")
+      .groupBy($"doc_id").count().as[(Long, Long)].collect().toMap
+    val lo = copiesOf(1.25); val hi = copiesOf(1.75)
+    assert(lo.nonEmpty && lo.forall { case (id, c) => c <= hi(id) })
+    // narrow: no shuffle anywhere
+    val plan = up.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+    // null ids dropped
+    val withNull = d.union(Seq((null.asInstanceOf[java.lang.Long], "de"))
+      .map(t => (Option(t._1).map(_.toLong).getOrElse(0L), t._2)).toDF("doc_id", "lang")
+      .withColumn("doc_id", when($"lang" === "de" && $"doc_id" === 0L, lit(null))
+        .otherwise($"doc_id")))
+    // (fixture has no real doc_id 0 in de; the nulled row must vanish)
+    val withNullUp = Sample.upsampleByFactors(withNull, "doc_id", "lang",
+      Map("de" -> 2.0), 1.0)
+    assert(withNullUp.filter($"doc_id".isNull).count() == 0)
+    assert(intercept[IllegalArgumentException](
+      Sample.upsampleByFactors(d, "doc_id", "lang", Map("de" -> -0.1)))
+      .getMessage.contains("factor"))
+    assert(intercept[IllegalArgumentException](
+      Sample.upsampleByFactors(d, "doc_id", "lang", Map.empty, 1001.0))
+      .getMessage.contains("factor"))
+  }
 }
