@@ -881,6 +881,18 @@ object OpsQueries {
         queryName = s"stream_sessions_${System.nanoTime()}")
       .orderBy(col("user_id"), col("first_ts"))
 
+  /** STREAMING as-of join over a time-ordered out-of-order-within-delay
+    * sliced feed: final-only exactly-once matches equal the batch
+    * operator, so the batch query's native-ASOF oracle is reused
+    * verbatim. */
+  def eventsStreamAsof(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.runAsofStream(s, s"$dir/events.parquet",
+        leftType = "purchase", rightType = "view",
+        queryName = s"stream_asof_${System.nanoTime()}")
+      .select(col("user_id"), col("purchase_id"), col("view_id"),
+        col("view_ts"), col("gap_us"))
+      .orderBy(col("purchase_id"))
+
   /** STREAMING near-dup dedup over the injected near-dup corpus, staged as
     * an id-ordered 4-slice file stream: every doc that is a verified
     * near-dup (exact Jaccard ≥ 0.5) of ANY earlier-arriving doc is dropped
@@ -1232,6 +1244,7 @@ object OpsQueries {
     "stream_near_dup_dedup" -> (streamNearDupDedup _),
     "events_stream_dedup_wm" -> (eventsStreamDedupWm _),
     "events_stream_sessions" -> (eventsStreamSessions _),
+    "events_stream_asof" -> (eventsStreamAsof _),
     "stream_token_drift" -> (streamTokenDrift _),
     "events_stream_drift" -> (eventsStreamDrift _))
 
@@ -1520,6 +1533,17 @@ object OpsQueries {
                FROM pe),
        sp AS (SELECT doc_id, min(pos) AS start_tok, max(pos) + 8 AS end_tok
               FROM isl GROUP BY doc_id, island)"""
+
+  /** Shared by the batch as-of query and its streaming twin: DuckDB's
+    * NATIVE ASOF JOIN (l.ts >= r.ts picks the latest at-or-before right
+    * row) — an independent implementation of the semantics. */
+  private val asofOracle: String =
+    """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
+         v.ts AS view_ts, date_diff('microsecond', v.ts, p.ts) AS gap_us
+       FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+       ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
+         ON p.user_id = v.user_id AND p.ts >= v.ts
+       ORDER BY purchase_id"""
 
   private val latentDriftOracle: String =
       """WITH cells AS (
@@ -2462,13 +2486,10 @@ object OpsQueries {
     // not a replay of the union-and-carry plan. Right-side (user, ts)
     // duplicates don't exist in the test data (asserted by the engine's
     // tie-rule spec instead).
-    "events_asof_view" ->
-      """SELECT p.user_id, p.event_id AS purchase_id, v.event_id AS view_id,
-           v.ts AS view_ts, date_diff('microsecond', v.ts, p.ts) AS gap_us
-         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-         ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
-           ON p.user_id = v.user_id AND p.ts >= v.ts
-         ORDER BY purchase_id""",
+    "events_asof_view" -> asofOracle,
+    // the streaming twin emits FINAL-only matches equal to the batch
+    // operator once the sentinel closes every left — same oracle verbatim
+    "events_stream_asof" -> asofOracle,
     "latent_drift" -> latentDriftOracle,
     // the streaming twin stages the SAME two scenarios as two event-time
     // windows and relabels window→scenario: shared oracle, bit-for-bit

@@ -941,6 +941,164 @@ object StreamingOps {
     * result. (The local harness for tests/demos — a deployment would point
     * readStream at the live landing zone and writeStream at the results
     * table.) */
+  // ---- streaming as-of join (custom event-time-buffered state) ----
+
+  /** Keyed as-of input row after side tagging; `ts` carries the watermark
+    * tag (same contract as [[BucketEvent]]). */
+  case class AsofEvent(ts: java.sql.Timestamp, user_id: Long, side: Int, id: Long)
+  /** Per-key as-of buffer: pending left rows and candidate right rows as
+    * (id, epochMicros) pairs. */
+  case class AsofState(lefts: Seq[(Long, Long)], rights: Seq[(Long, Long)])
+  /** One final as-of match (inner semantics — unmatched lefts are dropped
+    * when they close, same as the batch operator). */
+  case class AsofMatch(user_id: Long, purchase_id: Long, view_id: Long,
+                       view_ts: java.sql.Timestamp, gap_us: Long)
+
+  private def tsMicros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+  private def microsTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  /** STREAMING as-of join (the P41 batch operator, continuous): for every
+    * left event, the latest right event of the same key with
+    * `right.ts <= left.ts`, emitted EXACTLY ONCE as a FINAL answer — a
+    * left row closes when the event-time watermark passes its timestamp,
+    * because only then can no smaller-or-equal-ts right row still arrive.
+    * Out-of-order arrival within the watermark delay is therefore
+    * handled exactly, not approximately: the answer equals the batch
+    * [[Temporal.asofJoin]] on the closed prefix (spec-asserted over a
+    * sliced out-of-order feed).
+    *
+    * State is BOUNDED: per key, the lefts still open (ts > watermark) and
+    * the rights above the watermark plus ONE — every watermark-passed
+    * right except the latest is dominated for all future lefts (a future
+    * left's ts exceeds the watermark, hence exceeds both; the later right
+    * wins) and is dropped at each trigger. Keys with nothing buffered
+    * remove their state entirely; keys with no new arrivals still flush
+    * via event-time timeout.
+    *
+    * Ties replay the batch contract: equal-ts rights resolve to the max
+    * right id; an equal-ts right matches ("at or before"). */
+  def asofPerKey(events: DataFrame, leftType: String, rightType: String,
+                 watermarkDelay: String): Dataset[AsofMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val keyed = events
+      .withWatermark("ts", watermarkDelay)
+      .filter(col("event_type").isin(leftType, rightType) &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("ts"), col("user_id"),
+        when(col("event_type") === leftType, 1).otherwise(0).as("side"),
+        col("event_id").as("id"))
+      .as[AsofEvent]
+    keyed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[AsofEvent], state: GroupState[AsofState]) =>
+          val st = state.getOption.getOrElse(AsofState(Nil, Nil))
+          var lefts = st.lefts
+          var rights = st.rights
+          if (!state.hasTimedOut) rows.foreach { e =>
+            if (e.side == 1) lefts :+= (e.id -> tsMicros(e.ts))
+            else rights :+= (e.id -> tsMicros(e.ts))
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (ready, pending) = lefts.partition(_._2 <= wmUs)
+          val out = ready.sortBy(identity).flatMap { case (lid, lus) =>
+            val cands = rights.filter(_._2 <= lus)
+            if (cands.isEmpty) None
+            else {
+              val best = cands.maxBy { case (rid, rus) => (rus, rid) }
+              Some(AsofMatch(user, lid, best._1, microsTs(best._2), lus - best._2))
+            }
+          }
+          // rights at/below the watermark: all dominated for future lefts
+          // except the single latest — drop the rest, state stays bounded
+          val (closedR, openR) = rights.partition(_._2 <= wmUs)
+          val keepR = (if (closedR.isEmpty) Nil
+                       else Seq(closedR.maxBy { case (rid, rus) => (rus, rid) })) ++ openR
+          if (pending.isEmpty && keepR.isEmpty) state.remove()
+          else {
+            state.update(AsofState(pending, keepR))
+            state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1)
+          }
+          out.iterator
+      }
+  }
+
+  /** Drive [[asofPerKey]] over a time-ordered sliced file stream (the
+    * [[runDedupStreamBounded]] staging: mod-times pin order,
+    * maxFilesPerTrigger=1, watermark delay spans 3 slices so nothing is
+    * late while mid-stream closing and right-buffer pruning genuinely
+    * happen), then a far-future sentinel closes every open left. */
+  def runAsofStream(spark: SparkSession, parquetPath: String,
+                    leftType: String, rightType: String,
+                    queryName: String = "stream_asof",
+                    slices: Int = 6): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val srcDir = Files.createTempDirectory("graft-stream-asof")
+    val batch = spark.read.parquet(parquetPath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val (minTs, maxTs) = batch.agg(min($"ts"), max($"ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+    val sliceMs = math.max((maxTs.getTime - minTs.getTime) / slices + 1, 1000L)
+    val delay = s"${3 * (sliceMs / 1000 + 1)} seconds"
+    var fileIdx = 0
+    (0 until slices).foreach { i =>
+      val lo = minTs.getTime + i * sliceMs
+      val slice = batch.filter(
+        unix_millis($"ts") >= lo && unix_millis($"ts") < lo + sliceMs)
+      val tmp = Files.createTempDirectory("graft-slice")
+      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
+      val dst = srcDir.resolve(f"s$i%03d.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileIdx * 60000L))
+      fileIdx += 1
+      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+      catch { case _: Throwable => }
+    }
+    val src = spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir.toString)
+    val q = asofPerKey(src, leftType, rightType, delay)
+      .writeStream.outputMode("append")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    // The sentinel must SURVIVE the side filter: Catalyst pushes the
+    // event_type filter below the EventTimeWatermark node (it does not
+    // reference ts), so a row of a filtered-out type would be dropped
+    // BEFORE it can advance the watermark and nothing would ever close.
+    // A far-future right-side row for fake user -1 passes the filter,
+    // advances the watermark, buffers one right for -1 (matches nothing),
+    // and is excluded from the returned table.
+    val sentinel = new java.sql.Timestamp(maxTs.getTime + 315360000000L)
+    val dst = srcDir.resolve("zz-sentinel.parquet")
+    val tmp = Files.createTempDirectory("graft-slice")
+    Seq((Long.MaxValue, sentinel, -1L, rightType, 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val ls2 = Files.list(tmp)
+    val part2 = try ls2.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls2.close()
+    Files.copy(part2, dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileIdx * 60000L))
+    try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+    catch { case _: Throwable => }
+    q.processAllAvailable()
+    q.stop()
+    try { import scala.sys.process._; Seq("rm", "-rf", srcDir.toString).! }
+    catch { case _: Throwable => }
+    spark.table(queryName).filter(col("user_id") =!= -1L)
+  }
+
   /** Gap-rule session windows over the stream (E17 × P41): Spark's native
     * `session_window(ts, gap)` IS the gap rule in streaming form —
     * sessions for a key merge in state while events arrive within `gap`,

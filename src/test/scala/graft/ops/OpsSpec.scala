@@ -837,6 +837,26 @@ class StreamingOpsSpec extends AnyFunSuite {
     assert(Temporal.sessionStats(fixture(pastGap), "user_id", "ts", "event_id", 21600L).count() == 2)
   }
 
+  test("streaming as-of join: final-only exactly-once matches over the " +
+    "sliced out-of-order-within-delay feed equal the batch operator") {
+    val streamed = StreamingOps.runAsofStream(spark,
+        "/root/testdata/sf0.001/events.parquet", "purchase", "view",
+        queryName = "asof_spec")
+      .select($"purchase_id", $"view_id", $"gap_us")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val batch = Temporal.asofJoin(
+        ev.filter($"event_type" === "purchase")
+          .select($"event_id", $"ts", $"user_id"),
+        ev.filter($"event_type" === "view")
+          .select($"event_id", $"ts", $"user_id"),
+        "user_id", "ts", "event_id")
+      .select($"event_id", $"r_event_id", $"gap_us")
+      .as[(Long, Long, Long)].collect().sorted.toSeq
+    // sorted-with-duplicates equality also proves exactly-once emission
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   // uniform reference over 10 value-buckets of width 10
   private val refUniform = Array.fill(10)(0.1)
 
