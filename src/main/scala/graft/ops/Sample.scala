@@ -200,13 +200,13 @@ object Sample {
   def byTemperature(df: DataFrame, idCol: String, groupCol: String,
                     tau: Double, budgetFraction: Double): DataFrame =
     byTemperatureWith(df, idCol, groupCol, tau, budgetFraction,
-      temperatureRates)
+      temperatureRates, "byTemperature")
 
   /** [[byTemperature]] with the exact-budget waterfilling rates. */
   def byTemperatureWaterfill(df: DataFrame, idCol: String, groupCol: String,
                              tau: Double, budgetFraction: Double): DataFrame =
     byTemperatureWith(df, idCol, groupCol, tau, budgetFraction,
-      temperatureRatesWaterfill)
+      temperatureRatesWaterfill, "byTemperatureWaterfill")
 
   /** Deterministic EPOCH upsampling — the data-mixing "repeat source X
     * for 2.3 epochs" constructor. Each row gets ⌊f_g⌋ full copies plus
@@ -249,10 +249,10 @@ object Sample {
   private def byTemperatureWith(df: DataFrame, idCol: String,
                                 groupCol: String, tau: Double,
                                 budgetFraction: Double,
-                                rater: (Seq[(String, Long)], Double, Double) => Map[String, Double])
-      : DataFrame = {
+                                rater: (Seq[(String, Long)], Double, Double) => Map[String, Double],
+                                op: String): DataFrame = {
     require(df.schema(groupCol).dataType.typeName == "string",
-      s"byTemperature: group column '$groupCol' must be string, got " +
+      s"$op: group column '$groupCol' must be string, got " +
         s"${df.schema(groupCol).dataType} (cast explicitly — a silent cast " +
         "would make the rate keys engine-ambiguous)")
     val nonNull = df.filter(col(groupCol).isNotNull)

@@ -486,6 +486,56 @@ object StreamingOps {
     spark.table(queryName)
   }
 
+  /** Stage a parquet input as TIME-ORDERED slice files for a file-stream
+    * harness: strictly increasing pinned mod-times fix the processing
+    * order, each slice lands `copies` times in adjacent positions, and
+    * the returned watermark delay spans 3 slices (nothing is ever late;
+    * state older than 3 slices genuinely evicts). Returns (staging dir,
+    * delay, max event ts, next mod-time index — use with
+    * [[appendStagedFile]] for sentinels). */
+  private def stageTimeSlices(spark: SparkSession, parquetPath: String,
+                              slices: Int, copies: Int)
+      : (java.nio.file.Path, String, java.sql.Timestamp, Int) = {
+    import spark.implicits._
+    import java.nio.file.Files
+    val srcDir = Files.createTempDirectory("graft-stream-staged")
+    val batch = spark.read.parquet(parquetPath)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val (minTs, maxTs) = batch.agg(min($"ts"), max($"ts"))
+      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
+    val sliceMs = math.max((maxTs.getTime - minTs.getTime) / slices + 1, 1000L)
+    val delay = s"${3 * (sliceMs / 1000 + 1)} seconds"
+    var fileIdx = 0
+    (0 until slices).foreach { i =>
+      val lo = minTs.getTime + i * sliceMs
+      val slice = batch.filter(
+        unix_millis($"ts") >= lo && unix_millis($"ts") < lo + sliceMs)
+      (0 until copies).foreach { c =>
+        fileIdx = appendStagedFile(slice, srcDir, f"s$i%03d-$c", fileIdx)
+      }
+    }
+    (srcDir, delay, maxTs, fileIdx)
+  }
+
+  /** Write `df` as one parquet file named `stem` into the staging dir with
+    * the next pinned mod-time; returns the incremented index. */
+  private def appendStagedFile(df: DataFrame, srcDir: java.nio.file.Path,
+                               stem: String, fileIdx: Int): Int = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft-slice")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val ls = Files.list(tmp)
+    val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+      finally ls.close()
+    val dst = srcDir.resolve(s"$stem.parquet")
+    Files.copy(part, dst)
+    Files.setLastModifiedTime(dst,
+      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileIdx * 60000L))
+    try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+    catch { case _: Throwable => }
+    fileIdx + 1
+  }
+
   /** Streaming exact dedup with BOUNDED state — the production variant
     * [[runDedupStream]]'s scaladoc promises: `dropDuplicatesWithinWatermark`
     * evicts a key's state once the event-time watermark passes its
@@ -506,36 +556,8 @@ object StreamingOps {
   def runDedupStreamBounded(spark: SparkSession, parquetPath: String,
                             queryName: String = "stream_dedup_wm",
                             slices: Int = 6): DataFrame = {
-    import spark.implicits._
-    import java.nio.file.{Files, Paths}
-    val srcDir = Files.createTempDirectory("graft-stream-dedup-wm")
-    val batch = spark.read.parquet(parquetPath)
-      .withColumn("ts", col("ts").cast("timestamp"))
-    val (minTs, maxTs) = batch.agg(min($"ts"), max($"ts"))
-      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
-    val sliceMs = math.max((maxTs.getTime - minTs.getTime) / slices + 1, 1000L)
-    val delay = s"${3 * (sliceMs / 1000 + 1)} seconds"
-    var fileIdx = 0
-    (0 until slices).foreach { i =>
-      val lo = minTs.getTime + i * sliceMs
-      val slice = batch.filter(
-        unix_millis($"ts") >= lo && unix_millis($"ts") < lo + sliceMs)
-      val tmp = Files.createTempDirectory("graft-slice")
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val ls = Files.list(tmp)
-      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
-        finally ls.close()
-      Seq("a", "b").foreach { c => // the same slice arrives TWICE
-        val dst = srcDir.resolve(f"s$i%03d-$c.parquet")
-        Files.copy(part, dst)
-        // strictly increasing mod-times pin the file-stream processing order
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileIdx * 60000L))
-        fileIdx += 1
-      }
-      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
-      catch { case _: Throwable => }
-    }
+    val (srcDir, delay, _, _) =
+      stageTimeSlices(spark, parquetPath, slices, copies = 2)
     val src = spark.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.toString)
@@ -955,7 +977,7 @@ object StreamingOps {
                        view_ts: java.sql.Timestamp, gap_us: Long)
 
   private def tsMicros(t: java.sql.Timestamp): Long =
-    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
   private def microsTs(us: Long): java.sql.Timestamp =
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
@@ -987,7 +1009,8 @@ object StreamingOps {
     val keyed = events
       .withWatermark("ts", watermarkDelay)
       .filter(col("event_type").isin(leftType, rightType) &&
-        col("user_id").isNotNull && col("ts").isNotNull)
+        col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull) // null-id policy: no identity, no match
       .select(col("ts"), col("user_id"),
         when(col("event_type") === leftType, 1).otherwise(0).as("side"),
         col("event_id").as("id"))
@@ -1004,7 +1027,10 @@ object StreamingOps {
             else rights :+= (e.id -> tsMicros(e.ts))
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L
-          val (ready, pending) = lefts.partition(_._2 <= wmUs)
+          // STRICTLY below: Spark's late-row filter drops only ts < wm, so
+          // a right with rts == wm can still arrive — a left with
+          // lts == wm is not closable yet ("at or before" includes equals)
+          val (ready, pending) = lefts.partition(_._2 < wmUs)
           val out = ready.sortBy(identity).flatMap { case (lid, lus) =>
             val cands = rights.filter(_._2 <= lus)
             if (cands.isEmpty) None
@@ -1037,32 +1063,8 @@ object StreamingOps {
                     queryName: String = "stream_asof",
                     slices: Int = 6): DataFrame = {
     import spark.implicits._
-    import java.nio.file.{Files, Paths}
-    val srcDir = Files.createTempDirectory("graft-stream-asof")
-    val batch = spark.read.parquet(parquetPath)
-      .withColumn("ts", col("ts").cast("timestamp"))
-    val (minTs, maxTs) = batch.agg(min($"ts"), max($"ts"))
-      .as[(java.sql.Timestamp, java.sql.Timestamp)].head()
-    val sliceMs = math.max((maxTs.getTime - minTs.getTime) / slices + 1, 1000L)
-    val delay = s"${3 * (sliceMs / 1000 + 1)} seconds"
-    var fileIdx = 0
-    (0 until slices).foreach { i =>
-      val lo = minTs.getTime + i * sliceMs
-      val slice = batch.filter(
-        unix_millis($"ts") >= lo && unix_millis($"ts") < lo + sliceMs)
-      val tmp = Files.createTempDirectory("graft-slice")
-      slice.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val ls = Files.list(tmp)
-      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
-        finally ls.close()
-      val dst = srcDir.resolve(f"s$i%03d.parquet")
-      Files.copy(part, dst)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileIdx * 60000L))
-      fileIdx += 1
-      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
-      catch { case _: Throwable => }
-    }
+    val (srcDir, delay, maxTs, fileIdx) =
+      stageTimeSlices(spark, parquetPath, slices, copies = 1)
     val src = spark.readStream.schema(eventSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(srcDir.toString)
@@ -1079,19 +1081,10 @@ object StreamingOps {
     // advances the watermark, buffers one right for -1 (matches nothing),
     // and is excluded from the returned table.
     val sentinel = new java.sql.Timestamp(maxTs.getTime + 315360000000L)
-    val dst = srcDir.resolve("zz-sentinel.parquet")
-    val tmp = Files.createTempDirectory("graft-slice")
-    Seq((Long.MaxValue, sentinel, -1L, rightType, 0.0, ""))
-      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-      .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val ls2 = Files.list(tmp)
-    val part2 = try ls2.filter(_.toString.endsWith(".parquet")).findFirst().get()
-      finally ls2.close()
-    Files.copy(part2, dst)
-    Files.setLastModifiedTime(dst,
-      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileIdx * 60000L))
-    try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
-    catch { case _: Throwable => }
+    appendStagedFile(
+      Seq((Long.MaxValue, sentinel, -1L, rightType, 0.0, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      srcDir, "zz-sentinel", fileIdx)
     q.processAllAvailable()
     q.stop()
     try { import scala.sys.process._; Seq("rm", "-rf", srcDir.toString).! }
