@@ -149,6 +149,19 @@ object PlanCheck {
       ev.filter(pmod(col("event_id"), lit(4L)) === 0L),
       ev.filter(pmod(col("event_id"), lit(4L)) =!= 0L),
       "user_id", "ts", "event_id").queryExecution.executedPlan))
+
+    val docTexts = docs.select($"doc_id",
+      concat_ws(" ", transform($"spans", sp => sp.getField("kind"))).as("text"))
+    println("\n=== tf-idf keywords (partial collect_list BEFORE the doc-grain " +
+      "exchange; per-doc top-k is array_sort+slice, NO Window; minDf prunes " +
+      "the vocab before the idf join) ===")
+    println(interesting(graft.ops.Vocab.tfIdfTopTerms(docTexts, "doc_id",
+      "text", k = 3, minDf = 2).queryExecution.executedPlan))
+
+    println("\n=== epoch upsampling (project + Generate only — ZERO Exchange) ===")
+    println(interesting(graft.ops.Sample.upsampleByFactors(
+      docs.select($"doc_id", $"part".cast("string").as("grp")),
+      "doc_id", "grp", Map("3" -> 2.5), 1.0).queryExecution.executedPlan))
     spark.stop()
   }
 }
