@@ -339,6 +339,19 @@ object OpsQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Curriculum ordering (P44): corpus-wide 0-based ordinal by the gate
+    * quality score (best first, ties by id) via the two-pass distributed
+    * prefix sum — the oracle replays it as one global row_number. */
+  def curriculumOrder(s: SparkSession, dir: String): DataFrame = {
+    val (_, q, _) = TextOps.gateColumns(col("text"))
+    val scored = docs(s, dir).select(col("doc_id"), q.as("q"))
+    val (ord, release) = Sample.globalOrdinal(scored, "doc_id", "q")
+    val out = ord.orderBy(col("doc_id"))
+    val rows = out.collect()
+    release()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   def fingerprintMd5(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), md5(lower(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
@@ -1171,6 +1184,7 @@ object OpsQueries {
     "sample_temperature" -> (sampleTemperature _),
     "sample_temperature_wf" -> (sampleTemperatureWaterfill _),
     "sample_upsample" -> (sampleUpsample _),
+    "curriculum_order" -> (curriculumOrder _),
     "pack_sequences" -> (packSequences _),
     "repetition_stats" -> (repetitionStatsQuery _),
     "decontaminate_report" -> (decontaminateReport _),
@@ -2033,6 +2047,15 @@ object OpsQueries {
          SELECT doc_id FROM c
          WHERE cum <= (SELECT t // 2 FROM tot)
          ORDER BY doc_id"""),
+    // the two-pass distributed ordinal replayed as ONE global row_number
+    // over the same gate-formula quality score (best first, ties by id)
+    "curriculum_order" ->
+      ("WITH " + gateCtes("documents") +
+        """
+         SELECT doc_id,
+           row_number() OVER (ORDER BY quality_micros DESC, doc_id ASC) - 1
+             AS ordinal
+         FROM q ORDER BY doc_id"""),
     // exact per-row top-k ground truth: at planes=1/probes=2 the kNN join
     // probes BOTH buckets (structurally total recall), so its output equals
     // this all-pairs top-k. The fold replays the engine's left-fold cosine

@@ -385,6 +385,64 @@ object Sample {
     (out, () => { ranged.unpersist(blocking = false); () })
   }
 
+  /** Corpus-wide 0-based ORDINAL by (score DESC, id ASC) — the curriculum
+    * / priority-ordering primitive ("train on the best docs first",
+    * "assign global sequence positions"). Returns a slim (id, ordinal)
+    * frame; joining it back (or feeding it straight into packing) is the
+    * caller's choice — at corpus scale that join is the expensive part
+    * and not every consumer needs it.
+    *
+    * Same TWO-PASS DISTRIBUTED PREFIX SUM as [[selectByTokenBudget]], but
+    * counting rows instead of tokens: range-partition slim (−score, id)
+    * rows, O(parts) per-range counts to the driver, broadcast offsets,
+    * local sort + running index per range. A global
+    * `row_number().over(Window.orderBy(...))` is the one-partition sort
+    * that dies at 10¹² rows; this keeps every task O(rows/parts) with
+    * O(parts) driver state. Deterministic and partitioning-invariant
+    * (spec-asserted against the window twin); NULL ids dropped (the
+    * shared policy), NULL scores fail loud. */
+  def globalOrdinal(df: DataFrame, idCol: String, scoreCol: String,
+                    parts: Int = 0): (DataFrame, () => Unit) = {
+    require(parts >= 0, s"globalOrdinal: parts must be >= 0, got $parts")
+    val spark = df.sparkSession
+    val nParts = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val idType = df.schema(idCol).dataType
+    val slim = df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        when(col(scoreCol).isNull, raise_error(concat(
+            lit("globalOrdinal: null score for id "),
+            col(idCol).cast("string"))).cast("double"))
+          .otherwise(negate(col(scoreCol).cast("double"))).as("__ns"))
+    val ranged = slim.repartitionByRange(nParts, col("__ns"), col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = ranged.groupBy(spark_partition_id().as("__pid"))
+      .agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+    val offsets = new Array[Long](maxPid + 1)
+    var acc = 0L
+    (0 to maxPid).foreach { p => offsets(p) = acc; acc += totals.getOrElse(p, 0L) }
+    val offB = spark.sparkContext.broadcast(offsets)
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField(idCol, idType),
+      org.apache.spark.sql.types.StructField("ordinal",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val sorted = ranged
+      .withColumn("__pid", spark_partition_id())
+      .sortWithinPartitions(col("__ns"), col("__id"))
+    val out = sorted.mapPartitions { it =>
+      var cum = 0L
+      var pidInit = false
+      it.map { r =>
+        if (!pidInit) { cum = offB.value(r.getInt(2)); pidInit = true }
+        val o = cum; cum += 1L
+        org.apache.spark.sql.Row(r.get(0), o)
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    (out, () => { ranged.unpersist(blocking = false); () })
+  }
+
   def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,
                     cap: Int): DataFrame = {
     require(cap >= 1, s"quotaPerGroup: cap must be >= 1, got $cap")

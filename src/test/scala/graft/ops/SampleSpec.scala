@@ -353,4 +353,44 @@ class SampleSpec extends AnyFunSuite {
       Sample.upsampleByFactors(d, "doc_id", "lang", Map.empty, 1001.0))
       .getMessage.contains("factor"))
   }
+
+
+  test("globalOrdinal equals the global window twin; partitioning-invariant; " +
+    "no single-partition exchange; null score fails loud; null ids dropped") {
+    val scored = docs.select($"doc_id",
+      (pmod(xxhash64($"doc_id"), lit(50L))).cast("double").as("sc"))
+    val (ord, release) = Sample.globalOrdinal(scored, "doc_id", "sc")
+    val got = ord.as[(Long, Long)].collect().sorted.toSeq
+    release()
+    val w = Window.orderBy($"sc".desc, $"doc_id".asc)
+    val want = scored.withColumn("ordinal", row_number().over(w) - 1)
+      .select($"doc_id", $"ordinal".cast("long"))
+      .as[(Long, Long)].collect().sorted.toSeq
+    assert(got.nonEmpty && got == want)
+    // pure function of (score, id): input partitioning changes nothing
+    val (ord2, release2) = Sample.globalOrdinal(scored.repartition(17), "doc_id", "sc")
+    val re = ord2.as[(Long, Long)].collect().sorted.toSeq
+    release2()
+    assert(re == want)
+    // the plan must never collapse to one partition (the window twin does)
+    val (ord3, release3) = Sample.globalOrdinal(scored, "doc_id", "sc")
+    val plan = ord3.queryExecution.executedPlan.toString
+    release3()
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(1500))
+    assert(plan.contains("Exchange rangepartitioning"), plan.take(1500))
+    // null score fails loud; null ids dropped
+    val withNullScore = scored.withColumn("sc",
+      when($"doc_id" === got.head._1, lit(null)).otherwise($"sc"))
+    // raises during the eager pass-1 totals collect inside the call
+    val ex = intercept[Exception] {
+      val (bad, releaseBad) = Sample.globalOrdinal(withNullScore, "doc_id", "sc")
+      bad.collect(); releaseBad()
+    }
+    assert(ex.getMessage.contains("null score"), ex.getMessage)
+    val withNullId = scored.unionByName(
+      Seq((Option.empty[Long], 1.0)).toDF("doc_id", "sc"))
+    val (nid, releaseNid) = Sample.globalOrdinal(withNullId, "doc_id", "sc")
+    assert(nid.count() == scored.count())
+    releaseNid()
+  }
 }
