@@ -322,6 +322,50 @@ object Sample {
                           parts: Int = 0): DataFrame =
     selectByTokenBudgetManaged(df, idCol, scoreCol, tokCol, budget, parts)._1
 
+  /** Shared pass-1 scaffolding for the TWO-PASS DISTRIBUTED PREFIX SUMS
+    * ([[selectByTokenBudget]] weighs rows by tokens, [[globalOrdinal]] by
+    * 1): fail-loud slim projection, range repartition + persist, and the
+    * EAGER per-range totals → cumulative offsets collect. A fail-loud
+    * error during pass 1 (null score, bad token count) unpersists before
+    * rethrowing, so retries over dirty inputs cannot accumulate cached
+    * blocks. Returns (ranged slim frame: __id, __ns[, __tok], offsets,
+    * release). */
+  private def rangedPrefixOffsets(df: DataFrame, idCol: String,
+                                  scoreCol: String, tokExpr: Option[Column],
+                                  parts: Int, op: String)
+      : (DataFrame, Array[Long], () => Unit) = {
+    require(parts >= 0, s"$op: parts must be >= 0, got $parts")
+    val spark = df.sparkSession
+    val nParts = if (parts > 0) parts
+      else spark.sessionState.conf.numShufflePartitions
+    val base = Seq(
+      col(idCol).as("__id"),
+      when(col(scoreCol).isNull, raise_error(concat(
+          lit(s"$op: null score for id "),
+          col(idCol).cast("string"))).cast("double"))
+        .otherwise(negate(col(scoreCol).cast("double"))).as("__ns"))
+    val slim = df.filter(col(idCol).isNotNull)
+      .select((base ++ tokExpr.map(_.as("__tok"))): _*)
+    val ranged = slim.repartitionByRange(nParts, col("__ns"), col("__id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => { ranged.unpersist(blocking = false); () }
+    val offsets = try {
+      // per-range totals — O(parts) rows to the driver (partition 0 holds
+      // the smallest keys = the highest scores, so range index order IS
+      // layout order)
+      val weight = if (tokExpr.isDefined) sum(col("__tok")) else count(lit(1))
+      val totals = ranged.groupBy(spark_partition_id().as("__pid"))
+        .agg(weight.as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+      val arr = new Array[Long](maxPid + 1)
+      var acc = 0L
+      (0 to maxPid).foreach { p => arr(p) = acc; acc += totals.getOrElse(p, 0L) }
+      arr
+    } catch { case t: Throwable => release(); throw t }
+    (ranged, offsets, release)
+  }
+
   /** [[selectByTokenBudget]] plus the release handle for its two-pass
     * persist. Call `release()` once the returned plan has been consumed;
     * calling earlier only costs a recompute. */
@@ -330,34 +374,16 @@ object Sample {
                                  budget: Long, parts: Int = 0)
       : (DataFrame, () => Unit) = {
     require(budget >= 0, s"selectByTokenBudget: budget must be >= 0, got $budget")
-    require(parts >= 0, s"selectByTokenBudget: parts must be >= 0, got $parts")
     val spark = df.sparkSession
-    val nParts = if (parts > 0) parts
-      else spark.sessionState.conf.numShufflePartitions
     val idType = df.schema(idCol).dataType
-    val slim = df.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("__id"),
-        when(col(scoreCol).isNull, raise_error(concat(
-            lit("selectByTokenBudget: null score for id "),
-            col(idCol).cast("string"))).cast("double"))
-          .otherwise(negate(col(scoreCol).cast("double"))).as("__ns"),
-        when(col(tokCol).isNull || col(tokCol).cast("long") < 0,
-            raise_error(concat(
-              lit("selectByTokenBudget: null/negative token count for id "),
-              col(idCol).cast("string"))).cast("long"))
-          .otherwise(col(tokCol).cast("long")).as("__tok"))
-    val ranged = slim.repartitionByRange(nParts, col("__ns"), col("__id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // pass 1: per-range token totals — O(parts) rows to the driver
-    // (partition 0 holds the smallest keys = the highest scores, so
-    // range index order IS layout order)
-    val totals = ranged.groupBy(spark_partition_id().as("__pid"))
-      .agg(sum(col("__tok")).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
-    val offsets = new Array[Long](maxPid + 1)
-    var acc = 0L
-    (0 to maxPid).foreach { p => offsets(p) = acc; acc += totals.getOrElse(p, 0L) }
+    val tokExpr = when(col(tokCol).isNull || col(tokCol).cast("long") < 0,
+        raise_error(concat(
+          lit("selectByTokenBudget: null/negative token count for id "),
+          col(idCol).cast("string"))).cast("long"))
+      .otherwise(col(tokCol).cast("long"))
+    val (ranged, offsets, release) = rangedPrefixOffsets(
+      df, idCol, scoreCol, Some(tokExpr), parts, "selectByTokenBudget")
+    val maxPid = offsets.length - 1
     val offB = spark.sparkContext.broadcast(offsets)
     val live = (0 to maxPid).filter(p => offsets(p) <= budget).map(_.asInstanceOf[Any])
     // pass 2: local sort + sequential running total per surviving range
@@ -382,7 +408,7 @@ object Sample {
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
     val out = df.join(selected, df(idCol) === col("__sel"), "left_semi")
-    (out, () => { ranged.unpersist(blocking = false); () })
+    (out, release)
   }
 
   /** Corpus-wide 0-based ORDINAL by (score DESC, id ASC) — the curriculum
@@ -403,26 +429,10 @@ object Sample {
     * shared policy), NULL scores fail loud. */
   def globalOrdinal(df: DataFrame, idCol: String, scoreCol: String,
                     parts: Int = 0): (DataFrame, () => Unit) = {
-    require(parts >= 0, s"globalOrdinal: parts must be >= 0, got $parts")
     val spark = df.sparkSession
-    val nParts = if (parts > 0) parts
-      else spark.sessionState.conf.numShufflePartitions
     val idType = df.schema(idCol).dataType
-    val slim = df.filter(col(idCol).isNotNull)
-      .select(col(idCol).as("__id"),
-        when(col(scoreCol).isNull, raise_error(concat(
-            lit("globalOrdinal: null score for id "),
-            col(idCol).cast("string"))).cast("double"))
-          .otherwise(negate(col(scoreCol).cast("double"))).as("__ns"))
-    val ranged = slim.repartitionByRange(nParts, col("__ns"), col("__id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val totals = ranged.groupBy(spark_partition_id().as("__pid"))
-      .agg(count(lit(1)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
-    val offsets = new Array[Long](maxPid + 1)
-    var acc = 0L
-    (0 to maxPid).foreach { p => offsets(p) = acc; acc += totals.getOrElse(p, 0L) }
+    val (ranged, offsets, release) = rangedPrefixOffsets(
+      df, idCol, scoreCol, None, parts, "globalOrdinal")
     val offB = spark.sparkContext.broadcast(offsets)
     val outSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField(idCol, idType),
@@ -440,7 +450,7 @@ object Sample {
         org.apache.spark.sql.Row(r.get(0), o)
       }
     }(org.apache.spark.sql.Encoders.row(outSchema))
-    (out, () => { ranged.unpersist(blocking = false); () })
+    (out, release)
   }
 
   def quotaPerGroup(df: DataFrame, idCol: String, groupCol: String,

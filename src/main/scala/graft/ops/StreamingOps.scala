@@ -510,30 +510,34 @@ object StreamingOps {
       val lo = minTs.getTime + i * sliceMs
       val slice = batch.filter(
         unix_millis($"ts") >= lo && unix_millis($"ts") < lo + sliceMs)
-      (0 until copies).foreach { c =>
-        fileIdx = appendStagedFile(slice, srcDir, f"s$i%03d-$c", fileIdx)
-      }
+      fileIdx = appendStagedFile(slice, srcDir,
+        (0 until copies).map(c => f"s$i%03d-$c"), fileIdx)
     }
     (srcDir, delay, maxTs, fileIdx)
   }
 
-  /** Write `df` as one parquet file named `stem` into the staging dir with
-    * the next pinned mod-time; returns the incremented index. */
+  /** Write `df` as ONE parquet file, then land it under each `stem` with
+    * consecutive pinned mod-times (the Spark write runs once; extra
+    * arrivals are cheap Files.copy duplicates). Returns the next index. */
   private def appendStagedFile(df: DataFrame, srcDir: java.nio.file.Path,
-                               stem: String, fileIdx: Int): Int = {
+                               stems: Seq[String], fileIdx: Int): Int = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft-slice")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val ls = Files.list(tmp)
     val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
       finally ls.close()
-    val dst = srcDir.resolve(s"$stem.parquet")
-    Files.copy(part, dst)
-    Files.setLastModifiedTime(dst,
-      java.nio.file.attribute.FileTime.fromMillis(1700000000000L + fileIdx * 60000L))
+    var idx = fileIdx
+    stems.foreach { stem =>
+      val dst = srcDir.resolve(s"$stem.parquet")
+      Files.copy(part, dst)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1700000000000L + idx * 60000L))
+      idx += 1
+    }
     try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
     catch { case _: Throwable => }
-    fileIdx + 1
+    idx
   }
 
   /** Streaming exact dedup with BOUNDED state — the production variant
@@ -1084,7 +1088,7 @@ object StreamingOps {
     appendStagedFile(
       Seq((Long.MaxValue, sentinel, -1L, rightType, 0.0, ""))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
-      srcDir, "zz-sentinel", fileIdx)
+      srcDir, Seq("zz-sentinel"), fileIdx)
     q.processAllAvailable()
     q.stop()
     try { import scala.sys.process._; Seq("rm", "-rf", srcDir.toString).! }
