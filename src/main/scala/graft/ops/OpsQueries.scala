@@ -352,6 +352,19 @@ object OpsQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Z-order key derivation (E26): Morton interleave of two 10-bit doc
+    * coordinates — the layout key `engine.ZOrder.writeZOrdered` clusters
+    * files on. Oracled bit for bit (DuckDB recomputes the interleave with
+    * a range(10) lateral sum). */
+  def zorderValue(s: SparkSession, dir: String): DataFrame = {
+    val (_, _, nTok) = TextOps.gateColumns(col("text"))
+    docs(s, dir).select(col("doc_id"),
+      graft.engine.ZOrder.zvalue(
+        pmod(col("doc_id"), lit(1024L)),
+        pmod(nTok.cast("long"), lit(1024L)), bits = 10).as("zv"))
+      .orderBy(col("doc_id"))
+  }
+
   def fingerprintMd5(s: SparkSession, dir: String): DataFrame =
     docs(s, dir).select(col("doc_id"), md5(lower(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
@@ -1185,6 +1198,7 @@ object OpsQueries {
     "sample_temperature_wf" -> (sampleTemperatureWaterfill _),
     "sample_upsample" -> (sampleUpsample _),
     "curriculum_order" -> (curriculumOrder _),
+    "zorder_value" -> (zorderValue _),
     "pack_sequences" -> (packSequences _),
     "repetition_stats" -> (repetitionStatsQuery _),
     "decontaminate_report" -> (decontaminateReport _),
@@ -2047,6 +2061,17 @@ object OpsQueries {
          SELECT doc_id FROM c
          WHERE cum <= (SELECT t // 2 FROM tot)
          ORDER BY doc_id"""),
+    // Morton interleave replayed bit for bit: per-row lateral sum over
+    // range(10) of x-bit-at-2i + y-bit-at-2i+1
+    "zorder_value" ->
+      ("WITH " + gateCtes("documents") +
+        """,
+         b AS (SELECT doc_id, doc_id % 1024 AS x, n_tokens % 1024 AS y FROM q)
+         SELECT doc_id,
+           CAST((SELECT sum((((x >> i) & 1) << (2*i)) +
+                            (((y >> i) & 1) << (2*i+1)))
+                 FROM range(10) AS r(i)) AS BIGINT) AS zv
+         FROM b ORDER BY doc_id"""),
     // the two-pass distributed ordinal replayed as ONE global row_number
     // over the same gate-formula quality score (best first, ties by id)
     "curriculum_order" ->
