@@ -386,6 +386,40 @@ object ConstraintChecks {
     (violations, perPartCheck)
   }
 
+  /** Functional-dependency check (E28): violations of `lhs → rhs` — lhs
+    * groups observed with MORE THAN ONE distinct rhs value. The classic
+    * data-contract constraint the uniqueness (E5, key → whole row) and
+    * referential (E6, value ∈ catalog) checks cannot express: "every order
+    * key maps to exactly one customer", "every doc_id carries one language".
+    *
+    * NULL is a VALUE here: `a → NULL` observed next to `a → 'x'` is a
+    * violation (two distinct assertions about `a`), which plain
+    * `count(distinct rhs)` — NULL-ignoring — would miss. The group-by keeps
+    * the NULL group, so counting PAIR GROUPS per lhs gets NULL-as-value
+    * semantics for free, and a DuckDB GROUP BY replays it identically.
+    *
+    * Shape at 100 TB: stage 1 reduces data rows to distinct (lhs, rhs)
+    * pairs with a map-side-combined count — the only exchange that sees
+    * row-derived volume, carrying O(distinct pairs), not O(rows); stage 2
+    * re-groups those slim pair rows by lhs. Witnesses are min/max rhs
+    * (bounded, never a collect_set that scales with the violation).
+    *
+    * Returns one row per VIOLATING lhs group: lhs…, `n_distinct_rhs`,
+    * `n_rows`, `rhs_min`, `rhs_max` (min/max ignore NULL, so a {NULL, 'x'}
+    * violation witnesses 'x' twice — the NULL side is implied by
+    * n_distinct_rhs exceeding the non-null witness count). */
+  def functionalDependency(df: DataFrame, lhs: Seq[String], rhs: String): DataFrame = {
+    require(lhs.nonEmpty, "fd: at least one determinant column required")
+    require(!lhs.contains(rhs), s"fd: $rhs cannot be both determinant and dependent")
+    require((lhs :+ rhs).forall(df.columns.contains),
+      s"fd: columns ${(lhs :+ rhs).mkString(",")} must exist in ${df.columns.mkString(",")}")
+    val pairs = df.groupBy((lhs :+ rhs).map(col): _*).agg(count(lit(1)).as("__n"))
+    pairs.groupBy(lhs.map(col): _*)
+      .agg(count(lit(1)).as("n_distinct_rhs"), sum("__n").as("n_rows"),
+        min(col(rhs)).as("rhs_min"), max(col(rhs)).as("rhs_max"))
+      .filter(col("n_distinct_rhs") > 1)
+  }
+
   /** Per-row span-sequence equality vs a reference copy of the table (E14):
     * joins on doc_id and compares the spans arrays positionally (Spark array
     * equality is order-sensitive). Returns docs whose sequence differs. */

@@ -1,0 +1,74 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Volume (row-count) anomaly detection (E27) — the VOLUMETRIC companion to
+  * the distribution-grain drift checks: KS/PSI/MMD say "this window's VALUES
+  * moved"; this says "this window's ROW COUNT is implausible against its
+  * peers" — the half-empty ingest partition, the doubled-up replay, the
+  * upstream job that silently died mid-day. (The reference validates fixed
+  * 10k-sample batches, ml/testing.py:61-67, so batch volume is an implicit
+  * PRECONDITION there; at snapshot scale it must be an explicit check.)
+  *
+  * Robust statistics by design: a volume anomaly is exactly the observation
+  * that would poison mean/σ, so the fence is median ± k·(1.4826·MAD) — a
+  * single wildly-off window cannot move its own threshold the way it moves a
+  * mean. All inputs to the statistic are EXACT integer counts, so the result
+  * is bit-invariant across partitionings and merge orders (the engine's
+  * determinism contract — the reason this check could also ride the flagship
+  * fused scan, unlike float-accumulating corrShift).
+  *
+  * Shape at 100 TB: one map-side-combinable count aggregation → O(windows)
+  * rows; the exact median/MAD percentiles run on that tiny counts frame
+  * (never on data rows) and broadcast back as 1-row frames. Zero data-row
+  * exchanges beyond the count shuffle of slim keys.
+  *
+  * Policy edges, pinned by spec:
+  *  - MAD = 0 (at least half the windows share one count) flags nothing —
+  *    the scale estimate is degenerate, same posture as Outliers' σ = 0;
+  *    `robust_z` is NULL in that regime so callers can see why.
+  *  - every window is EMITTED, flagged or not: a volume report that drops
+  *    the normal windows cannot prove coverage.
+  */
+object VolumeCheck {
+
+  /** MAD → σ consistency constant for the normal distribution. */
+  private val MadScale = 1.4826
+
+  /** Per-group row counts with robust anomaly flags. Returns one row per
+    * group: groupCols…, `n`, `median_n`, `mad_n`, `robust_z` (rounded to
+    * `zScale` decimals; NULL when MAD = 0), `is_anomaly`. */
+  def anomaly(df: DataFrame, groupCols: Seq[String], k: Double = 3.5,
+              zScale: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "volume: at least one group column required")
+    require(groupCols.forall(df.columns.contains),
+      s"volume: group columns ${groupCols.mkString(",")} must exist in ${df.columns.mkString(",")}")
+    require(k > 0, s"volume: k must be > 0, got $k")
+    val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
+    // exact percentile over the O(groups) counts frame — the aggregate
+    // buffers only the per-group counts, never data rows
+    val med = counts.agg(expr("percentile(n, 0.5d)").as("__med"))
+    val withMed = counts.crossJoin(broadcast(med))
+    val mad = withMed.agg(expr("percentile(abs(n - __med), 0.5d)").as("__mad"))
+    val fenced = withMed.crossJoin(broadcast(mad))
+    val dev = col("n") - col("__med")
+    val scale = lit(MadScale) * col("__mad")
+    fenced.select(
+      groupCols.map(col) ++ Seq(
+        col("n"),
+        round(col("__med"), zScale).as("median_n"),
+        round(col("__mad"), zScale).as("mad_n"),
+        round(when(col("__mad") > 0, dev / scale), zScale).as("robust_z"),
+        (col("__mad") > 0 && abs(dev) > lit(k) * scale).as("is_anomaly")): _*)
+  }
+
+  /** Convenience: anomaly over event-time windows truncated to `unit`
+    * ("hour", "day", …) of `tsCol`; the window column is emitted as `w`.
+    * NULL timestamps form their own window (a burst of null-ts rows is a
+    * volume signal, not something to silently drop). */
+  def anomalyByTime(df: DataFrame, tsCol: String, unit: String = "hour",
+                    k: Double = 3.5, zScale: Int = 6): DataFrame =
+    anomaly(df.withColumn("w", date_trunc(unit, col(tsCol))), Seq("w"),
+      k = k, zScale = zScale)
+}

@@ -870,6 +870,23 @@ object OpsQueries {
       .orderBy(col("event_id"))
   }
 
+  /** Volume anomaly (E27): hourly event counts, robust median/MAD fence.
+    * Every window emitted with its flag — exact-integer inputs, so the
+    * whole result replays bit-for-bit in DuckDB. */
+  def volumeAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.checks.VolumeCheck.anomalyByTime(
+        s.read.parquet(s"$dir/events.parquet"), "ts", unit = "hour", k = 3.5)
+      .orderBy(col("w"))
+
+  /** Functional dependency (E28): o_custkey → o_orderpriority violations —
+    * a deliberately non-FD pair, so the violation report is dense and the
+    * NULL-as-value + witness semantics are exercised at table scale. */
+  def fdOrders(s: SparkSession, dir: String): DataFrame =
+    graft.checks.ConstraintChecks.functionalDependency(
+        s.read.parquet(s"$dir/orders.parquet"),
+        lhs = Seq("o_custkey"), rhs = "o_orderpriority")
+      .orderBy(col("o_custkey"))
+
   def eventsStreamDrift(s: SparkSession, dir: String): DataFrame =
     StreamingOps.runDriftStream(s, s"$dir/events.parquet",
         refProps = Array.fill(10)(0.1), windowDuration = "1 day",
@@ -1249,6 +1266,8 @@ object OpsQueries {
     "media_decode" -> (mediaDecode _),
     "image_near_dup" -> (imageNearDup _),
     "outlier_events" -> (outlierEvents _),
+    "volume_anomaly" -> (volumeAnomaly _),
+    "fd_orders" -> (fdOrders _),
     "tfidf_keywords" -> (tfidfKeywords _),
     "events_sessionize" -> (eventsSessionize _),
     "events_asof_view" -> (eventsAsofView _),
@@ -2487,6 +2506,32 @@ object OpsQueries {
            ON e.event_type IS NOT DISTINCT FROM st.event_type
          WHERE abs(e.value - st.mu) > 3 * st.sd
          ORDER BY e.event_id""",
+    // robust volume fence replayed exactly: hourly counts, interpolated
+    // median (DuckDB median == percentile_cont 0.5 == Spark's exact
+    // percentile), MAD, the 1.4826 consistency constant, NULL robust_z in
+    // the MAD=0 regime, and the same unrounded fence comparison
+    "volume_anomaly" ->
+      """WITH c AS (SELECT date_trunc('hour', ts) AS w, count(*) AS n
+                    FROM events GROUP BY 1),
+         m AS (SELECT median(n) AS med FROM c),
+         d AS (SELECT median(abs(n - m.med)) AS mad FROM c, m)
+         SELECT c.w, c.n, round(m.med, 6) AS median_n,
+           round(d.mad, 6) AS mad_n,
+           round(CASE WHEN d.mad > 0
+             THEN (c.n - m.med) / (1.4826 * d.mad) END, 6) AS robust_z,
+           (d.mad > 0 AND abs(c.n - m.med) > 3.5 * 1.4826 * d.mad)
+             AS is_anomaly
+         FROM c, m, d ORDER BY c.w""",
+    // FD violations: pair GROUPS per determinant (NULL-as-value — GROUP BY
+    // keeps the NULL group on both engines), bounded min/max witnesses
+    "fd_orders" ->
+      """WITH pairs AS (SELECT o_custkey, o_orderpriority AS r, count(*) AS pn
+                        FROM orders GROUP BY 1, 2)
+         SELECT o_custkey, count(*) AS n_distinct_rhs,
+           CAST(sum(pn) AS BIGINT) AS n_rows,
+           min(r) AS rhs_min, max(r) AS rhs_max
+         FROM pairs GROUP BY 1 HAVING count(*) > 1
+         ORDER BY o_custkey""",
     // tf-idf replayed end to end: whitespace tokenization, per-(doc,term)
     // tf, df with the minDf prune, smoothed idf ln((1+N)/(1+df))+1, rank
     // on the ROUNDED score (ties by term) — the engine ranks identically
