@@ -63,6 +63,55 @@ object VolumeCheck {
         (col("__mad") > 0 && abs(dev) > lit(k) * scale).as("is_anomaly")): _*)
   }
 
+  /** Interpolated (continuous) median — same rule as Spark/DuckDB
+    * `percentile(x, 0.5)`: odd n takes the middle rank, even n the mean of
+    * the two middle ranks. Driver arithmetic over O(windows) values. */
+  private def medianOf(xs: Array[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** Per-PARTITION volume verdicts for the flagship validation pass (E27 as
+    * a check family): the per-part doc counts already ride the fused stats
+    * scan, so this is pure driver arithmetic over O(parts) exact integers —
+    * zero extra jobs, bit-invariant across partitionings and merge orders
+    * (the engine's determinism contract).
+    *
+    * The fence is RUN-SCOPED: median/MAD over exactly the partitions this
+    * run validated. For the flagship full pass that window is the whole
+    * snapshot — the right peer group. Resumable runs that batch partitions
+    * get per-BATCH fences (each batch is its own peer group); callers
+    * wanting one table-grain fence across a resumed chain recompute from
+    * the persisted stats counts — see ValidationRun.runIncremental, which
+    * does exactly that instead of carrying stale volume rows forward.
+    *
+    * Verdict shape: distance = |robust_z| (0 in the MAD=0 degenerate
+    * regime, where nothing can flag), p_value = 1 (constraint-style, like
+    * uniqueness/referential), passed = not anomalous. `robust_z` is
+    * OMITTED from metrics when MAD = 0 — a NaN metric would break the
+    * bit-identity comparisons the parallelism/resume specs rely on
+    * (NaN != NaN), and the distributed twin emits NULL there for the same
+    * "visible degenerate regime" reason. */
+  def verdictsFromCounts(runId: String, alpha: Double, counts: Map[Int, Long],
+                         snapshotId: Long, k: Double = 3.5): Seq[Verdict] = {
+    require(k > 0, s"volume: k must be > 0, got $k")
+    if (counts.isEmpty) return Seq.empty
+    val arr = counts.values.map(_.toDouble).toArray
+    val med = medianOf(arr)
+    val mad = medianOf(arr.map(v => math.abs(v - med)))
+    counts.keys.toSeq.sorted.map { p =>
+      val n = counts(p).toDouble
+      val z = if (mad > 0) (n - med) / (MadScale * mad) else 0.0
+      val anomalous = mad > 0 && math.abs(n - med) > k * MadScale * mad
+      val base = Map("count" -> n, "median_n" -> med, "mad_n" -> mad,
+        "k" -> k, "n_windows" -> counts.size.toDouble)
+      Verdict.now(runId, p, "volume", alpha, math.abs(z), 1.0,
+        Some(!anomalous),
+        if (mad > 0) base + ("robust_z" -> z) else base, snapshotId)
+    }
+  }
+
   /** Convenience: anomaly over event-time windows truncated to `unit`
     * ("hour", "day", …) of `tsCol`; the window column is emitted as `w`.
     * NULL timestamps form their own window (a burst of null-ts rows is a

@@ -65,6 +65,11 @@ case class RunConfig(
     // scan bytes ≈ well under the 20M-entry collect cap the broadcast
     // builder separately enforces (PartStats.broadcastMediaSet).
     mediaBroadcastMaxBytes: Long = 256L << 20,
+    // robust-fence width for the per-partition volume check (E27): a part
+    // flags when |count − median| > volumeK · 1.4826 · MAD over the run's
+    // partition counts. Driver arithmetic on counts the stats scan already
+    // produced — no extra jobs at any table size.
+    volumeK: Double = 3.5,
     // when set, the pass validates the snapshot's OBSERVED schema against
     // this declared leaf-path contract before anything scans: one
     // `schema_contract` verdict (part = -1, table grain) plus one violation
@@ -372,6 +377,14 @@ object ValidationRun {
         constraintVerdicts("ref_media", refCounts) ++
         constraintVerdicts("span_order", ordCounts) ++
         constraintVerdicts("null_kind", nkCounts) ++
+        // volume (E27): run-scoped robust fence over the per-part counts the
+        // stats scan already produced — zero extra jobs, exact-integer
+        // deterministic. Run-window semantics documented at
+        // VolumeCheck.verdictsFromCounts (runIncremental recomputes across
+        // the full snapshot window instead of carrying stale fences).
+        VolumeCheck.verdictsFromCounts(cfg.runId, cfg.alpha,
+          summaries.map { case (p, s) => p -> s.nDocs },
+          ref.snapshotId, cfg.volumeK) ++
         DriftChecks.ks(cfg.runId, cfg.alpha, ref, summaries) ++
         DriftChecks.chi2(cfg.runId, cfg.alpha, ref, summaries) ++
         DriftChecks.psi(cfg.runId, cfg.alpha, ref, summaries) ++
@@ -411,7 +424,12 @@ object ValidationRun {
     * Partition-grain checks (stats, span integrity, referential, drift) are
     * pure functions of a partition's content + the fitted reference, and
     * SnapshotCatalog partitions are append-only — so a base partition's
-    * verdict at `toSnapshot` IS its `fromSnapshot` verdict. Carried rows are
+    * verdict at `toSnapshot` IS its `fromSnapshot` verdict. The ONE
+    * exception is the volume family (E27), whose fence depends on the whole
+    * window's counts: when the window grows, volume rows are dropped from
+    * both the carry and the inner run and recomputed across all toSnapshot
+    * parts from the persisted stats counts (step 4 — driver arithmetic, no
+    * rescan), landing identical to a full run's. Carried rows are
     * rewritten with `snapshot_id = toSnapshot` plus a
     * `validated_at_snapshot` metric recording the snapshot whose run
     * actually scanned the data; a chain of carries preserves the ORIGINAL
@@ -461,7 +479,13 @@ object ValidationRun {
           Map("violations" -> n.toDouble, "base_snapshot" -> fromSnapshot.toDouble),
           toSnapshot)
       }
-      res.verdicts.toDF().unionByName(spark.createDataset(xVerdicts).toDF())
+      // volume (E27) is the ONE run-window-scoped family: the inner run()
+      // fenced the NEW parts against each other, which is the wrong peer
+      // group for the combined snapshot — drop those rows here and
+      // recompute across ALL toSnapshot parts below (step 4), from counts
+      // already persisted in stats verdicts (no rescan)
+      res.verdicts.filter(_.check_id != "volume").toDF()
+        .unionByName(spark.createDataset(xVerdicts).toDF())
         .write.mode("append").partitionBy("part").parquet(resultsPath)
       res.violations.toDF().unionByName(xViol.toDF())
         .write.mode("append").parquet(violationsPath)
@@ -487,13 +511,37 @@ object ValidationRun {
         s"runIncremental: snapshot $fromSnapshot's results cover no verdicts " +
           s"for carried partitions ${missing.mkString(",")} - refusing a " +
           "partial carry (validate those partitions first)")
-      prior
+      // when the window GREW, a carried volume row's fence (median/MAD over
+      // fromSnapshot's parts) is stale for toSnapshot — drop it and
+      // recompute below; with no new parts the window is unchanged and the
+      // prior volume rows carry like every other family
+      val carryable =
+        if (newParts.nonEmpty) prior.filter($"check_id" =!= "volume") else prior
+      carryable
         .withColumn("snapshot_id", lit(toSnapshot))
         .withColumn("metrics", map_concat(
           map_filter($"metrics", (k, _) => k =!= "validated_at_snapshot"),
           map(lit("validated_at_snapshot"),
             coalesce(element_at($"metrics", lit("validated_at_snapshot")),
               lit(fromSnapshot.toDouble)))))
+        .write.mode("append").partitionBy("part").parquet(resultsPath)
+    }
+
+    // 4. table-grain volume (E27) across the FULL toSnapshot window: every
+    // part's exact count is already persisted in its stats verdict (new
+    // parts just written, carried parts re-stamped above), so the combined
+    // fence is an O(parts) driver read + arithmetic — the no-rescan
+    // property holds. Identical to what a full run at toSnapshot emits
+    // (counts are pure per-part integers ⇒ same median/MAD).
+    if (newParts.nonEmpty) {
+      val counts = spark.read.parquet(resultsPath)
+        .filter($"snapshot_id" === toSnapshot && $"check_id" === "stats")
+        .select($"part", element_at($"metrics", lit("count")).as("n"))
+        .as[(Int, Double)].collect()
+        .map { case (p, n) => p -> n.toLong }.toMap
+      val vol = VolumeCheck.verdictsFromCounts(cfg.runId, cfg.alpha, counts,
+        toSnapshot, cfg.volumeK)
+      spark.createDataset(vol).toDF()
         .write.mode("append").partitionBy("part").parquet(resultsPath)
     }
     IncrementalResult(newParts, carried, crossCounts)

@@ -68,6 +68,37 @@ class VolumeFdSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](VolumeCheck.anomaly(df, Seq("w"), k = 0))
   }
 
+  // ---- verdictsFromCounts (E27 as a flagship check family) ----
+
+  test("verdictsFromCounts: same fence as the distributed check, verdict shape") {
+    val counts = Seq(8, 9, 10, 10, 11, 12, 13, 14, 15, 100)
+      .zipWithIndex.map { case (n, p) => p -> n.toLong }.toMap
+    val vs = VolumeCheck.verdictsFromCounts("r", 0.01, counts, snapshotId = 7L)
+    assert(vs.map(_.part) == (0 until 10)) // sorted, one per part
+    assert(vs.forall(_.check_id == "volume"))
+    val byP = vs.map(v => v.part -> v).toMap
+    // med=11.5, mad=2.0 (same hand values as the distributed spec above)
+    assert(byP(9).passed == false && byP(9).metrics("median_n") == 11.5
+      && byP(9).metrics("mad_n") == 2.0)
+    assert(vs.count(!_.passed) == 1)
+    val z = 88.5 / (1.4826 * 2.0)
+    assert(math.abs(byP(9).distance - z) < 1e-9
+      && math.abs(byP(9).metrics("robust_z") - z) < 1e-9)
+    // below-median part: distance is |z|, robust_z keeps the sign
+    assert(byP(0).metrics("robust_z") < 0 && byP(0).distance > 0 && byP(0).passed)
+  }
+
+  test("verdictsFromCounts: MAD=0 passes everything, robust_z omitted (no NaN)") {
+    val vs = VolumeCheck.verdictsFromCounts("r", 0.01,
+      Map(0 -> 10L, 1 -> 10L, 2 -> 10L, 3 -> 500L), snapshotId = 1L)
+    assert(vs.forall(_.passed))
+    assert(vs.forall(v => !v.metrics.contains("robust_z")))
+    assert(vs.forall(_.distance == 0.0))
+    assert(VolumeCheck.verdictsFromCounts("r", 0.01, Map.empty, 1L).isEmpty)
+    intercept[IllegalArgumentException](
+      VolumeCheck.verdictsFromCounts("r", 0.01, Map(0 -> 1L), 1L, k = 0))
+  }
+
   // ---- functionalDependency (E28) ----
 
   test("FD violations: counts, witnesses; satisfied FD returns empty") {

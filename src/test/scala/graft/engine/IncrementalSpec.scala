@@ -131,6 +131,53 @@ class IncrementalSpec extends AnyFunSuite {
     assert(cAuto == cB)
   }
 
+  test("runIncremental: volume fences recomputed over the combined window") {
+    val tmp = Files.createTempDirectory("incrvol")
+    val table = s"$tmp/table"
+    val resultsPath = s"$tmp/results"
+    val media = DocsGen.media(spark)
+    // UNEVEN part counts so the fence is non-degenerate (MAD > 0):
+    // v1 window {100,120,140} → med 120; v2 window {100,120,140,40} → med
+    // 110, MAD 20 — every carried part's robust_z changes when the window
+    // grows, which is exactly what a stale carried fence would get wrong
+    val docs1 = DocsGen.docs(spark, 100, Seq(PartSpec(0)))
+      .unionByName(DocsGen.docs(spark, 120, Seq(PartSpec(1))))
+      .unionByName(DocsGen.docs(spark, 140, Seq(PartSpec(2))))
+    val s1 = SnapshotCatalog.commit(table, docs1)
+    val ref1 = Fit.fit(SnapshotCatalog.read(spark, table, s1.snapshotId)
+      .filter($"part" === 0), snapshotId = s1.snapshotId, maxSample = 100)
+    val cfg = RunConfig(runId = "v1", maxSample = 100, numPermutations = 5)
+    ValidationRun.runResumable(spark, SnapshotCatalog.read(spark, table, s1.snapshotId),
+      media, ref1, cfg, resultsPath, violationsPath = s"$tmp/viol",
+      knownParts = Some(s1.parts))
+    val v1Vol = spark.read.parquet(resultsPath)
+      .filter($"snapshot_id" === 1L && $"check_id" === "volume")
+      .select($"part", element_at($"metrics", "median_n")).as[(Int, Double)]
+      .collect().toMap
+    assert(v1Vol == Map(0 -> 120.0, 1 -> 120.0, 2 -> 120.0))
+
+    val s2 = SnapshotCatalog.commit(table, DocsGen.docs(spark, 40, Seq(PartSpec(3))))
+    val ref2 = ref1.copy(snapshotId = s2.snapshotId)
+    ValidationRun.runIncremental(spark, table, media, ref2,
+      cfg.copy(runId = "v2"), resultsPath, s"$tmp/viol",
+      fromSnapshot = s1.snapshotId, toSnapshot = s2.snapshotId)
+
+    def volPayload(df: org.apache.spark.sql.DataFrame) =
+      df.select($"part", $"distance", $"passed",
+          element_at($"metrics", "median_n"), element_at($"metrics", "mad_n"))
+        .as[(Int, Double, Boolean, Double, Double)].collect().sortBy(_._1).toSeq
+    val incr = volPayload(spark.read.parquet(resultsPath)
+      .filter($"snapshot_id" === 2L && $"check_id" === "volume"))
+    // exactly one volume row per part of the COMBINED window, new fence
+    assert(incr.map(_._1) == Seq(0, 1, 2, 3))
+    assert(incr.forall(r => r._4 == 110.0 && r._5 == 20.0))
+    // ...and identical to what a full run at toSnapshot computes
+    val full = ValidationRun.run(SnapshotCatalog.read(spark, table, s2.snapshotId),
+      media, ref2, cfg.copy(runId = "full"))
+    val fullVol = volPayload(full.verdicts.toDF().filter($"check_id" === "volume"))
+    assert(incr == fullVol)
+  }
+
   test("runIncremental: dropped partition in the chain fails loud") {
     val tmp = Files.createTempDirectory("incr2")
     val table = s"$tmp/table"
