@@ -258,6 +258,79 @@ object SparkEntry {
         WHERE n.doc_id IN (SELECT doc_id FROM read_parquet('$CrossBasePath/*.parquet'))
         ORDER BY n.part, n.doc_id"""
 
+  private val MergeBasePath = s"/tmp/graft_merge_base_$pathToken"
+  private val MergeSrcPath = s"/tmp/graft_merge_src_$pathToken"
+  private val MergeDelPath = s"/tmp/graft_merge_del_$pathToken"
+  private val MergeTablePath = s"/tmp/graft_merge_table_$pathToken"
+
+  /** DuckDB-oracled copy-on-write MERGE (E29): the pre-merge docs, the
+    * upsert source (every ~20th doc with its spans replaced + 1% new docs),
+    * and the delete keys (every ~30th doc) are materialized to parquet; the
+    * engine commits the docs as a snapshot table, runs Merge.merge (only
+    * affected parts rewritten, fresh part ids, manifest swap), and emits
+    * per-doc span aggregates of the MERGED snapshot; the oracle replays
+    * delete-then-insert over the same three inputs. */
+  def entry_docs_merge(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.DocsGen
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    cleanStaleSiblings("graft_merge_")
+    // violation-fixture parts excluded so doc_id is unique (1:1 upserts)
+    val base = DocsGen.docs(spark, nDocs, DocsGen.goldenScenario)
+      .filter($"part" < 15)
+    base.write.mode("overwrite").parquet(MergeBasePath)
+    val baseP = spark.read.parquet(MergeBasePath)
+    val marker = (tag: org.apache.spark.sql.Column) => array(struct(
+      lit("text").as("kind"), concat(lit("merged-"), tag).as("text"),
+      lit(null: String).as("media_ref"), lit(0).as("offset")))
+    val updates = baseP.filter(pmod(xxhash64($"doc_id", lit("mu")), lit(20L)) === 0)
+      .select($"doc_id", marker($"doc_id").as("spans"))
+    val inserts = spark.range(math.max(10L, nDocs / 100)).select(
+      format_string("new-%09d", $"id").as("doc_id"),
+      marker(format_string("new-%09d", $"id")).as("spans"))
+    updates.unionByName(inserts).write.mode("overwrite").parquet(MergeSrcPath)
+    // delete set disjoint from the update set (upsert+delete on one key is
+    // the guarded ambiguous case)
+    baseP.filter(pmod(xxhash64($"doc_id", lit("md")), lit(30L)) === 0 &&
+        pmod(xxhash64($"doc_id", lit("mu")), lit(20L)) =!= 0)
+      .select("doc_id").write.mode("overwrite").parquet(MergeDelPath)
+
+    // fresh catalog table per invocation (overwrite semantics via rm)
+    graft.util.PidPaths.deleteRecursively(MergeTablePath)
+    graft.engine.SnapshotCatalog.commit(MergeTablePath, baseP)
+    val r = graft.engine.Merge.merge(spark, MergeTablePath,
+      spark.read.parquet(MergeSrcPath),
+      spark.read.parquet(MergeDelPath))
+    graft.engine.SnapshotCatalog.read(spark, MergeTablePath, r.snapshot.snapshotId)
+      .select($"doc_id",
+        size($"spans").cast("long").as("n_spans"),
+        aggregate($"spans", lit(0L), (acc, s) =>
+          acc + s.getField("offset").cast("long")).as("off_sum"),
+        aggregate($"spans", lit(0L), (acc, s) =>
+          acc + coalesce(length(s.getField("text")).cast("long"), lit(0L)))
+          .as("txt_chars"))
+      .orderBy($"doc_id")
+  }
+
+  private val mergeOracleSql: String =
+    s"""WITH base AS (SELECT * FROM read_parquet('$MergeBasePath/*.parquet')),
+        src AS (SELECT * FROM read_parquet('$MergeSrcPath/*.parquet')),
+        del AS (SELECT doc_id FROM read_parquet('$MergeDelPath/*.parquet')),
+        ks AS (SELECT doc_id FROM src UNION SELECT doc_id FROM del),
+        merged AS (
+          SELECT doc_id, spans FROM base
+          WHERE doc_id NOT IN (SELECT doc_id FROM ks)
+          UNION ALL SELECT doc_id, spans FROM src)
+        SELECT doc_id,
+          CAST(len(spans) AS BIGINT) AS n_spans,
+          CAST(coalesce(list_sum(list_transform(spans, s -> s."offset")), 0)
+            AS BIGINT) AS off_sum,
+          CAST(coalesce(list_sum(list_transform(spans,
+            s -> coalesce(length(s.text), 0))), 0) AS BIGINT) AS txt_chars
+        FROM merged ORDER BY doc_id"""
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.entry.TpchQueries.queries ++
@@ -266,7 +339,8 @@ object SparkEntry {
         "docs_drift_inputs" -> (entry_docs_drift_inputs _),
         "docs_constraints" -> (entry_docs_constraints _),
         "docs_span_seq" -> (entry_docs_span_seq _),
-        "uniq_cross_snapshot" -> (entry_uniq_cross_snapshot _))
+        "uniq_cross_snapshot" -> (entry_uniq_cross_snapshot _),
+        "docs_merge" -> (entry_docs_merge _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -276,5 +350,6 @@ object SparkEntry {
       Map("docs_drift_inputs" -> driftInputsOracleSql,
         "docs_constraints" -> constraintsOracleSql,
         "docs_span_seq" -> spanSeqOracleSql,
-        "uniq_cross_snapshot" -> uniqCrossOracleSql)
+        "uniq_cross_snapshot" -> uniqCrossOracleSql,
+        "docs_merge" -> mergeOracleSql)
 }

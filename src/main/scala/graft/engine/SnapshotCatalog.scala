@@ -91,6 +91,53 @@ object SnapshotCatalog {
     snap
   }
 
+  /** Copy-on-write manifest commit (the MERGE primitive, see [[Merge]]):
+    * the new snapshot's part set is the CURRENT manifest's parts minus
+    * `replaced` plus `appended` — data for the appended parts must already
+    * be on disk (the caller wrote it). Replaced parts stay pinned-readable
+    * under older snapshots until [[expireSnapshots]] GCs them, exactly like
+    * rollback orphans. Guards: replaced must be live (replacing a part the
+    * current snapshot doesn't have is a caller bug), appended must be FRESH
+    * ids never referenced by any manifest (reusing an id would mix rows
+    * into retired data dirs). */
+  def commitReplacing(table: String, replaced: Set[Int], appended: Seq[Int]): Snapshot = {
+    val cur = currentSnapshotId(table).getOrElse(
+      throw new IllegalArgumentException(s"commitReplacing: no snapshots at $table"))
+    val live = readManifest(table, cur).parts.toSet
+    val notLive = replaced -- live
+    require(notLive.isEmpty,
+      s"commitReplacing: parts ${notLive.toSeq.sorted.mkString(",")} are not in " +
+        s"the current snapshot $cur - nothing to replace")
+    val historical: Set[Int] =
+      manifestIds(table).flatMap(readManifest(table, _).parts).toSet
+    val reuse = appended.toSet.intersect(historical)
+    require(reuse.isEmpty,
+      s"commitReplacing: appended parts ${reuse.toSeq.sorted.mkString(",")} were " +
+        "already referenced by a manifest - copy-on-write rewrites must use fresh ids")
+    val parts = ((live -- replaced) ++ appended).toSeq.sorted
+    val id = cur + 1L
+    val snap = Snapshot(id, parts, System.currentTimeMillis())
+    writeManifest(table, id, parts, snap.createdAtMs)
+    snap
+  }
+
+  /** Highest part id visible anywhere — every manifest ever written PLUS the
+    * data/ directory names (crash leftovers from a write that died before
+    * its manifest commit are real dirs a fresh id must not collide with).
+    * Driver-grain FS metadata; never reads file contents. */
+  def maxKnownPart(table: String): Int = {
+    val manifestMax = manifestIds(table)
+      .flatMap(readManifest(table, _).parts).foldLeft(-1)(math.max)
+    val dataDir = Paths.get(table, "data")
+    val dirMax =
+      if (!Files.exists(dataDir)) -1
+      else Files.list(dataDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("part=") => s.stripPrefix("part=").toInt }
+        .foldLeft(-1)(math.max)
+    math.max(manifestMax, dirMax)
+  }
+
   private def writeManifest(table: String, id: Long, parts: Seq[Int],
                             createdAtMs: Long): Unit = {
     Files.createDirectories(snapDir(table))

@@ -35,6 +35,18 @@ object PidPaths {
     !java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/proc")) ||
       java.nio.file.Files.isDirectory(java.nio.file.Paths.get(s"/proc/$p"))
 
+  /** Recursive delete of an OWN scratch dir (fresh-table-per-invocation
+    * semantics for catalog-table queries). No-op when absent. */
+  def deleteRecursively(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      val w = java.nio.file.Files.walk(p)
+      try w.sorted(java.util.Comparator.reverseOrder())
+        .forEach(java.nio.file.Files.deleteIfExists(_))
+      finally w.close()
+    }
+  }
+
   /** Delete `/tmp/<prefix>_*` dirs of DEAD sibling processes older than the
     * grace period. Own-pid dirs are never touched. Best-effort (races with a
     * concurrent cleaner are harmless — rm -rf of a half-deleted dir). */

@@ -1,0 +1,168 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{DocsGen, PartSpec}
+
+/** Copy-on-write MERGE (E29): upsert + delete against the current snapshot,
+  * rewriting only affected parts; pinned reads across the merge; guards. */
+class MergeSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  /** 3-part table; returns (table path, snapshot). */
+  private def freshTable(): (String, SnapshotCatalog.Snapshot) = {
+    val tmp = Files.createTempDirectory("merge").toString
+    val docs = DocsGen.docs(spark, 100, Seq(PartSpec(0)))
+      .unionByName(DocsGen.docs(spark, 120, Seq(PartSpec(1))))
+      .unionByName(DocsGen.docs(spark, 140, Seq(PartSpec(2))))
+    val s = SnapshotCatalog.commit(s"$tmp/t", docs)
+    (s"$tmp/t", s)
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame) =
+    df.select("doc_id").as[String].collect().toSet
+
+  test("merge: upsert replaces, insert lands, delete removes; untouched parts shared") {
+    val (table, s1) = freshTable()
+    val before = SnapshotCatalog.read(spark, table, s1.snapshotId)
+
+    // update 5 docs of part 0 (whole-row replace: spans swapped for a marker
+    // span), insert 3 new docs, delete 4 docs of part 2; part 1 untouched
+    val updIds = before.filter($"part" === 0).select("doc_id")
+      .as[String].collect().sorted.take(5)
+    val delIds = before.filter($"part" === 2).select("doc_id")
+      .as[String].collect().sorted.take(4)
+    val marker = array(struct(lit("text").as("kind"),
+      lit("updated").as("text"), lit(null: String).as("media_ref"),
+      lit(0).as("offset")))
+    val dataCols = before.columns.filterNot(_ == "part")
+    val updates = before.filter($"doc_id".isin(updIds: _*))
+      .select(dataCols.map(col): _*).withColumn("spans", marker)
+    val inserts = spark.range(3).select(
+      format_string("new-%03d", $"id").as("doc_id"), marker.as("spans"))
+      .select(dataCols.map(col): _*)
+    val source = updates.unionByName(inserts)
+    val deletes = delIds.toSeq.toDF("doc_id")
+
+    val r = Merge.merge(spark, table, source, deletes)
+    assert(!r.noop)
+    // affected: parts 0 (updates) and 2 (deletes); part 1 survives verbatim
+    assert(r.rewrittenParts.keySet == Set(0, 2))
+    assert(r.insertPart.isDefined)
+    assert(r.snapshot.parts.contains(1) && !r.snapshot.parts.contains(0)
+      && !r.snapshot.parts.contains(2))
+
+    val after = SnapshotCatalog.read(spark, table, r.snapshot.snapshotId)
+    assert(after.count() == 100 + 120 + 140 - 4 + 3) // deletes out, inserts in
+    assert(ids(after.filter($"doc_id".isin(delIds: _*))).isEmpty)
+    assert(ids(after).intersect(Set("new-000", "new-001", "new-002")).size == 3)
+    // updated docs carry the replacement spans (and live in the insert part)
+    val upd = after.filter($"doc_id".isin(updIds: _*))
+    assert(upd.count() == 5)
+    assert(upd.filter(element_at($"spans", 1).getField("text") === "updated")
+      .count() == 5)
+    assert(upd.select("part").distinct().as[Int].collect().toSeq ==
+      Seq(r.insertPart.get))
+    // non-matched rows of the rewritten parts are bit-identical to before
+    // (part column dropped — the id moved, the payload must not)
+    val untouched = before.filter($"part".isin(0, 2) &&
+      !$"doc_id".isin((updIds ++ delIds): _*)).drop("part")
+    val rewritten = after.filter($"part".isin(r.rewrittenParts.values.toSeq: _*))
+      .drop("part")
+    assert(ids(untouched) == ids(rewritten))
+    assert(untouched.exceptAll(rewritten).count() == 0
+      && rewritten.exceptAll(untouched).count() == 0)
+
+    // PINNED ISOLATION: the old snapshot still reads every original row
+    val pinned = SnapshotCatalog.read(spark, table, s1.snapshotId)
+    assert(pinned.count() == 360)
+    assert(ids(pinned.filter($"doc_id".isin(delIds: _*))).size == 4)
+    assert(pinned.filter($"doc_id".isin(updIds: _*))
+      .filter(element_at($"spans", 1).getField("text") === "updated").count() == 0)
+
+    // untouched part's data dir was not rewritten (same file set)
+    val p1dir = java.nio.file.Paths.get(table, "data", "part=1")
+    assert(Files.exists(p1dir))
+  }
+
+  test("merge: broadcast and shuffled key paths produce identical snapshots") {
+    val (tableA, _) = freshTable()
+    val (tableB, _) = freshTable()
+    val mk = (t: String) => {
+      val before = SnapshotCatalog.read(spark, t,
+        SnapshotCatalog.currentSnapshotId(t).get)
+      val upd = before.filter($"part" === 1).limit(7)
+        .select(before.columns.filterNot(_ == "part").map(col): _*)
+      val del = before.filter($"part" === 0).select("doc_id").limit(5)
+      (upd, del)
+    }
+    val (srcA, delA) = mk(tableA)
+    val (srcB, delB) = mk(tableB)
+    val rA = Merge.merge(spark, tableA, srcA, delA, broadcastKeys = Some(true))
+    val rB = Merge.merge(spark, tableB, srcB, delB, broadcastKeys = Some(false))
+    val a = SnapshotCatalog.read(spark, tableA, rA.snapshot.snapshotId)
+    val b = SnapshotCatalog.read(spark, tableB, rB.snapshot.snapshotId)
+    assert(ids(a) == ids(b) && a.count() == b.count())
+    assert(rA.rewrittenParts.keySet == rB.rewrittenParts.keySet)
+  }
+
+  test("merge guards: dup source keys, upsert+delete overlap, schema, empty table") {
+    val (table, _) = freshTable()
+    val before = SnapshotCatalog.read(spark, table, 1L)
+    val dataCols = before.columns.filterNot(_ == "part")
+    val one = before.limit(1).select(dataCols.map(col): _*)
+    val dupSrc = one.unionByName(one)
+    intercept[IllegalArgumentException](
+      Merge.merge(spark, table, dupSrc, Seq.empty[String].toDF("doc_id")))
+    val k = one.select("doc_id")
+    intercept[IllegalArgumentException](
+      Merge.merge(spark, table, one, k.toDF("doc_id")))
+    intercept[IllegalArgumentException](
+      Merge.merge(spark, table, one.drop("spans"), k.limit(0)))
+    intercept[IllegalArgumentException](
+      Merge.merge(spark, "/tmp/does-not-exist-merge", one, k.limit(0)))
+  }
+
+  test("merge: delete matching nothing + empty source is a no-op (no snapshot cut)") {
+    val (table, s1) = freshTable()
+    val empty = SnapshotCatalog.read(spark, table, s1.snapshotId)
+      .filter(lit(false))
+    val src = empty.select(empty.columns.filterNot(_ == "part").map(col): _*)
+    val r = Merge.merge(spark, table, src,
+      Seq("ghost-1", "ghost-2").toDF("doc_id"))
+    assert(r.noop && r.snapshot.snapshotId == s1.snapshotId)
+    assert(SnapshotCatalog.currentSnapshotId(table).contains(s1.snapshotId))
+  }
+
+  test("merge: delete-only merge that empties a whole part; expiry GCs replaced dirs") {
+    val (table, s1) = freshTable()
+    val before = SnapshotCatalog.read(spark, table, s1.snapshotId)
+    val allPart0 = before.filter($"part" === 0).select("doc_id")
+    val src = before.filter(lit(false))
+      .select(before.columns.filterNot(_ == "part").map(col): _*)
+    val r = Merge.merge(spark, table, src, allPart0)
+    assert(r.insertPart.isEmpty && r.rewrittenParts.keySet == Set(0))
+    val after = SnapshotCatalog.read(spark, table, r.snapshot.snapshotId)
+    assert(after.count() == 260 && after.filter($"part" === 0).count() == 0)
+
+    // expire the pre-merge snapshot: part 0's original dir is GC'd, the
+    // (possibly file-less) rewritten id and untouched parts survive
+    val (expired, gone) = SnapshotCatalog.expireSnapshots(table, keepLast = 1)
+    assert(expired == Seq(s1.snapshotId) && gone == Seq(0))
+    assert(!Files.exists(java.nio.file.Paths.get(table, "data", "part=0")))
+    assert(SnapshotCatalog.read(spark, table, r.snapshot.snapshotId).count() == 260)
+  }
+
+  test("commitReplacing guards: non-live replaced, reused appended id") {
+    val (table, s1) = freshTable()
+    intercept[IllegalArgumentException](
+      SnapshotCatalog.commitReplacing(table, Set(99), Seq(100)))
+    intercept[IllegalArgumentException](
+      SnapshotCatalog.commitReplacing(table, Set(0), Seq(1))) // 1 is historical
+    // legal: replace part 0 by a fresh empty id (metadata-only delete)
+    val s2 = SnapshotCatalog.commitReplacing(table, Set(0), Seq(50))
+    assert(s2.parts == Seq(1, 2, 50) && s2.snapshotId == s1.snapshotId + 1)
+  }
+}
