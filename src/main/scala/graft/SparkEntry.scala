@@ -258,6 +258,77 @@ object SparkEntry {
         WHERE n.doc_id IN (SELECT doc_id FROM read_parquet('$CrossBasePath/*.parquet'))
         ORDER BY n.part, n.doc_id"""
 
+  private val AttribPath = s"/tmp/graft_attrib_$pathToken"
+
+  /** DuckDB-oracled chi² root-cause ATTRIBUTION (E30): the golden docs are
+    * materialized to parquet, the REAL engine path runs (Fit over part 0 →
+    * fused stats scan → DriftChecks.chi2Attribution), and every per-(part,
+    * kind) contribution to the chi2_kind statistic is emitted. The oracle
+    * replays the pooled-expectation decomposition from the raw span counts —
+    * so the category-universe rule, the drop rule, and the contribution
+    * arithmetic are hash-checked end to end (the PSI attribution twin rides
+    * the same spec-pinned sum law; its quantile grid is not SQL-replayable). */
+  def entry_docs_drift_attrib(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.DocsGen
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    cleanStaleSiblings("graft_attrib_")
+    DocsGen.docs(spark, nDocs, DocsGen.goldenScenario)
+      .write.mode("overwrite").parquet(AttribPath)
+    val docs = spark.read.parquet(AttribPath)
+    val ref = graft.checks.Fit.fit(docs.filter($"part" === 0),
+      snapshotId = 1L, maxSample = 100)
+    val (summaries, _) = graft.checks.PartStats.computeFused(docs,
+      maxSample = 8, mode = graft.sketch.DocStatsAgg.ModeStats,
+      edges = ref.offsetEdges.toSeq)
+    val rows = graft.checks.DriftChecks.chi2Attribution(ref, summaries)
+    spark.createDataFrame(rows)
+      .select($"part", $"kind", $"ref_n", $"prod_n",
+        round($"e_prod", 6).as("e_prod"),
+        round($"contribution", 6).as("contribution"),
+        round($"share", 6).as("share"))
+      .orderBy($"part", $"kind")
+  }
+
+  private val attribOracleSql: String =
+    s"""WITH flat AS (
+          SELECT part, u.kind AS kind
+          FROM (SELECT part, unnest(spans) AS u
+                FROM read_parquet('$AttribPath/*.parquet'))
+          WHERE u.kind IS NOT NULL),
+        prod AS (SELECT part, kind, count(*) AS o FROM flat GROUP BY 1, 2),
+        ref AS (SELECT kind, count(*) AS r FROM flat WHERE part = 0 GROUP BY 1),
+        parts AS (SELECT DISTINCT part FROM flat),
+        cats AS (SELECT DISTINCT kind FROM flat),
+        grid AS (
+          SELECT p.part, c.kind, coalesce(r.r, 0) AS r, coalesce(o.o, 0) AS o
+          FROM parts p CROSS JOIN cats c
+          LEFT JOIN ref r ON r.kind = c.kind
+          LEFT JOIN prod o ON o.part = p.part AND o.kind = c.kind),
+        tot AS (SELECT part, sum(r) AS nref, sum(o) AS nprod,
+                  count(*) FILTER (WHERE r + o > 0) AS kept
+                FROM grid GROUP BY 1),
+        keep AS (
+          SELECT g.part, g.kind, g.r, g.o, t.nref, t.nprod,
+            (g.r + g.o) * 1.0 / (t.nref + t.nprod) AS pooled
+          FROM grid g JOIN tot t USING (part)
+          WHERE g.r + g.o > 0 AND t.kept >= 2 AND t.nref > 0 AND t.nprod > 0),
+        c AS (
+          SELECT part, kind, r, o, pooled * nprod AS eprod,
+            (r - pooled * nref) * (r - pooled * nref) / (pooled * nref)
+            + (o - pooled * nprod) * (o - pooled * nprod) / (pooled * nprod)
+              AS contrib
+          FROM keep),
+        s AS (SELECT part, sum(contrib) AS stat FROM c GROUP BY 1)
+        SELECT c.part, c.kind,
+          CAST(c.r AS BIGINT) AS ref_n, CAST(c.o AS BIGINT) AS prod_n,
+          round(c.eprod, 6) AS e_prod, round(c.contrib, 6) AS contribution,
+          round(CASE WHEN s.stat > 0 THEN c.contrib / s.stat ELSE 0 END, 6)
+            AS share
+        FROM c JOIN s USING (part) ORDER BY c.part, c.kind"""
+
   private val MergeBasePath = s"/tmp/graft_merge_base_$pathToken"
   private val MergeSrcPath = s"/tmp/graft_merge_src_$pathToken"
   private val MergeDelPath = s"/tmp/graft_merge_del_$pathToken"
@@ -340,7 +411,8 @@ object SparkEntry {
         "docs_constraints" -> (entry_docs_constraints _),
         "docs_span_seq" -> (entry_docs_span_seq _),
         "uniq_cross_snapshot" -> (entry_uniq_cross_snapshot _),
-        "docs_merge" -> (entry_docs_merge _))
+        "docs_merge" -> (entry_docs_merge _),
+        "docs_drift_attrib" -> (entry_docs_drift_attrib _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -351,5 +423,6 @@ object SparkEntry {
         "docs_constraints" -> constraintsOracleSql,
         "docs_span_seq" -> spanSeqOracleSql,
         "uniq_cross_snapshot" -> uniqCrossOracleSql,
-        "docs_merge" -> mergeOracleSql)
+        "docs_merge" -> mergeOracleSql,
+        "docs_drift_attrib" -> attribOracleSql)
 }

@@ -156,6 +156,113 @@ object DriftChecks {
     }
   }
 
+  /** One chi² attribution row: how much one span-kind category contributed
+    * to one partition's chi2_kind statistic. */
+  case class KindAttribution(part: Int, kind: String, ref_n: Long,
+                             prod_n: Long, e_prod: Double,
+                             contribution: Double, share: Double)
+
+  /** One PSI attribution row: one reference-decile bucket's contribution to
+    * one partition's psi_offset index. `lo`/`hi` are the bucket's offset
+    * bounds (±∞ at the ends; the last bucket absorbs overflow mass like the
+    * PSI itself does). */
+  case class BucketAttribution(part: Int, bucket: Int, lo: Double, hi: Double,
+                               ref_prop: Double, prod_prop: Double,
+                               contribution: Double, share: Double)
+
+  /** Root-cause attribution for chi2_kind (E30): per (part, kind) the
+    * category's contribution to the two-sample statistic — the row a
+    * validation operator reads AFTER the verdict flags, to learn WHICH kind
+    * moved. Same category universe, pooled expectation, and drop rule as
+    * [[chi2]]; Σ contribution per part == the chi2_kind distance BIT FOR
+    * BIT (spec-pinned law — both sum the same terms ascending). Parts where
+    * the test is degenerate (chi2 returns (0,1)) emit no rows. Pure driver
+    * arithmetic over the summaries the stats scan already produced —
+    * O(parts × kinds), no jobs. */
+  def chi2Attribution(ref: RefState,
+                      summaries: Map[Int, PartSummary]): Seq[KindAttribution] = {
+    val cats = (ref.kindHist.keySet ++ summaries.values.flatMap(_.kindHist.keySet)).toSeq.sorted
+    val refCounts = cats.map(c => ref.kindHist.getOrElse(c, 0L)).toArray
+    val nRef = refCounts.map(_.toDouble).sum
+    summaries.toSeq.sortBy(_._1).flatMap { case (part, s) =>
+      val prodCounts = cats.map(c => s.kindHist.getOrElse(c, 0L)).toArray
+      StatMath.chi2Contributions(refCounts, prodCounts) match {
+        case None => Seq.empty
+        case Some(cs) =>
+          val nProd = prodCounts.map(_.toDouble).sum
+          val total = nRef + nProd
+          var stat = 0.0
+          cs.foreach(c => if (!c.isNaN) stat += c)
+          cats.indices.collect {
+            case i if !cs(i).isNaN =>
+              val eProd = (refCounts(i) + prodCounts(i)) / total * nProd
+              KindAttribution(part, cats(i), refCounts(i), prodCounts(i),
+                eProd, cs(i), if (stat > 0) cs(i) / stat else 0.0)
+          }
+      }
+    }
+  }
+
+  /** Root-cause attribution for psi_offset (E30): per (part, bucket) the
+    * reference-decile bucket's (q−p)·ln(q/p) term — WHICH offset range
+    * gained or lost mass. Same bucket construction as [[psi]] on both the
+    * exact-grid and KLL-fallback paths; Σ contribution per part == the
+    * psi_offset distance BIT FOR BIT (spec-pinned law). */
+  def psiAttribution(ref: RefState, summaries: Map[Int, PartSummary],
+                     buckets: Int = 10): Seq[BucketAttribution] = {
+    val qs = Array.tabulate(buckets - 1)(i => (i + 1).toDouble / buckets)
+    lazy val kllEdges = KllOps.quantiles(ref.kllBytes, qs)
+    lazy val refCdf = KllOps.cdf(ref.kllBytes)
+    def kllProps(cdf: Double => Double): Array[Double] = {
+      val cum = kllEdges.map(cdf) :+ 1.0
+      cum.zip(0.0 +: cum.dropRight(1)).map { case (hi, lo) => math.max(hi - lo, 0.0) }
+    }
+    lazy val kllRefProps = kllProps(refCdf)
+    lazy val (exactIdx, exactRefProps): (Array[Int], Array[Double]) = {
+      val nRef = ref.refEdgeCum(ref.refEdgeCum.length - 1)
+      val idxB = Array.newBuilder[Int]
+      var last = -1
+      var i = 1
+      var j = 0
+      while (i <= buckets - 1) {
+        while (j < ref.refEdgeCum.length && ref.refEdgeCum(j) * buckets < i.toLong * nRef) j += 1
+        if (j < ref.refEdgeCum.length && j != last) { idxB += j; last = j }
+        i += 1
+      }
+      val idx = idxB.result()
+      val cumSel = idx.map(ref.refEdgeCum) :+ nRef
+      val props = cumSel.zip(0L +: cumSel.dropRight(1))
+        .map { case (hi, lo) => (hi - lo).toDouble / nRef }
+      (idx, props)
+    }
+    def rows(part: Int, edges: Array[Double], refProps: Array[Double],
+             prodProps: Array[Double]): Seq[BucketAttribution] = {
+      val cs = StatMath.psiContributions(refProps, prodProps)
+      var psi = 0.0
+      cs.foreach(psi += _)
+      cs.indices.map { i =>
+        BucketAttribution(part, i,
+          if (i == 0) Double.NegativeInfinity else edges(i - 1),
+          if (i == cs.length - 1) Double.PositiveInfinity else edges(i),
+          refProps(i), prodProps(i), cs(i),
+          if (psi != 0.0) cs(i) / psi else 0.0)
+      }
+    }
+    summaries.toSeq.sortBy(_._1).flatMap { case (part, s) =>
+      if (exactCdf(ref, s)) {
+        val (cum, nProd) = prodCum(s)
+        val cumSel = exactIdx.map(cum) :+ nProd
+        val prodProps =
+          if (nProd == 0) new Array[Double](cumSel.length)
+          else cumSel.zip(0L +: cumSel.dropRight(1))
+            .map { case (hi, lo) => (hi - lo).toDouble / nProd }
+        rows(part, exactIdx.map(ref.offsetEdges), exactRefProps, prodProps)
+      } else {
+        rows(part, kllEdges, kllRefProps, kllProps(KllOps.cdf(s.offsetKll)))
+      }
+    }
+  }
+
   /** Wasserstein-1 (earth mover's) distance on the offset distribution — the
     * drift family's magnitude-sensitive member: KS reads the worst POINT gap
     * between CDFs, W1 integrates the gap over the value axis, so a small

@@ -109,23 +109,56 @@ object StatMath {
   /** Two-sample chi-squared homogeneity test on category counts.
     * Returns (statistic, pValue). Categories with zero pooled count dropped. */
   def chi2TwoSample(refCounts: Array[Long], prodCounts: Array[Long]): (Double, Double) = {
+    chi2Contributions(refCounts, prodCounts) match {
+      case None => (0.0, 1.0)
+      case Some(cs) =>
+        // ascending-index summation — the exact order the pre-refactor loop
+        // used, so the statistic stays bit-identical
+        var stat = 0.0
+        var kept = 0
+        cs.foreach { c => if (!c.isNaN) { stat += c; kept += 1 } }
+        (stat, chi2Sf(stat, kept - 1))
+    }
+  }
+
+  /** Per-category contribution to the two-sample chi² statistic (root-cause
+    * attribution): index i carries dR²/eRef + dP²/eProd under the pooled
+    * expectation, NaN where the category was dropped (pooled count 0).
+    * None when the test is degenerate (fewer than 2 kept categories or an
+    * empty side — where [[chi2TwoSample]] returns (0, 1)). Law (spec-pinned):
+    * the ascending-index sum of the defined entries IS the statistic,
+    * bit for bit. */
+  def chi2Contributions(refCounts: Array[Long],
+                        prodCounts: Array[Long]): Option[Array[Double]] = {
     require(refCounts.length == prodCounts.length)
     val keep = refCounts.indices.filter(i => refCounts(i) + prodCounts(i) > 0)
     val nRef = refCounts.map(_.toDouble).sum
     val nProd = prodCounts.map(_.toDouble).sum
-    if (keep.size < 2 || nRef == 0 || nProd == 0) return (0.0, 1.0)
+    if (keep.size < 2 || nRef == 0 || nProd == 0) return None
     val total = nRef + nProd
-    var stat = 0.0
+    val out = Array.fill(refCounts.length)(Double.NaN)
     keep.foreach { i =>
       val pooled = (refCounts(i) + prodCounts(i)) / total
       val eRef = pooled * nRef
       val eProd = pooled * nProd
       val dR = refCounts(i) - eRef
       val dP = prodCounts(i) - eProd
-      stat += dR * dR / eRef + dP * dP / eProd
+      out(i) = dR * dR / eRef + dP * dP / eProd
     }
-    val df = keep.size - 1
-    (stat, chi2Sf(stat, df))
+    Some(out)
+  }
+
+  /** Per-bucket contribution to [[psi]] (root-cause attribution):
+    * (q−p)·ln(q/p) with the same eps flooring. Law (spec-pinned): the
+    * ascending-index sum IS the PSI, bit for bit. */
+  def psiContributions(refProp: Array[Double], prodProp: Array[Double],
+                       eps: Double = 1e-6): Array[Double] = {
+    require(refProp.length == prodProp.length)
+    Array.tabulate(refProp.length) { i =>
+      val p = math.max(refProp(i), eps)
+      val q = math.max(prodProp(i), eps)
+      (q - p) * math.log(q / p)
+    }
   }
 
   /** Kolmogorov distribution survival function
