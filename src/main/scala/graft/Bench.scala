@@ -159,9 +159,12 @@ object Bench {
     val table = s"$work/docs"
     // compiled generator twin — bit-identical to DocsGen.docs (equality
     // spec-gated), ~3x faster evaluation; trims the untimed setup phase
+    // statsKey=None: manifest key stats (E31) would re-evaluate the
+    // generator for a min/max pass — the bench's validation phases don't
+    // use key pruning, so skip the collection in setup
     val (snap, genSec) = time(SnapshotCatalog.commit(table,
       graft.model.DocsGenFast.docs(setup, nDocs, scenario), codec,
-      appendedParts = Some(scenario.map(_.part))))
+      appendedParts = Some(scenario.map(_.part)), statsKey = None))
     val ref = {
       import setup.implicits._
       Fit.fit(setup.read.parquet(s"$table/data").filter($"part" === 0),

@@ -50,7 +50,11 @@ object Merge {
       /** part id the source rows were inserted into (None: empty source) */
       insertPart: Option[Int],
       /** true when the merge changed nothing and NO new snapshot was cut */
-      noop: Boolean)
+      noop: Boolean,
+      /** parts the affected-part detection actually scanned after manifest
+        * key-stats pruning (E31) — ≤ the snapshot's part count; equality
+        * means the manifest had no stats or the key range spanned it */
+      candidateParts: Seq[Int] = Seq.empty)
 
   /** Run the merge against the CURRENT snapshot of `table`. `source` must
     * carry exactly the target's data columns (everything but `part`);
@@ -97,13 +101,34 @@ object Merge {
       val useBroadcast = broadcastKeys.getOrElse(nKeys <= MaxBroadcastKeys)
       val keysJ = if (useBroadcast) broadcast(allKeys) else allKeys
 
-      // ONE pruned (key, part) scan finds the parts that must be rewritten
-      val affected = target.select(col(keyCol), col("part"))
-        .join(keysJ, Seq(keyCol), "left_semi")
-        .select("part").distinct().collect().map(_.getInt(0)).toSeq.sorted
+      // manifest key-stats pruning (E31): parts whose [min, max] bound
+      // cannot contain any key are dropped BEFORE the detection scan — on a
+      // key-clustered table (time-ordered ingest) a point merge touches
+      // O(1) parts of 10^5 without reading a single footer. Sound for any
+      // layout: stat-less parts always remain candidates.
+      val candidates: Seq[Int] =
+        if (nKeys == 0) Seq.empty
+        else if (curSnap.partStats.isEmpty ||
+            target.schema(keyCol).dataType != org.apache.spark.sql.types.StringType)
+          curSnap.parts
+        else {
+          val r = allKeys.agg(min(col(keyCol)).as("lo"), max(col(keyCol)).as("hi"))
+            .collect()(0)
+          SnapshotCatalog.partsForKeyRange(curSnap, r.getString(0), r.getString(1))
+        }
+
+      // ONE pruned (key, part) scan over the candidates finds the parts
+      // that must be rewritten
+      val affected =
+        if (candidates.isEmpty) Seq.empty[Int]
+        else target.filter(col("part").isin(candidates: _*))
+          .select(col(keyCol), col("part"))
+          .join(keysJ, Seq(keyCol), "left_semi")
+          .select("part").distinct().collect().map(_.getInt(0)).toSeq.sorted
 
       if (affected.isEmpty && nSource == 0L)
-        return MergeResult(curSnap, Map.empty, None, noop = true)
+        return MergeResult(curSnap, Map.empty, None, noop = true,
+          candidateParts = candidates)
 
       // fresh ids after everything any manifest OR the data dir has seen
       val base = SnapshotCatalog.maxKnownPart(table) + 1
@@ -127,9 +152,21 @@ object Merge {
       out.write.mode("append").option("compression", codec)
         .partitionBy("part").parquet(s"$table/data")
 
+      // manifest stats for the fresh parts: one narrow (key, part) column
+      // scan of the just-written dirs — O(affected + source), keeps the E31
+      // pruning sharp across merges instead of degrading to stat-less parts
+      val freshIds = rewriteMap.values.toSeq ++ insertPart
+      val freshStats =
+        if (target.schema(keyCol).dataType != org.apache.spark.sql.types.StringType)
+          Map.empty[Int, SnapshotCatalog.PartKeyStats]
+        else SnapshotCatalog.keyStatsOf(
+          spark.read.parquet(s"$table/data")
+            .filter(col("part").isin(freshIds: _*))
+            .select(col(keyCol), col("part")), keyCol)
       val snap = SnapshotCatalog.commitReplacing(table, affected.toSet,
-        rewriteMap.values.toSeq ++ insertPart)
-      MergeResult(snap, rewriteMap, insertPart, noop = false)
+        freshIds, freshStats)
+      MergeResult(snap, rewriteMap, insertPart, noop = false,
+        candidateParts = candidates)
     } finally allKeys.unpersist(blocking = false)
   }
 }

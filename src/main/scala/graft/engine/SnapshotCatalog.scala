@@ -29,7 +29,16 @@ import scala.jdk.CollectionConverters._
   */
 object SnapshotCatalog {
 
-  case class Snapshot(snapshotId: Long, parts: Seq[Int], createdAtMs: Long)
+  /** Per-part key-column statistics carried in the manifest (E31 — the
+    * part-grain analog of Iceberg's per-file column bounds): min/max of the
+    * key column plus the exact row count, written at commit time from the
+    * batch being appended. Key-addressed operations (MERGE affected-part
+    * detection, point lookups) prune parts from the MANIFEST alone — no
+    * footer reads, no data scan — before any job is planned. */
+  case class PartKeyStats(min: String, max: String, rows: Long)
+
+  case class Snapshot(snapshotId: Long, parts: Seq[Int], createdAtMs: Long,
+                      partStats: Map[Int, PartKeyStats] = Map.empty)
 
   private def snapDir(table: String): Path = Paths.get(table, "_snapshots")
 
@@ -59,11 +68,38 @@ object SnapshotCatalog {
     * `codec`: parquet compression. zstd trades plentiful CPU for scarce
     * memory/disk bandwidth — the right default for scan-bound validation
     * passes (see BASELINE.md bandwidth probe); snappy kept for compat. */
+  /** Ids recordable in manifest stats without a JSON escaper — conservative:
+    * an id outside this set just means its part carries no stats (always a
+    * pruning candidate), never a broken manifest. */
+  private val SafeKey = "[A-Za-z0-9._:/-]+".r
+
+  /** Key-column stats of a batch: one aggregation job over `df`
+    * (min/max/count per part — O(batch), the price Iceberg also pays to
+    * collect file bounds at write). Empty when the key column is
+    * absent/non-string or an id needs escaping. */
+  private[engine] def keyStatsOf(df: DataFrame, statsKey: String): Map[Int, PartKeyStats] = {
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
+    if (!df.columns.contains(statsKey) ||
+        df.schema(statsKey).dataType != org.apache.spark.sql.types.StringType)
+      return Map.empty
+    df.groupBy(col("part"))
+      .agg(min(col(statsKey)).as("mn"), max(col(statsKey)).as("mx"),
+        count(lit(1)).as("n"))
+      .collect().flatMap { r =>
+        (Option(r.getString(1)), Option(r.getString(2))) match {
+          case (Some(mn), Some(mx)) if SafeKey.matches(mn) && SafeKey.matches(mx) =>
+            Some(r.getInt(0) -> PartKeyStats(mn, mx, r.getLong(3)))
+          case _ => None
+        }
+      }.toMap
+  }
+
   def commit(table: String, df: DataFrame, codec: String = "zstd",
-             appendedParts: Option[Seq[Int]] = None): Snapshot = {
+             appendedParts: Option[Seq[Int]] = None,
+             statsKey: Option[String] = Some("doc_id")): Snapshot = {
     val spark = df.sparkSession
-    val live: Set[Int] = currentSnapshotId(table)
-      .map(readManifest(table, _).parts.toSet).getOrElse(Set.empty)
+    val cur = currentSnapshotId(table).map(readManifest(table, _))
+    val live: Set[Int] = cur.map(_.parts.toSet).getOrElse(Set.empty)
     val historical: Set[Int] =
       manifestIds(table).flatMap(readManifest(table, _).parts).toSet
     appendedParts.foreach { ps =>
@@ -73,6 +109,7 @@ object SnapshotCatalog {
           "by a rollback — expireSnapshots must GC them before the ids can be " +
           "reused (appending now would mix new rows into retired data dirs)")
     }
+    val freshStats = statsKey.map(keyStatsOf(df, _)).getOrElse(Map.empty)
     df.write.mode("append").option("compression", codec)
       .partitionBy("part").parquet(s"$table/data")
     val fresh: Set[Int] = appendedParts match {
@@ -85,9 +122,12 @@ object SnapshotCatalog {
         dirParts -- historical
     }
     val parts = (live ++ fresh).toSeq.sorted
+    // live parts keep their existing stats; fresh parts get the batch's
+    val stats = cur.map(_.partStats).getOrElse(Map.empty) ++
+      freshStats.view.filterKeys(fresh).toMap
     val id = currentSnapshotId(table).getOrElse(0L) + 1L
-    val snap = Snapshot(id, parts, System.currentTimeMillis())
-    writeManifest(table, id, parts, snap.createdAtMs)
+    val snap = Snapshot(id, parts, System.currentTimeMillis(), stats)
+    writeManifest(table, id, parts, snap.createdAtMs, stats)
     snap
   }
 
@@ -100,10 +140,12 @@ object SnapshotCatalog {
     * current snapshot doesn't have is a caller bug), appended must be FRESH
     * ids never referenced by any manifest (reusing an id would mix rows
     * into retired data dirs). */
-  def commitReplacing(table: String, replaced: Set[Int], appended: Seq[Int]): Snapshot = {
+  def commitReplacing(table: String, replaced: Set[Int], appended: Seq[Int],
+                      appendedStats: Map[Int, PartKeyStats] = Map.empty): Snapshot = {
     val cur = currentSnapshotId(table).getOrElse(
       throw new IllegalArgumentException(s"commitReplacing: no snapshots at $table"))
-    val live = readManifest(table, cur).parts.toSet
+    val curSnap = readManifest(table, cur)
+    val live = curSnap.parts.toSet
     val notLive = replaced -- live
     require(notLive.isEmpty,
       s"commitReplacing: parts ${notLive.toSeq.sorted.mkString(",")} are not in " +
@@ -115,11 +157,28 @@ object SnapshotCatalog {
       s"commitReplacing: appended parts ${reuse.toSeq.sorted.mkString(",")} were " +
         "already referenced by a manifest - copy-on-write rewrites must use fresh ids")
     val parts = ((live -- replaced) ++ appended).toSeq.sorted
+    // surviving parts keep their stats; replaced parts' stats drop out;
+    // appended parts carry stats only when the caller supplied them
+    // (stat-less parts are always pruning candidates — sound, just coarse)
+    val stats = (curSnap.partStats -- replaced) ++
+      appendedStats.view.filterKeys(appended.toSet).toMap
     val id = cur + 1L
-    val snap = Snapshot(id, parts, System.currentTimeMillis())
-    writeManifest(table, id, parts, snap.createdAtMs)
+    val snap = Snapshot(id, parts, System.currentTimeMillis(), stats)
+    writeManifest(table, id, parts, snap.createdAtMs, stats)
     snap
   }
+
+  /** Parts a key-range probe must touch (E31): every part whose manifest
+    * [min, max] intersects [lo, hi], PLUS every part without stats (unknown
+    * range — must be scanned; sound either way, pruning is only ever an
+    * optimization). Pure driver arithmetic over the manifest. */
+  def partsForKeyRange(snap: Snapshot, lo: String, hi: String): Seq[Int] =
+    snap.parts.filter { p =>
+      snap.partStats.get(p) match {
+        case Some(s) => s.min <= hi && lo <= s.max
+        case None => true
+      }
+    }
 
   /** Highest part id visible anywhere — every manifest ever written PLUS the
     * data/ directory names (crash leftovers from a write that died before
@@ -139,10 +198,16 @@ object SnapshotCatalog {
   }
 
   private def writeManifest(table: String, id: Long, parts: Seq[Int],
-                            createdAtMs: Long): Unit = {
+                            createdAtMs: Long,
+                            stats: Map[Int, PartKeyStats] = Map.empty): Unit = {
     Files.createDirectories(snapDir(table))
+    val statsJson =
+      if (stats.isEmpty) ""
+      else stats.toSeq.sortBy(_._1).map { case (p, s) =>
+        s""""$p":["${s.min}","${s.max}",${s.rows}]"""
+      }.mkString(""","part_stats":{""", ",", "}")
     val json =
-      s"""{"snapshot_id":$id,"created_at_ms":$createdAtMs,"parts":[${parts.mkString(",")}]}"""
+      s"""{"snapshot_id":$id,"created_at_ms":$createdAtMs,"parts":[${parts.mkString(",")}]$statsJson}"""
     val tmp = snapDir(table).resolve(s".v$id.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapDir(table).resolve(s"v$id.json"),
@@ -160,8 +225,8 @@ object SnapshotCatalog {
       s"rollbackTo: snapshot $toSnapshotId does not exist (have ${ids.mkString(",")})")
     val target = readManifest(table, toSnapshotId)
     val id = ids.max + 1
-    val snap = Snapshot(id, target.parts, System.currentTimeMillis())
-    writeManifest(table, id, target.parts, snap.createdAtMs)
+    val snap = Snapshot(id, target.parts, System.currentTimeMillis(), target.partStats)
+    writeManifest(table, id, target.parts, snap.createdAtMs, target.partStats)
     snap
   }
 
@@ -209,7 +274,11 @@ object SnapshotCatalog {
       .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq.empty)
     val created = "\"created_at_ms\":([0-9]+)".r.findFirstMatchIn(raw)
       .map(_.group(1).toLong).getOrElse(0L)
-    Snapshot(snapshotId, parts, created)
+    val stats = "\"([0-9]+)\":\\[\"([^\"]*)\",\"([^\"]*)\",([0-9]+)\\]".r
+      .findAllMatchIn(raw).map(m =>
+        m.group(1).toInt -> PartKeyStats(m.group(2), m.group(3), m.group(4).toLong))
+      .toMap
+    Snapshot(snapshotId, parts, created, stats)
   }
 
   /** Snapshot-pinned read: only partitions listed in the manifest are

@@ -155,6 +155,40 @@ class MergeSpec extends AnyFunSuite {
     assert(SnapshotCatalog.read(spark, table, r.snapshot.snapshotId).count() == 260)
   }
 
+  test("manifest key stats (E31): commit records them, key range prunes, merge keeps them fresh") {
+    val (table, s1) = freshTable()
+    // DocsGen ids are doc-<part>-<lid>: per-part ranges are disjoint
+    val st = s1.partStats
+    assert(st.keySet == Set(0, 1, 2))
+    assert(st(0).rows == 100 && st(1).rows == 120 && st(2).rows == 140)
+    assert(st(0).min.startsWith("doc-000-") && st(0).max.startsWith("doc-000-"))
+    assert(st(1).min > st(0).max && st(2).min > st(1).max)
+    // range probe: a part-1-only key range touches exactly part 1
+    assert(SnapshotCatalog.partsForKeyRange(s1, st(1).min, st(1).min) == Seq(1))
+    assert(SnapshotCatalog.partsForKeyRange(s1, st(0).min, st(2).max) == Seq(0, 1, 2))
+    // a part WITHOUT stats is always a candidate
+    val noStats = s1.copy(partStats = st - 2)
+    assert(SnapshotCatalog.partsForKeyRange(noStats, st(1).min, st(1).min) == Seq(1, 2))
+
+    // a merge whose keys live only in part 1 scans ONLY part 1...
+    val before = SnapshotCatalog.read(spark, table, s1.snapshotId)
+    val upd = before.filter($"part" === 1).limit(6)
+      .select(before.columns.filterNot(_ == "part").map(col): _*)
+    val r = Merge.merge(spark, table, upd, Seq.empty[String].toDF("doc_id"))
+    assert(r.candidateParts == Seq(1))
+    assert(r.rewrittenParts.keySet == Set(1))
+    // ...and the snapshot it cuts carries stats for every part, fresh ones
+    // included (pruning stays sharp across merges)
+    assert(r.snapshot.partStats.keySet == r.snapshot.parts.toSet)
+    val rewritten = r.snapshot.partStats(r.rewrittenParts(1))
+    assert(rewritten.rows == 114) // 120 minus the 6 upserted (moved to insert part)
+    assert(rewritten.min.startsWith("doc-001-"))
+    assert(r.snapshot.partStats(r.insertPart.get).rows == 6)
+    // rollback carries stats through
+    val rb = SnapshotCatalog.rollbackTo(table, s1.snapshotId)
+    assert(rb.partStats == s1.partStats)
+  }
+
   test("commitReplacing guards: non-live replaced, reused appended id") {
     val (table, s1) = freshTable()
     intercept[IllegalArgumentException](
