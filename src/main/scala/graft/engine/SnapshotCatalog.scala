@@ -38,7 +38,11 @@ object SnapshotCatalog {
   case class PartKeyStats(min: String, max: String, rows: Long)
 
   case class Snapshot(snapshotId: Long, parts: Seq[Int], createdAtMs: Long,
-                      partStats: Map[Int, PartKeyStats] = Map.empty)
+                      partStats: Map[Int, PartKeyStats] = Map.empty,
+                      /** the snapshot's table schema as Spark schema JSON
+                        * (E32) — None on manifests from before schema
+                        * tracking (reads fall back to footer inference) */
+                      schemaJson: Option[String] = None)
 
   private def snapDir(table: String): Path = Paths.get(table, "_snapshots")
 
@@ -96,7 +100,8 @@ object SnapshotCatalog {
 
   def commit(table: String, df: DataFrame, codec: String = "zstd",
              appendedParts: Option[Seq[Int]] = None,
-             statsKey: Option[String] = Some("doc_id")): Snapshot = {
+             statsKey: Option[String] = Some("doc_id"),
+             allowEvolution: Boolean = false): Snapshot = {
     val spark = df.sparkSession
     val cur = currentSnapshotId(table).map(readManifest(table, _))
     val live: Set[Int] = cur.map(_.parts.toSet).getOrElse(Set.empty)
@@ -108,6 +113,31 @@ object SnapshotCatalog {
         s"commit: parts ${orphanReuse.toSeq.sorted.mkString(",")} were orphaned " +
           "by a rollback — expireSnapshots must GC them before the ids can be " +
           "reused (appending now would mix new rows into retired data dirs)")
+    }
+    // schema evolution gate (E32): the appended batch's schema must EQUAL
+    // the table's, or extend it additively with allowEvolution — a batch
+    // that drops or retypes a leaf would break every reader of the mixed
+    // files, so that always fails loud (Iceberg's compatibility rule).
+    val newSchemaJson = cur.flatMap(_.schemaJson) match {
+      case None => df.schema.json // first commit, or pre-E32 table: adopt
+      case Some(js) =>
+        val before = org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val b = graft.checks.SchemaCheck.flatten(before).toMap
+        val a = graft.checks.SchemaCheck.flatten(df.schema).toMap
+        val removed = b.keySet -- a.keySet
+        val retyped = (b.keySet & a.keySet)
+          .filter(p => !b(p).equalsIgnoreCase(a(p)))
+        require(removed.isEmpty && retyped.isEmpty,
+          s"commit: appended batch drops ${removed.toSeq.sorted.mkString(",")} " +
+            s"/ retypes ${retyped.toSeq.sorted.mkString(",")} vs the table " +
+            "schema - incompatible evolution always fails (readers of the " +
+            "mixed files would break)")
+        val added = a.keySet -- b.keySet
+        require(added.isEmpty || allowEvolution,
+          s"commit: appended batch adds leaf paths ${added.toSeq.sorted.mkString(",")} " +
+            "- pass allowEvolution=true to accept additive schema evolution")
+        if (added.isEmpty) js else df.schema.json
     }
     val freshStats = statsKey.map(keyStatsOf(df, _)).getOrElse(Map.empty)
     df.write.mode("append").option("compression", codec)
@@ -126,8 +156,9 @@ object SnapshotCatalog {
     val stats = cur.map(_.partStats).getOrElse(Map.empty) ++
       freshStats.view.filterKeys(fresh).toMap
     val id = currentSnapshotId(table).getOrElse(0L) + 1L
-    val snap = Snapshot(id, parts, System.currentTimeMillis(), stats)
-    writeManifest(table, id, parts, snap.createdAtMs, stats)
+    val snap = Snapshot(id, parts, System.currentTimeMillis(), stats,
+      Some(newSchemaJson))
+    writeManifest(table, id, parts, snap.createdAtMs, stats, snap.schemaJson)
     snap
   }
 
@@ -163,8 +194,9 @@ object SnapshotCatalog {
     val stats = (curSnap.partStats -- replaced) ++
       appendedStats.view.filterKeys(appended.toSet).toMap
     val id = cur + 1L
-    val snap = Snapshot(id, parts, System.currentTimeMillis(), stats)
-    writeManifest(table, id, parts, snap.createdAtMs, stats)
+    val snap = Snapshot(id, parts, System.currentTimeMillis(), stats,
+      curSnap.schemaJson)
+    writeManifest(table, id, parts, snap.createdAtMs, stats, curSnap.schemaJson)
     snap
   }
 
@@ -199,15 +231,19 @@ object SnapshotCatalog {
 
   private def writeManifest(table: String, id: Long, parts: Seq[Int],
                             createdAtMs: Long,
-                            stats: Map[Int, PartKeyStats] = Map.empty): Unit = {
+                            stats: Map[Int, PartKeyStats] = Map.empty,
+                            schemaJson: Option[String] = None): Unit = {
     Files.createDirectories(snapDir(table))
     val statsJson =
       if (stats.isEmpty) ""
       else stats.toSeq.sortBy(_._1).map { case (p, s) =>
         s""""$p":["${s.min}","${s.max}",${s.rows}]"""
       }.mkString(""","part_stats":{""", ",", "}")
+    // the schema rides LAST as a raw nested JSON object (StructType.json is
+    // valid JSON), so the prefix fields keep their simple regex extraction
+    val schemaPart = schemaJson.map(js => s""","schema":$js""").getOrElse("")
     val json =
-      s"""{"snapshot_id":$id,"created_at_ms":$createdAtMs,"parts":[${parts.mkString(",")}]$statsJson}"""
+      s"""{"snapshot_id":$id,"created_at_ms":$createdAtMs,"parts":[${parts.mkString(",")}]$statsJson$schemaPart}"""
     val tmp = snapDir(table).resolve(s".v$id.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapDir(table).resolve(s"v$id.json"),
@@ -225,8 +261,10 @@ object SnapshotCatalog {
       s"rollbackTo: snapshot $toSnapshotId does not exist (have ${ids.mkString(",")})")
     val target = readManifest(table, toSnapshotId)
     val id = ids.max + 1
-    val snap = Snapshot(id, target.parts, System.currentTimeMillis(), target.partStats)
-    writeManifest(table, id, target.parts, snap.createdAtMs, target.partStats)
+    val snap = Snapshot(id, target.parts, System.currentTimeMillis(),
+      target.partStats, target.schemaJson)
+    writeManifest(table, id, target.parts, snap.createdAtMs, target.partStats,
+      target.schemaJson)
     snap
   }
 
@@ -274,18 +312,41 @@ object SnapshotCatalog {
       .map(_.split(",").map(_.toInt).toSeq).getOrElse(Seq.empty)
     val created = "\"created_at_ms\":([0-9]+)".r.findFirstMatchIn(raw)
       .map(_.group(1).toLong).getOrElse(0L)
+    // stats entries live inside "part_stats":{...} which precedes the
+    // (schema-carrying) tail — bound the match region so schema JSON can
+    // never be misread as stats
+    val statsRegion = raw.indexOf("\"part_stats\":") match {
+      case -1 => ""
+      case i => raw.substring(i, raw.indexOf('}', i) + 1)
+    }
     val stats = "\"([0-9]+)\":\\[\"([^\"]*)\",\"([^\"]*)\",([0-9]+)\\]".r
-      .findAllMatchIn(raw).map(m =>
+      .findAllMatchIn(statsRegion).map(m =>
         m.group(1).toInt -> PartKeyStats(m.group(2), m.group(3), m.group(4).toLong))
       .toMap
-    Snapshot(snapshotId, parts, created, stats)
+    // schema is the raw JSON object from `"schema":` to the manifest's
+    // closing brace (it is always the LAST field when present)
+    val schema = raw.indexOf("\"schema\":") match {
+      case -1 => None
+      case i => Some(raw.substring(i + "\"schema\":".length, raw.length - 1))
+    }
+    Snapshot(snapshotId, parts, created, stats, schema)
   }
 
   /** Snapshot-pinned read: only partitions listed in the manifest are
-    * visible (partition pruning pushes the IN-filter to the scan). */
+    * visible (partition pruning pushes the IN-filter to the scan). Reads
+    * under the SNAPSHOT'S schema when the manifest carries one (E32):
+    * columns added by later evolution project as null over files written
+    * before them, and every reader of a snapshot sees the same columns
+    * regardless of which footer Spark would have sampled. */
   def read(spark: SparkSession, table: String, snapshotId: Long): DataFrame = {
     val snap = readManifest(table, snapshotId)
-    spark.read.parquet(s"$table/data")
+    val reader = snap.schemaJson match {
+      case Some(js) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read
+    }
+    reader.parquet(s"$table/data")
       .filter(org.apache.spark.sql.functions.col("part").isin(snap.parts: _*))
   }
 }
