@@ -329,6 +329,83 @@ object SparkEntry {
             AS share
         FROM c JOIN s USING (part) ORDER BY c.part, c.kind"""
 
+  private val NovelDocsPath = s"/tmp/graft_novel_$pathToken"
+
+  /** DuckDB-oracled novel/lost-category check (E33): a four-part fixture —
+    * two controls, one part emitting a 'chart' kind the reference never saw
+    * (novelKindRate), one part with its 'audio' spans removed (coverage
+    * loss) — is materialized to parquet; the REAL engine path runs (Fit
+    * over part 0 → fused stats scan → DriftChecks.novelKind) and emits the
+    * verdict fields per part. The oracle recomputes novel/lost category
+    * counts, novel span mass, the fraction, and the existence-graded
+    * is_drift from the same parquet — so the reference-kind-set rule, the
+    * null-kind exclusion, and the alarm semantics are hash-checked end to
+    * end. */
+  def entry_novel_kinds(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.{DocsGen, PartSpec}
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1200L, (1200000 * sf).toLong)
+    cleanStaleSiblings("graft_novel_")
+    val specs = Seq(PartSpec(0), PartSpec(1),
+      PartSpec(2, novelKindRate = 0.02), PartSpec(3))
+    DocsGen.docs(spark, nDocs, specs)
+      // part 3 loses the 'audio' category entirely (lost-kind fixture)
+      .withColumn("spans",
+        when($"part" === 3,
+          filter($"spans", s => s.getField("kind").isNull ||
+            s.getField("kind") =!= "audio"))
+          .otherwise($"spans"))
+      .write.mode("overwrite").parquet(NovelDocsPath)
+    val docs = spark.read.parquet(NovelDocsPath)
+    val ref = graft.checks.Fit.fit(docs.filter($"part" === 0),
+      snapshotId = 1L, maxSample = 100)
+    val (summaries, _) = graft.checks.PartStats.computeFused(docs,
+      maxSample = 8, mode = graft.sketch.DocStatsAgg.ModeStats,
+      edges = ref.offsetEdges.toSeq)
+    val rows = graft.checks.DriftChecks.novelKind("driver", 0.05, ref, summaries)
+      .map(v => (v.part, v.metrics("novel_kinds").toLong,
+        v.metrics("novel_spans").toLong, v.metrics("lost_kinds").toLong,
+        v.distance, v.is_drift))
+    rows.toDF("part", "novel_kinds", "novel_spans", "lost_kinds",
+        "novel_frac", "is_drift")
+      .select($"part", $"novel_kinds", $"novel_spans", $"lost_kinds",
+        round($"novel_frac", 6).as("novel_frac"), $"is_drift")
+      .orderBy($"part")
+  }
+
+  private val novelKindsOracleSql: String =
+    s"""WITH flat AS (
+          SELECT part, u.kind AS kind
+          FROM (SELECT part, unnest(spans) AS u
+                FROM read_parquet('$NovelDocsPath/*.parquet'))
+          WHERE u.kind IS NOT NULL),
+        agg AS (SELECT part, kind, count(*) AS n FROM flat GROUP BY 1, 2),
+        ref AS (SELECT DISTINCT kind FROM flat WHERE part = 0),
+        parts AS (SELECT part, sum(n) AS n_tot FROM agg GROUP BY 1),
+        nov AS (
+          SELECT a.part,
+            count(*) FILTER (WHERE r.kind IS NULL) AS novel_kinds,
+            coalesce(sum(a.n) FILTER (WHERE r.kind IS NULL), 0) AS novel_spans
+          FROM agg a LEFT JOIN ref r ON a.kind = r.kind GROUP BY 1),
+        lost AS (
+          SELECT p.part, count(*) AS lost_kinds
+          FROM parts p CROSS JOIN ref r
+          WHERE NOT EXISTS (SELECT 1 FROM agg a
+                            WHERE a.part = p.part AND a.kind = r.kind)
+          GROUP BY 1)
+        SELECT p.part,
+          CAST(coalesce(n.novel_kinds, 0) AS BIGINT) AS novel_kinds,
+          CAST(coalesce(n.novel_spans, 0) AS BIGINT) AS novel_spans,
+          CAST(coalesce(l.lost_kinds, 0) AS BIGINT) AS lost_kinds,
+          round(coalesce(n.novel_spans, 0) * 1.0 / p.n_tot, 6) AS novel_frac,
+          coalesce(n.novel_spans, 0) > 0 AS is_drift
+        FROM parts p
+        LEFT JOIN nov n ON n.part = p.part
+        LEFT JOIN lost l ON l.part = p.part
+        ORDER BY p.part"""
+
   private val MergeBasePath = s"/tmp/graft_merge_base_$pathToken"
   private val MergeSrcPath = s"/tmp/graft_merge_src_$pathToken"
   private val MergeDelPath = s"/tmp/graft_merge_del_$pathToken"
@@ -412,7 +489,8 @@ object SparkEntry {
         "docs_span_seq" -> (entry_docs_span_seq _),
         "uniq_cross_snapshot" -> (entry_uniq_cross_snapshot _),
         "docs_merge" -> (entry_docs_merge _),
-        "docs_drift_attrib" -> (entry_docs_drift_attrib _))
+        "docs_drift_attrib" -> (entry_docs_drift_attrib _),
+        "novel_kinds" -> (entry_novel_kinds _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -424,5 +502,6 @@ object SparkEntry {
         "docs_span_seq" -> spanSeqOracleSql,
         "uniq_cross_snapshot" -> uniqCrossOracleSql,
         "docs_merge" -> mergeOracleSql,
-        "docs_drift_attrib" -> attribOracleSql)
+        "docs_drift_attrib" -> attribOracleSql,
+        "novel_kinds" -> novelKindsOracleSql)
 }

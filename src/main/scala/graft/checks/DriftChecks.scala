@@ -333,6 +333,44 @@ object DriftChecks {
     }
   }
 
+  /** Novel/lost-category check (E33) on the span-kind histogram — the
+    * NOVELTY alarm the pooled-expectation tests can mask: a category the
+    * reference never saw is a schema-drift event in its own right even when
+    * its mass is too small to move χ² or JSD at 10^9 spans (a 0.01 % novel
+    * kind shifts χ² by ~nothing but means an upstream producer changed its
+    * contract). Distance = fraction of the partition's non-null span mass
+    * in categories ABSENT from the reference window; p = 1 when no novel
+    * mass, 0 when any exists (novelty is existence-graded, not sampled —
+    * a category either appeared or it didn't, so the verdict is a hard
+    * alarm, not a test statistic). `lost_kinds` counts reference categories
+    * with zero production mass (coverage loss — reported, not flagged: an
+    * empty or narrow part is the volume check's job). Null kinds are
+    * EXCLUDED on both sides (the `\u0000NULL` sentinel is the null_kind
+    * constraint family's jurisdiction, not a category). Exact integer
+    * counts from the stats pass ⇒ bit-invariant across parallelism; pure
+    * driver arithmetic, zero extra jobs at any table size. */
+  def novelKind(runId: String, alpha: Double, ref: RefState,
+                summaries: Map[Int, PartSummary]): Seq[Verdict] = {
+    val sentinel = "\u0000NULL"
+    val refKinds = ref.kindHist.collect {
+      case (k, n) if n > 0 && k != sentinel => k
+    }.toSet
+    summaries.toSeq.sortBy(_._1).map { case (part, s) =>
+      val prod = s.kindHist.filter { case (k, n) => n > 0 && k != sentinel }
+      val novel = prod.filter { case (k, _) => !refKinds.contains(k) }
+      val lost = refKinds.count(k => !prod.contains(k))
+      val nProd = prod.valuesIterator.sum
+      val novelSpans = novel.valuesIterator.sum
+      val frac = if (nProd == 0) 0.0 else novelSpans.toDouble / nProd
+      Verdict.now(runId, part, "novel_kind", alpha, frac,
+        if (novelSpans == 0) 1.0 else 0.0, None,
+        Map("novel_kinds" -> novel.size.toDouble,
+          "novel_spans" -> novelSpans.toDouble,
+          "lost_kinds" -> lost.toDouble,
+          "n_prod" -> nProd.toDouble), ref.snapshotId)
+    }
+  }
+
   /** MMD + permutation test (E10) on bounded per-partition feature samples vs
     * the fitted reference sample — frouros MMD verbatim in semantics
     * (fit: ml/training.py:131-147; compare: detector_api/app/detector.py:58-60;

@@ -390,6 +390,9 @@ object ValidationRun {
         DriftChecks.psi(cfg.runId, cfg.alpha, ref, summaries) ++
         DriftChecks.emd(cfg.runId, cfg.alpha, ref, summaries) ++
         DriftChecks.jsd(cfg.runId, cfg.alpha, ref, summaries) ++
+        // novel/lost-category (E33): existence-graded novelty alarm over the
+        // same exact kind histograms — zero extra jobs, bit-invariant
+        DriftChecks.novelKind(cfg.runId, cfg.alpha, ref, summaries) ++
         (if (!cfg.echoInputValues) mmdVerdicts
          else mmdVerdicts.map(v => v.copy(input_values =
            samples.get(v.part).map(_.map(_.toSeq).toSeq))))

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   * @param hotKeyFrac    fraction of the partition's docs collapsed onto ONE
   *                      hot doc_id (skew fixture: exercises the salted
   *                      uniqueness stage + AQE on a pathologically hot key)
+  * @param novelKindRate probability a span's kind is 'chart' — a category
+  *                      the control partitions never emit (novelty fixture
+  *                      for the E33 novel-category check). Carved off the
+  *                      TOP of the kind uniform, so rate=0 partitions are
+  *                      bit-identical to pre-fixture output
   */
 case class PartSpec(
     part: Int,
@@ -31,7 +36,8 @@ case class PartSpec(
     dupEvery: Int = 1,
     danglingRate: Double = 0.0,
     nullKindRate: Double = 0.0,
-    hotKeyFrac: Double = 0.0)
+    hotKeyFrac: Double = 0.0,
+    novelKindRate: Double = 0.0)
 
 /** Deterministic, fully-distributed synthetic generator for the interleaved
   * text+media `docs` table (BASELINE.json `input_hint` shape) and the `media`
@@ -161,6 +167,10 @@ object DocsGen {
     val kinds = zip_with(hA, hB, (ha, hb) => {
       val uk = uBits(ha, 3)
       when(uBits(hb, 0) < col("nullKindRate"), lit(null).cast("string"))
+        // novelty fixture: top novelKindRate mass of the uniform becomes a
+        // category no control part emits; uk < 1 always, so rate=0 parts
+        // never take this branch and stay bit-identical
+        .when(uk > lit(1.0) - col("novelKindRate"), lit("chart"))
         .when(uk < cutText, lit("text"))
         .when(uk < cutImage, lit("image"))
         .when(uk < cutAudio, lit("audio"))

@@ -63,7 +63,7 @@ class EngineSpec extends AnyFunSuite {
     val statsPerPart = results.filter($"check_id" === "stats")
       .groupBy("part").count().as[(Int, Long)].collect().toMap
     assert(statsPerPart == (0 to 5).map(_ -> 1L).toMap)
-    assert(results.select("check_id").distinct().count() == 12)
+    assert(results.select("check_id").distinct().count() == 13)
 
     // checks agree between a resumed run and a single clean run:
     // exact for deterministic paths (chi2 on exact counts, seeded MMD);
