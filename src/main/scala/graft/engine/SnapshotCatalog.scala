@@ -268,18 +268,104 @@ object SnapshotCatalog {
     snap
   }
 
+  // ---- named refs (E34): tags pin snapshots, like Iceberg table refs ----
+
+  private def refsDir(table: String): Path = Paths.get(table, "_refs")
+
+  private def validRefName(name: String): Boolean =
+    name.nonEmpty && name.length <= 128 && name.forall(c =>
+      c.isLetterOrDigit || c == '.' || c == '_' || c == '-')
+
+  /** Create (or with `replace=true`, move) a named tag pointing at an
+    * existing snapshot. A tagged snapshot is EXEMPT from [[expireSnapshots]]
+    * retention — the tag is a pin, exactly like an Iceberg tag ref: audit
+    * snapshots ("q3-training-cut") survive routine expiry until the tag is
+    * dropped. Atomic write (tmp + move) like the manifests. */
+  def tag(table: String, name: String, snapshotId: Long,
+          replace: Boolean = false): Unit = {
+    require(validRefName(name),
+      s"tag: name '$name' must be 1-128 chars of [A-Za-z0-9._-]")
+    require(manifestIds(table).contains(snapshotId),
+      s"tag: snapshot $snapshotId does not exist at $table")
+    val f = refsDir(table).resolve(s"$name.json")
+    require(replace || !Files.exists(f),
+      s"tag: '$name' already exists (points at ${tags(table)(name)}) - " +
+        "pass replace=true to move it")
+    Files.createDirectories(refsDir(table))
+    val tmp = refsDir(table).resolve(s".$name.json.tmp")
+    Files.write(tmp,
+      s"""{"name":"$name","snapshot_id":$snapshotId,"created_at_ms":${System.currentTimeMillis()}}"""
+        .getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** All tags: name → snapshot id. */
+  def tags(table: String): Map[String, Long] = {
+    val dir = refsDir(table)
+    if (!Files.exists(dir)) return Map.empty
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.endsWith(".json") && !s.startsWith(".") =>
+        val raw = new String(
+          Files.readAllBytes(dir.resolve(s)), StandardCharsets.UTF_8)
+        val id = "\"snapshot_id\":([0-9]+)".r.findFirstMatchIn(raw)
+          .map(_.group(1).toLong)
+          .getOrElse(sys.error(s"tags: malformed ref file $s"))
+        s.stripSuffix(".json") -> id
+      }.toMap
+  }
+
+  def dropTag(table: String, name: String): Unit = {
+    val f = refsDir(table).resolve(s"$name.json")
+    require(Files.exists(f), s"dropTag: no tag '$name' at $table")
+    Files.delete(f)
+  }
+
+  /** Snapshot-pinned read through a tag name. */
+  def readTag(spark: SparkSession, table: String, name: String): DataFrame = {
+    val id = tags(table).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"readTag: no tag '$name' at $table (have ${tags(table).keys.toSeq.sorted.mkString(",")})"))
+    read(spark, table, id)
+  }
+
+  /** Time travel by wall clock (E34): the latest snapshot whose commit time
+    * is ≤ `tsMs` — Iceberg's `FOR TIMESTAMP AS OF`. Commits in the same
+    * millisecond resolve to the higher id (commit order). None when the
+    * table has no snapshot that old. */
+  def snapshotAsOf(table: String, tsMs: Long): Option[Long] =
+    manifestIds(table).map(readManifest(table, _))
+      .filter(_.createdAtMs <= tsMs)
+      .sortBy(s => (s.createdAtMs, s.snapshotId))
+      .lastOption.map(_.snapshotId)
+
+  /** Snapshot-pinned read as of a wall-clock timestamp. */
+  def readAsOf(spark: SparkSession, table: String, tsMs: Long): DataFrame = {
+    val id = snapshotAsOf(table, tsMs).getOrElse(
+      throw new IllegalArgumentException(
+        s"readAsOf: no snapshot at or before $tsMs at $table " +
+          s"(oldest is ${manifestIds(table).headOption.map(readManifest(table, _).createdAtMs)})"))
+    read(spark, table, id)
+  }
+
   /** Expire every snapshot older than the newest `keepLast` manifests:
     * their manifest files are deleted, and any part directory no longer
     * referenced by a RETAINED manifest is GC'd (orphan cleanup — the only
     * way data ever leaves the table, exactly like Iceberg's
-    * expire_snapshots + orphan-file removal). Returns
+    * expire_snapshots + orphan-file removal). TAGGED snapshots (E34) are
+    * always retained regardless of age — a tag is a pin; drop the tag to
+    * let expiry take the snapshot. Returns
     * (expiredSnapshotIds, removedPartDirs). Retained reads are untouched;
     * reading an expired id fails loud (its manifest is gone). */
   def expireSnapshots(table: String, keepLast: Int): (Seq[Long], Seq[Int]) = {
     require(keepLast >= 1, s"expireSnapshots: keepLast must be >= 1, got $keepLast")
     val ids = manifestIds(table)
     require(ids.nonEmpty, s"expireSnapshots: no snapshots at $table")
-    val (expire, retain) = ids.splitAt(math.max(0, ids.size - keepLast))
+    val tagged = tags(table).values.toSet
+    val (old, recent) = ids.splitAt(math.max(0, ids.size - keepLast))
+    val expire = old.filterNot(tagged)
+    val retain = recent ++ old.filter(tagged)
     val retainedParts = retain.flatMap(readManifest(table, _).parts).toSet
     val expiredParts = expire.flatMap(readManifest(table, _).parts).toSet
     val gcParts = (expiredParts -- retainedParts).toSeq.sorted

@@ -1,0 +1,71 @@
+package graft.engine
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.{DocsGen, PartSpec}
+
+/** Time travel by wall clock + named tag refs (E34): `readAsOf` resolves
+  * the latest snapshot at-or-before a timestamp, tags pin snapshots by
+  * name, and a tagged snapshot is exempt from expiry until the tag drops. */
+class TimeTravelSpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+
+  private def table(n: String) =
+    s"${Files.createTempDirectory(n)}/t"
+
+  test("readAsOf: latest snapshot at-or-before the timestamp; too-early fails loud") {
+    val t = table("tt1")
+    val s1 = SnapshotCatalog.commit(t, DocsGen.docs(spark, 100, Seq(PartSpec(0))))
+    Thread.sleep(5)
+    val s2 = SnapshotCatalog.commit(t, DocsGen.docs(spark, 80, Seq(PartSpec(1))))
+    assert(SnapshotCatalog.snapshotAsOf(t, s1.createdAtMs).contains(s1.snapshotId))
+    assert(SnapshotCatalog.snapshotAsOf(t, s2.createdAtMs - 1).contains(s1.snapshotId))
+    assert(SnapshotCatalog.snapshotAsOf(t, System.currentTimeMillis())
+      .contains(s2.snapshotId))
+    assert(SnapshotCatalog.readAsOf(spark, t, s1.createdAtMs).count() == 100)
+    assert(SnapshotCatalog.readAsOf(spark, t, System.currentTimeMillis()).count() == 180)
+    val e = intercept[IllegalArgumentException](
+      SnapshotCatalog.readAsOf(spark, t, s1.createdAtMs - 1000))
+    assert(e.getMessage.contains("no snapshot at or before"))
+  }
+
+  test("tags: create, read, list, no silent overwrite, replace opt-in, drop") {
+    val t = table("tt2")
+    val s1 = SnapshotCatalog.commit(t, DocsGen.docs(spark, 100, Seq(PartSpec(0))))
+    val s2 = SnapshotCatalog.commit(t, DocsGen.docs(spark, 80, Seq(PartSpec(1))))
+    SnapshotCatalog.tag(t, "training-cut", s1.snapshotId)
+    assert(SnapshotCatalog.tags(t) == Map("training-cut" -> s1.snapshotId))
+    assert(SnapshotCatalog.readTag(spark, t, "training-cut").count() == 100)
+    // duplicate name fails loud; replace moves it
+    val dup = intercept[IllegalArgumentException](
+      SnapshotCatalog.tag(t, "training-cut", s2.snapshotId))
+    assert(dup.getMessage.contains("replace=true"))
+    SnapshotCatalog.tag(t, "training-cut", s2.snapshotId, replace = true)
+    assert(SnapshotCatalog.readTag(spark, t, "training-cut").count() == 180)
+    // unknown snapshot / bad name / unknown tag all loud
+    intercept[IllegalArgumentException](SnapshotCatalog.tag(t, "x", 99L))
+    intercept[IllegalArgumentException](SnapshotCatalog.tag(t, "bad name!", s1.snapshotId))
+    intercept[IllegalArgumentException](SnapshotCatalog.readTag(spark, t, "nope"))
+    SnapshotCatalog.dropTag(t, "training-cut")
+    assert(SnapshotCatalog.tags(t).isEmpty)
+    intercept[IllegalArgumentException](SnapshotCatalog.dropTag(t, "training-cut"))
+  }
+
+  test("a tagged snapshot survives expiry with its data; dropping the tag releases it") {
+    val t = table("tt3")
+    val s1 = SnapshotCatalog.commit(t, DocsGen.docs(spark, 100, Seq(PartSpec(0))))
+    SnapshotCatalog.commit(t, DocsGen.docs(spark, 80, Seq(PartSpec(1))))
+    // rollback to s1 then commit a replacement part: part 1 becomes s1-only
+    SnapshotCatalog.rollbackTo(t, s1.snapshotId)
+    SnapshotCatalog.commit(t, DocsGen.docs(spark, 60, Seq(PartSpec(2))))
+    SnapshotCatalog.tag(t, "pin", 2L) // the snapshot that references part 1
+    val (expired1, gc1) = SnapshotCatalog.expireSnapshots(t, keepLast = 1)
+    // snapshot 2 is tagged: retained; its part 1 must NOT be GC'd
+    assert(!expired1.contains(2L) && !gc1.contains(1))
+    assert(SnapshotCatalog.readTag(spark, t, "pin").count() == 180)
+    // drop the pin: the next expiry takes snapshot 2 and GCs part 1
+    SnapshotCatalog.dropTag(t, "pin")
+    val (expired2, gc2) = SnapshotCatalog.expireSnapshots(t, keepLast = 1)
+    assert(expired2.contains(2L) && gc2.contains(1))
+  }
+}
