@@ -387,6 +387,32 @@ object OpsQueries {
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_correct"),
         count(lit(1)).as("n_total"))
 
+  /** Per-slice accuracy audit (P45) — the slice-grain companion to S17:
+    * per true-label slice, n / correct / accuracy / delta vs the corpus
+    * accuracy, flagged when |delta| exceeds the threshold. The reference's
+    * offline eval reports ONE accuracy per variant (ml/utils/cnn.py:134-144);
+    * model governance at scale needs WHERE the model underperforms. One
+    * narrow scan → O(labels) partial aggregates; the corpus accuracy joins
+    * back from the SAME aggregates via a broadcast 1-row total — no second
+    * data scan, no driver collect, argmax tie-break = first maximum
+    * (array_position), identical to argmax_predict. */
+  def sliceAccuracy(s: SparkSession, dir: String,
+                    threshold: Double = 0.05): DataFrame = {
+    val hit = (array_position(col("embedding"), array_max(col("embedding"))) - 1)
+      .cast("int") === col("label")
+    val per = embs(s, dir).groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), sum(when(hit, 1L).otherwise(0L)).as("n_correct"))
+    val tot = per.agg(sum(col("n")).as("nt"), sum(col("n_correct")).as("ct"))
+    val acc = col("n_correct") / col("n")
+    val overall = col("ct") / col("nt")
+    per.crossJoin(broadcast(tot))
+      .select(col("label"), col("n"), col("n_correct"),
+        round(acc, 6).as("acc"),
+        round(acc - overall, 6).as("acc_delta"),
+        (abs(acc - overall) > threshold).as("flagged"))
+      .orderBy(col("label"))
+  }
+
   def similarityTopK(s: SparkSession, dir: String): DataFrame = {
     val queryVec = embs(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
@@ -1011,6 +1037,16 @@ object OpsQueries {
         queryName = s"stream_out_${System.nanoTime()}")
       .orderBy(col("hr"), col("event_type"))
 
+  /** Streaming novel-category alarm over the events stream: the declared
+    * contract is the four business types — the synthetic feed also emits
+    * 'error', so every window with error traffic alarms. Oracled by a
+    * DuckDB batch replay of the same windowed NOT-IN count. */
+  def streamNovelTypes(s: SparkSession, dir: String): DataFrame =
+    StreamingOps.runNovelTypesStream(s, s"$dir/events.parquet",
+        Seq("click", "purchase", "signup", "view"),
+        queryName = s"novel_stream_${System.nanoTime()}")
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Line-structured corpus for the line-dedup family (the raw docs are
     * single-line word soup): each doc rebuilt as 7-token lines, every doc
     * prefixed with a shared boilerplate header, every 3rd doc suffixed
@@ -1207,6 +1243,7 @@ object OpsQueries {
     "dedup_exact_drop" -> (dedupExactDrop _),
     "argmax_predict" -> (argmaxPredict _),
     "model_accuracy" -> (modelAccuracy _),
+    "slice_accuracy" -> ((s: SparkSession, dir: String) => sliceAccuracy(s, dir)),
     "text_stats" -> (textStats _),
     "lang_distribution" -> (langDistribution _),
     "sample_fraction" -> (sampleFraction _),
@@ -1293,6 +1330,7 @@ object OpsQueries {
     "events_stream_sessions" -> (eventsStreamSessions _),
     "events_stream_asof" -> (eventsStreamAsof _),
     "stream_token_drift" -> (streamTokenDrift _),
+    "stream_novel_types" -> (streamNovelTypes _),
     "events_stream_drift" -> (eventsStreamDrift _))
 
   /** Exact n-gram-Jaccard ground truth over the injected near-dup corpus —
@@ -2593,6 +2631,25 @@ object OpsQueries {
       """SELECT date_trunc('hour', ts) AS hr, event_type, count(*) AS cnt,
          round(sum(value), 4) AS sum_v
          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+    "stream_novel_types" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+         count(*) AS novel_events
+         FROM events
+         WHERE event_type IS NOT NULL
+           AND event_type NOT IN ('click', 'purchase', 'signup', 'view')
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "slice_accuracy" ->
+      """WITH per AS (
+           SELECT label, count(*) AS n,
+             CAST(sum(CASE WHEN CAST(list_indexof(embedding, list_max(embedding)) - 1 AS INT) = label
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+           FROM embeddings GROUP BY 1),
+         tot AS (SELECT sum(n) AS nt, sum(n_correct) AS ct FROM per)
+         SELECT label, n, n_correct,
+           round(n_correct * 1.0 / n, 6) AS acc,
+           round(n_correct * 1.0 / n - ct * 1.0 / nt, 6) AS acc_delta,
+           abs(n_correct * 1.0 / n - ct * 1.0 / nt) > 0.05 AS flagged
+         FROM per, tot ORDER BY label""",
     // subword pieces re-expressed for RE2 (no lookbehind): a piece is
     // punct* followed by a letter run or digit run, or a pure punct run —
     // equivalent to the engine's boundary-split on this grammar

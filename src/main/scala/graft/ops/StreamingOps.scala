@@ -1161,6 +1161,56 @@ object StreamingOps {
     spark.table(queryName).filter(col("user_id") =!= -1L)
   }
 
+  /** Streaming novel-category alarm — the streaming twin of the E33
+    * novel_kind check: per event-time window, the event types OUTSIDE the
+    * declared reference contract, with their counts. Purely declarative
+    * (windowed agg + a literal IN-set filter — no custom state, no join:
+    * the contract is a task-constant literal, so the filter inlines into
+    * whole-stage codegen and the only exchange is the O(novel types ×
+    * windows) slim agg). Existence-graded like the batch check: any row
+    * emitted IS the alarm. Null types never read as novel (the null-kind
+    * family's jurisdiction). Watermark bounds state in append-mode
+    * production; the memory-sink harness runs complete mode. */
+  def novelTypesPerWindow(events: DataFrame, refTypes: Seq[String],
+                          windowLen: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    require(refTypes.nonEmpty, "novelTypesPerWindow: empty reference contract")
+    events.withWatermark("ts", watermark)
+      .filter(col("event_type").isNotNull &&
+        !col("event_type").isin(refTypes: _*))
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("novel_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("novel_events"))
+  }
+
+  /** Drive [[novelTypesPerWindow]] over a parquet file stream into a memory
+    * sink (harness twin of the production append-mode query). */
+  def runNovelTypesStream(spark: SparkSession, parquetPath: String,
+                          refTypes: Seq[String],
+                          queryName: String = "novel_stream"): DataFrame = {
+    val p = java.nio.file.Paths.get(parquetPath)
+    val dir =
+      if (java.nio.file.Files.isDirectory(p)) parquetPath
+      else {
+        val d = java.nio.file.Files.createTempDirectory("graft-novel-stream")
+        java.nio.file.Files.copy(p, d.resolve(p.getFileName))
+        d.toString
+      }
+    val src = spark.readStream.schema(eventSchema).parquet(dir)
+    val q: StreamingQuery = novelTypesPerWindow(src, refTypes)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(queryName)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    if (dir != parquetPath) try {
+      import scala.sys.process._
+      Seq("rm", "-rf", dir).!
+    } catch { case _: Throwable => }
+    spark.table(queryName)
+  }
+
   def runFileStream(spark: SparkSession, parquetPath: String,
                     queryName: String = "stream_out"): DataFrame = {
     // file-stream sources need a DIRECTORY; stage a single-file input

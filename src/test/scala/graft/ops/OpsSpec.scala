@@ -749,9 +749,56 @@ class MultimodalSpec extends AnyFunSuite {
   }
 }
 
+class SliceAccuracySpec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  test("per-slice accuracy: hand values, overall from the same aggregates, threshold gates flagging") {
+    val dir = java.nio.file.Files.createTempDirectory("slice").toString
+    // label 0: 4/4 correct; label 1: 2/4 correct → overall 6/8 = 0.75
+    val rows = (0 until 4).map(i =>
+        (i.toLong, Seq(1.0f, 0.0f), 0)) ++
+      Seq((4L, Seq(0.0f, 1.0f), 1), (5L, Seq(0.0f, 1.0f), 1),
+        (6L, Seq(1.0f, 0.0f), 1), (7L, Seq(1.0f, 0.0f), 1))
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val got = OpsQueries.sliceAccuracy(spark, dir, threshold = 0.2)
+      .as[(Int, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0, 4L, 4L, 1.0, 0.25, true),
+      (1, 4L, 2L, 0.5, -0.25, true)))
+    // a wider threshold un-flags the same deltas
+    val loose = OpsQueries.sliceAccuracy(spark, dir, threshold = 0.3)
+      .as[(Int, Long, Long, Double, Double, Boolean)].collect().toSeq
+    assert(loose.forall(!_._6))
+  }
+}
+
 class StreamingOpsSpec extends AnyFunSuite {
   lazy val spark = graft.SparkTestBase.spark
   import spark.implicits._
+
+  test("streaming novel-type alarm equals the batch replay; contract types and nulls never alarm") {
+    val refTypes = Seq("click", "purchase", "signup", "view")
+    val streamed = StreamingOps.runNovelTypesStream(spark,
+        "/root/testdata/sf0.001/events.parquet", refTypes, "novel_spec")
+      .orderBy($"window_start", $"event_type")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    val batch = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .filter($"event_type".isNotNull && !$"event_type".isin(refTypes: _*))
+      .groupBy(date_trunc("hour", $"ts").as("window_start"), $"event_type")
+      .agg(count(lit(1)).as("novel_events"))
+      .orderBy($"window_start", $"event_type")
+      .as[(java.sql.Timestamp, String, Long)].collect()
+    assert(streamed.nonEmpty, "the synthetic feed emits 'error' outside the contract")
+    assert(streamed.sameElements(batch))
+    assert(streamed.forall(_._2 == "error"), "only the off-contract type alarms")
+    // full contract = nothing novel, stream emits zero rows
+    val all = StreamingOps.runNovelTypesStream(spark,
+      "/root/testdata/sf0.001/events.parquet",
+      refTypes :+ "error", "novel_spec_none")
+    assert(all.isEmpty)
+  }
 
   test("streaming hourly agg equals the batch equivalent") {
     val streamed = StreamingOps.runFileStream(spark,
