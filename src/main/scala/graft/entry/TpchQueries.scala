@@ -316,7 +316,64 @@ object TpchQueries {
       .orderBy($"hr", $"event_type")
   }
 
+  /** Generic one-pass column profiler (E35) over orders at the exact-
+    * distinct oracle-gate config; floats rounded so the two engines'
+    * summation orders cannot differ at the hash grain. */
+  def tableProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.checks.Profiler.profile(t(s, dir, "orders"), exactDistinct = true)
+      .select($"column", $"n", $"null_count",
+        round($"null_rate", 6).as("null_rate"), $"distinct_est",
+        round($"min_num", 6).as("min_num"), round($"max_num", 6).as("max_num"),
+        round($"mean", 4).as("mean"), round($"stddev", 4).as("stddev"),
+        $"min_str", $"max_str", $"min_ts", $"max_ts",
+        round($"avg_length", 4).as("avg_length"), $"max_length")
+      .orderBy($"column")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "table_profile" -> {
+      def num(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS null_count,
+            round((count(*) - count($c)) * 1.0 / count(*), 6) AS null_rate,
+            CAST(count(DISTINCT $c) AS BIGINT) AS distinct_est,
+            round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+            round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+            round(avg(CAST($c AS DOUBLE)), 4) AS mean,
+            round(stddev_pop(CAST($c AS DOUBLE)), 4) AS stddev,
+            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+            CAST(NULL AS VARCHAR) AS min_ts, CAST(NULL AS VARCHAR) AS max_ts,
+            CAST(NULL AS DOUBLE) AS avg_length, CAST(NULL AS BIGINT) AS max_length
+            FROM orders"""
+      def str(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS null_count,
+            round((count(*) - count($c)) * 1.0 / count(*), 6) AS null_rate,
+            CAST(count(DISTINCT $c) AS BIGINT) AS distinct_est,
+            CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+            CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS stddev,
+            min($c) AS min_str, max($c) AS max_str,
+            CAST(NULL AS VARCHAR) AS min_ts, CAST(NULL AS VARCHAR) AS max_ts,
+            round(avg(length($c) * 1.0), 4) AS avg_length,
+            CAST(max(length($c)) AS BIGINT) AS max_length
+            FROM orders"""
+      def ts(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS null_count,
+            round((count(*) - count($c)) * 1.0 / count(*), 6) AS null_rate,
+            CAST(count(DISTINCT $c) AS BIGINT) AS distinct_est,
+            CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+            CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS stddev,
+            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+            strftime(min($c), '%Y-%m-%d %H:%M:%S') AS min_ts,
+            strftime(max($c), '%Y-%m-%d %H:%M:%S') AS max_ts,
+            CAST(NULL AS DOUBLE) AS avg_length, CAST(NULL AS BIGINT) AS max_length
+            FROM orders"""
+      Seq(num("o_orderkey"), num("o_custkey"), str("o_orderstatus"),
+        num("o_totalprice"), ts("o_orderdate"), str("o_orderpriority"))
+        .mkString("", " UNION ALL ", " ORDER BY \"column\"")
+    },
     // exact count + literal TRUE: the engine-side boolean flips (and the
     // hash breaks) if the merged HLL estimate leaves the 2% band
     "hll_orders" ->
@@ -463,5 +520,6 @@ object TpchQueries {
     "topk_orders" -> (topkOrders _),
     "freq_hot_keys" -> (freqHotKeys _),
     "skew_join_hot" -> (skewJoinHot _),
+    "table_profile" -> (tableProfile _),
     "events_hourly_agg" -> (eventsHourlyAgg _))
 }
