@@ -46,8 +46,8 @@ object Profiler {
   /** The un-executed single-row fused aggregate behind [[profile]] — exposed
     * so the plan shape (no join; no Expand on the approx path) is
     * spec-assertable. */
-  private[checks] def aggPlan(df: DataFrame, columns: Seq[String],
-                              exactDistinct: Boolean): DataFrame = {
+  private[graft] def aggPlan(df: DataFrame, columns: Seq[String],
+                             exactDistinct: Boolean): DataFrame = {
     val fields = resolveFields(df, columns)
     def distinctOf(c: Column): Column =
       if (exactDistinct) count_distinct(c) else approx_count_distinct(c)

@@ -162,6 +162,19 @@ object PlanCheck {
     println(interesting(graft.ops.Sample.upsampleByFactors(
       docs.select($"doc_id", $"part".cast("string").as("grp")),
       "doc_id", "grp", Map("3" -> 2.5), 1.0).queryExecution.executedPlan))
+
+    println("\n=== column profiler (ONE fused aggregate over all columns — " +
+      "no Join, no Expand on the default HLL path) ===")
+    println(interesting(graft.checks.Profiler.aggPlan(docs, Seq.empty,
+      exactDistinct = false).queryExecution.executedPlan))
+
+    println("\n=== streaming novel-type alarm, batch twin (literal NOT-IN " +
+      "filter inlines before the slim windowed agg — no join against the " +
+      "contract) ===")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    println(interesting(graft.ops.StreamingOps.novelTypesPerWindow(
+      events, Seq("click", "purchase", "signup", "view"))
+      .queryExecution.executedPlan))
     spark.stop()
   }
 }
