@@ -268,6 +268,44 @@ object SnapshotCatalog {
     snap
   }
 
+  /** One row of the table-history audit surface (E36). */
+  case class HistoryEntry(
+      snapshot_id: Long, created_at_ms: Long, n_parts: Int,
+      added_parts: Seq[Int], removed_parts: Seq[Int],
+      known_rows: Option[Long], schema_changed: Boolean, tags: Seq[String])
+
+  /** The table's commit history as a DataFrame — Iceberg's `history` /
+    * `snapshots` metadata tables folded into one audit surface: per
+    * snapshot, the parts it added/removed vs its parent, the exact row
+    * count when every live part carries manifest key stats (None otherwise
+    * — stat-less parts make the total unknowable without a scan, and an
+    * audit surface must not silently plan one), whether the schema changed,
+    * and the tag names pinning it. Pure driver metadata: O(snapshots ×
+    * parts) manifest reads, zero jobs at any table size. */
+  def history(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val snaps = manifestIds(table).map(readManifest(table, _))
+    val tagsById = tags(table).toSeq.groupBy(_._2)
+      .map { case (id, kvs) => id -> kvs.map(_._1).sorted }
+    val entries = snaps.zip(None +: snaps.map(Some(_))).map {
+      case (s, parent) =>
+        val pParts = parent.map(_.parts.toSet).getOrElse(Set.empty[Int])
+        HistoryEntry(
+          snapshot_id = s.snapshotId,
+          created_at_ms = s.createdAtMs,
+          n_parts = s.parts.size,
+          added_parts = s.parts.filterNot(pParts).sorted,
+          removed_parts = (pParts -- s.parts.toSet).toSeq.sorted,
+          known_rows =
+            if (s.parts.forall(s.partStats.contains))
+              Some(s.parts.map(s.partStats(_).rows).sum)
+            else None,
+          schema_changed = parent.exists(_.schemaJson != s.schemaJson),
+          tags = tagsById.getOrElse(s.snapshotId, Seq.empty))
+    }
+    spark.createDataset(entries).toDF()
+  }
+
   // ---- named refs (E34): tags pin snapshots, like Iceberg table refs ----
 
   private def refsDir(table: String): Path = Paths.get(table, "_refs")

@@ -51,6 +51,33 @@ class TimeTravelSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SnapshotCatalog.dropTag(t, "training-cut"))
   }
 
+  test("history: adds/removes per snapshot, known rows from key stats, schema + tag annotations") {
+    import org.apache.spark.sql.functions.lit
+    val t = table("tt4")
+    SnapshotCatalog.commit(t, DocsGen.docs(spark, 100, Seq(PartSpec(0))))
+    SnapshotCatalog.commit(t,
+      DocsGen.docs(spark, 80, Seq(PartSpec(1))).withColumn("quality", lit(1.0)),
+      allowEvolution = true)
+    SnapshotCatalog.rollbackTo(t, 1L)
+    SnapshotCatalog.tag(t, "cut", 2L)
+    val h = SnapshotCatalog.history(spark, t).collect()
+      .map(r => r.getAs[Long]("snapshot_id") -> r).toMap
+    assert(h.keySet == Set(1L, 2L, 3L))
+    assert(h(1L).getAs[scala.collection.Seq[Int]]("added_parts").toSeq == Seq(0) &&
+      h(1L).getAs[scala.collection.Seq[Int]]("removed_parts").isEmpty)
+    assert(h(2L).getAs[scala.collection.Seq[Int]]("added_parts").toSeq == Seq(1))
+    assert(h(3L).getAs[scala.collection.Seq[Int]]("removed_parts").toSeq == Seq(1),
+      "the rollback removes part 1 vs its parent")
+    // commit default records key stats → exact row counts known
+    assert(h(1L).getAs[Long]("known_rows") == 100L)
+    assert(h(2L).getAs[Long]("known_rows") == 180L)
+    assert(h(2L).getAs[Boolean]("schema_changed") &&
+      !h(1L).getAs[Boolean]("schema_changed") &&
+      h(3L).getAs[Boolean]("schema_changed"))
+    assert(h(2L).getAs[scala.collection.Seq[String]]("tags").toSeq == Seq("cut") &&
+      h(1L).getAs[scala.collection.Seq[String]]("tags").isEmpty)
+  }
+
   test("a tagged snapshot survives expiry with its data; dropping the tag releases it") {
     val t = table("tt3")
     val s1 = SnapshotCatalog.commit(t, DocsGen.docs(spark, 100, Seq(PartSpec(0))))
