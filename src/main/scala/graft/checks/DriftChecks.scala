@@ -508,6 +508,87 @@ object DriftChecks {
     spark.createDataFrame(spark.sparkContext.parallelize(out, 1), outSchema)
   }
 
+  /** E37: sliced chi² drift — the two-sample homogeneity test at the
+    * (window × slice) grain, e.g. "did the category mix move per language
+    * per day". The flagship checks finish their statistics on the driver
+    * because their grain is O(partitions); at 10^6 slices × windows the
+    * VERDICT SET is itself big data, so here the statistic computes AS a
+    * DataFrame: one slim (window, slice, category) count exchange, the
+    * per-slice reference joined back, the (window, slice)×category grid
+    * completed relationally (zero-count cells matter to χ²), pooled-
+    * expectation terms summed per (window, slice). Same universe/degenerate
+    * rules as [[chi2]]/[[graft.stats.StatMath.chi2TwoSample]]: cells with
+    * r+o=0 drop, a (window, slice) with <2 kept categories or an empty
+    * side emits NO row (the attrib posture). The reference window compared
+    * with itself reads exactly 0. Output: (window, slice, n_ref, n_prod,
+    * dof, stat) — stat is a float sum, so cross-partitioning comparison is
+    * at the rounding grain (callers round; the driver query rounds to 6).
+    * P-values need the incomplete gamma (not expressible as built-in
+    * columns); [[chi2SlicedVerdicts]] finishes them on the driver for
+    * bounded output grains. */
+  def chi2Sliced(df: org.apache.spark.sql.DataFrame, windowCol: String,
+                 sliceCol: String, catCol: String,
+                 refWindow: Any): (org.apache.spark.sql.DataFrame, () => Unit) = {
+    import org.apache.spark.sql.functions._
+    // the slim counts frame backs FOUR branches (wins/universe/ref/grid);
+    // without the persist each branch re-scans the BASE table — O(keys)
+    // memory buys a single full-data pass (the globalOrdinal pattern).
+    // Call release() once the returned plan has been consumed.
+    val counts = df
+      .select(col(windowCol).as("w"), col(sliceCol).as("s"), col(catCol).as("k"))
+      .groupBy("w", "s", "k").agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => { counts.unpersist(blocking = false); () }
+    val wins = counts.select("w", "s").distinct()
+    val universe = counts.select("s", "k").distinct()
+    val ref = counts.filter(col("w") === lit(refWindow))
+      .select(col("s"), col("k"), col("o").as("r"))
+    val grid = wins.join(universe, "s")
+      .join(counts, Seq("w", "s", "k"), "left").na.fill(0L, Seq("o"))
+      .join(ref, Seq("s", "k"), "left").na.fill(0L, Seq("r"))
+    val tot = grid.groupBy("w", "s").agg(
+      sum("r").as("n_ref"), sum("o").as("n_prod"),
+      sum(when(col("r") + col("o") > 0, 1).otherwise(0)).as("kept"))
+    val out = grid.join(tot, Seq("w", "s"))
+      .filter(col("r") + col("o") > 0 && col("kept") >= 2 &&
+        col("n_ref") > 0 && col("n_prod") > 0)
+      .withColumn("pooled",
+        (col("r") + col("o")).cast("double") / (col("n_ref") + col("n_prod")))
+      .withColumn("term",
+        pow(col("r") - col("pooled") * col("n_ref"), 2) / (col("pooled") * col("n_ref")) +
+          pow(col("o") - col("pooled") * col("n_prod"), 2) / (col("pooled") * col("n_prod")))
+      .groupBy("w", "s")
+      .agg(first("n_ref").as("n_ref"), first("n_prod").as("n_prod"),
+        (first("kept") - 1).cast("int").as("dof"), sum("term").as("stat"))
+      .withColumnRenamed("w", windowCol).withColumnRenamed("s", sliceCol)
+    (out, release)
+  }
+
+  /** Driver-finished verdict tier over [[chi2Sliced]]: p via the regularized
+    * incomplete gamma, is_drift = p ≤ alpha. Collects the O(windows×slices)
+    * statistic rows — callers own the bound (filter on stat first when the
+    * grain is huge; the relational tier is the any-scale surface). */
+  def chi2SlicedVerdicts(df: org.apache.spark.sql.DataFrame, windowCol: String,
+                         sliceCol: String, catCol: String, refWindow: Any,
+                         alpha: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    val (rel, release) = chi2Sliced(df, windowCol, sliceCol, catCol, refWindow)
+    val base = rel.schema
+    val rows = try rel.collect().map { r =>
+      val stat = r.getAs[Double]("stat")
+      val dof = r.getAs[Int]("dof")
+      val p = StatMath.chi2Sf(stat, dof)
+      org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(p, p <= alpha))
+    } finally release()
+    val schema = org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("p_value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("is_drift",
+        org.apache.spark.sql.types.BooleanType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   def mmdExactDistance(spark: SparkSession, docs: org.apache.spark.sql.DataFrame,
                        ref: RefState, maxRows: Int = 1 << 20,
                        blockSize: Int = 2048): Map[Int, Double] = {

@@ -316,6 +316,26 @@ object TpchQueries {
       .orderBy($"hr", $"event_type")
   }
 
+  /** E37 sliced chi² drift: per (ship-year window × linestatus slice), the
+    * returnflag-mix homogeneity statistic vs the 1995 reference window —
+    * computed fully relationally (the any-scale tier). The 1995 rows are
+    * the self-comparison control (stat exactly 0). */
+  def chi2SlicedYears(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select(year($"l_shipdate").as("yr"), $"l_linestatus".as("status"),
+        $"l_returnflag".as("flag"))
+    val (rel, release) = graft.checks.DriftChecks.chi2Sliced(
+      li, "yr", "status", "flag", 1995)
+    val out = rel.select($"yr", $"status", $"n_ref", $"n_prod", $"dof",
+        round($"stat", 6).as("stat"))
+      .orderBy($"yr", $"status")
+    // materialize, then release the managed counts persist deterministically
+    val rows = out.collect()
+    release()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Generic one-pass column profiler (E35) over orders at the exact-
     * distinct oracle-gate config; floats rounded so the two engines'
     * summation orders cannot differ at the hash grain. */
@@ -332,6 +352,38 @@ object TpchQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "chi2_sliced_years" ->
+      """WITH counts AS (
+           SELECT year(l_shipdate) AS w, l_linestatus AS s, l_returnflag AS k,
+             count(*) AS o
+           FROM lineitem GROUP BY 1, 2, 3),
+         wins AS (SELECT DISTINCT w, s FROM counts),
+         universe AS (SELECT DISTINCT s, k FROM counts),
+         ref AS (SELECT s, k, o AS r FROM counts WHERE w = 1995),
+         grid AS (
+           SELECT wn.w, wn.s, u.k, coalesce(c.o, 0) AS o, coalesce(rf.r, 0) AS r
+           FROM wins wn JOIN universe u ON wn.s = u.s
+           LEFT JOIN counts c ON c.w = wn.w AND c.s = wn.s AND c.k = u.k
+           LEFT JOIN ref rf ON rf.s = wn.s AND rf.k = u.k),
+         tot AS (
+           SELECT w, s, sum(r) AS n_ref, sum(o) AS n_prod,
+             sum(CASE WHEN r + o > 0 THEN 1 ELSE 0 END) AS kept
+           FROM grid GROUP BY 1, 2),
+         terms AS (
+           SELECT g.w, g.s, t.n_ref, t.n_prod, t.kept,
+             (g.r + g.o) * 1.0 / (t.n_ref + t.n_prod) AS pooled,
+             g.r, g.o
+           FROM grid g JOIN tot t ON g.w = t.w AND g.s = t.s
+           WHERE g.r + g.o > 0 AND t.kept >= 2 AND t.n_ref > 0 AND t.n_prod > 0)
+         SELECT w AS yr, s AS status,
+           CAST(min(n_ref) AS BIGINT) AS n_ref,
+           CAST(min(n_prod) AS BIGINT) AS n_prod,
+           CAST(min(kept) - 1 AS INT) AS dof,
+           round(sum(
+             (r - pooled * n_ref) * (r - pooled * n_ref) / (pooled * n_ref)
+             + (o - pooled * n_prod) * (o - pooled * n_prod) / (pooled * n_prod)), 6)
+             AS stat
+         FROM terms GROUP BY 1, 2 ORDER BY 1, 2""",
     "table_profile" -> {
       def num(c: String) =
         s"""SELECT '$c' AS "column", count(*) AS n,
@@ -521,5 +573,6 @@ object TpchQueries {
     "freq_hot_keys" -> (freqHotKeys _),
     "skew_join_hot" -> (skewJoinHot _),
     "table_profile" -> (tableProfile _),
+    "chi2_sliced_years" -> (chi2SlicedYears _),
     "events_hourly_agg" -> (eventsHourlyAgg _))
 }

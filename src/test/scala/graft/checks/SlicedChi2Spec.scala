@@ -1,0 +1,79 @@
+package graft.checks
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.stats.StatMath
+
+/** Sliced chi² drift (E37): the fully-relational (window × slice) two-sample
+  * homogeneity statistic must equal the driver-side StatMath arithmetic the
+  * flagship chi2 check uses, drop the same degenerate grains, isolate
+  * per-slice shifts, and read exactly 0 on the reference's self-comparison. */
+class SlicedChi2Spec extends AnyFunSuite {
+  lazy val spark = graft.SparkTestBase.spark
+  import spark.implicits._
+
+  // counts → replicated rows: (window, slice, category) grain
+  private def rowsOf(counts: (Int, String, String, Int)*) =
+    counts.flatMap { case (w, s, k, n) => Seq.fill(n)((w, s, k)) }
+      .toDF("w", "s", "k")
+
+  private val df = rowsOf(
+    // slice A, ref window 0: 60/40 x/y; window 1 SHIFTED to 20/80
+    (0, "A", "x", 60), (0, "A", "y", 40),
+    (1, "A", "x", 20), (1, "A", "y", 80),
+    // slice B: identical mix in both windows (no drift)
+    (0, "B", "x", 50), (0, "B", "y", 50),
+    (1, "B", "x", 48), (1, "B", "y", 52))
+
+  test("relational stat equals StatMath.chi2TwoSample per (window, slice)") {
+    val (rel, release) = DriftChecks.chi2Sliced(df, "w", "s", "k", 0)
+    val got = try rel.collect().map(r => (r.getInt(0), r.getString(1)) -> r).toMap
+      finally release()
+    def expect(ref: Seq[Long], prod: Seq[Long]) =
+      StatMath.chi2TwoSample(ref.toArray, prod.toArray)._1
+    assert(math.abs(got((1, "A")).getAs[Double]("stat") -
+      expect(Seq(60, 40), Seq(20, 80))) < 1e-9)
+    assert(math.abs(got((1, "B")).getAs[Double]("stat") -
+      expect(Seq(50, 50), Seq(48, 52))) < 1e-9)
+    // the drifted slice carries the signal, the stable slice does not
+    assert(got((1, "A")).getAs[Double]("stat") > 30.0)
+    assert(got((1, "B")).getAs[Double]("stat") < 1.0)
+    // self-comparison control: the reference window reads EXACTLY 0
+    assert(got((0, "A")).getAs[Double]("stat") == 0.0)
+    assert(got((0, "B")).getAs[Double]("stat") == 0.0)
+    // bookkeeping: totals and dof
+    assert(got((1, "A")).getAs[Long]("n_ref") == 100L &&
+      got((1, "A")).getAs[Long]("n_prod") == 100L &&
+      got((1, "A")).getAs[Int]("dof") == 1)
+  }
+
+  test("degenerate grains drop: slice absent from the reference emits no row") {
+    val extra = df.union(rowsOf((1, "C", "x", 30), (1, "C", "y", 10)))
+    val (rel, release) = DriftChecks.chi2Sliced(extra, "w", "s", "k", 0)
+    val got = try rel.select("w", "s").as[(Int, String)].collect().toSet
+      finally release()
+    assert(!got.exists(_._2 == "C"), "no reference side -> no test")
+    assert(got == Set((0, "A"), (0, "B"), (1, "A"), (1, "B")))
+  }
+
+  test("stat is partitioning-invariant at the rounding grain") {
+    def run(d: org.apache.spark.sql.DataFrame) = {
+      val (rel, release) = DriftChecks.chi2Sliced(d, "w", "s", "k", 0)
+      try rel.select($"w", $"s", round($"stat", 6).as("st"))
+        .as[(Int, String, Double)].collect().sorted.toSeq
+      finally release()
+    }
+    assert(run(df) == run(df.repartition(13)))
+  }
+
+  test("verdict tier: p from the incomplete gamma, is_drift at alpha") {
+    val v = DriftChecks.chi2SlicedVerdicts(df, "w", "s", "k", 0, alpha = 0.01)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r).toMap
+    val a = v((1, "A"))
+    assert(a.getAs[Double]("p_value") ==
+      StatMath.chi2Sf(a.getAs[Double]("stat"), a.getAs[Int]("dof")))
+    assert(a.getAs[Boolean]("is_drift"))
+    assert(!v((1, "B")).getAs[Boolean]("is_drift"))
+    assert(!v((0, "A")).getAs[Boolean]("is_drift"))
+  }
+}
