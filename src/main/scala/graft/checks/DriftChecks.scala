@@ -564,6 +564,77 @@ object DriftChecks {
     (out, release)
   }
 
+  /** E38: sliced KS drift — [[chi2Sliced]]'s numeric twin at the
+    * (window × slice) grain, computed fully relationally. Exact empirical
+    * CDFs: one slim (window, slice, value) count exchange (persisted
+    * managed, base scanned once), the per-(window,slice) grid completed
+    * over the slice's value domain so both CDFs evaluate at every support
+    * point, cumulative sums via a window PARTITIONED BY (window, slice) —
+    * never a global sort — and D = max |F_ref − F_prod| per grain. EXACT
+    * for discrete/bucketed domains (the engine posture since the exact-CDF
+    * fit grid): continuous columns must be bucketed first
+    * (`width_bucket`/KLL edges), or the value grid IS the data. The
+    * reference window self-compares to exactly 0. Output: (window, slice,
+    * n_ref, n_prod, ks_d); p-values (Kolmogorov asymptotics) finish on the
+    * driver via [[ksSlicedVerdicts]] for bounded grains. */
+  def ksSliced(df: org.apache.spark.sql.DataFrame, windowCol: String,
+               sliceCol: String, valueCol: String,
+               refWindow: Any): (org.apache.spark.sql.DataFrame, () => Unit) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(windowCol).as("w"), col(sliceCol).as("s"), col(valueCol).as("v"))
+      .groupBy("w", "s", "v").agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => { counts.unpersist(blocking = false); () }
+    val wins = counts.select("w", "s").distinct()
+    val universe = counts.select("s", "v").distinct()
+    val ref = counts.filter(col("w") === lit(refWindow))
+      .select(col("s"), col("v"), col("o").as("r"))
+    val grid = wins.join(universe, "s")
+      .join(counts, Seq("w", "s", "v"), "left").na.fill(0L, Seq("o"))
+      .join(ref, Seq("s", "v"), "left").na.fill(0L, Seq("r"))
+    val cumW = Window.partitionBy("w", "s").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val totW = Window.partitionBy("w", "s")
+    val out = grid
+      .withColumn("cum_o", sum("o").over(cumW))
+      .withColumn("cum_r", sum("r").over(cumW))
+      .withColumn("n_prod", sum("o").over(totW))
+      .withColumn("n_ref", sum("r").over(totW))
+      .filter(col("n_ref") > 0 && col("n_prod") > 0)
+      .withColumn("d",
+        abs(col("cum_r").cast("double") / col("n_ref") -
+          col("cum_o").cast("double") / col("n_prod")))
+      .groupBy("w", "s")
+      .agg(first("n_ref").as("n_ref"), first("n_prod").as("n_prod"),
+        max("d").as("ks_d"))
+      .withColumnRenamed("w", windowCol).withColumnRenamed("s", sliceCol)
+    (out, release)
+  }
+
+  /** Driver-finished verdict tier over [[ksSliced]]: p via Kolmogorov
+    * asymptotics on the exact side counts; is_drift = p ≤ alpha. Same
+    * bounded-grain contract as [[chi2SlicedVerdicts]]. */
+  def ksSlicedVerdicts(df: org.apache.spark.sql.DataFrame, windowCol: String,
+                       sliceCol: String, valueCol: String, refWindow: Any,
+                       alpha: Double = 0.05): org.apache.spark.sql.DataFrame = {
+    val spark = df.sparkSession
+    val (rel, release) = ksSliced(df, windowCol, sliceCol, valueCol, refWindow)
+    val base = rel.schema
+    val rows = try rel.collect().map { r =>
+      val d = r.getAs[Double]("ks_d")
+      val p = StatMath.ksPValue(d, r.getAs[Long]("n_ref"), r.getAs[Long]("n_prod"))
+      org.apache.spark.sql.Row.fromSeq(r.toSeq ++ Seq(p, p <= alpha))
+    } finally release()
+    val schema = org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("p_value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("is_drift",
+        org.apache.spark.sql.types.BooleanType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), schema)
+  }
+
   /** Driver-finished verdict tier over [[chi2Sliced]]: p via the regularized
     * incomplete gamma, is_drift = p ≤ alpha. Collects the O(windows×slices)
     * statistic rows — callers own the bound (filter on stat first when the

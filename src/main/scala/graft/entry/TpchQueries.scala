@@ -336,6 +336,24 @@ object TpchQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** E38 sliced KS drift: per (ship-year window × linestatus slice), the
+    * exact empirical-CDF KS distance of l_quantity vs the 1995 reference
+    * window — the numeric twin of chi2_sliced_years, same relational tier. */
+  def ksSlicedYears(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select(year($"l_shipdate").as("yr"), $"l_linestatus".as("status"),
+        $"l_quantity".cast("int").as("q"))
+    val (rel, release) = graft.checks.DriftChecks.ksSliced(
+      li, "yr", "status", "q", 1995)
+    val out = rel.select($"yr", $"status", $"n_ref", $"n_prod",
+        round($"ks_d", 6).as("ks_d"))
+      .orderBy($"yr", $"status")
+    val rows = out.collect()
+    release()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Generic one-pass column profiler (E35) over orders at the exact-
     * distinct oracle-gate config; floats rounded so the two engines'
     * summation orders cannot differ at the hash grain. */
@@ -352,6 +370,34 @@ object TpchQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "ks_sliced_years" ->
+      """WITH counts AS (
+           SELECT year(l_shipdate) AS w, l_linestatus AS s,
+             CAST(l_quantity AS INT) AS v, count(*) AS o
+           FROM lineitem GROUP BY 1, 2, 3),
+         wins AS (SELECT DISTINCT w, s FROM counts),
+         universe AS (SELECT DISTINCT s, v FROM counts),
+         ref AS (SELECT s, v, o AS r FROM counts WHERE w = 1995),
+         grid AS (
+           SELECT wn.w, wn.s, u.v, coalesce(c.o, 0) AS o, coalesce(rf.r, 0) AS r
+           FROM wins wn JOIN universe u ON wn.s = u.s
+           LEFT JOIN counts c ON c.w = wn.w AND c.s = wn.s AND c.v = u.v
+           LEFT JOIN ref rf ON rf.s = wn.s AND rf.v = u.v),
+         cum AS (
+           SELECT w, s, v,
+             sum(o) OVER (PARTITION BY w, s ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS cum_o,
+             sum(r) OVER (PARTITION BY w, s ORDER BY v
+               ROWS UNBOUNDED PRECEDING) AS cum_r,
+             sum(o) OVER (PARTITION BY w, s) AS n_prod,
+             sum(r) OVER (PARTITION BY w, s) AS n_ref
+           FROM grid)
+         SELECT w AS yr, s AS status,
+           CAST(min(n_ref) AS BIGINT) AS n_ref,
+           CAST(min(n_prod) AS BIGINT) AS n_prod,
+           round(max(abs(cum_r * 1.0 / n_ref - cum_o * 1.0 / n_prod)), 6) AS ks_d
+         FROM cum WHERE n_ref > 0 AND n_prod > 0
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "chi2_sliced_years" ->
       """WITH counts AS (
            SELECT year(l_shipdate) AS w, l_linestatus AS s, l_returnflag AS k,
@@ -574,5 +620,6 @@ object TpchQueries {
     "skew_join_hot" -> (skewJoinHot _),
     "table_profile" -> (tableProfile _),
     "chi2_sliced_years" -> (chi2SlicedYears _),
+    "ks_sliced_years" -> (ksSlicedYears _),
     "events_hourly_agg" -> (eventsHourlyAgg _))
 }

@@ -48,6 +48,23 @@ object SlicedProbe {
     require(medDrift > maxClean,
       s"planted drift must dominate: median drifted stat $medDrift vs max clean $maxClean")
 
+    // numeric twin over a 100-point discrete value domain derived from the
+    // same hash (drifted slices shift the value distribution up)
+    val vdf = df.withColumn("v",
+      (pmod(xxhash64(col("id"), lit(77)), lit(100L)) +
+        when(col("s") % 10 === 7 && col("w") >= 10, 20L).otherwise(0L)).cast("int"))
+    t0 = System.nanoTime()
+    val (ksRel, ksRelease) = graft.checks.DriftChecks.ksSliced(vdf, "w", "s", "v", 0)
+    val ksStats = ksRel.select(col("w"), col("s"), col("ks_d")).collect()
+    val ksWall = (System.nanoTime() - t0) / 1e9
+    ksRelease()
+    val ksDrift = ksStats.filter(r => r.getInt(1) % 10 == 7 && r.getInt(0) >= 10)
+      .map(_.getDouble(2))
+    val ksCleanMax = ksStats.filter(r => !(r.getInt(1) % 10 == 7 && r.getInt(0) >= 10))
+      .map(_.getDouble(2)).max
+    require(ksDrift.min > ksCleanMax,
+      s"planted numeric drift must dominate: min drifted D ${ksDrift.min} vs max clean $ksCleanMax")
+
     t0 = System.nanoTime()
     val prof = graft.checks.Profiler.profile(df)
     val nProf = prof.count()
@@ -55,8 +72,9 @@ object SlicedProbe {
 
     println(f"""{"rows":$rows,"cores":$cores,"chi2_sliced_wall_s":$chi2Wall%.1f,""" +
       f""""grains":${stats.length},"median_drifted_stat":$medDrift%.1f,""" +
-      f""""max_clean_stat":$maxClean%.1f,"profile_wall_s":$profWall%.1f,""" +
-      f""""profile_cols":$nProf}""")
+      f""""max_clean_stat":$maxClean%.1f,"ks_sliced_wall_s":$ksWall%.1f,""" +
+      f""""min_drifted_d":${ksDrift.min}%.3f,"max_clean_d":$ksCleanMax%.3f,""" +
+      f""""profile_wall_s":$profWall%.1f,"profile_cols":$nProf}""")
     spark.stop()
   }
 }

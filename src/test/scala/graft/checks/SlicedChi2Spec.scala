@@ -66,6 +66,34 @@ class SlicedChi2Spec extends AnyFunSuite {
     assert(run(df) == run(df.repartition(13)))
   }
 
+  test("sliced KS: exact empirical-CDF D per (window, slice), self-comparison 0, slice isolation") {
+    // numeric fixture at the value grain: slice A shifts up in window 1
+    val ndf = Seq(
+      (0, "A", 1, 50), (0, "A", 2, 30), (0, "A", 3, 20),
+      (1, "A", 1, 10), (1, "A", 2, 30), (1, "A", 3, 60),
+      (0, "B", 1, 40), (0, "B", 2, 60),
+      (1, "B", 1, 42), (1, "B", 2, 58)
+    ).flatMap { case (w, s, v, n) => Seq.fill(n)((w, s, v)) }.toDF("w", "s", "v")
+    val (rel, release) = DriftChecks.ksSliced(ndf, "w", "s", "v", 0)
+    val got = try rel.collect().map(r => (r.getInt(0), r.getString(1)) -> r).toMap
+      finally release()
+    // hand D for (1,A): ref cum props (.5,.8,1), prod (.1,.4,1) -> max .4
+    assert(math.abs(got((1, "A")).getAs[Double]("ks_d") - 0.4) < 1e-12)
+    // (1,B): cum (.4,1) vs (.42,1) -> .02
+    assert(math.abs(got((1, "B")).getAs[Double]("ks_d") - 0.02) < 1e-12)
+    assert(got((0, "A")).getAs[Double]("ks_d") == 0.0 &&
+      got((0, "B")).getAs[Double]("ks_d") == 0.0)
+    assert(got((1, "A")).getAs[Long]("n_ref") == 100L &&
+      got((1, "A")).getAs[Long]("n_prod") == 100L)
+    // verdict tier agrees with StatMath's Kolmogorov asymptotics
+    val v = DriftChecks.ksSlicedVerdicts(ndf, "w", "s", "v", 0)
+      .collect().map(r => (r.getInt(0), r.getString(1)) -> r).toMap
+    val a = v((1, "A"))
+    assert(a.getAs[Double]("p_value") ==
+      graft.stats.StatMath.ksPValue(a.getAs[Double]("ks_d"), 100L, 100L))
+    assert(a.getAs[Boolean]("is_drift") && !v((1, "B")).getAs[Boolean]("is_drift"))
+  }
+
   test("verdict tier: p from the incomplete gamma, is_drift at alpha") {
     val v = DriftChecks.chi2SlicedVerdicts(df, "w", "s", "k", 0, alpha = 0.01)
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r).toMap
