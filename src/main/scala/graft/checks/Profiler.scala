@@ -49,8 +49,14 @@ object Profiler {
   private[graft] def aggPlan(df: DataFrame, columns: Seq[String],
                              exactDistinct: Boolean): DataFrame = {
     val fields = resolveFields(df, columns)
-    def distinctOf(c: Column): Column =
-      if (exactDistinct) count_distinct(c) else approx_count_distinct(c)
+    // maps are unhashable and unorderable in Spark (no hash(), no distinct,
+    // no group-by) — a MapType column profiles to counts only, with the
+    // cardinality sentinel -1 rather than an analysis-time crash
+    def distinctOf(f: StructField, c: Column): Column = f.dataType match {
+      case _: MapType => lit(-1L)
+      case _ if exactDistinct => count_distinct(c)
+      case _ => approx_count_distinct(c)
+    }
     // one fused aggregate: every column contributes its typed slice of
     // aggregates; names are positional (p<i>_<k>) so the single result row
     // unpacks deterministically
@@ -59,7 +65,7 @@ object Profiler {
         val c = col(f.name)
         val base = Seq(
           count(c).as(s"p${i}_n"),
-          distinctOf(c).as(s"p${i}_d"))
+          distinctOf(f, c).as(s"p${i}_d"))
         val detail = f.dataType match {
           case _: NumericType => Seq(
             min(c).cast("double").as(s"p${i}_min"),

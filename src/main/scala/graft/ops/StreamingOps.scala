@@ -1175,6 +1175,9 @@ object StreamingOps {
                           windowLen: String = "1 hour",
                           watermark: String = "2 hours"): DataFrame = {
     require(refTypes.nonEmpty, "novelTypesPerWindow: empty reference contract")
+    require(refTypes.forall(_ != null),
+      "novelTypesPerWindow: null in the reference contract - null types are " +
+        "never novel by definition (the null-kind family's jurisdiction)")
     events.withWatermark("ts", watermark)
       .filter(col("event_type").isNotNull &&
         !col("event_type").isin(refTypes: _*))

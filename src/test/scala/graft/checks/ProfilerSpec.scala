@@ -62,6 +62,15 @@ class ProfilerSpec extends AnyFunSuite {
     assert(empty.getAs[Long]("n") == 0 && empty.getAs[Double]("null_rate") == 0.0)
   }
 
+  test("a MapType column profiles to counts with the -1 cardinality sentinel, not a crash") {
+    val m = Seq((1, Map("a" -> 1)), (2, Map("b" -> 2))).toDF("id", "kv")
+    val p = Profiler.profile(m, exactDistinct = true).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(p("kv").getAs[Long]("n") == 2 && p("kv").getAs[Long]("null_count") == 0)
+    assert(p("kv").getAs[Long]("distinct_est") == -1L)
+    assert(p("id").getAs[Long]("distinct_est") == 2L)
+  }
+
   test("approx (default) and exact cardinalities agree at small scale; timestamps format") {
     val t = Seq(
       (java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 1),
