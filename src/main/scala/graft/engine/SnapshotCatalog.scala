@@ -212,6 +212,30 @@ object SnapshotCatalog {
       }
     }
 
+  /** Snapshot-pinned read PRUNED to a key range (E31 read side): only parts
+    * whose manifest [min, max] intersects [lo, hi] — plus stat-less parts,
+    * which must stay candidates — reach the scan's partition filter; the
+    * key predicate itself is pushed too, so parquet row-group stats prune
+    * WITHIN the surviving parts. On a key-clustered table a point lookup
+    * plans against O(1) of 10^5 parts from the manifest alone, zero footer
+    * reads, zero jobs before the one pruned scan. */
+  def readKeyRange(spark: SparkSession, table: String, snapshotId: Long,
+                   keyCol: String, lo: String, hi: String): DataFrame = {
+    require(lo <= hi, s"readKeyRange: lo '$lo' > hi '$hi'")
+    val snap = readManifest(table, snapshotId)
+    val parts = partsForKeyRange(snap, lo, hi)
+    val reader = snap.schemaJson match {
+      case Some(js) => spark.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read
+    }
+    import org.apache.spark.sql.functions.col
+    reader.parquet(s"$table/data")
+      .filter(col("part").isin(parts: _*))
+      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+  }
+
   /** Highest part id visible anywhere — every manifest ever written PLUS the
     * data/ directory names (crash leftovers from a write that died before
     * its manifest commit are real dirs a fresh id must not collide with).

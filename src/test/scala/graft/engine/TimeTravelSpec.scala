@@ -78,6 +78,35 @@ class TimeTravelSpec extends AnyFunSuite {
       h(1L).getAs[scala.collection.Seq[String]]("tags").isEmpty)
   }
 
+  test("readKeyRange: manifest stats prune parts before the scan; key predicate pushes to parquet") {
+    val t = table("tt5")
+    // three parts with disjoint doc_id ranges (doc-<part>-<lid>)
+    val s = SnapshotCatalog.commit(t, DocsGen.docs(spark, 300,
+      Seq(PartSpec(0), PartSpec(1), PartSpec(2))))
+    val pruned = SnapshotCatalog.readKeyRange(spark, t, s.snapshotId,
+      "doc_id", "doc-001-000000000", "doc-001-999999999")
+    // only part 1 survives to the scan's PartitionFilters — the manifest
+    // range cut parts 0 and 2 before any file planning
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
+    assert(pf.contains("(1)") || pf.contains("= 1"),
+      s"part 1 must be the only partition candidate: $pf")
+    assert(!pf.contains("0,") && !pf.contains("2)"),
+      s"parts 0/2 must be pruned by the manifest range: $pf")
+    assert(pruned.count() == 100)
+    // the key predicate reaches the parquet scan (row-group pruning inside
+    // the surviving part)
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual(doc_id"))
+    // a range owned by part 0 plans only part 0
+    val p0 = SnapshotCatalog.readKeyRange(spark, t, s.snapshotId,
+      "doc_id", "doc-000-000000000", "doc-000-999999999")
+    val pf0 = "PartitionFilters: \\[[^\\]]*\\]".r
+      .findFirstIn(p0.queryExecution.executedPlan.toString).getOrElse("")
+    assert((pf0.contains("(0)") || pf0.contains("= 0")) && p0.count() == 100)
+    intercept[IllegalArgumentException](
+      SnapshotCatalog.readKeyRange(spark, t, s.snapshotId, "doc_id", "z", "a"))
+  }
+
   test("a tagged snapshot survives expiry with its data; dropping the tag releases it") {
     val t = table("tt3")
     val s1 = SnapshotCatalog.commit(t, DocsGen.docs(spark, 100, Seq(PartSpec(0))))
