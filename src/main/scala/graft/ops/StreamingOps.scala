@@ -1161,6 +1161,81 @@ object StreamingOps {
     spark.table(queryName).filter(col("user_id") =!= -1L)
   }
 
+  // ---- streaming ingestion INTO the snapshot catalog (E39) ----
+
+  /** Commit ONE micro-batch as ONE catalog snapshot — the foreachBatch body
+    * of [[runCatalogIngestStream]], exposed for synchronous testing. Each
+    * batch lands as a fresh part (`maxKnownPart + 1`, so crash-orphan dirs
+    * are never reused) through the full commit path: schema-evolution gate
+    * (E32) and manifest key stats (E31) apply to streaming ingest exactly
+    * as to batch ingest. Idempotent under foreachBatch RE-DELIVERY: the
+    * committed batch id is recorded as a `stream-batch-<id>` tag on the
+    * snapshot (atomic ref write), and a re-delivered id is skipped; since
+    * a restarted stream can only re-run its LATEST batch, older markers
+    * are dropped on each commit so they never pin snapshots against
+    * expiry. The commit→tag pair is not transactional — a crash exactly
+    * between them re-commits one batch on restart (the standard two-phase
+    * sink caveat without a transaction log; the catalog is single-writer).
+    * Returns the new snapshot id, or None when the batch was already
+    * committed. */
+  def commitMicroBatch(table: String, batch: DataFrame, batchId: Long,
+                       statsKey: Option[String] = Some("doc_id"),
+                       allowEvolution: Boolean = false): Option[Long] = {
+    import graft.engine.SnapshotCatalog
+    val marker = s"stream-batch-$batchId"
+    val existing = SnapshotCatalog.tags(table)
+    if (existing.contains(marker)) return None
+    val part = SnapshotCatalog.maxKnownPart(table) + 1
+    val snap = SnapshotCatalog.commit(table,
+      batch.withColumn("part", lit(part)),
+      appendedParts = Some(Seq(part)), statsKey = statsKey,
+      allowEvolution = allowEvolution)
+    SnapshotCatalog.tag(table, marker, snap.snapshotId)
+    existing.keys.filter(_.startsWith("stream-batch-"))
+      .foreach(SnapshotCatalog.dropTag(table, _))
+    Some(snap.snapshotId)
+  }
+
+  /** Drive a file stream of doc batches into the catalog: the corpus is
+    * staged into `slices` files, each arriving as its own micro-batch
+    * (maxFilesPerTrigger=1) and committing as its own snapshot via
+    * [[commitMicroBatch]] — auto-snapshot-per-batch ingestion, the
+    * production bridge between an arriving crawl and the validated,
+    * time-travelable table every other engine surface reads. Returns the
+    * committed snapshot ids in order. */
+  def runCatalogIngestStream(spark: SparkSession, corpus: DataFrame,
+                             table: String, slices: Int): Seq[Long] = {
+    import java.nio.file.Files
+    require(slices >= 1, "runCatalogIngestStream: slices must be >= 1")
+    val srcDir = Files.createTempDirectory("graft-ingest-staged")
+    val hashed = corpus.withColumn("__slice",
+      pmod(xxhash64(col("doc_id"), lit("ingest")), lit(slices.toLong)).cast("int"))
+    var fileIdx = 0
+    (0 until slices).foreach { i =>
+      fileIdx = appendStagedFile(
+        hashed.filter(col("__slice") === i).drop("__slice"),
+        srcDir, Seq(f"b$i%03d"), fileIdx)
+    }
+    val ids = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val src = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitMicroBatch(table, batch, batchId).foreach(ids += _)
+        ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ingest-ckpt").toString)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    try {
+      import scala.sys.process._
+      Seq("rm", "-rf", srcDir.toString).!
+    } catch { case _: Throwable => }
+    ids.toSeq
+  }
+
   /** Streaming novel-category alarm — the streaming twin of the E33
     * novel_kind check: per event-time window, the event types OUTSIDE the
     * declared reference contract, with their counts. Purely declarative
