@@ -37,6 +37,51 @@ class CatalogIngestSpec extends AnyFunSuite {
     assert(markers.toSeq == Seq("stream-batch-2"))
   }
 
+  test("continuous pipeline: streamed snapshots validate incrementally - only the new part pays") {
+    import graft.engine.{RunConfig, SnapshotCatalog, ValidationRun}
+    import graft.checks.Fit
+    val tmp = Files.createTempDirectory("ing3")
+    val table = s"$tmp/t"
+    val resultsPath = s"$tmp/results"
+    val violationsPath = s"$tmp/violations"
+    val media = DocsGen.media(spark)
+    val docs = corpus(900).withColumn("__slice",
+      pmod(xxhash64($"doc_id", lit("s")), lit(3L)).cast("int")).cache()
+    def slice(i: Int) = docs.filter($"__slice" === i).drop("__slice")
+
+    // batch 0 arrives → snapshot 1, validated the ordinary way
+    StreamingOps.commitMicroBatch(table, slice(0), batchId = 0L)
+    val ref1 = Fit.fit(SnapshotCatalog.read(spark, table, 1L),
+      snapshotId = 1L, maxSample = 100)
+    val cfg = RunConfig(runId = "ing-v1", maxSample = 100, numPermutations = 5)
+    ValidationRun.runResumable(spark, SnapshotCatalog.read(spark, table, 1L),
+      media, ref1, cfg, resultsPath, violationsPath, knownParts = Some(Seq(0)))
+
+    // each later batch → one snapshot → one incremental run over ITS part only
+    (1 to 2).foreach { b =>
+      StreamingOps.commitMicroBatch(table, slice(b), batchId = b.toLong)
+      val snap = (b + 1).toLong
+      val r = ValidationRun.runIncremental(spark, table, media,
+        ref1.copy(snapshotId = snap), cfg.copy(runId = s"ing-v$snap"),
+        resultsPath, violationsPath,
+        fromSnapshot = snap - 1, toSnapshot = snap)
+      assert(r.newParts == Seq(b), s"only batch $b's part is scanned")
+      assert(r.carriedParts == (0 until b).toSeq)
+      assert(r.crossDupCounts.isEmpty, "streamed doc_ids are disjoint")
+    }
+
+    // the final snapshot's verdict set covers every streamed part, with the
+    // first batch's verdicts carried (lineage marker), the last one scanned
+    val res = spark.read.parquet(resultsPath).filter($"snapshot_id" === 3L)
+    assert(res.filter($"check_id" === "stats")
+      .select("part").as[Int].collect().toSet == Set(0, 1, 2))
+    // (volume is the one run-window-scoped family: recomputed, not carried)
+    assert(res.filter($"part" === 0 && $"check_id" =!= "volume" &&
+      element_at($"metrics", "validated_at_snapshot").isNull).count() == 0)
+    assert(res.filter($"part" === 2 &&
+      element_at($"metrics", "validated_at_snapshot").isNotNull).count() == 0)
+  }
+
   test("re-delivered batch id is a no-op; the schema gate still applies to streaming ingest") {
     val table = s"${Files.createTempDirectory("ing2")}/t"
     val docs = corpus(100)
