@@ -387,6 +387,36 @@ object OpsQueries {
       .agg(sum(when(col("hit"), 1L).otherwise(0L)).as("n_correct"),
         count(lit(1)).as("n_total"))
 
+  /** Model calibration report (P46) — the reliability diagram behind every
+    * "is the model's confidence honest" audit: per confidence decile, the
+    * sample count, mean softmax-top confidence, empirical accuracy, and
+    * their gap (whose n-weighted sum is the expected calibration error).
+    * Softmax top probability computed max-shifted (1 / Σ exp(β(x − max)) —
+    * overflow-safe, and the max term needs no exp); β is the inverse
+    * temperature sharpening the synthetic near-uniform logits so the
+    * diagram spans its bins (a real model's logits arrive pre-sharpened;
+    * β=1 is the identity). Argmax tie-break = first maximum like
+    * argmax_predict. One narrow scan → O(bins) rows. */
+  def calibrationReport(s: SparkSession, dir: String, bins: Int = 10,
+                        invTemp: Double = 16.0): DataFrame = {
+    // all-double logits on BOTH engines: float-vs-double subtraction differs
+    // in the last ULP, which could flip a confidence sitting on a bin edge
+    val e = col("embedding").cast("array<double>")
+    val mx = array_max(e)
+    val conf = lit(1.0) / aggregate(e, lit(0.0d),
+      (acc, x) => acc + exp(lit(invTemp) * (x - mx)))
+    val correct = (array_position(e, mx) - 1).cast("int") === col("label")
+    embs(s, dir)
+      .select(conf.as("conf"), correct.cast("int").as("ok"))
+      .withColumn("bin", least(floor(col("conf") * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("conf")), 6).as("avg_conf"),
+        round(avg(col("ok")), 6).as("acc"),
+        round(abs(avg(col("conf")) - avg(col("ok"))), 6).as("gap"))
+      .orderBy(col("bin"))
+  }
+
   /** Per-slice accuracy audit (P45) — the slice-grain companion to S17:
     * per true-label slice, n / correct / accuracy / delta vs the corpus
     * accuracy, flagged when |delta| exceeds the threshold. The reference's
@@ -1244,6 +1274,7 @@ object OpsQueries {
     "argmax_predict" -> (argmaxPredict _),
     "model_accuracy" -> (modelAccuracy _),
     "slice_accuracy" -> ((s: SparkSession, dir: String) => sliceAccuracy(s, dir)),
+    "calibration_report" -> ((s: SparkSession, dir: String) => calibrationReport(s, dir)),
     "text_stats" -> (textStats _),
     "lang_distribution" -> (langDistribution _),
     "sample_fraction" -> (sampleFraction _),
@@ -2638,6 +2669,23 @@ object OpsQueries {
          WHERE event_type IS NOT NULL
            AND event_type NOT IN ('click', 'purchase', 'signup', 'view')
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "calibration_report" ->
+      """WITH e AS (
+           SELECT CAST(embedding AS DOUBLE[]) AS emb, label FROM embeddings),
+         t AS (
+           SELECT 1.0 / list_sum(list_transform(emb,
+                    x -> exp(16.0 * (x - list_max(emb))))) AS conf,
+             CASE WHEN CAST(list_indexof(emb, list_max(emb)) - 1 AS INT) = label
+                  THEN 1 ELSE 0 END AS ok
+           FROM e),
+         b AS (
+           SELECT CAST(least(floor(conf * 10), 9) AS INT) AS bin, conf, ok
+           FROM t)
+         SELECT bin, count(*) AS n,
+           round(avg(conf), 6) AS avg_conf,
+           round(avg(ok * 1.0), 6) AS acc,
+           round(abs(avg(conf) - avg(ok * 1.0)), 6) AS gap
+         FROM b GROUP BY 1 ORDER BY 1""",
     "slice_accuracy" ->
       """WITH per AS (
            SELECT label, count(*) AS n,
