@@ -47,7 +47,8 @@ object Profiler {
     * so the plan shape (no join; no Expand on the approx path) is
     * spec-assertable. */
   private[graft] def aggPlan(df: DataFrame, columns: Seq[String],
-                             exactDistinct: Boolean): DataFrame = {
+                             exactDistinct: Boolean,
+                             groupBy: Option[String] = None): DataFrame = {
     val fields = resolveFields(df, columns)
     // maps are unhashable and unorderable in Spark (no hash(), no distinct,
     // no group-by) — a MapType column profiles to counts only, with the
@@ -83,22 +84,21 @@ object Profiler {
         }
         base ++ detail
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    groupBy match {
+      case Some(g) => df.groupBy(col(g)).agg(aggs.head, aggs.tail: _*)
+      case None => df.agg(aggs.head, aggs.tail: _*)
+    }
   }
 
-  def profile(df: DataFrame, columns: Seq[String] = Seq.empty,
-              exactDistinct: Boolean = false): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val fields = resolveFields(df, columns)
-    val row = aggPlan(df, columns, exactDistinct).head()
+  /** Unpack one aggregate result row into per-column profiles. */
+  private def unpack(row: org.apache.spark.sql.Row,
+                     fields: Seq[StructField]): Seq[ColumnProfile] = {
     def opt[T](name: String): Option[T] =
       if (row.schema.fieldNames.contains(name) && !row.isNullAt(row.fieldIndex(name)))
         Some(row.getAs[T](name))
       else None
-
     val total = row.getAs[Long]("rows")
-    val profiles = fields.zipWithIndex.map { case (f, i) =>
+    fields.zipWithIndex.map { case (f, i) =>
       val nonNull = row.getAs[Long](s"p${i}_n")
       ColumnProfile(
         column = f.name, dtype = f.dataType.simpleString, n = total,
@@ -112,6 +112,44 @@ object Profiler {
         avg_length = opt[Double](s"p${i}_alen"),
         max_length = opt[Long](s"p${i}_mlen"))
     }
-    spark.createDataset(profiles).toDF()
+  }
+
+  /** Per-group profiles (the slice-grain profiler): one fused aggregate per
+    * group — a single groupBy exchange of O(groups × columns) scalars, then
+    * a driver-side pivot to (group, column) profile rows. An AUDIT surface:
+    * the driver holds O(groups × columns) rows, so the caller owns the
+    * group-cardinality bound (per-source / per-language / per-day grains;
+    * for 10^6-slice grains use the relational sliced-drift family, which
+    * never collects). */
+  def profileBy(df: DataFrame, groupCol: String,
+                columns: Seq[String] = Seq.empty,
+                exactDistinct: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fields = resolveFields(df,
+      if (columns.isEmpty) df.columns.filterNot(_ == groupCol).toSeq else columns)
+    require(fields.forall(_.name != groupCol),
+      s"profileBy: group column '$groupCol' cannot also be profiled")
+    val rows = aggPlan(df, fields.map(_.name), exactDistinct,
+      groupBy = Some(groupCol)).collect()
+    val profiles = rows.toSeq.flatMap { row =>
+      val g = Option(row.get(row.fieldIndex(groupCol))).map(_.toString).orNull
+      unpack(row, fields).map(p => (g, p))
+    }
+    profiles.map { case (g, p) => (g, p.column, p.dtype, p.n, p.null_count,
+      p.null_rate, p.distinct_est, p.min_num, p.max_num, p.mean, p.stddev,
+      p.min_str, p.max_str, p.min_ts, p.max_ts, p.avg_length, p.max_length)
+    }.toDF("group", "column", "dtype", "n", "null_count", "null_rate",
+      "distinct_est", "min_num", "max_num", "mean", "stddev", "min_str",
+      "max_str", "min_ts", "max_ts", "avg_length", "max_length")
+  }
+
+  def profile(df: DataFrame, columns: Seq[String] = Seq.empty,
+              exactDistinct: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val fields = resolveFields(df, columns)
+    val row = aggPlan(df, columns, exactDistinct).head()
+    spark.createDataset(unpack(row, fields)).toDF()
   }
 }

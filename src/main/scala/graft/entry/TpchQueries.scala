@@ -369,7 +369,50 @@ object TpchQueries {
       .orderBy($"column")
   }
 
+  /** Per-group profiler (E35 slice grain) over orders by o_orderstatus —
+    * two numeric columns + one string column at the exact-distinct gate. */
+  def tableProfileBy(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.checks.Profiler.profileBy(t(s, dir, "orders"), "o_orderstatus",
+        columns = Seq("o_custkey", "o_totalprice", "o_orderpriority"),
+        exactDistinct = true)
+      .select($"group", $"column", $"n", $"null_count",
+        round($"null_rate", 6).as("null_rate"), $"distinct_est",
+        round($"min_num", 6).as("min_num"), round($"max_num", 6).as("max_num"),
+        round($"mean", 4).as("mean"), round($"stddev", 4).as("stddev"),
+        $"min_str", $"max_str",
+        round($"avg_length", 4).as("avg_length"), $"max_length")
+      .orderBy($"group", $"column")
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "table_profile_by" -> {
+      def num(c: String) =
+        s"""SELECT o_orderstatus AS "group", '$c' AS "column", count(*) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS null_count,
+            round((count(*) - count($c)) * 1.0 / count(*), 6) AS null_rate,
+            CAST(count(DISTINCT $c) AS BIGINT) AS distinct_est,
+            round(CAST(min($c) AS DOUBLE), 6) AS min_num,
+            round(CAST(max($c) AS DOUBLE), 6) AS max_num,
+            round(avg(CAST($c AS DOUBLE)), 4) AS mean,
+            round(stddev_pop(CAST($c AS DOUBLE)), 4) AS stddev,
+            CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str,
+            CAST(NULL AS DOUBLE) AS avg_length, CAST(NULL AS BIGINT) AS max_length
+            FROM orders GROUP BY 1"""
+      def str(c: String) =
+        s"""SELECT o_orderstatus AS "group", '$c' AS "column", count(*) AS n,
+            CAST(count(*) - count($c) AS BIGINT) AS null_count,
+            round((count(*) - count($c)) * 1.0 / count(*), 6) AS null_rate,
+            CAST(count(DISTINCT $c) AS BIGINT) AS distinct_est,
+            CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+            CAST(NULL AS DOUBLE) AS mean, CAST(NULL AS DOUBLE) AS stddev,
+            min($c) AS min_str, max($c) AS max_str,
+            round(avg(length($c) * 1.0), 4) AS avg_length,
+            CAST(max(length($c)) AS BIGINT) AS max_length
+            FROM orders GROUP BY 1"""
+      Seq(num("o_custkey"), num("o_totalprice"), str("o_orderpriority"))
+        .mkString("", " UNION ALL ", """ ORDER BY "group", "column"""")
+    },
     "ks_sliced_years" ->
       """WITH counts AS (
            SELECT year(l_shipdate) AS w, l_linestatus AS s,
@@ -619,6 +662,7 @@ object TpchQueries {
     "freq_hot_keys" -> (freqHotKeys _),
     "skew_join_hot" -> (skewJoinHot _),
     "table_profile" -> (tableProfile _),
+    "table_profile_by" -> (tableProfileBy _),
     "chi2_sliced_years" -> (chi2SlicedYears _),
     "ks_sliced_years" -> (ksSlicedYears _),
     "events_hourly_agg" -> (eventsHourlyAgg _))

@@ -87,6 +87,30 @@ class ProfilerSpec extends AnyFunSuite {
     assert(exact("v").getAs[Long]("distinct_est") == 2)
   }
 
+  test("profileBy: per-group profiles equal per-group filtered profile() runs") {
+    val grouped = Profiler.profileBy(df, "name", columns = Seq("id", "score"),
+        exactDistinct = true)
+      .collect().map(r => (r.getAs[String]("group"), r.getAs[String]("column")) -> r).toMap
+    assert(grouped.keySet.map(_._1) == Set("alpha", "beta", null))
+    // each group's rows equal a standalone profile() of that group's slice
+    for (g <- Seq("alpha", "beta")) {
+      val solo = Profiler.profile(df.filter($"name" === g),
+          columns = Seq("id", "score"), exactDistinct = true)
+        .collect().map(r => r.getAs[String]("column") -> r).toMap
+      for (c <- Seq("id", "score"); f <- Seq("n", "null_count", "distinct_est"))
+        assert(grouped((g, c)).getAs[Long](f) == solo(c).getAs[Long](f),
+          s"$g/$c/$f")
+      assert(grouped((g, "score")).get(grouped((g, "score")).fieldIndex("mean")) ==
+        solo("score").get(solo("score").fieldIndex("mean")))
+    }
+    // a NULL group key is a group (the engine-wide null-safe-group law)
+    assert(grouped((null, "id")).getAs[Long]("n") == 1)
+    // profiling the group column itself is loud
+    val e = intercept[IllegalArgumentException](
+      Profiler.profileBy(df, "name", columns = Seq("name")))
+    assert(e.getMessage.contains("cannot also be profiled"))
+  }
+
   test("default path is ONE fused aggregate: no join, no expand in the plan") {
     val plan = Profiler.aggPlan(df, Seq.empty, exactDistinct = false)
       .queryExecution.executedPlan.toString
