@@ -899,6 +899,25 @@ object OpsQueries {
         "user_id", "ts", "event_id", gapSeconds = 21600L)
       .orderBy(col("user_id"), col("session_idx"))
 
+  /** Interval join (E40): every event attributed back to its containing
+    * session interval — the bucketized equi-join against the sessionStats
+    * rollup (sessions are disjoint per user, so each non-null event lands
+    * in exactly one). Oracled by a DuckDB BETWEEN join over the replayed
+    * session intervals. */
+  def eventsSessionJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val sessions = Temporal.sessionStats(ev, "user_id", "ts", "event_id",
+        gapSeconds = 21600L)
+      .select(col("user_id"), col("session_idx"), col("first_ts"), col("last_ts"))
+    Temporal.intervalJoin(
+        ev.select(col("event_id"), col("user_id"), col("ts")), "ts",
+        sessions, "first_ts", "last_ts",
+        keyCol = Some("user_id"), bucketSeconds = 86400L)
+      .select(col("event_id"), col("user_id"), col("session_idx"),
+        col("first_ts"), col("last_ts"))
+      .orderBy(col("event_id"))
+  }
+
   /** As-of join: each purchase attributed to the user's latest
     * at-or-before view. Oracled by DuckDB's NATIVE `ASOF JOIN` — an
     * independent implementation of the semantics, not a replay of ours. */
@@ -1338,6 +1357,7 @@ object OpsQueries {
     "fd_orders" -> (fdOrders _),
     "tfidf_keywords" -> (tfidfKeywords _),
     "events_sessionize" -> (eventsSessionize _),
+    "events_session_join" -> (eventsSessionJoin _),
     "events_asof_view" -> (eventsAsofView _),
     "dup_spans" -> (dupSpans _),
     "dup_spans_trim" -> (dupSpansTrim _),
@@ -2643,6 +2663,27 @@ object OpsQueries {
            min(ts) AS first_ts, max(ts) AS last_ts,
            date_diff('microsecond', min(ts), max(ts)) AS duration_us
          FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
+    "events_session_join" ->
+      """WITH o AS (
+           SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR date_diff('microsecond', lag(ts) OVER w, ts) > 21600000000
+                  THEN 1 ELSE 0 END AS ns
+           FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         s AS (SELECT user_id, ts,
+                 CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx
+               FROM o),
+         sess AS (SELECT user_id, session_idx,
+                    min(ts) AS first_ts, max(ts) AS last_ts
+                  FROM s GROUP BY 1, 2)
+         SELECT e.event_id, e.user_id, sess.session_idx,
+           sess.first_ts, sess.last_ts
+         FROM events e JOIN sess
+           ON e.user_id = sess.user_id
+          AND e.ts BETWEEN sess.first_ts AND sess.last_ts
+         ORDER BY e.event_id""",
     // DuckDB's NATIVE ASOF JOIN (l.ts >= r.ts picks the latest
     // at-or-before right row) — an independent oracle of the semantics,
     // not a replay of the union-and-carry plan. Right-side (user, ts)

@@ -81,6 +81,76 @@ object Temporal {
         max(col(tsCol)).as("last_ts"),
         microsBetween(min(col(tsCol)), max(col(tsCol))).as("duration_us"))
 
+  /** E40: interval (point-in-range) join — attach to each point row every
+    * interval row (same key, when keyed) with `start <= ts <= end`
+    * (inclusive both ends; DuckDB `BETWEEN` replays it). The naive
+    * formulation is a nested-loop/cartesian filter — O(|P|·|I|) per key and
+    * the classic Spark range-join trap; here both sides BUCKETIZE onto a
+    * fixed time grain: intervals explode to the buckets they cover (bounded
+    * by `maxBucketsPerInterval` — an interval wider than the cap fails
+    * LOUD, row-level, rather than silently exploding the join), points map
+    * to their single bucket, and the match is an ordinary EQUI-join on
+    * (key, bucket) + the exact containment filter. Each (point, interval)
+    * pair meets in exactly ONE bucket (the point's own), so no dedup pass
+    * is needed. Plan: shuffle-or-broadcast hash equi-join, never
+    * BroadcastNestedLoop/Cartesian (spec-asserted). Inverted intervals
+    * (end < start) match nothing. NULL keys/timestamps never match (inner
+    * join). Non-key column names must be disjoint across the sides. */
+  def intervalJoin(points: DataFrame, pointTs: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   keyCol: Option[String] = None,
+                   bucketSeconds: Long = 3600L,
+                   maxBucketsPerInterval: Int = 1000): DataFrame = {
+    require(bucketSeconds > 0,
+      s"intervalJoin: bucketSeconds must be > 0, got $bucketSeconds")
+    require(maxBucketsPerInterval > 0,
+      s"intervalJoin: maxBucketsPerInterval must be > 0, got $maxBucketsPerInterval")
+    requireTs(points, pointTs, "intervalJoin")
+    requireTs(intervals, startCol, "intervalJoin")
+    requireTs(intervals, endCol, "intervalJoin")
+    val dt = points.schema(pointTs).dataType
+    require(intervals.schema(startCol).dataType == dt &&
+      intervals.schema(endCol).dataType == dt,
+      s"intervalJoin: all three timestamp columns must share one type, got " +
+        s"$dt vs ${intervals.schema(startCol).dataType}/${intervals.schema(endCol).dataType}")
+    keyCol.foreach { k =>
+      require(points.columns.contains(k) && intervals.columns.contains(k),
+        s"intervalJoin: key column '$k' must exist on both sides")
+    }
+    val overlap = points.columns.toSet
+      .intersect(intervals.columns.toSet) -- keyCol.toSet
+    require(overlap.isEmpty,
+      s"intervalJoin: non-key columns ${overlap.toSeq.sorted.mkString(",")} " +
+        "exist on both sides - rename before joining")
+    // bucket = floorDiv(seconds since epoch, grain); timestamp_diff is
+    // zone-free on both timestamp types (the sessionize lesson), and the
+    // double division is exact for |seconds| < 2^53
+    val anchor = lit("1970-01-01 00:00:00").cast(dt)
+    def bucketOf(c: Column): Column =
+      floor(timestamp_diff("SECOND", anchor, c).cast("double") / bucketSeconds)
+        .cast("long")
+    val pB = points.withColumn("__pb", bucketOf(col(pointTs)))
+    // the blowup guard rides INSIDE the explode bound so column pruning can
+    // never elide it (a dangling guard column would be optimized away)
+    val guardedEnd = when(
+      col("__be") - col("__bs") >= maxBucketsPerInterval.toLong,
+      raise_error(concat(
+        lit(s"intervalJoin: interval spans >= $maxBucketsPerInterval " +
+          s"buckets of $bucketSeconds s ("),
+        col(startCol).cast("string"), lit(" .. "),
+        col(endCol).cast("string"),
+        lit(") - raise bucketSeconds or cap interval length"))).cast("long"))
+      .otherwise(col("__be"))
+    val iv = intervals
+      .withColumn("__bs", bucketOf(col(startCol)))
+      .withColumn("__be", bucketOf(col(endCol)))
+      .withColumn("__pb", explode(sequence(col("__bs"), guardedEnd)))
+      .drop("__bs", "__be")
+    pB.join(iv, keyCol.toSeq :+ "__pb")
+      .filter(col(pointTs) >= col(startCol) && col(pointTs) <= col(endCol))
+      .drop("__pb")
+  }
+
   /** As-of join: attach to each left row the LATEST right row of the same
     * key with `right.ts <= left.ts` (inner semantics — left rows with no
     * prior right row, or none within `toleranceSeconds` when set, are

@@ -137,4 +137,55 @@ class TemporalSpec extends AnyFunSuite {
         toleranceSeconds = Some(0L)))
       .getMessage.contains("tolerance"))
   }
+
+  test("intervalJoin: equals the naive cross filter; boundaries inclusive; no nested-loop plan") {
+    val pts = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10L),
+      (2L, ts("2024-01-01 05:00:00"), 10L),
+      (3L, ts("2024-01-01 10:00:00"), 10L),
+      (4L, ts("2024-01-01 05:00:00"), 20L),
+      (5L, ts("2024-01-03 00:00:00"), 10L)
+    ).toDF("pid", "pts", "user_id")
+    val ivs = Seq(
+      (100L, ts("2024-01-01 00:00:00"), ts("2024-01-01 05:00:00"), 10L),
+      (101L, ts("2024-01-01 09:30:00"), ts("2024-01-01 23:00:00"), 10L),
+      (102L, ts("2024-01-01 00:00:00"), ts("2024-01-01 23:00:00"), 20L),
+      (103L, ts("2024-01-02 10:00:00"), ts("2024-01-02 01:00:00"), 10L) // inverted
+    ).toDF("iid", "ivs", "ive", "user_id")
+    val got = Temporal.intervalJoin(pts, "pts", ivs, "ivs", "ive",
+        keyCol = Some("user_id"), bucketSeconds = 3600L)
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    // naive oracle: cross filter with the same inclusive containment + key
+    val naive = pts.as("p").crossJoin(ivs.as("i"))
+      .filter($"p.user_id" === $"i.user_id" &&
+        $"p.pts" >= $"i.ivs" && $"p.pts" <= $"i.ive")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(got == naive)
+    // hand expectations: both boundaries inclusive, multi-bucket span
+    // matches, inverted interval matches nothing, unmatched point drops
+    assert(got == Set((1L, 100L), (2L, 100L), (3L, 101L), (4L, 102L)))
+    // the plan is an equi-join, never a nested-loop/cartesian
+    val plan = Temporal.intervalJoin(pts, "pts", ivs, "ivs", "ive",
+      keyCol = Some("user_id")).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    // keyless variant: every interval of any user is eligible
+    val keyless = Temporal.intervalJoin(pts.drop("user_id"), "pts",
+        ivs.drop("user_id"), "ivs", "ive")
+      .select($"pid", $"iid").as[(Long, Long)].collect().toSet
+    assert(keyless == Set((1L, 100L), (2L, 100L), (3L, 101L),
+      (1L, 102L), (2L, 102L), (3L, 102L), (4L, 100L), (4L, 102L)))
+    // blowup guard: a month-long interval at 1-second buckets fails loud
+    val e = intercept[Exception] {
+      Temporal.intervalJoin(pts, "pts",
+        ivs.filter($"iid" === 102L), "ivs", "ive",
+        keyCol = Some("user_id"), bucketSeconds = 1L,
+        maxBucketsPerInterval = 100).count()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("intervalJoin"))
+    // overlapping non-key columns fail loud
+    val bad = intercept[IllegalArgumentException](
+      Temporal.intervalJoin(pts.withColumnRenamed("pid", "iid"), "pts",
+        ivs, "ivs", "ive", keyCol = Some("user_id")))
+    assert(bad.getMessage.contains("rename before joining"))
+  }
 }
