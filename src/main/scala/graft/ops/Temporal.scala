@@ -95,7 +95,16 @@ object Temporal {
     * is needed. Plan: shuffle-or-broadcast hash equi-join, never
     * BroadcastNestedLoop/Cartesian (spec-asserted). Inverted intervals
     * (end < start) match nothing. NULL keys/timestamps never match (inner
-    * join). Non-key column names must be disjoint across the sides. */
+    * join). Non-key column names must be disjoint across the sides.
+    *
+    * WHEN TO USE (IntervalProbe, BASELINE.md): Spark streams a naive
+    * key-equi-join's candidates through a codegen filter without
+    * materializing them, so at LOW interval-per-key multiplicity the naive
+    * join-then-filter is actually faster (pure CPU, ~10⁹ comparisons/s at
+    * 32 cores, linear in the ratio); the bucketized wall is FLAT. The
+    * measured crossover is ≈10³ candidate pairs per point — below it,
+    * just join and filter; above it (hot keys, dense interval sets) this
+    * operator is the difference between seconds and hours. */
   def intervalJoin(points: DataFrame, pointTs: String,
                    intervals: DataFrame, startCol: String, endCol: String,
                    keyCol: Option[String] = None,
