@@ -41,6 +41,35 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Frame sampling over opaque video/audio-like payloads (P47): treat the
+    * binary payload as a run of fixed-size frames and keep every `everyK`-th
+    * one from `offset` — the deterministic frame-subsample a video pipeline
+    * runs before feature extraction, with the codec left opaque (the
+    * engine's multimodal posture: Spark-side slicing/sampling plumbing is
+    * REAL and oracled; codec decode is the pluggable step). Pure codegen
+    * column ops — binary `substring` slicing, no UDF, no shuffle; a payload
+    * shorter than one frame yields zero rows (trailing partial frames are
+    * dropped, like any fixed-frame reader). `frame_hex` is the sampled
+    * frame's exact bytes as uppercase hex — the cross-engine-replayable
+    * fingerprint (DuckDB md5 cannot digest BLOBs). */
+  def frameSample(media: DataFrame, frameBytes: Int, everyK: Int,
+                  offset: Int = 0): DataFrame = {
+    require(frameBytes > 0, s"frameSample: frameBytes must be > 0, got $frameBytes")
+    require(everyK > 0, s"frameSample: everyK must be > 0, got $everyK")
+    require(offset >= 0, s"frameSample: offset must be >= 0, got $offset")
+    media.select(col("media_ref"), col("media_kind"),
+        floor(length(col("payload")) / frameBytes).cast("int").as("n_frames"),
+        col("payload"))
+      .withColumn("frame_idx", explode(expr(
+        s"CASE WHEN n_frames > 0 THEN filter(sequence(0, n_frames - 1), " +
+          s"i -> i >= $offset AND (i - $offset) % $everyK = 0) " +
+          "ELSE CAST(array() AS array<int>) END")))
+      .select(col("media_ref"), col("media_kind"), col("n_frames"),
+        col("frame_idx"),
+        expr(s"hex(substring(payload, frame_idx * $frameBytes + 1, $frameBytes))")
+          .as("frame_hex"))
+  }
+
   /** Codec-free content features: per-stripe byte-value means over the raw
     * payload (stripe i collects bytes at positions ≡ i mod dims). Cheap,
     * deterministic, kind-agnostic — the feature set for payloads whose codec

@@ -838,6 +838,13 @@ object OpsQueries {
     docs(s, dir).select(col("doc_id"), rolling_hash(lower(col("text"))).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Frame sampling (P47): 64-byte payloads as 4×16-byte frames, every 2nd
+    * kept — the oracle slices the identical hex stream. */
+  def mediaFrameSample(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSample(Multimodal.syntheticMedia(s, 500).toDF(),
+        frameBytes = 16, everyK = 2)
+      .orderBy(col("media_ref"), col("frame_idx"))
+
   def mediaFeatures(s: SparkSession, dir: String): DataFrame =
     // features emitted as SCALAR columns f0..f7 (not array<double>): the
     // driver's pandas-side sort/hash cannot handle array cells
@@ -1350,6 +1357,7 @@ object OpsQueries {
     "quality_scores" -> (qualityScores _),
     "fingerprint_rolling" -> (fingerprintRolling _),
     "media_features" -> (mediaFeatures _),
+    "media_frame_sample" -> (mediaFrameSample _),
     "media_decode" -> (mediaDecode _),
     "image_near_dup" -> (imageNearDup _),
     "outlier_events" -> (outlierEvents _),
@@ -2836,6 +2844,17 @@ object OpsQueries {
     // payload bytes), so the whole extract — byte unpacking, 8-dim feature
     // sums (bit-exact: same fold order), rolling-hash checksum — replays in
     // SQL. Oracles the multimodal plumbing end to end.
+    "media_frame_sample" ->
+      """WITH m AS (
+           SELECT printf('m-%08d', range) AS media_ref,
+             ['image','audio','video'][CAST(range % 3 AS INT) + 1] AS media_kind,
+             md5(range || '-0') || md5(range || '-1') ||
+             md5(range || '-2') || md5(range || '-3') AS hex
+           FROM range(500))
+         SELECT media_ref, media_kind, 4 AS n_frames, f.frame_idx,
+           upper(substr(hex, 32 * f.frame_idx + 1, 32)) AS frame_hex
+         FROM m, (SELECT unnest([0, 2]) AS frame_idx) f
+         ORDER BY media_ref, f.frame_idx""",
     "media_features" ->
       """WITH m AS (
            SELECT range AS id, printf('m-%08d', range) AS media_ref,

@@ -730,6 +730,32 @@ class MultimodalSpec extends AnyFunSuite {
       Dedup.hammingPairs64(hashed, 1, 7)).getMessage.contains("divide"))
   }
 
+  test("frameSample: fixed-frame slicing, sampling arithmetic, short-payload drop, guards") {
+    val media = Multimodal.syntheticMedia(spark, 20).toDF()
+    // 64-byte payloads = 4 16-byte frames; every 2nd from 0 -> frames 0, 2
+    val got = Multimodal.frameSample(media, frameBytes = 16, everyK = 2)
+      .collect().map(r => (r.getAs[String]("media_ref"), r.getAs[Int]("frame_idx")) ->
+        (r.getAs[Int]("n_frames"), r.getAs[String]("frame_hex"))).toMap
+    assert(got.size == 40 && got.keys.map(_._2).toSet == Set(0, 2))
+    // frame i's bytes ARE md5(id + "-" + i) by construction of the payload
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) =
+      md.digest(s.getBytes("UTF-8")).map("%02X".format(_)).mkString
+    for (id <- Seq(0L, 7L, 19L); f <- Seq(0, 2)) {
+      val (n, hx) = got((f"m-$id%08d", f))
+      assert(n == 4 && hx == md5hex(s"$id-$f"))
+    }
+    // offset shifts the kept set; everyK=1 keeps all frames
+    assert(Multimodal.frameSample(media, 16, 2, offset = 1)
+      .select("frame_idx").distinct().collect().map(_.getInt(0)).toSet == Set(1, 3))
+    assert(Multimodal.frameSample(media, 16, 1).count() == 80)
+    // frames wider than the payload -> zero rows, not a crash
+    assert(Multimodal.frameSample(media, 128, 1).count() == 0)
+    intercept[IllegalArgumentException](Multimodal.frameSample(media, 0, 1))
+    intercept[IllegalArgumentException](Multimodal.frameSample(media, 16, 0))
+    intercept[IllegalArgumentException](Multimodal.frameSample(media, 16, 1, -1))
+  }
+
   test("imageNearDupPairs: exactly the planted perturbed twins, partitioning-invariant") {
     val base = Multimodal.syntheticImages(spark, 60)
     val corpus = Multimodal.withPerturbedCopies(base, dupEvery = 5)
