@@ -613,6 +613,70 @@ object DriftChecks {
     (out, release)
   }
 
+  /** E41: sliced PSI — the index-graded numeric member of the relational
+    * sliced-drift family (E37 χ² categorical significance, E38 KS numeric
+    * significance, this = numeric EFFECT SIZE on the standard >0.2 scale).
+    * Decile buckets per slice from the SLICE'S reference distribution with
+    * pure integer arithmetic: each value's bucket = ceil(refCum·B / nRef)
+    * over the completed value grid (clamped to [1, B] so production mass
+    * below the reference minimum lands in the first bucket and overflow
+    * mass in the last, E9's absorption rule) — deterministic, exact, and
+    * replayable in SQL. Matches E9's boundary-selection construction
+    * whenever decile boundaries are distinct (spec-asserted); on massively
+    * tied distributions the two valid decile constructions may split ties
+    * differently (documented). Same eps flooring as [[StatMath.psi]].
+    * Output: (window, slice, n_ref, n_prod, psi); managed persist like its
+    * siblings. */
+  def psiSliced(df: org.apache.spark.sql.DataFrame, windowCol: String,
+                sliceCol: String, valueCol: String, refWindow: Any,
+                buckets: Int = 10, eps: Double = 1e-6)
+      : (org.apache.spark.sql.DataFrame, () => Unit) = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, s"psiSliced: buckets must be >= 2, got $buckets")
+    val counts = df
+      .select(col(windowCol).as("w"), col(sliceCol).as("s"), col(valueCol).as("v"))
+      .groupBy("w", "s", "v").agg(count(lit(1)).as("o"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val release = () => { counts.unpersist(blocking = false); () }
+    val wins = counts.select("w", "s").distinct()
+    val universe = counts.select("s", "v").distinct()
+    val ref = counts.filter(col("w") === lit(refWindow))
+      .select(col("s"), col("v"), col("o").as("r"))
+    // per-slice reference CDF over the completed value grid → integer
+    // bucket assignment per VALUE (shared by both sides)
+    val cumW = Window.partitionBy("s").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val refGrid = universe.join(ref, Seq("s", "v"), "left").na.fill(0L, Seq("r"))
+      .withColumn("ref_cum", sum("r").over(cumW))
+      .withColumn("n_ref_slice", sum("r").over(Window.partitionBy("s")))
+      // exact integer ceil: (cum·B − 1) div n + 1, clamped to [1, B] — the
+      // E9 long-arithmetic discipline (a double division would wobble past
+      // 2^53; the clamp also absorbs the trunc-vs-floor divergence at cum=0)
+      .withColumn("bucket", least(greatest(
+        expr(s"(ref_cum * $buckets - 1) DIV n_ref_slice + 1"),
+        lit(1)), lit(buckets)))
+      .select(col("s"), col("v"), col("bucket"))
+    val grid = wins.join(universe, "s")
+      .join(counts, Seq("w", "s", "v"), "left").na.fill(0L, Seq("o"))
+      .join(ref, Seq("s", "v"), "left").na.fill(0L, Seq("r"))
+      .join(refGrid, Seq("s", "v"))
+    val byBucket = grid.groupBy("w", "s", "bucket")
+      .agg(sum("r").as("rb"), sum("o").as("ob"))
+    val tot = byBucket.groupBy("w", "s")
+      .agg(sum("rb").as("n_ref"), sum("ob").as("n_prod"))
+    val out = byBucket.join(tot, Seq("w", "s"))
+      .filter(col("n_ref") > 0 && col("n_prod") > 0)
+      .withColumn("p", greatest(col("rb").cast("double") / col("n_ref"), lit(eps)))
+      .withColumn("q", greatest(col("ob").cast("double") / col("n_prod"), lit(eps)))
+      .withColumn("term", (col("p") - col("q")) * log(col("p") / col("q")))
+      .groupBy("w", "s")
+      .agg(first("n_ref").as("n_ref"), first("n_prod").as("n_prod"),
+        sum("term").as("psi"))
+      .withColumnRenamed("w", windowCol).withColumnRenamed("s", sliceCol)
+    (out, release)
+  }
+
   /** Driver-finished verdict tier over [[ksSliced]]: p via Kolmogorov
     * asymptotics on the exact side counts; is_drift = p ≤ alpha. Same
     * bounded-grain contract as [[chi2SlicedVerdicts]]. */

@@ -354,6 +354,24 @@ object TpchQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** E41 sliced PSI: per (ship-year window × linestatus slice), the decile
+    * population-stability index of l_quantity vs the 1995 reference window
+    * — the effect-size member of the relational sliced family. */
+  def psiSlicedYears(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val li = t(s, dir, "lineitem")
+      .select(year($"l_shipdate").as("yr"), $"l_linestatus".as("status"),
+        $"l_quantity".cast("int").as("q"))
+    val (rel, release) = graft.checks.DriftChecks.psiSliced(
+      li, "yr", "status", "q", 1995)
+    val out = rel.select($"yr", $"status", $"n_ref", $"n_prod",
+        round($"psi", 6).as("psi"))
+      .orderBy($"yr", $"status")
+    val rows = out.collect()
+    release()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Generic one-pass column profiler (E35) over orders at the exact-
     * distinct oracle-gate config; floats rounded so the two engines'
     * summation orders cannot differ at the hash grain. */
@@ -386,6 +404,45 @@ object TpchQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "psi_sliced_years" ->
+      """WITH counts AS (
+           SELECT year(l_shipdate) AS w, l_linestatus AS s,
+             CAST(l_quantity AS INT) AS v, count(*) AS o
+           FROM lineitem GROUP BY 1, 2, 3),
+         wins AS (SELECT DISTINCT w, s FROM counts),
+         universe AS (SELECT DISTINCT s, v FROM counts),
+         ref AS (SELECT s, v, o AS r FROM counts WHERE w = 1995),
+         refgrid AS (
+           SELECT u.s, u.v,
+             least(greatest(
+               (sum(coalesce(rf.r, 0)) OVER (PARTITION BY u.s ORDER BY u.v
+                  ROWS UNBOUNDED PRECEDING) * 10 - 1)
+               // (sum(coalesce(rf.r, 0)) OVER (PARTITION BY u.s)) + 1,
+               1), 10) AS bucket
+           FROM universe u LEFT JOIN ref rf ON rf.s = u.s AND rf.v = u.v),
+         grid AS (
+           SELECT wn.w, wn.s, u.v, coalesce(c.o, 0) AS o, coalesce(rf.r, 0) AS r,
+             rg.bucket
+           FROM wins wn JOIN universe u ON wn.s = u.s
+           LEFT JOIN counts c ON c.w = wn.w AND c.s = wn.s AND c.v = u.v
+           LEFT JOIN ref rf ON rf.s = wn.s AND rf.v = u.v
+           JOIN refgrid rg ON rg.s = wn.s AND rg.v = u.v),
+         byb AS (
+           SELECT w, s, bucket, sum(r) AS rb, sum(o) AS ob
+           FROM grid GROUP BY 1, 2, 3),
+         tot AS (SELECT w, s, sum(rb) AS n_ref, sum(ob) AS n_prod
+                 FROM byb GROUP BY 1, 2),
+         terms AS (
+           SELECT b.w, b.s, t.n_ref, t.n_prod,
+             greatest(b.rb * 1.0 / t.n_ref, 1e-6) AS p,
+             greatest(b.ob * 1.0 / t.n_prod, 1e-6) AS q
+           FROM byb b JOIN tot t ON b.w = t.w AND b.s = t.s
+           WHERE t.n_ref > 0 AND t.n_prod > 0)
+         SELECT w AS yr, s AS status,
+           CAST(min(n_ref) AS BIGINT) AS n_ref,
+           CAST(min(n_prod) AS BIGINT) AS n_prod,
+           round(sum((p - q) * ln(p / q)), 6) AS psi
+         FROM terms GROUP BY 1, 2 ORDER BY 1, 2""",
     "table_profile_by" -> {
       def num(c: String) =
         s"""SELECT o_orderstatus AS "group", '$c' AS "column", count(*) AS n,
@@ -665,5 +722,6 @@ object TpchQueries {
     "table_profile_by" -> (tableProfileBy _),
     "chi2_sliced_years" -> (chi2SlicedYears _),
     "ks_sliced_years" -> (ksSlicedYears _),
+    "psi_sliced_years" -> (psiSlicedYears _),
     "events_hourly_agg" -> (eventsHourlyAgg _))
 }

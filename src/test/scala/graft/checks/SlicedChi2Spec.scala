@@ -94,6 +94,43 @@ class SlicedChi2Spec extends AnyFunSuite {
     assert(a.getAs[Boolean]("is_drift") && !v((1, "B")).getAs[Boolean]("is_drift"))
   }
 
+  test("sliced PSI: per-slice deciles from the slice's own reference, StatMath parity, overflow absorption") {
+    // slice A: ref uniform over 1..10 (10 crisp deciles); window 1 shifts
+    // mass up AND adds values beyond the ref max (overflow -> last bucket).
+    // slice B: identical windows -> psi ~ 0 (eps-floor exact zero).
+    val ndf = (
+      (1 to 10).flatMap(v => Seq.fill(10)((0, "A", v))) ++
+        (1 to 5).flatMap(v => Seq.fill(4)((1, "A", v))) ++
+        (6 to 12).flatMap(v => Seq.fill(10)((1, "A", v))) ++
+        Seq.fill(50)((0, "B", 1)) ++ Seq.fill(50)((0, "B", 2)) ++
+        Seq.fill(50)((1, "B", 1)) ++ Seq.fill(50)((1, "B", 2))
+      ).toDF("w", "s", "v")
+    val (rel, release) = DriftChecks.psiSliced(ndf, "w", "s", "v", 0)
+    val got = try rel.collect().map(r => (r.getInt(0), r.getString(1)) -> r).toMap
+      finally release()
+    // parity with the driver-side StatMath.psi over hand-built proportions:
+    // ref deciles of slice A are exactly v=1..10; window-1 mass per bucket
+    // is count(v)=b for b<=10 plus overflow (11, 12) absorbed into b=10
+    val refProps = Array.fill(10)(0.1)
+    val prodCounts = Array.tabulate(10)(i =>
+      (if (i < 5) 4 else 10) + (if (i == 9) 20 else 0)).map(_.toDouble)
+    val nProd = prodCounts.sum
+    val expected = graft.stats.StatMath.psi(refProps, prodCounts.map(_ / nProd))
+    assert(math.abs(got((1, "A")).getAs[Double]("psi") - expected) < 1e-12)
+    assert(got((1, "A")).getAs[Long]("n_prod") == nProd.toLong)
+    // identical windows read (numerically) zero; self-comparison exactly so
+    assert(math.abs(got((1, "B")).getAs[Double]("psi")) < 1e-12)
+    assert(got((0, "A")).getAs[Double]("psi") == 0.0)
+    // partitioning invariance at the rounding grain
+    val (rel2, release2) = DriftChecks.psiSliced(ndf.repartition(11), "w", "s", "v", 0)
+    val again = try rel2.collect().map(r =>
+      (r.getInt(0), r.getString(1)) -> BigDecimal(r.getAs[Double]("psi"))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toMap
+      finally release2()
+    assert(again == got.view.mapValues(r => BigDecimal(r.getAs[Double]("psi"))
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)).toMap)
+  }
+
   test("verdict tier: p from the incomplete gamma, is_drift at alpha") {
     val v = DriftChecks.chi2SlicedVerdicts(df, "w", "s", "k", 0, alpha = 0.01)
       .collect().map(r => (r.getInt(0), r.getString(1)) -> r).toMap
