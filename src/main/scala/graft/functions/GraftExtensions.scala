@@ -119,6 +119,13 @@ object GraftExtensions {
         RandomProject(args(0), intLit(args(1), "random_project", "outDim"),
           intLit(args(2), "random_project", "seed"))
       }),
+    ("random_project_q", "integer-exact quantized JL projection (hash-oracle twin)",
+      (args: Seq[Expression]) => {
+        arity("random_project_q", args, 4)
+        RandomProjectQ(args(0), intLit(args(1), "random_project_q", "outDim"),
+          intLit(args(2), "random_project_q", "seed"),
+          intLit(args(3), "random_project_q", "scale"))
+      }),
     ("span_flags", "span-integrity flags: bit0 non-monotone offsets, bit1 null kind",
       (args: Seq[Expression]) => { arity("span_flags", args, 2); SpanFlags(args(0), args(1)) }),
     ("whitespace_tokens", "lowercase whitespace tokens of a string",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Deterministic random projection (Johnson–Lindenstrauss sign matrix):
   * `latent[j] = (Σ_i emb[i] · s(i,j)) / sqrt(outDim)` with
@@ -64,6 +64,48 @@ case class RandomProject(child: Expression, outDim: Int, seed: Int)
   override protected def withNewChildInternal(newChild: Expression): RandomProject =
     copy(child = newChild)
   override def prettyName: String = "random_project"
+}
+
+/** Integer-exact twin of [[RandomProject]]: each input element is first
+  * quantized to `floor(e · scale + 0.5)` (a pure IEEE-754 double op —
+  * bit-identical on every engine), then sign-summed as a 64-bit INTEGER:
+  * `latq[j] = Σ_i s(i,j) · q_i`. Integer addition is associative, so the
+  * result is independent of summation order — the one property the float
+  * projection cannot offer a cross-engine hash oracle (a SQL engine's
+  * GROUP-BY sum order is unspecified, and its `round()` primitive may
+  * change across versions). The quantized projection is the hash-gate for
+  * the real one: `|lat·√outDim·scale − latq| ≤ inDim/2` by construction,
+  * asserted in-row by the `dimred_project` driver query. */
+case class RandomProjectQ(child: Expression, outDim: Int, seed: Int, scale: Int)
+    extends UnaryExpression {
+  require(outDim >= 1 && outDim <= 4096,
+    s"random_project_q: outDim must be in [1, 4096], got $outDim")
+  require(scale >= 1, s"random_project_q: scale must be >= 1, got $scale")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"random_project_q needs array<double> or array<float>, got $t")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RandomProject.projectQuant(input.asInstanceOf[ArrayData], outDim, seed, scale, isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.RandomProject.projectQuant($c, $outDim, $seed, $scale, $isFloat)")
+
+  override protected def withNewChildInternal(newChild: Expression): RandomProjectQ =
+    copy(child = newChild)
+  override def prettyName: String = "random_project_q"
 }
 
 object RandomProject {
@@ -150,6 +192,36 @@ object RandomProject {
     out
   }
 
+  /** Quantize-then-sign-sum, exact in Long arithmetic (static so generated
+    * code can call it). Quantization happens ONCE per element into a local
+    * buffer; the j-loop then reads longs only. */
+  def projectQuant(emb: ArrayData, outDim: Int, seed: Int, scale: Int,
+                   isFloat: Boolean): ArrayData = {
+    val inDim = emb.numElements()
+    val w = signs(outDim, inDim, seed)
+    val q = new Array[Long](inDim)
+    var i = 0
+    while (i < inDim) {
+      val e = if (isFloat) emb.getFloat(i).toDouble else emb.getDouble(i)
+      q(i) = math.floor(e * scale + 0.5).toLong
+      i += 1
+    }
+    val out = new Array[Long](outDim)
+    var j = 0
+    while (j < outDim) {
+      var acc = 0L
+      var k = 0
+      val base = j * inDim
+      while (k < inDim) { acc += (if (w(base + k) > 0) q(k) else -q(k)); k += 1 }
+      out(j) = acc
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def random_project(emb: Column, outDim: Int, seed: Int): Column =
     ColumnBridge.toColumn(RandomProject(ColumnBridge.toExpr(emb), outDim, seed))
+
+  def random_project_q(emb: Column, outDim: Int, seed: Int, scale: Int): Column =
+    ColumnBridge.toColumn(RandomProjectQ(ColumnBridge.toExpr(emb), outDim, seed, scale))
 }

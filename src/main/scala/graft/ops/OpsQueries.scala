@@ -94,8 +94,11 @@ object OpsQueries {
     * token counts, so DuckDB replays it bit-for-bit with the same window
     * arithmetic. */
   def packSequences(s: SparkSession, dir: String): DataFrame = {
+    // n_tok rides to the output: cast long so every numeric column is
+    // int64 on BOTH sides of the oracle compare (a driver hashing typed
+    // values must never see int32-vs-int64 or HUGEINT-vs-BIGINT skew)
     val d = docs(s, dir).select(col("doc_id"),
-      TextOps.tokenCountArith(col("text")).as("n_tok"))
+      TextOps.tokenCountArith(col("text")).cast("long").as("n_tok"))
     Pack.packByBudget(d, "doc_id", "n_tok", budget = 512L, shards = 8)
       .select(col("doc_id"), col("shard"), col("pack"), col("start_off"),
         col("n_tok"))
@@ -451,13 +454,29 @@ object OpsQueries {
       embs(s, dir).filter(col("vec_id") =!= 0), "vec_id", "embedding", queryVec, 10)
   }
 
-  /** JL random projection to 8 latent dims, long format (vec_id, j, lat) —
-    * the DuckDB oracle replays the md5 sign-matrix DERIVATION and the
-    * projection, so the whole encoder is hash-gated end to end. */
+  /** JL random projection to 8 latent dims, long format
+    * (vec_id, j, lat_q, agrees) — the DuckDB oracle replays the md5
+    * sign-matrix DERIVATION and the projection, so the whole encoder is
+    * hash-gated end to end. The hash-compared projection is the
+    * INTEGER-EXACT quantized twin ([[graft.functions.RandomProjectQ]]):
+    * a float sum's last ulp depends on summation order (unspecified in a
+    * SQL GROUP BY) and `round()` semantics drift across engine versions,
+    * so a rounded double is not a stable cross-engine hash; an integer
+    * sign-sum is. The REAL float projection still rides the same rows:
+    * `agrees` asserts in-row that `|lat·√8·1000 − lat_q| ≤ 32` (the
+    * worst-case quantization envelope: 64 elements × 0.5 each), so a
+    * wrong sign matrix or a broken float loop flips `agrees` and fails
+    * the hash. */
   def dimredProject(s: SparkSession, dir: String): DataFrame =
-    DimRed.project(embs(s, dir), "embedding", outDim = 8, seed = 7)
-      .select(col("vec_id"), posexplode(col("latent")).as(Seq("j", "v")))
-      .select(col("vec_id"), col("j"), round(col("v"), 4).as("lat"))
+    embs(s, dir)
+      .select(col("vec_id"),
+        DimRed.projectCol(col("embedding"), outDim = 8, seed = 7).as("lat"),
+        graft.functions.RandomProject
+          .random_project_q(col("embedding"), 8, 7, 1000).as("latq"))
+      .select(col("vec_id"), col("lat"), posexplode(col("latq")).as(Seq("j", "lat_q")))
+      .select(col("vec_id"), col("j"), col("lat_q"),
+        (abs(element_at(col("lat"), col("j") + 1) * lit(math.sqrt(8.0) * 1000.0)
+          - col("lat_q")) <= lit(32.001)).as("agrees"))
       .orderBy(col("vec_id"), col("j"))
 
   /** Two-stage projected→re-ranked top-k (deterministic at every stage, so
@@ -1859,10 +1878,13 @@ object OpsQueries {
     sb.toString
   }
 
+  // merge_rank is an explicit INT and freq an explicit BIGINT: a bare
+  // sum() is HUGEINT in DuckDB, which hashes differently from the
+  // engine's int64 on a type-aware driver even when values agree.
   private def bpeMergesOracle(k: Int): String =
     bpeCtes(k) + "\n SELECT merge_rank, pair, freq FROM (" +
       (1 to k).map(i =>
-        s"SELECT $i AS merge_rank, pair, cnt AS freq FROM m$i")
+        s"SELECT CAST($i AS INT) AS merge_rank, pair, CAST(cnt AS BIGINT) AS freq FROM m$i")
         .mkString(" UNION ALL ") +
       ") ORDER BY merge_rank"
 
@@ -2058,21 +2080,25 @@ object OpsQueries {
          ORDER BY n.doc_id""",
     // the packing layout replayed verbatim: md5Rank32 order, rank-derived
     // shard (rank % 8), cumulative-token start offsets per shard, pack =
-    // floor(start / 512)
+    // start // 512. Every emitted numeric is an explicit BIGINT — a bare
+    // window sum() is HUGEINT in DuckDB, whose wire representation is
+    // engine-version-sensitive and hashes differently from the engine's
+    // int64 even when values agree.
     "pack_sequences" ->
       """WITH d AS (
            SELECT doc_id,
-             CASE WHEN length(text) = 0 THEN 0
-                  ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tok,
+             CAST(CASE WHEN length(text) = 0 THEN 0
+                  ELSE length(text) - length(replace(text, ' ', '')) + 1 END
+               AS BIGINT) AS n_tok,
              try_cast(concat('0x', substr(md5(cast(doc_id AS varchar)), 1, 8)) AS bigint) AS rnk
            FROM documents),
          c AS (
-           SELECT doc_id, rnk % 8 AS shard, n_tok,
-             coalesce(sum(n_tok) OVER (
+           SELECT doc_id, CAST(rnk % 8 AS BIGINT) AS shard, n_tok,
+             CAST(coalesce(sum(n_tok) OVER (
                PARTITION BY rnk % 8 ORDER BY rnk, doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
            FROM d)
-         SELECT doc_id, shard, CAST(floor(start_off / 512.0) AS BIGINT) AS pack,
+         SELECT doc_id, shard, start_off // 512 AS pack,
            start_off, n_tok
          FROM c ORDER BY doc_id""",
     // per-language thresholds: floor(rate * 2^32) for 1.0 / 0.5 / 0.1 /
@@ -2277,19 +2303,25 @@ object OpsQueries {
          SELECT vec_id, round(dot / (nx * nq), 4) AS cos FROM dots
          ORDER BY cos DESC, vec_id LIMIT 10""",
     // JL sign-matrix derivation (md5 nibble parity — the same cross-engine
-    // primitive as Sample's rank) AND the projection, replayed end to end
+    // primitive as Sample's rank) AND the projection, replayed end to end.
+    // The compared value is the INTEGER quantized sign-sum (order-
+    // independent, no round()/HUGEINT in the final projection — every
+    // emitted numeric is an explicit BIGINT/INT), so the hash is stable
+    // across SQL-engine versions; `agrees` is the engine-side in-row gate
+    // on the real float projection, TRUE by construction here.
     "dimred_project" ->
       """WITH cells AS (
            SELECT j, i, CASE WHEN strpos('02468ace',
                substr(md5('rp-7-' || i || '-' || j), 1, 1)) > 0
-             THEN 1.0 ELSE -1.0 END AS s
+             THEN 1 ELSE -1 END AS s
            FROM range(8) t1(j), range(64) t2(i)),
-         x AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS e,
+         x AS (SELECT vec_id,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000 + 0.5) AS BIGINT) AS qe,
                generate_subscripts(embedding, 1) - 1 AS i
                FROM embeddings),
-         lat AS (SELECT x.vec_id, c.j, sum(x.e * c.s) / sqrt(8.0) AS v
+         lat AS (SELECT x.vec_id, c.j, CAST(sum(x.qe * c.s) AS BIGINT) AS lat_q
                  FROM x JOIN cells c USING (i) GROUP BY x.vec_id, c.j)
-         SELECT vec_id, CAST(j AS INT) AS j, round(v, 4) AS lat
+         SELECT vec_id, CAST(j AS INT) AS j, lat_q, TRUE AS agrees
          FROM lat ORDER BY vec_id, j""",
     // two-stage retrieval: latent-cosine candidate cut (top 40 = k x
     // oversample, rounded-6 + id tiebreak) then exact-cosine re-rank —
@@ -2431,10 +2463,10 @@ object OpsQueries {
            FROM documents WHERE doc_id % 2 <> 0),
          j AS (SELECT t.token, v.token AS v_tok
                FROM tgt t LEFT JOIN vocab v ON t.token = v.token)
-         SELECT count(*) AS total_tokens,
-                sum(CASE WHEN v_tok IS NOT NULL THEN 1 ELSE 0 END) AS in_vocab_tokens,
-                sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS oov_tokens,
-                count(DISTINCT CASE WHEN v_tok IS NULL THEN token END) AS distinct_oov
+         SELECT CAST(count(*) AS BIGINT) AS total_tokens,
+                CAST(sum(CASE WHEN v_tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS in_vocab_tokens,
+                CAST(sum(CASE WHEN v_tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_tokens,
+                CAST(count(DISTINCT CASE WHEN v_tok IS NULL THEN token END) AS BIGINT) AS distinct_oov
          FROM j"""),
     // vocab build + OOV-bucket counts + the SAME Laplace-smoothed PSI
     // formula as latent_drift (nb = topN+1 = 17); the chi-squared leg is

@@ -90,6 +90,44 @@ class DimRedSpec extends AnyFunSuite {
     assert(sqlGot == got)
   }
 
+  test("quantized twin: exact integer replay, inDim/2 envelope vs float projection") {
+    val r = rng(9)
+    val rows = (1L to 80L).map(id => (id, Array.fill(64)(r.nextGaussian().toFloat)))
+    val df = rows.toDF("id", "emb")
+    val scale = 1000
+    val got = df.select($"id",
+        RandomProject.random_project_q($"emb", 8, 7, scale).as("latq"),
+        RandomProject.random_project($"emb", 8, 7).as("lat"))
+      .as[(Long, Seq[Long], Seq[Double])].collect()
+    assert(got.length == rows.size)
+    val byId = rows.toMap
+    got.foreach { case (id, latq, lat) =>
+      // independent replay: quantize each float exactly as the expression
+      // documents, sign-sum in BigInt (so a Long-overflow bug would show)
+      val v = byId(id)
+      val want = (0 until 8).map { j =>
+        (0 until 64).map { i =>
+          val q = math.floor(v(i).toDouble * scale + 0.5).toLong
+          val hex = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"rp-7-$i-$j".getBytes("UTF-8")).map("%02x".format(_)).mkString
+          if ("02468ace".contains(hex.head)) q else -q
+        }.sum
+      }
+      assert(latq == want, s"id $id quantized replay mismatch")
+      // envelope: |lat * sqrt(8) * scale - latq| <= inDim/2 (64 * 0.5)
+      lat.zip(latq).foreach { case (l, lq) =>
+        assert(math.abs(l * math.sqrt(8.0) * scale - lq) <= 32.001, s"id $id envelope")
+      }
+    }
+    // SQL surface
+    graft.functions.GraftExtensions.register(spark)
+    df.createOrReplaceTempView("dimredq_in")
+    val sqlGot = spark.sql(
+      "SELECT id, random_project_q(emb, 8, 7, 1000) AS latq FROM dimredq_in")
+      .as[(Long, Seq[Long])].collect().toMap
+    got.foreach { case (id, latq, _) => assert(sqlGot(id) == latq) }
+  }
+
   test("projection is narrow (no Exchange) and partitioning-invariant") {
     val r = rng(5)
     val df = (1L to 100L).map(id => (id, randVec(r, 16))).toDF("id", "emb")

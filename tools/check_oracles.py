@@ -57,6 +57,17 @@ for name in sorted(oracle):
         print(f"{name}: ORACLE SQL ERROR: {e}"); fails.append(name); continue
     rows = len(spark_df) == len(ora_df)
     schema = sorted(spark_df.columns) == sorted(ora_df.columns)
+    # dtype-skew sentinel: the driver's value hash is type-sensitive where
+    # this emulator's check_dtype=False compare is not (r04 lesson: DuckDB
+    # HUGEINT -> pandas float64 hashes "3.0" while Spark's int64 hashes
+    # "3"). An int-vs-float skew on any shared column is a driver-gate
+    # failure waiting to happen, so surface it loudly.
+    if schema:
+        for c in spark_df.columns:
+            sk, ok_ = spark_df[c].dtype.kind, ora_df[c].dtype.kind
+            if {sk, ok_} == {"i", "f"} or "O" in (sk, ok_) and sk != ok_:
+                print(f"{name}: TYPE-SKEW on '{c}': spark={spark_df[c].dtype} "
+                      f"oracle={ora_df[c].dtype}")
     ok = rows and schema
     if ok:
         a, b = canon(spark_df), canon(ora_df)
