@@ -176,6 +176,212 @@ object SparkEntry {
         LEFT JOIN nk ON c.check_id = 'null_kind' AND nk.part = p.part
         ORDER BY p.part, c.check_id"""
 
+  private val VerdictDocsPath = s"/tmp/graft_verdict_docs_$pathToken"
+  private val VerdictMediaPath = s"/tmp/graft_verdict_media_$pathToken"
+
+  /** DuckDB-oracled FLAGSHIP verdict table (E11 — the engine's headline
+    * output, previously rows-only): the golden docs + media are
+    * materialized to parquet, the REAL `ValidationRun.run` executes, and
+    * every SQL-replayable verdict row is hash-compared —
+    *  - the four constraint checks as exact violation counts + the
+    *    `passed` boolean,
+    *  - χ²/KS/PSI/JSD/EMD distances rounded to 4 dp (the oracle replays
+    *    the fitted reference's EXACT integer quantile grid — the same
+    *    `cum·g ≥ i·n` long arithmetic as `Fit.exactOffsetEdges` — then the
+    *    identical statistic formulas over it),
+    *  - PSI/JSD/novel-kind `is_drift` via the engine's own index-gate
+    *    arithmetic replayed verbatim.
+    * p-values stay out (incomplete-gamma/Kolmogorov SF are not
+    * SQL-expressible — the spec suite owns them, the `lm_score`/`ppl`
+    * split), as do the MMD rows (the permutation test is its own
+    * distributed machinery, verdict-equality spec'd) and stats/volume
+    * (stats is a carrier row; volume is oracled on events). */
+  def entry_docs_verdicts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.DocsGen
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    cleanStaleSiblings("graft_verdict_")
+    DocsGen.docs(spark, nDocs, DocsGen.goldenScenario)
+      .write.mode("overwrite").parquet(VerdictDocsPath)
+    DocsGen.media(spark)
+      .write.mode("overwrite").parquet(VerdictMediaPath)
+    val docs = spark.read.parquet(VerdictDocsPath)
+    val media = spark.read.parquet(VerdictMediaPath)
+    val ref = graft.checks.Fit.fit(docs.filter($"part" === 0), snapshotId = 1L,
+      maxSample = 100)
+    val res = graft.engine.ValidationRun.run(docs, media, ref,
+      graft.engine.RunConfig(runId = "verdicts", alpha = 0.01, maxSample = 100))
+    val v = res.verdicts.toDF()
+    val constraint = col("check_id")
+      .isin("unique_doc_id", "ref_media", "span_order", "null_kind")
+    val rounded = col("check_id")
+      .isin("chi2_kind", "ks_offset", "psi_offset", "jsd_kind", "emd_offset")
+    v.filter(constraint || rounded || col("check_id") === "novel_kind")
+      .select(col("part"), col("check_id"),
+        when(rounded, round(col("distance"), 4))
+          .when(col("check_id") === "novel_kind", round(col("distance"), 6))
+          .as("dist"),
+        when(constraint, col("distance").cast("long")).as("viol"),
+        when(constraint, col("passed"))
+          .when(col("check_id").isin("psi_offset", "jsd_kind", "novel_kind"),
+            col("is_drift"))
+          .as("flag"))
+      .orderBy(col("part"), col("check_id"))
+  }
+
+  private val verdictsOracleSql: String =
+    s"""WITH docs AS (SELECT * FROM read_parquet('$VerdictDocsPath/*.parquet')),
+        media AS (SELECT media_ref FROM read_parquet('$VerdictMediaPath/*.parquet')),
+        parts AS (SELECT DISTINCT part FROM docs),
+        flat AS (SELECT part, u.kind AS kind, u.media_ref AS mr, u."offset" AS off
+                 FROM (SELECT part, unnest(spans) AS u FROM docs)),
+        dup AS (SELECT min_part AS part, count(*) AS v FROM (
+                  SELECT doc_id, min(part) AS min_part FROM docs
+                  GROUP BY doc_id HAVING count(*) > 1) GROUP BY 1),
+        refs AS (SELECT part, count(*) AS v FROM flat
+                 WHERE mr IS NOT NULL AND mr NOT IN (SELECT media_ref FROM media)
+                 GROUP BY part),
+        oflags AS (SELECT part, doc_id,
+                     len(list_filter(range(len(offs)), i ->
+                       i > 0 AND offs[CAST(i AS INT) + 1] <= offs[CAST(i AS INT)])) > 0 AS ordv,
+                     len(list_filter(kinds, k -> k IS NULL)) > 0 AS nkv
+                   FROM (SELECT part, doc_id,
+                           list_transform(spans, s -> s."offset") AS offs,
+                           list_transform(spans, s -> s.kind) AS kinds FROM docs)),
+        so AS (SELECT part, count(*) AS v FROM oflags WHERE ordv GROUP BY part),
+        nk AS (SELECT part, count(*) AS v FROM oflags WHERE nkv GROUP BY part),
+        cons AS (
+          SELECT p.part, c.check_id, CAST(NULL AS DOUBLE) AS dist,
+            CAST(coalesce(CASE c.check_id
+              WHEN 'unique_doc_id' THEN dup.v WHEN 'ref_media' THEN refs.v
+              WHEN 'span_order' THEN so.v ELSE nk.v END, 0) AS BIGINT) AS viol,
+            coalesce(CASE c.check_id
+              WHEN 'unique_doc_id' THEN dup.v WHEN 'ref_media' THEN refs.v
+              WHEN 'span_order' THEN so.v ELSE nk.v END, 0) = 0 AS flag
+          FROM parts p CROSS JOIN (SELECT unnest(
+              ['null_kind','ref_media','span_order','unique_doc_id']) AS check_id) c
+          LEFT JOIN dup ON c.check_id = 'unique_doc_id' AND dup.part = p.part
+          LEFT JOIN refs ON c.check_id = 'ref_media' AND refs.part = p.part
+          LEFT JOIN so ON c.check_id = 'span_order' AND so.part = p.part
+          LEFT JOIN nk ON c.check_id = 'null_kind' AND nk.part = p.part),
+        kc AS (SELECT part, kind, count(*) AS c FROM flat
+               WHERE kind IS NOT NULL GROUP BY part, kind),
+        cats AS (SELECT DISTINCT kind FROM kc),
+        rkc AS (SELECT kind, c FROM kc WHERE part = 0),
+        kk AS (SELECT p.part, ct.kind,
+                 CAST(coalesce(r.c, 0) AS DOUBLE) AS rc,
+                 CAST(coalesce(k.c, 0) AS DOUBLE) AS pc
+               FROM parts p CROSS JOIN cats ct
+               LEFT JOIN rkc r ON r.kind = ct.kind
+               LEFT JOIN kc k ON k.part = p.part AND k.kind = ct.kind),
+        ktot AS (SELECT part, sum(rc) AS nr, sum(pc) AS np,
+                   count(*) FILTER (WHERE rc + pc > 0) AS kept
+                 FROM kk GROUP BY part),
+        chi2 AS (SELECT kk.part,
+                   CASE WHEN t.kept < 2 OR t.nr = 0 OR t.np = 0 THEN 0.0
+                     ELSE sum(CASE WHEN kk.rc + kk.pc > 0 THEN
+                       (kk.rc - (kk.rc + kk.pc) / (t.nr + t.np) * t.nr)
+                         * (kk.rc - (kk.rc + kk.pc) / (t.nr + t.np) * t.nr)
+                         / ((kk.rc + kk.pc) / (t.nr + t.np) * t.nr)
+                       + (kk.pc - (kk.rc + kk.pc) / (t.nr + t.np) * t.np)
+                         * (kk.pc - (kk.rc + kk.pc) / (t.nr + t.np) * t.np)
+                         / ((kk.rc + kk.pc) / (t.nr + t.np) * t.np)
+                       ELSE 0 END) END AS stat
+                 FROM kk JOIN ktot t USING (part)
+                 GROUP BY kk.part, t.kept, t.nr, t.np),
+        jsd AS (SELECT kk.part,
+                  CASE WHEN t.nr = 0 AND t.np = 0 THEN 0.0
+                       WHEN t.nr = 0 OR t.np = 0 THEN 1.0
+                    ELSE greatest(0.0, sum(
+                      CASE WHEN kk.rc > 0 THEN 0.5 * (kk.rc / t.nr) *
+                        ln((kk.rc / t.nr) / (0.5 * (kk.rc / t.nr + kk.pc / t.np)))
+                        ELSE 0 END +
+                      CASE WHEN kk.pc > 0 THEN 0.5 * (kk.pc / t.np) *
+                        ln((kk.pc / t.np) / (0.5 * (kk.rc / t.nr + kk.pc / t.np)))
+                        ELSE 0 END) / ln(2.0)) END AS v
+                FROM kk JOIN ktot t USING (part)
+                GROUP BY kk.part, t.nr, t.np),
+        novel AS (SELECT p.part,
+                    CAST(coalesce(sum(k.c) FILTER (WHERE r.kind IS NULL), 0) AS BIGINT) AS novel_spans,
+                    CAST(coalesce(sum(k.c), 0) AS BIGINT) AS np
+                  FROM parts p LEFT JOIN kc k ON k.part = p.part
+                  LEFT JOIN rkc r ON r.kind = k.kind
+                  GROUP BY p.part),
+        roc AS (SELECT off, count(*) AS c FROM flat WHERE part = 0 GROUP BY off),
+        rn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM roc),
+        rcum AS (SELECT off, CAST(sum(c) OVER (ORDER BY off) AS BIGINT) AS cum FROM roc),
+        grid AS (SELECT off AS edge, cum AS refcum,
+                   row_number() OVER (ORDER BY off) AS gi
+                 FROM (SELECT off, cum,
+                         coalesce(lag(cum) OVER (ORDER BY off), 0) AS pcm0
+                       FROM rcum), rn
+                 WHERE (cum * 200) // rn.n > (pcm0 * 200) // rn.n
+                   AND (cum * 200) // rn.n >= 1),
+        pn AS (SELECT part, CAST(count(*) AS BIGINT) AS nprod FROM flat GROUP BY part),
+        ga AS (SELECT list(edge ORDER BY gi) AS ea FROM grid),
+        sb AS (SELECT f.part, len(list_filter(ga.ea, e -> e < f.off)) + 1 AS gi
+               FROM flat f, ga),
+        hist AS (SELECT part, gi, count(*) AS c FROM sb GROUP BY part, gi),
+        pg AS (SELECT p.part, g.gi, g.edge, g.refcum FROM parts p CROSS JOIN grid g),
+        pcm AS (SELECT pg.part, pg.gi, pg.edge, pg.refcum,
+                  CAST(coalesce(sum(h.c) OVER (
+                    PARTITION BY pg.part ORDER BY pg.gi), 0) AS BIGINT) AS pcum
+                FROM pg LEFT JOIN hist h ON h.part = pg.part AND h.gi = pg.gi),
+        ks AS (SELECT pcm.part,
+                 max(abs(pcm.refcum * 1.0 / rn.n -
+                   CASE WHEN pn.nprod = 0 THEN 0.0
+                        ELSE pcm.pcum * 1.0 / pn.nprod END)) AS d
+               FROM pcm CROSS JOIN rn JOIN pn ON pn.part = pcm.part
+               GROUP BY pcm.part),
+        emd AS (SELECT q.part,
+                  coalesce(sum(CASE WHEN q.nxt IS NULL THEN 0
+                    ELSE abs(q.refcum * 1.0 / rn.n -
+                      CASE WHEN pn.nprod = 0 THEN 0.0
+                           ELSE q.pcum * 1.0 / pn.nprod END) * (q.nxt - q.edge)
+                    END), 0) AS d
+                FROM (SELECT *, lead(edge) OVER (
+                        PARTITION BY part ORDER BY gi) AS nxt FROM pcm) q
+                CROSS JOIN rn JOIN pn ON pn.part = q.part
+                GROUP BY q.part),
+        dec AS (SELECT DISTINCT (SELECT min(g.gi) FROM grid g, rn
+                  WHERE g.refcum * 10 >= i.i * rn.n) AS gi
+                FROM range(1, 10) AS i(i)),
+        decb AS (SELECT gi, row_number() OVER (ORDER BY gi) AS di FROM dec),
+        selx AS (SELECT pcm.part, d.di, pcm.refcum, pcm.pcum
+                 FROM pcm JOIN decb d USING (gi)
+                 UNION ALL
+                 SELECT p.part, (SELECT count(*) FROM decb) + 1, rn.n, pn.nprod
+                 FROM parts p JOIN pn ON pn.part = p.part CROSS JOIN rn),
+        props AS (SELECT s.part, s.di,
+                    (s.refcum - coalesce(lag(s.refcum) OVER (
+                      PARTITION BY s.part ORDER BY s.di), 0)) * 1.0 / rn.n AS rp,
+                    CASE WHEN pn.nprod = 0 THEN 0.0
+                      ELSE (s.pcum - coalesce(lag(s.pcum) OVER (
+                        PARTITION BY s.part ORDER BY s.di), 0)) * 1.0 / pn.nprod
+                      END AS pp
+                  FROM selx s CROSS JOIN rn JOIN pn ON pn.part = s.part),
+        psi AS (SELECT part, sum((greatest(pp, 1e-6) - greatest(rp, 1e-6)) *
+                  ln(greatest(pp, 1e-6) / greatest(rp, 1e-6))) AS v
+                FROM props GROUP BY part),
+        drift AS (
+          SELECT part, 'chi2_kind' AS check_id, round(stat, 4) AS dist,
+            CAST(NULL AS BIGINT) AS viol, CAST(NULL AS BOOLEAN) AS flag FROM chi2
+          UNION ALL SELECT part, 'ks_offset', round(d, 4), NULL, NULL FROM ks
+          UNION ALL SELECT part, 'emd_offset', round(d, 4), NULL, NULL FROM emd
+          UNION ALL SELECT part, 'psi_offset', round(v, 4), NULL,
+            (1.0 - least(v / 0.2, 1.0)) <= 0.01 FROM psi
+          UNION ALL SELECT part, 'jsd_kind', round(v, 4), NULL,
+            (1.0 - least(v / 0.1, 1.0)) <= 0.01 FROM jsd
+          UNION ALL SELECT part, 'novel_kind',
+            round(CASE WHEN np = 0 THEN 0.0
+                       ELSE novel_spans * 1.0 / np END, 6), NULL,
+            novel_spans > 0 FROM novel)
+        SELECT part, check_id, dist, viol, flag FROM cons
+        UNION ALL SELECT part, check_id, dist, viol, flag FROM drift
+        ORDER BY part, check_id"""
+
   private val SpanSeqAPath = s"/tmp/graft_spanseq_a_$pathToken"
   private val SpanSeqBPath = s"/tmp/graft_spanseq_b_$pathToken"
 
@@ -484,6 +690,7 @@ object SparkEntry {
     graft.entry.TpchQueries.queries ++
       graft.ops.OpsQueries.queries ++
       Map("docs_validation" -> (entry_docs_validation _),
+        "docs_verdicts" -> (entry_docs_verdicts _),
         "docs_drift_inputs" -> (entry_docs_drift_inputs _),
         "docs_constraints" -> (entry_docs_constraints _),
         "docs_span_seq" -> (entry_docs_span_seq _),
@@ -498,6 +705,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     graft.entry.TpchQueries.oracleSql ++ graft.ops.OpsQueries.oracleSql ++
       Map("docs_drift_inputs" -> driftInputsOracleSql,
+        "docs_verdicts" -> verdictsOracleSql,
         "docs_constraints" -> constraintsOracleSql,
         "docs_span_seq" -> spanSeqOracleSql,
         "uniq_cross_snapshot" -> uniqCrossOracleSql,
