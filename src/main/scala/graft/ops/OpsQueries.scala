@@ -635,12 +635,65 @@ object OpsQueries {
   def embCosineDups(s: SparkSession, dir: String): DataFrame =
     embCosinePairs(s, dir).orderBy(col("id_a"), col("id_b"))
 
+  /** In-row recall gate for the approximate ANN driver entries: the exact
+    * brute-force twin's id set is computed beside the approximate result,
+    * recall = |approx ∩ exact| / |exact| is REQUIRED ≥ `floor` (a drop
+    * below the floor throws, so the driver reports the query red even
+    * though no hash oracle exists for an approximate config), and the
+    * recall value is stamped on every output row so the quality of the
+    * trade is visible in the result itself. Gate-scale rig only: the exact
+    * twin is a bounded brute force over the correctness-gate corpus;
+    * production callers use the index operators directly. */
+  private def gateRecall(approx: DataFrame, idCol: String, exactIds: Set[Long],
+                         floor: Double, what: String): DataFrame = {
+    val ids = approx.select(col(idCol).cast("long")).collect().map(_.getLong(0)).toSet
+    val recall =
+      if (exactIds.isEmpty) 1.0
+      else ids.intersect(exactIds).size.toDouble / exactIds.size
+    System.err.println(f"[verify] $what recall@${exactIds.size} = $recall%.3f (floor $floor%.2f)")
+    require(recall >= floor,
+      f"$what: ANN recall $recall%.3f < floor $floor%.2f vs the exact twin")
+    approx.withColumn("recall", lit(math.rint(recall * 10000) / 10000))
+  }
+
+  /** Exact single-query twin: brute-force top-k ids over the corpus. */
+  private def exactTopIds(corpus: DataFrame, queryVec: Array[Double], k: Int): Set[Long] =
+    Similarity.bruteForceTopK(corpus, "vec_id", "embedding", queryVec, k)
+      .select(col("vec_id").cast("long")).collect().map(_.getLong(0)).toSet
+
+  /** Per-query recall gate for the batch/join ANN entries: recall@k per
+    * query against the exact twin frame, MEAN recall required ≥
+    * `floorMean` (throws below — same loud contract as [[gateRecall]]),
+    * per-query recall joined back in-row. O(queries) driver rows only. */
+  private def gateRecallPerQuery(approx: DataFrame, qCol: String, idCol: String,
+                                 exact: DataFrame, eqCol: String, eidCol: String,
+                                 floorMean: Double, what: String): DataFrame = {
+    val a = approx.select(col(qCol).cast("long").as("q"), col(idCol).cast("long").as("i"))
+    val e = exact.select(col(eqCol).cast("long").as("q"), col(eidCol).cast("long").as("i"))
+    val hits = a.join(e, Seq("q", "i")).groupBy(col("q")).agg(count(lit(1)).as("hits"))
+    val den = e.groupBy(col("q")).agg(count(lit(1)).as("n"))
+    val recDf = den.join(hits, Seq("q"), "left")
+      .select(col("q"),
+        round(coalesce(col("hits"), lit(0L)) * 1.0 / col("n"), 4).as("recall"))
+    val rows = recDf.collect() // O(queries)
+    val mean = if (rows.isEmpty) 1.0
+      else rows.map(_.getDouble(1)).sum / rows.length
+    System.err.println(f"[verify] $what mean recall = $mean%.3f over ${rows.length} queries (floor $floorMean%.2f)")
+    require(mean >= floorMean,
+      f"$what: mean ANN recall $mean%.3f < floor $floorMean%.2f vs the exact twin")
+    approx.join(broadcast(recDf), approx(qCol).cast("long") === recDf("q"))
+      .drop("q")
+  }
+
   def annLshTopK(s: SparkSession, dir: String): DataFrame = {
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0)
     val queryVec = embs(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    Similarity.lshTopK(embs(s, dir).filter(col("vec_id") =!= 0),
-      "vec_id", "embedding", queryVec, k = 10, planes = 5, probes = 6)
+    gateRecall(
+      Similarity.lshTopK(corpus, "vec_id", "embedding", queryVec,
+        k = 10, planes = 5, probes = 16),
+      "vec_id", exactTopIds(corpus, queryVec, 10), floor = 0.3, "ann_lsh_topk")
   }
 
   /** ANN against a PERSISTED partitioned LSH index (rows-only): only the
@@ -649,12 +702,14 @@ object OpsQueries {
     * (planes, probes); partition pruning is plan-asserted in SimilaritySpec. */
   def annLshIndexed(s: SparkSession, dir: String): DataFrame = {
     val idx = indexScratch("lsh")
-    Similarity.lshIndexWrite(embs(s, dir).filter(col("vec_id") =!= 0),
-      "vec_id", "embedding", idx, planes = 5)
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0)
+    Similarity.lshIndexWrite(corpus, "vec_id", "embedding", idx, planes = 5)
     val queryVec = embs(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    Similarity.lshTopKIndexed(s, idx, queryVec, k = 10, planes = 5, probes = 6)
+    gateRecall(
+      Similarity.lshTopKIndexed(s, idx, queryVec, k = 10, planes = 5, probes = 16),
+      "id", exactTopIds(corpus, queryVec, 10), floor = 0.3, "ann_lsh_indexed")
   }
 
   /** Batch ANN against the persisted index (rows-only): every query row's
@@ -670,12 +725,20 @@ object OpsQueries {
     // RELEASE the exploded-query persist deterministically — the unmanaged
     // call leaks MEMORY_AND_DISK blocks until the frame is GC'd
     val (df, release) = Similarity.lshTopKIndexedBatchManaged(s, idx, queries,
-      "vec_id", "embedding", k = 6, planes = 5, probes = 6)
+      "vec_id", "embedding", k = 6, planes = 5, probes = 16)
     val out = df.filter(col("query_id") =!= col("id"))
       .orderBy(col("query_id"), col("cos").desc, col("id"))
     val rows = out.collect()
     release()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    val approx = s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    // exact per-query twin: all-pairs top-k restricted to the query ids
+    // (self-pairs are excluded by allPairsTopK's id_a =!= id_b, matching
+    // the self-match drop above) — bounded brute force at gate scale
+    val exact = Similarity.allPairsTopK(embs(s, dir), "vec_id", "embedding", k = 6)
+      .filter(col("id_a") < 20)
+    gateRecallPerQuery(approx, "query_id", "id", exact, "id_a", "id_b",
+        floorMean = 0.4, "ann_lsh_batch")
+      .orderBy(col("query_id"), col("cos").desc, col("id"))
   }
 
   /** IVF ANN against a persisted coarse-quantized index (rows-only:
@@ -683,12 +746,13 @@ object OpsQueries {
     * all-lists==brute-force identity are unit-tested in IvfAnnSpec). */
   def annIvfTopK(s: SparkSession, dir: String): DataFrame = {
     val idx = indexScratch("ivfq")
-    IvfAnn.indexWrite(embs(s, dir).filter(col("vec_id") =!= 0),
-      "vec_id", "embedding", idx, nLists = 16)
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0)
+    IvfAnn.indexWrite(corpus, "vec_id", "embedding", idx, nLists = 16)
     val queryVec = embs(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    IvfAnn.topKIndexed(s, idx, queryVec, k = 10, nprobe = 4)
+    gateRecall(IvfAnn.topKIndexed(s, idx, queryVec, k = 10, nprobe = 8),
+      "id", exactTopIds(corpus, queryVec, 10), floor = 0.25, "ann_ivf_topk")
   }
 
   /** IVF at the exact config (nprobe = nLists → every list probed → brute
@@ -710,12 +774,15 @@ object OpsQueries {
     * are unit-tested in PqSpec). */
   def annIvfPqTopK(s: SparkSession, dir: String): DataFrame = {
     val idx = indexScratch("ivfpq")
-    Pq.indexWrite(embs(s, dir).filter(col("vec_id") =!= 0),
-      "vec_id", "embedding", idx, nLists = 8, m = 8, k = 16)
+    val corpus = embs(s, dir).filter(col("vec_id") =!= 0)
+    Pq.indexWrite(corpus, "vec_id", "embedding", idx, nLists = 8, m = 8, k = 16)
     val queryVec = embs(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>"))
       .head().getSeq[Double](0).toArray
-    Pq.topKIndexed(s, idx, queryVec, k = 10, nprobe = 4)
+    // lossy 8-byte codes rank by reconstructed distance — the floor is the
+    // coarse "same neighborhood" contract, not the LSH/IVF one
+    gateRecall(Pq.topKIndexed(s, idx, queryVec, k = 10, nprobe = 8),
+      "id", exactTopIds(corpus, queryVec, 10), floor = 0.2, "ann_ivfpq_topk")
   }
 
   /** PQ at the structurally-lossless config: a ≤256-row corpus has ≤256
@@ -737,10 +804,14 @@ object OpsQueries {
 
   /** Per-row kNN join (rows-only: LSH recall is approximate by design; the
     * recall bound vs brute force is unit-tested in SimilaritySpec). */
-  def knnJoin(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnJoin(embs(s, dir), "vec_id", "embedding", k = 5,
-        planes = 5, probes = 6)
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    val approx = Similarity.knnJoin(embs(s, dir), "vec_id", "embedding", k = 5,
+      planes = 5, probes = 16)
+    val exact = Similarity.allPairsTopK(embs(s, dir), "vec_id", "embedding", k = 5)
+    gateRecallPerQuery(approx, "id_a", "id_b", exact, "id_a", "id_b",
+        floorMean = 0.4, "knn_join")
       .orderBy(col("id_a"), col("cos").desc, col("id_b"))
+  }
 
   /** kNN join at the guaranteed-total-probe config: planes=1 and probes=2
     * probe BOTH buckets, so candidate recall is STRUCTURALLY total (not

@@ -29,14 +29,54 @@ object Similarity {
   def hyperplaneBucket(emb: Column, planes: Int = 12): Column =
     graft.functions.HyperplaneBucket.hyperplane_bucket(emb, planes)
 
-  /** Multi-probe bucket set: the query's own bucket plus buckets at Hamming
-    * distance 1 on the first `min(probes - 1, planes)` planes — the NUMBER
-    * of extra probes honors the `probes` argument exactly (the same
-    * semantics as [[knnJoin]]'s probe explosion; a prior version probed ALL
-    * planes' neighbors for any probes > 1). */
+  /** Multi-probe XOR masks in standard probing order (Lv et al. 2007,
+    * "Multi-Probe LSH"): Hamming distance ascending — the query's own
+    * bucket (mask 0), then all single-bit flips in ascending bit order,
+    * then all two-bit flips, and so on. Masks are constant per
+    * (planes, probes): a probe bucket is `qBucket ^ mask`, so ONE mask
+    * list serves both the driver-side single-query paths and the per-row
+    * join explode (no per-row probe derivation). Capped at the bucket
+    * universe, so `probes >= 2^planes` degrades to exact search. */
+  private[ops] def probeMasks(planes: Int, probes: Int): Seq[Long] = {
+    val universe = if (planes >= 62) Long.MaxValue else 1L << planes
+    val want = math.min(math.max(probes, 1).toLong, universe).toInt
+    val out = Seq.newBuilder[Long]
+    var n = 0
+    def emit(m: Long): Boolean = { out += m; n += 1; n >= want }
+    var done = emit(0L)
+    var h = 1
+    while (!done && h <= planes) {
+      // h-bit masks in lexicographic bit-position order ((0,1), (0,2), …):
+      // combinations of positions advanced at the last movable index
+      val idx = Array.tabulate(h)(identity)
+      var more = true
+      while (more && !done) {
+        var m = 0L
+        idx.foreach(b => m |= (1L << b))
+        done = emit(m)
+        var i = h - 1
+        while (i >= 0 && idx(i) == planes - h + i) i -= 1
+        if (i < 0) more = false
+        else {
+          idx(i) += 1
+          var j = i + 1
+          while (j < h) { idx(j) = idx(j - 1) + 1; j += 1 }
+        }
+      }
+      h += 1
+    }
+    out.result()
+  }
+
   private def probeSet(qBucket: Long, planes: Int, probes: Int): Seq[Long] =
-    if (probes <= 1) Seq(qBucket)
-    else qBucket +: (0 until math.min(probes - 1, planes)).map(b => qBucket ^ (1L << b))
+    probeMasks(planes, probes).map(qBucket ^ _)
+
+  /** The same probe set as a per-row Column explode: `bucketCol ^ mask`
+    * for each constant mask. */
+  private def probeArrCol(bucketCol: Column, planes: Int, probes: Int): Column = {
+    val masks = probeMasks(planes, probes)
+    array(masks.map(m => if (m == 0L) bucketCol else bucketCol.bitwiseXOR(lit(m))): _*)
+  }
 
   /** Brute-force cosine top-k against one query vector (broadcast). */
   def bruteForceTopK(df: DataFrame, idCol: String, embCol: String,
@@ -49,7 +89,8 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: candidates restricted to the query's hyperplane
     * bucket, then exact cosine rank. `probes > 1` additionally searches
-    * buckets at Hamming distance 1 (multi-probe) for recall. */
+    * neighbor buckets in multi-probe order (Hamming distance ascending,
+    * see [[probeMasks]]) for recall. */
   def lshTopK(df: DataFrame, idCol: String, embCol: String,
               query: Array[Double], k: Int, planes: Int = 12, probes: Int = 1): DataFrame = {
     val spark = df.sparkSession
@@ -72,8 +113,8 @@ object Similarity {
     *
     * Shape: every row lands in its hyperplane bucket once (index side); the
     * query side explodes each row into its own bucket plus, when
-    * `probes > 1`, the first `min(probes-1, planes)` buckets at Hamming
-    * distance 1 (multi-probe union for recall). The join key is the bucket
+    * `probes > 1`, the next `probes - 1` buckets in multi-probe order
+    * (Hamming distance ascending, [[probeMasks]] — a union for recall). The join key is the bucket
     * id, so the shuffle is by bucket — candidate generation is
     * Σ_buckets |bucket|², never the corpus². The exact cosine then ranks
     * candidates per query row via the bounded TopKPairsAgg. A probed pair
@@ -132,11 +173,7 @@ object Similarity {
             .otherwise(col("bucket")))
        else idx0.withColumn("key", col("bucket")))
         .select(col("id_b"), col("emb_b"), col("key"))
-    val probeArr = {
-      val own = col("b0")
-      if (probes <= 1) array(own)
-      else array(own +: (0 until math.min(probes - 1, planes)).map(j => own.bitwiseXOR(1L << j)): _*)
-    }
+    val probeArr = probeArrCol(col("b0"), planes, probes)
     val q0 = base.select(col("id").as("id_a"), col("emb").as("emb_a"),
         col("bucket").as("b0"),
         col("fine").bitwiseAND((1L << splitPlanes) - 1).as("ext"))
@@ -254,7 +291,7 @@ object Similarity {
     * Spark job per query).
     *
     * Scale shape: each query row explodes into its probe buckets (own +
-    * `min(probes-1, planes)` Hamming-1 neighbors — same probe set as
+    * `probes - 1` neighbors in multi-probe order — same probe set as
     * [[lshTopKIndexed]]); the UNION of all probe buckets is collected
     * (bounded by min(queries × probes, 2^planes) longs — the query side is
     * the small side by assumption) and becomes a LITERAL `isin` predicate,
@@ -286,11 +323,7 @@ object Similarity {
                                  queries: DataFrame, idCol: String, embCol: String,
                                  k: Int, planes: Int = 12, probes: Int = 1)
       : (DataFrame, () => Unit) = {
-    val probeArr = {
-      val own = col("b0")
-      if (probes <= 1) array(own)
-      else array(own +: (0 until math.min(probes - 1, planes)).map(j => own.bitwiseXOR(1L << j)): _*)
-    }
+    val probeArr = probeArrCol(col("b0"), planes, probes)
     // persist the exploded query side: it is referenced twice — the
     // probed-bucket collect AND the join — and an uncached subplan would
     // re-read + re-bucket the query source per reference (Spark shares no

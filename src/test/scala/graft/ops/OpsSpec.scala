@@ -474,6 +474,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.sameElements(computed), s"indexed=${got.toSeq} computed=${computed.toSeq}")
   }
 
+  test("probeMasks: Hamming-ascending multi-probe order, distinct, capped at 2^planes") {
+    // full enumeration at probes >= universe: every bucket, exactly once
+    val all = Similarity.probeMasks(planes = 4, probes = 100)
+    assert(all.length == 16 && all.distinct.length == 16)
+    // Hamming distance never decreases along the probe order
+    val pops = all.map(java.lang.Long.bitCount)
+    assert(pops == pops.sorted, s"probe order not Hamming-ascending: $pops")
+    // the H<=1 prefix is the legacy probe set (own bucket, then single-bit
+    // flips in ascending bit order) — old (planes+1)-probe configs replay
+    assert(Similarity.probeMasks(5, 6) == Seq(0L, 1L, 2L, 4L, 8L, 16L))
+    // H2 continues in lexicographic bit-position order: (0,1), (0,2), (0,3)
+    assert(Similarity.probeMasks(5, 9).drop(6) == Seq(3L, 5L, 9L))
+    // masks stay within the plane bits
+    assert(Similarity.probeMasks(3, 8).forall(m => (m & ~7L) == 0L))
+  }
+
+  test("lshTopK probes beyond planes+1 reach Hamming-2 buckets (recall grows)") {
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
+    val planes = 4
+    def scanned(probes: Int): Long =
+      Similarity.lshTopK(embs, "vec_id", "embedding", q,
+        k = 100000, planes = planes, probes = probes).count()
+    val h1 = scanned(planes + 1)     // own + all single-bit flips
+    val h2 = scanned(planes + 1 + 6) // + all C(4,2) two-bit flips
+    val allBuckets = scanned(16)     // the full universe = whole corpus
+    assert(h1 < h2 && h2 < allBuckets, s"$h1 / $h2 / $allBuckets")
+    assert(allBuckets == embs.count())
+  }
+
+  test("driver ANN entries carry the in-row recall gate vs the exact twin") {
+    val dir = "/root/testdata/sf0.001"
+    for (name <- Seq("ann_lsh_topk", "ann_ivf_topk")) {
+      val out = OpsQueries.queries(name)(spark, dir)
+      assert(out.columns.contains("recall"), s"$name lacks the recall column")
+      val recalls = out.select($"recall").as[Double].collect().distinct
+      assert(recalls.length == 1, s"$name recall not constant: ${recalls.toSeq}")
+      assert(recalls.head >= 0.25, s"$name recall ${recalls.head}")
+    }
+    val kj = OpsQueries.queries("knn_join")(spark, dir)
+    assert(kj.columns.contains("recall"))
+    // per-query recall: mean gated >= 0.4 inside the entry; spot-check range
+    val rs = kj.select($"recall").as[Double].collect()
+    assert(rs.forall(r => r >= 0.0 && r <= 1.0))
+    assert(rs.sum / rs.length >= 0.4)
+  }
+
   test("lshTopK honors the NUMERIC probes value (only probes-1 neighbor buckets)") {
     val q = embs.filter($"vec_id" === 0)
       .select($"embedding".cast("array<double>")).head().getSeq[Double](0).toArray
