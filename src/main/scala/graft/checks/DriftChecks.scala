@@ -520,7 +520,10 @@ object DriftChecks {
     * rules as [[chi2]]/[[graft.stats.StatMath.chi2TwoSample]]: cells with
     * r+o=0 drop, a (window, slice) with <2 kept categories or an empty
     * side emits NO row (the attrib posture). The reference window compared
-    * with itself reads exactly 0. Output: (window, slice, n_ref, n_prod,
+    * with itself reads 0 at the rounding grain (the pooled expectation
+    * (r+o)/(n_ref+n_prod)·n_ref need not reproduce r to the last ulp in
+    * floating point — gate the control window on the rounded stat, never
+    * on `stat == 0`). Output: (window, slice, n_ref, n_prod,
     * dof, stat) — stat is a float sum, so cross-partitioning comparison is
     * at the rounding grain (callers round; the driver query rounds to 6).
     * P-values need the incomplete gamma (not expressible as built-in

@@ -38,7 +38,16 @@ object VolumeCheck {
 
   /** Per-group row counts with robust anomaly flags. Returns one row per
     * group: groupCols…, `n`, `median_n`, `mad_n`, `robust_z` (rounded to
-    * `zScale` decimals; NULL when MAD = 0), `is_anomaly`. */
+    * `zScale` decimals; NULL when MAD = 0), `is_anomaly`.
+    *
+    * ONE map-side-combinable count aggregation over the data rows: the
+    * O(groups) counts frame is persisted, the median/MAD fences are driver
+    * arithmetic over its collected counts ([[medianOf]] — the same
+    * interpolated-median rule as SQL `percentile(x, 0.5)`), and the result
+    * (also O(groups)) is materialized eagerly so the persist releases
+    * deterministically before returning. The earlier formulation derived
+    * med/MAD/fences from the UNPERSISTED counts frame — three full scans
+    * of `df` for one report. */
   def anomaly(df: DataFrame, groupCols: Seq[String], k: Double = 3.5,
               zScale: Int = 6): DataFrame = {
     require(groupCols.nonEmpty, "volume: at least one group column required")
@@ -46,21 +55,24 @@ object VolumeCheck {
       s"volume: group columns ${groupCols.mkString(",")} must exist in ${df.columns.mkString(",")}")
     require(k > 0, s"volume: k must be > 0, got $k")
     val counts = df.groupBy(groupCols.map(col): _*).agg(count(lit(1)).as("n"))
-    // exact percentile over the O(groups) counts frame — the aggregate
-    // buffers only the per-group counts, never data rows
-    val med = counts.agg(expr("percentile(n, 0.5d)").as("__med"))
-    val withMed = counts.crossJoin(broadcast(med))
-    val mad = withMed.agg(expr("percentile(abs(n - __med), 0.5d)").as("__mad"))
-    val fenced = withMed.crossJoin(broadcast(mad))
-    val dev = col("n") - col("__med")
-    val scale = lit(MadScale) * col("__mad")
-    fenced.select(
-      groupCols.map(col) ++ Seq(
-        col("n"),
-        round(col("__med"), zScale).as("median_n"),
-        round(col("__mad"), zScale).as("mad_n"),
-        round(when(col("__mad") > 0, dev / scale), zScale).as("robust_z"),
-        (col("__mad") > 0 && abs(dev) > lit(k) * scale).as("is_anomaly")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val ns = counts.select(col("n")).collect().map(_.getLong(0).toDouble)
+      val med = if (ns.isEmpty) 0.0 else medianOf(ns)
+      val mad = if (ns.isEmpty) 0.0 else medianOf(ns.map(v => math.abs(v - med)))
+      val dev = col("n") - lit(med)
+      val scale = lit(MadScale * mad)
+      val out = counts.select(
+        groupCols.map(col) ++ Seq(
+          col("n"),
+          round(lit(med), zScale).as("median_n"),
+          round(lit(mad), zScale).as("mad_n"),
+          round(when(lit(mad) > 0, dev / scale), zScale).as("robust_z"),
+          (lit(mad) > 0 && abs(dev) > lit(k) * scale).as("is_anomaly")): _*)
+      val rows = out.collect() // O(groups) — bounded by construction
+      df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally counts.unpersist(blocking = false)
   }
 
   /** Interpolated (continuous) median — same rule as Spark/DuckDB

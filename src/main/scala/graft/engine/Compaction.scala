@@ -44,10 +44,15 @@ object Compaction {
     val rows = snap.parts.flatMap { p =>
       val dir = Paths.get(table, "data", s"part=$p")
       if (!Files.isDirectory(dir)) Seq.empty
-      else Files.list(dir).iterator().asScala
-        .filter(f => f.getFileName.toString.endsWith(".parquet"))
-        .map(f => (p, f.getFileName.toString, Files.size(f)))
-        .toSeq.sortBy(_._2)
+      else {
+        // close the stream (it holds the directory fd until closed)
+        val ls = Files.list(dir)
+        try ls.iterator().asScala
+          .filter(f => f.getFileName.toString.endsWith(".parquet"))
+          .map(f => (p, f.getFileName.toString, Files.size(f)))
+          .toList.sortBy(_._2)
+        finally ls.close()
+      }
     }
     import spark.implicits._
     rows.toDF("part", "file", "bytes")

@@ -46,16 +46,30 @@ object SnapshotCatalog {
 
   private def snapDir(table: String): Path = Paths.get(table, "_snapshots")
 
-  /** All manifest ids present (not expired), ascending. */
-  def manifestIds(table: String): Seq[Long] = {
-    val dir = snapDir(table)
+  /** Materialized directory listing with the stream CLOSED (Files.list
+    * holds a directory fd until closed — an unclosed stream per call leaks
+    * fds for the lifetime of the JVM on hot paths like the streaming
+    * micro-batch commit, until GC happens to finalize them). */
+  private def listNames(dir: Path): Seq[String] = {
     if (!Files.exists(dir)) return Seq.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    val st = Files.list(dir)
+    try st.iterator().asScala.map(_.getFileName.toString).toList
+    finally st.close()
+  }
+
+  /** Part ids with a `part=N` data directory on disk — pure fs metadata
+    * (no parquet footer job), manifested or not. */
+  private[engine] def dataPartDirs(table: String): Set[Int] =
+    listNames(Paths.get(table, "data"))
+      .collect { case s if s.startsWith("part=") => s.stripPrefix("part=").toInt }
+      .toSet
+
+  /** All manifest ids present (not expired), ascending. */
+  def manifestIds(table: String): Seq[Long] =
+    listNames(snapDir(table))
       .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
         s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq.sorted
-  }
+      .sorted
 
   /** Append a new snapshot: writes `df` (must carry an int `part` column)
     * partitioned by part under data/, then commits manifest v(N+1) whose
@@ -139,17 +153,44 @@ object SnapshotCatalog {
             "- pass allowEvolution=true to accept additive schema evolution")
         if (added.isEmpty) js else df.schema.json
     }
-    val freshStats = statsKey.map(keyStatsOf(df, _)).getOrElse(Map.empty)
+    // auto-discovery safety (checked BEFORE writing anything): un-manifested
+    // part dirs that predate this write are crash leftovers — an interrupted
+    // Merge/commit wrote data but never committed its manifest. Silently
+    // adopting them (`dirParts -- historical`) would re-introduce rows that
+    // are still live in the parts they were meant to replace (duplicates).
+    // Only the auto-discovery path needs the guard; explicit appendedParts
+    // callers already assert their ids via the orphan-reuse require above.
+    if (appendedParts.isEmpty) {
+      val crashOrphans = dataPartDirs(table) -- historical
+      require(crashOrphans.isEmpty,
+        s"commit: un-manifested part dir(s) ${crashOrphans.toSeq.sorted.mkString(",")} " +
+          "existed BEFORE this write (crash leftovers of an interrupted " +
+          "merge/commit) — refusing to auto-adopt them as fresh data; " +
+          "delete the dirs or commit them explicitly via appendedParts")
+    }
     df.write.mode("append").option("compression", codec)
       .partitionBy("part").parquet(s"$table/data")
     val fresh: Set[Int] = appendedParts match {
       case Some(ps) => ps.toSet
       case None =>
-        val dirParts = spark.read.parquet(s"$table/data")
-          .select("part").distinct().collect().map(_.getInt(0)).toSet
         // written-now = on disk but never referenced by any manifest; dirs
         // orphaned by a rollback are in `historical`, so they stay out
-        dirParts -- historical
+        dataPartDirs(table) -- historical
+    }
+    // key stats from the bytes JUST WRITTEN (narrow re-read of the fresh
+    // part dirs, as Merge does) — never from a second evaluation of `df`:
+    // a non-deterministic input (sampled/repartitioned upstream) could
+    // otherwise record min/max that disagree with the data on disk, making
+    // key-range pruning silently unsound; this also drops the extra full
+    // pass per commit.
+    val freshStats: Map[Int, PartKeyStats] = statsKey match {
+      case Some(k) if fresh.nonEmpty && df.columns.contains(k) &&
+          df.schema(k).dataType == org.apache.spark.sql.types.StringType =>
+        keyStatsOf(spark.read.parquet(s"$table/data")
+          .filter(org.apache.spark.sql.functions.col("part")
+            .isInCollection(fresh.toSeq))
+          .select(k, "part"), k)
+      case _ => Map.empty
     }
     val parts = (live ++ fresh).toSeq.sorted
     // live parts keep their existing stats; fresh parts get the batch's
@@ -243,13 +284,7 @@ object SnapshotCatalog {
   def maxKnownPart(table: String): Int = {
     val manifestMax = manifestIds(table)
       .flatMap(readManifest(table, _).parts).foldLeft(-1)(math.max)
-    val dataDir = Paths.get(table, "data")
-    val dirMax =
-      if (!Files.exists(dataDir)) -1
-      else Files.list(dataDir).iterator().asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("part=") => s.stripPrefix("part=").toInt }
-        .foldLeft(-1)(math.max)
+    val dirMax = dataPartDirs(table).foldLeft(-1)(math.max)
     math.max(manifestMax, dirMax)
   }
 
@@ -365,9 +400,7 @@ object SnapshotCatalog {
   /** All tags: name → snapshot id. */
   def tags(table: String): Map[String, Long] = {
     val dir = refsDir(table)
-    if (!Files.exists(dir)) return Map.empty
-    Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
+    listNames(dir)
       .collect { case s if s.endsWith(".json") && !s.startsWith(".") =>
         val raw = new String(
           Files.readAllBytes(dir.resolve(s)), StandardCharsets.UTF_8)
@@ -441,13 +474,7 @@ object SnapshotCatalog {
   }
 
   def currentSnapshotId(table: String): Option[Long] = {
-    val dir = snapDir(table)
-    if (!Files.exists(dir)) return None
-    val ids = Files.list(dir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-        s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq
+    val ids = manifestIds(table)
     if (ids.isEmpty) None else Some(ids.max)
   }
 

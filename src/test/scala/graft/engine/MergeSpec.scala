@@ -189,6 +189,30 @@ class MergeSpec extends AnyFunSuite {
     assert(rb.partStats == s1.partStats)
   }
 
+  test("commit refuses to auto-adopt un-manifested part dirs predating the write " +
+    "(crash leftovers of an interrupted merge)") {
+    val (table, s1) = freshTable()
+    // simulate an interrupted Merge: a rewritten copy of part 0's rows
+    // landed in a fresh dir but the manifest commit never happened
+    DocsGen.docs(spark, 100, Seq(PartSpec(0))).withColumn("part", lit(77))
+      .write.mode("append").partitionBy("part").parquet(s"$table/data")
+    // auto-discovery must fail loud BEFORE writing anything (no new bytes
+    // land from a refused commit), not silently re-introduce the rows
+    val dirsBefore = new java.io.File(s"$table/data").list().toSet
+    val ex = intercept[IllegalArgumentException](
+      SnapshotCatalog.commit(table, DocsGen.docs(spark, 50, Seq(PartSpec(5)))))
+    assert(ex.getMessage.contains("77") && ex.getMessage.contains("BEFORE"),
+      ex.getMessage)
+    assert(new java.io.File(s"$table/data").list().toSet == dirsBefore)
+    // explicit appendedParts still commits (the caller asserts its ids) and
+    // the orphan dir stays un-adopted
+    val s2 = SnapshotCatalog.commit(table,
+      DocsGen.docs(spark, 50, Seq(PartSpec(5))), appendedParts = Some(Seq(5)))
+    assert(s2.parts == Seq(0, 1, 2, 5) && !s2.parts.contains(77))
+    // key stats for the appended part come from the bytes on disk
+    assert(s2.partStats.contains(5) && s2.partStats(5).rows == 50L)
+  }
+
   test("commitReplacing guards: non-live replaced, reused appended id") {
     val (table, s1) = freshTable()
     intercept[IllegalArgumentException](
