@@ -964,6 +964,37 @@ object OpsQueries {
         Multimodal.withPerturbedCopies(Multimodal.syntheticImages(s, 200)))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Real audio decode (no stub): deterministic synthetic RIFF/WAVE PCM16
+    * payloads → chunk-walking header parse → RMS / zero-crossing /
+    * band-energy features + the 64-bit energy-profile hash. Rows-only
+    * driver check like `media_decode` (a WAV parser is not replayable in
+    * DuckDB SQL); the container round-trip and feature math are
+    * hand-value-pinned in AudioSpec. */
+  def mediaAudioFeatures(s: SparkSession, dir: String): DataFrame =
+    Audio.audioFeatures(Audio.syntheticWavs(s, 200)).toDF()
+      .select(Seq(col("media_ref"), col("sample_rate"), col("n_samples"),
+        col("dur_ms"), col("rms_q"), col("zcr_q"), col("ehash")) ++
+        (0 until 8).map(i => round(element_at(col("band_rms"), i + 1), 6).as(s"b$i")): _*)
+      .orderBy(col("media_ref"))
+
+  /** Windowed audio frame features — the decoded-stream frame-sampling
+    * composition (every 2nd 512-sample window): rows-only like its parent,
+    * window indices/values spec-pinned against a driver-side replay. */
+  def mediaAudioWindows(s: SparkSession, dir: String): DataFrame =
+    Audio.audioWindowFeatures(Audio.syntheticWavs(s, 100),
+        windowSamples = 512, everyK = 2)
+      .orderBy(col("media_ref"), col("win_idx"))
+
+  /** Perceptual audio near-dup pairs: 100 synthetic WAVs + a ±1-LSB
+    * dithered twin for every 5th ref — pairs are exactly the planted
+    * twins at small energy-hash Hamming (different tone mixes sit far
+    * apart). Rows-only by design like `image_near_dup`; planted-truth
+    * exactness is spec-pinned (AudioSpec). */
+  def audioNearDup(s: SparkSession, dir: String): DataFrame =
+    Audio.audioNearDupPairs(
+        Audio.withPerturbedCopies(Audio.syntheticWavs(s, 100), dupEvery = 5))
+      .orderBy(col("id_a"), col("id_b"))
+
   /** Exact duplicate-substring spans (P33) over the injected corpus: each
     * appended near-copy shares every original 8-gram with its source, so
     * both docs' shared prefixes mark as one maximal span; the DuckDB
@@ -1449,6 +1480,9 @@ object OpsQueries {
     "media_features" -> (mediaFeatures _),
     "media_frame_sample" -> (mediaFrameSample _),
     "media_decode" -> (mediaDecode _),
+    "media_audio_features" -> (mediaAudioFeatures _),
+    "media_audio_windows" -> (mediaAudioWindows _),
+    "audio_near_dup" -> (audioNearDup _),
     "image_near_dup" -> (imageNearDup _),
     "outlier_events" -> (outlierEvents _),
     "volume_anomaly" -> (volumeAnomaly _),
