@@ -31,10 +31,34 @@ object ConstraintChecks {
     *    by a join against the duplicate keys ONLY when duplicates exist —
     *    a clean table pays exactly one scan + shuffle and never rereads ids.
     *
+    * `keyCols` (default `doc_id`) generalizes the check to ANY business
+    * key, including composite ones — each key column is null-sentineled
+    * and string-normalized before hashing so (a, NULL) and (NULL, a) are
+    * DISTINCT keys (a bare variadic hash would fold them together: Spark's
+    * xxhash64 skips null inputs), while the single-column string default
+    * hashes exactly the bytes it always did.
+    *
     * Returns (violations, per-part {dupKeys, distinctKeys, totalDocs}). */
-  def uniqueness(docs: DataFrame, runId: String, salts: Int = 0): (Dataset[Violation], Map[Int, UniquenessStats]) = {
+  def uniqueness(docs: DataFrame, runId: String, salts: Int = 0,
+                 keyCols: Seq[String] = Seq("doc_id")): (Dataset[Violation], Map[Int, UniquenessStats]) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    require(keyCols.nonEmpty, "uniqueness: at least one key column required")
+    require(keyCols.forall(docs.columns.contains),
+      s"uniqueness: key columns ${keyCols.mkString(",")} must exist in " +
+        docs.columns.mkString(","))
+    val checkId =
+      if (keyCols == Seq("doc_id")) "unique_doc_id"
+      else s"unique_${keyCols.mkString("_")}"
+    // null-sentineled string form of each key column (identity for the
+    // non-null string doc_id default)
+    def normKeys: Seq[Column] =
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000NULL")))
+    // display form for violation rows: one column verbatim, composites
+    // joined on \u0001 (never appears in real ids)
+    def keyDisplay: Column =
+      if (keyCols.size == 1) col(keyCols.head).cast("string")
+      else concat_ws("\u0001", normKeys: _*)
     // salts = 0 (default) selects a SINGLE-shuffle aggregation: for
     // count-like aggs, Spark's map-side partial aggregation already bounds
     // any hot key's reducer input by the map-task count, so the explicit
@@ -43,8 +67,8 @@ object ConstraintChecks {
     // slower). salts > 0 keeps the salted two-stage selectable (the E13
     // skew operator; right for aggregates that don't combine map-side).
     val keyed = docs.select($"part",
-      xxhash64($"doc_id", lit("u1")).as("h1"),
-      xxhash64($"doc_id", lit("u2")).as("h2"))
+      xxhash64(normKeys :+ lit("u1"): _*).as("h1"),
+      xxhash64(normKeys :+ lit("u2"): _*).as("h2"))
     // maxp rides along so the dup-recovery rescan can prune to the part
     // range actually containing duplicates (a key's copies all lie within
     // [its min part, its max part])
@@ -83,9 +107,9 @@ object ConstraintChecks {
         val loP = perPartRows.collect { case r if r.getLong(1) > 0 => r.getInt(0) }.min
         val hiP = perPartRows.collect { case r if !r.isNullAt(4) => r.getInt(4) }.max
         val ranged = docs.filter($"part".between(loP, hiP))
-          .select($"part", $"doc_id",
-            xxhash64($"doc_id", lit("u1")).as("h1"),
-            xxhash64($"doc_id", lit("u2")).as("h2"))
+          .select($"part", keyDisplay.as("__key"),
+            xxhash64(normKeys :+ lit("u1"): _*).as("h1"),
+            xxhash64(normKeys :+ lit("u2"): _*).as("h2"))
         val dupKeys = (if (salts <= 0) ranged.groupBy($"h1", $"h2")
             .agg(count(lit(1)).as("n"))
           else ranged
@@ -97,8 +121,8 @@ object ConstraintChecks {
           .filter($"n" > 1)
         ranged.join(dupKeys, Seq("h1", "h2"))
           .select(lit(runId).as("run_id"), $"part",
-            lit("unique_doc_id").as("check_id"), $"doc_id",
-            concat(lit("duplicate doc_id x"), $"n").as("detail"))
+            lit(checkId).as("check_id"), $"__key".as("doc_id"),
+            concat(lit(s"duplicate ${keyCols.mkString(",")} x"), $"n").as("detail"))
           .as[Violation]
       }
     (violations, perPart)

@@ -44,6 +44,25 @@ object TpchQueries {
       sum(when($"n" > 1, 1L).otherwise(0L)).as("dup_keys"))
   }
 
+  /** Composite-key uniqueness through the FLAGSHIP implementation
+    * (ConstraintChecks.uniqueness with caller-chosen keyCols — no more
+    * inline re-derivation for non-doc_id keys): business key
+    * (o_custkey, o_orderdate) over orders partitioned by order year.
+    * Customers placing two orders on one date are genuine dup keys, so
+    * the fixed-width hash-pair shuffle, min-part dup attribution, and
+    * per-part stat rollup are all exercised and DuckDB-replayed. */
+  def uniqueComposite(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val orders = t(s, dir, "orders")
+      .withColumn("part", (year($"o_orderdate") - 1992).cast("int"))
+    val (_, stats) = graft.checks.ConstraintChecks.uniqueness(
+      orders, runId = "driver", keyCols = Seq("o_custkey", "o_orderdate"))
+    stats.toSeq.sortBy(_._1)
+      .map { case (p, u) => (p, u.dupKeys, u.distinctKeys, u.totalDocs) }
+      .toDF("part", "dup_keys", "distinct_keys", "total_docs")
+      .orderBy($"part")
+  }
+
   /** E3 HLL path, oracle-GATED: the merged HLL sketch estimate for
     * o_custkey must land within 2% of the exact distinct count — the query
     * emits the exact count plus the accuracy verdict as a boolean, so the
@@ -588,6 +607,18 @@ object TpchQueries {
          count(*) AS total,
          (SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY 1 HAVING count(*) > 1)) AS dup_keys
          FROM orders""",
+    // composite-key uniqueness replay: per-key counts with min-part
+    // attribution, rolled up per part — every numeric an explicit BIGINT
+    "unique_composite" ->
+      """WITH o AS (SELECT CAST(year(o_orderdate) - 1992 AS INT) AS part,
+                    o_custkey, o_orderdate FROM orders),
+         k AS (SELECT o_custkey, o_orderdate, count(*) AS n,
+                 min(part) AS part FROM o GROUP BY 1, 2)
+         SELECT part,
+           CAST(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_keys,
+           CAST(count(*) AS BIGINT) AS distinct_keys,
+           CAST(sum(n) AS BIGINT) AS total_docs
+         FROM k GROUP BY part ORDER BY part""",
     "ref_orders_customer" ->
       """SELECT count(*) AS dangling_orders FROM orders o
          WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)""",
@@ -704,6 +735,7 @@ object TpchQueries {
     "hll_orders" -> (hllOrders _),
     "stats_lineitem" -> (statsLineitem _),
     "unique_orders" -> (uniqueOrders _),
+    "unique_composite" -> (uniqueComposite _),
     "ref_orders_customer" -> (refOrdersCustomer _),
     "ref_probe_side" -> (refProbeSide _),
     "chi2_returnflag_years" -> (chi2ReturnflagYears _),

@@ -113,6 +113,36 @@ class ConstraintSpec extends AnyFunSuite {
     assert(stats.values.map(_.distinctKeys).sum == 3)
   }
 
+  test("composite-key uniqueness: flagship path on caller-chosen keys; " +
+    "null-sentinel keeps (a, NULL) and (NULL, a) distinct") {
+    val df = Seq(
+      // (k1, k2, part): two exact dup pairs across parts + swapped-null pair
+      ("a", "x", 0), ("a", "x", 1),
+      ("b", "y", 0),
+      ("a", null, 0), (null, "a", 0), // MUST be distinct keys
+      ("c", null, 1), ("c", null, 1) // null-carrying dup pair
+    ).toDF("k1", "k2", "part")
+    val (viol, stats) = ConstraintChecks.uniqueness(df, "t",
+      keyCols = Seq("k1", "k2"))
+    // dups: ("a","x") attributed to part 0, ("c",NULL) to part 1
+    assert(stats(0).dupKeys == 1L && stats(1).dupKeys == 1L, stats.toString)
+    assert(stats.values.map(_.totalDocs).sum == 7)
+    assert(stats.values.map(_.distinctKeys).sum == 5)
+    val v = viol.collect()
+    assert(v.length == 4) // 2 rows per dup key
+    assert(v.forall(_.check_id == "unique_k1_k2"))
+    assert(v.count(_.doc_id.startsWith("a\u0001x")) == 2)
+    // guards: missing column, empty key list
+    intercept[IllegalArgumentException](
+      ConstraintChecks.uniqueness(df, "t", keyCols = Seq("nope")))
+    intercept[IllegalArgumentException](
+      ConstraintChecks.uniqueness(df, "t", keyCols = Seq.empty))
+    // single-column default stays bit-compatible: same stats as before
+    val docs = Seq(("d1", 0), ("d1", 1), ("d2", 0)).toDF("doc_id", "part")
+    val (v1, s1) = ConstraintChecks.uniqueness(docs, "t")
+    assert(s1(0).dupKeys == 1L && v1.collect().forall(_.check_id == "unique_doc_id"))
+  }
+
   test("probe-side referential: same results as the anti-join paths; catalog never exchanged") {
     val docs = DocsGen.docs(spark, 4000,
       Seq(graft.model.PartSpec(0), graft.model.PartSpec(16, danglingRate = 0.10))).cache()
