@@ -61,12 +61,31 @@ object Bpe {
     *
     * Each round aggregates pair counts over the word table (weighted by
     * word freq, map-side combined — O(distinct pairs) slim rows move),
-    * picks the (count DESC, pair ASC) argmax via TakeOrdered (ONE row to
-    * the driver), and applies it with one narrow literal replace. Stops
-    * early when no pair repeats (freq-weighted count < 2). */
+    * picks the (count DESC, pair ASC) argmax via TakeOrdered, and applies
+    * it with narrow literal replaces. Stops early when no pair repeats
+    * (freq-weighted count < 2).
+    *
+    * `batchK = 1` (default) is CANONICAL sequential BPE — one argmax, one
+    * merge, recount. `batchK > 1` amortizes the per-round pair-count job
+    * over up to `batchK` merges: the round accepts the (cnt DESC, pair
+    * ASC) candidate prefix for as long as each pair is SYMBOL-DISJOINT
+    * from every pair already accepted this round, stopping at the first
+    * conflict (prefix order preserved — a conflicting pair waits for the
+    * next round's recount). Symbol-disjoint merges cannot change each
+    * other's occurrence counts (replacing " a  b " touches only a/b
+    * tokens), so batch application equals sequential application of the
+    * same pairs and the emitted freqs are the counts each pair had when
+    * chosen. The one divergence from canonical order: a pair NEWLY CREATED
+    * by an earlier batch member (count ≤ its creator's) could in strict
+    * sequence have outranked a later batch member that tied with it —
+    * rare on natural text (BpeSpec pins batched ≡ sequential on the
+    * driver corpus) and the standard trade for not paying one driver
+    * round-trip per merge at 32k-merge vocabularies (see
+    * graft.tools.BpeProbe for the measured round-cost curve). */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            minFreq: Long = 1): DataFrame = {
+            minFreq: Long = 1, batchK: Int = 1): DataFrame = {
     require(numMerges >= 1, s"bpe: numMerges must be >= 1, got $numMerges")
+    require(batchK >= 1, s"bpe: batchK must be >= 1, got $batchK")
     val spark = df.sparkSession
     var words = wordFreqs(df, textCol)
       .filter(col("freq") >= minFreq)
@@ -76,21 +95,39 @@ object Bpe {
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
+      val want = math.min(batchK, numMerges - rank + 1)
+      // candidate window: stop-at-conflict keeps batches short, so a
+      // small headroom multiple is enough to fill most rounds
       val top = words
         .select(explode(pairsOf(col("sym"))).as("pair"), col("freq"))
         .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1).collect() // ONE row — the argmax pair
-      if (top.isEmpty || top.head.getLong(1) < 2) exhausted = true
+        .limit(if (want == 1) 1 else want * 4)
+        .collect()
+      val eligible = top.takeWhile(_.getLong(1) >= 2)
+      if (eligible.isEmpty) exhausted = true
       else {
-        val pair = top.head.getString(0)
-        merges += ((rank, pair, top.head.getLong(1)))
+        val used = scala.collection.mutable.Set.empty[String]
+        val batch = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var stopped = false
+        eligible.iterator.takeWhile(_ => !stopped && batch.size < want)
+          .foreach { r =>
+            val pair = r.getString(0)
+            val Array(a, b) = pair.split(" ", 2)
+            if (used.contains(a) || used.contains(b)) stopped = true
+            else { batch += ((pair, r.getLong(1))); used += a; used += b }
+          }
+        batch.foreach { case (pair, cnt) =>
+          merges += ((rank, pair, cnt))
+          rank += 1
+        }
         val prev = words
-        words = prev.select(mergeOnce(col("sym"), pair).as("sym"), col("freq"))
+        words = prev.select(
+            batch.foldLeft(col("sym")) { case (c, (pair, _)) => mergeOnce(c, pair) }
+              .as("sym"), col("freq"))
           .persist()
         words.count() // materialize before releasing the previous round
         prev.unpersist(blocking = false)
-        rank += 1
       }
     }
     words.unpersist(blocking = false)

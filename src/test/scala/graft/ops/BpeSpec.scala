@@ -67,4 +67,26 @@ class BpeSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Bpe.train(c, "text", 0)).getMessage.contains("numMerges"))
   }
+
+  test("batched training (batchK>1) equals canonical sequential on real text") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+    val seq16 = Bpe.train(docs, "text", numMerges = 16)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    for (k <- Seq(2, 4, 8)) {
+      val bat = Bpe.train(docs, "text", numMerges = 16, batchK = k)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(bat == seq16, s"batchK=$k diverged from sequential")
+    }
+    // textbook corpus too (ties + interacting merges: the stop-at-conflict
+    // rule must keep order canonical)
+    val seqT = Bpe.train(corpus, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val batT = Bpe.train(corpus, "text", numMerges = 5, batchK = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(batT == seqT)
+    // guard
+    intercept[IllegalArgumentException](
+      Bpe.train(corpus, "text", numMerges = 2, batchK = 0))
+  }
 }
