@@ -32,6 +32,11 @@ object Bench {
   private val fused = sys.env.getOrElse("GRAFT_FUSED", "1") == "1"
   private val codec = sys.env.getOrElse("GRAFT_CODEC", "zstd")
 
+  /** Set by main before the first session when the run needs a stable
+    * warehouse (the bucketed layout's managed table lives there and must be
+    * re-registerable from every per-level session). */
+  @volatile private var warehouseDir: String = null
+
   private val TmpfsShuffleDir = "/dev/shm/graft-shuffle"
   // a bench killed mid-run (OOM, external timeout) must not leave shuffle
   // files resident in RAM-backed tmpfs: best-effort delete on ANY JVM exit
@@ -49,9 +54,11 @@ object Bench {
   private def cpuSec(): Double = graft.tools.ProcStat.cpuSec()
 
   private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b0 = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
+    val s = (if (warehouseDir != null)
+        b0.config("spark.sql.warehouse.dir", warehouseDir) else b0)
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -90,11 +97,12 @@ object Bench {
     s
   }
 
-  /** The timed unit: the full validation pass over a pre-committed snapshot. */
-  private def fullPass(spark: SparkSession, table: String, snapshotId: Long,
+  /** The timed unit: the full validation pass over a pre-committed snapshot
+    * (or bucketed catalog table — `readDocs` owns the layout). */
+  private def fullPass(spark: SparkSession, readDocs: SparkSession => org.apache.spark.sql.DataFrame,
                        ref: RefState, outDir: String, nDocs: Long): Long = {
     import spark.implicits._
-    val docs = SnapshotCatalog.read(spark, table, snapshotId)
+    val docs = readDocs(spark)
     val media = DocsGen.media(spark)
     // constant runId keeps the pass's plans literal-identical across runs, so
     // Spark's codegen cache is hit instead of recompiling ~10 plans per pass
@@ -155,6 +163,15 @@ object Bench {
       case "clean" => DocsGen.cleanScenario(18)
       case _ => DocsGen.goldenScenario
     }
+    // GRAFT_LAYOUT=bucketed commits the corpus as a doc_id-bucketed catalog
+    // table instead of the plain snapshot: uniquenessAuto then selects the
+    // ZERO-EXCHANGE aggregation (the corpus-wide key shuffle — the critical
+    // path's largest exchange — was paid once at ingest). Each per-level
+    // session re-registers the external bucketed table (in-memory catalogs
+    // do not survive the session switch; the files and their bucket-named
+    // layout do).
+    val layout = sys.env.getOrElse("GRAFT_LAYOUT", "plain")
+    warehouseDir = s"$work/warehouse"
     val setup = session(hiCores)
     val table = s"$work/docs"
     // compiled generator twin — bit-identical to DocsGen.docs (equality
@@ -162,17 +179,35 @@ object Bench {
     // statsKey=None: manifest key stats (E31) would re-evaluate the
     // generator for a min/max pass — the bench's validation phases don't
     // use key pruning, so skip the collection in setup
-    val (snap, genSec) = time(SnapshotCatalog.commit(table,
-      graft.model.DocsGenFast.docs(setup, nDocs, scenario), codec,
-      appendedParts = Some(scenario.map(_.part)), statsKey = None))
+    val (genSec, readDocs): (Double, SparkSession => org.apache.spark.sql.DataFrame) =
+      if (layout == "bucketed") {
+        val (_, g) = time(graft.engine.BucketedTables.commit(setup, "bench_docs",
+          graft.model.DocsGenFast.docs(setup, nDocs, scenario), "doc_id", hiCores))
+        val meta = setup.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier("bench_docs"))
+        val ddl = meta.schema.toDDL
+        val loc = meta.location.toString
+        (g, (sp: SparkSession) => {
+          if (!sp.catalog.tableExists("bench_docs"))
+            sp.sql(s"CREATE TABLE bench_docs ($ddl) USING PARQUET " +
+              s"CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO $hiCores BUCKETS " +
+              s"LOCATION '$loc'")
+          sp.table("bench_docs")
+        })
+      } else {
+        val (snap, g) = time(SnapshotCatalog.commit(table,
+          graft.model.DocsGenFast.docs(setup, nDocs, scenario), codec,
+          appendedParts = Some(scenario.map(_.part)), statsKey = None))
+        (g, (sp: SparkSession) => SnapshotCatalog.read(sp, table, snap.snapshotId))
+      }
     val ref = {
       import setup.implicits._
-      Fit.fit(setup.read.parquet(s"$table/data").filter($"part" === 0),
-        snapshotId = snap.snapshotId, maxSample = 1000)
+      Fit.fit(readDocs(setup).filter($"part" === 0),
+        snapshotId = 1L, maxSample = 1000)
     }
 
     // ---- warm-up pass (discarded; JIT is process-wide)
-    fullPass(setup, table, snap.snapshotId, ref, s"$work/warm", nDocs)
+    fullPass(setup, readDocs, ref, s"$work/warm", nDocs)
     val setupSec = elapsedS // generation + fit + warm-up (untimed overheads)
     var docsCounted = 0L
 
@@ -247,7 +282,7 @@ object Bench {
       val roundT0 = System.nanoTime()
       val hi = session(hiCores)
       val c0 = cpuSec()
-      val (n, tH) = time(fullPass(hi, table, snap.snapshotId, ref, s"$work/hi$i", nDocs))
+      val (n, tH) = time(fullPass(hi, readDocs, ref, s"$work/hi$i", nDocs))
       docsCounted = n
       if (tHis.isEmpty || tH < tHis.min) {
         bestPhases = ValidationRun.lastTimings.toMap
@@ -259,7 +294,7 @@ object Bench {
       rmrf(s"$work/hi$i")
       val lo = session(loCores)
       val c1 = cpuSec()
-      val tL = time(fullPass(lo, table, snap.snapshotId, ref, s"$work/lo$i", nDocs))._2
+      val tL = time(fullPass(lo, readDocs, ref, s"$work/lo$i", nDocs))._2
       if (tLos.isEmpty || tL < tLos.min) {
         bestPhasesLo = ValidationRun.lastTimings.toMap
         cpuLo = cpuSec() - c1
@@ -270,7 +305,7 @@ object Bench {
       rmrf(s"$work/lo$i")
       if (!skipN2) {
         val n2 = session(n2Cores)
-        tN2s ::= time(fullPass(n2, table, snap.snapshotId, ref, s"$work/n2_$i", nDocs))._2
+        tN2s ::= time(fullPass(n2, readDocs, ref, s"$work/n2_$i", nDocs))._2
         n2.stop()
         rmrf(s"$work/n2_$i")
       }
@@ -325,7 +360,7 @@ object Bench {
     val cpuFields =
       s""""cpu_util_hi":${r3(cpuHi / (tHi * hiCores))},"cpu_util_lo":${r3(cpuLo / (tLo * loCores))},"cpu_sec_hi":${r3(cpuHi)},"cpu_sec_lo":${r3(cpuLo)},"""
     val jsonLine =
-      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","setup_sec":${r3(setupSec)},"gen_sec":${r3(genSec)},"scenario":"${sys.env.getOrElse("GRAFT_SCENARIO", "golden")}","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${r3(eff)},$n2Fields$cpuFields"membw_gbps_lo_threads":${r3(membwLo)},"membw_gbps_hi_threads":${r3(membwHi)},"mmd_fanout_sec_hi":${r3(tMmdHi)},"mmd_fanout_sec_lo":${r3(tMmdLo)},"compute_scaling_efficiency":${r3(effMmd)}}"""
+      s"""{"metric":"validated docs/sec (full constraint+drift pass)","value":${math.rint(thrHi)},"unit":"docs/sec","queries":$queries,"sf":"$sfDir","docs":$docsCounted,"cores_hi":$hiCores,"cores_lo":$loCores,"fused":$fused,"codec":"$codec","setup_sec":${r3(setupSec)},"gen_sec":${r3(genSec)},"scenario":"${sys.env.getOrElse("GRAFT_SCENARIO", "golden")}","layout":"$layout","throughput_hi_docs_per_sec":${math.rint(thrHi)},"throughput_lo_docs_per_sec":${math.rint(thrLo)},"scaling_efficiency_lo_to_hi":${r3(eff)},$n2Fields$cpuFields"membw_gbps_lo_threads":${r3(membwLo)},"membw_gbps_hi_threads":${r3(membwHi)},"mmd_fanout_sec_hi":${r3(tMmdHi)},"mmd_fanout_sec_lo":${r3(tMmdLo)},"compute_scaling_efficiency":${r3(effMmd)}}"""
     println(jsonLine)
     // ALSO write the metric line to a bare file: under sbt the stdout line
     // drowns in interleaved Spark stderr noise and the driver's tail-parse

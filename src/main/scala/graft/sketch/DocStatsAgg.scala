@@ -59,9 +59,12 @@ case class DocStatsAgg(
   override def fourth: Expression = mediaRefsChild
 
   @transient private lazy val edgesArr: Array[Double] = edges.toArray
+  // one offset→bin table per task-deserialized agg instance, shared by all
+  // its (part-grain) buffers — replaces a per-span binary search
+  @transient private lazy val binLut: Array[Int] = DocStatsBuffer.binLutOf(edgesArr)
 
   override def createAggregationBuffer(): DocStatsBuffer =
-    new DocStatsBuffer(maxSample, edgesArr)
+    new DocStatsBuffer(maxSample, edgesArr, binLut)
 
   private val doStats = mode != DocStatsAgg.ModeSample
   private val doSample = mode != DocStatsAgg.ModeStats
@@ -189,7 +192,8 @@ case class DocStatsResult(
 /** Mutable aggregation buffer. Span struct layout: (kind, text, media_ref,
   * offset) — must match graft.model.DocModel.spanType field order. */
 final class DocStatsBuffer(val maxSample: Int,
-                           val edges: Array[Double] = Array.empty) {
+                           val edges: Array[Double] = Array.empty,
+                           lut: Array[Int] = null) {
   var nDocs = 0L
   var nSpans = 0L
   var nullKindSpans = 0L
@@ -214,11 +218,25 @@ final class DocStatsBuffer(val maxSample: Int,
   var edgeHist: Array[Long] =
     if (edges.isEmpty) Array.emptyLongArray else new Array[Long](edges.length + 1)
 
-  private def bumpEdgeBin(off: Double): Unit = {
-    // first index j with off <= edges(j); binarySearch hits give that edge
-    // directly (edges are distinct), misses give the insertion point
-    val idx = java.util.Arrays.binarySearch(edges, off)
-    edgeHist(if (idx >= 0) idx else -idx - 1) += 1L
+  private def bumpEdgeBin(off: Int): Unit = {
+    // first index j with off <= edges(j). Offsets are int document
+    // positions over a small-integer edge grid, so the common path is an
+    // O(1) table lookup ([[DocStatsBuffer.binLutOf]]) — the per-span
+    // binary search this replaces was the r04 bench's measured low-core
+    // CPU regression (~8 branchy compares x 4.5 spans x doc on the hot
+    // scan). Out-of-table offsets fall back to the search semantics:
+    // below 0 -> bin 0 (every edge is >= 0), beyond the last edge -> the
+    // overflow bin.
+    val bin =
+      if (lut != null) {
+        if (off < 0) 0
+        else if (off >= lut.length) edges.length
+        else lut(off)
+      } else {
+        val idx = java.util.Arrays.binarySearch(edges, off.toDouble)
+        if (idx >= 0) idx else -idx - 1
+      }
+    edgeHist(bin) += 1L
   }
   // bounded sample: keep maxSample entries with SMALLEST hash; max-heap by h
   // (tiebreak: elementwise feature compare — allocation-free, deterministic)
@@ -289,7 +307,7 @@ final class DocStatsBuffer(val maxSample: Int,
         if (i > 0 && off <= prevOff) ord = true
         prevOff = off
         kll.update(off.toDouble)
-        if (edges.length > 0) bumpEdgeBin(off.toDouble)
+        if (edges.length > 0) bumpEdgeBin(off)
         i += 1
       }
       if (ord) ordViolationDocs += 1
@@ -451,6 +469,33 @@ final class DocStatsBuffer(val maxSample: Int,
 }
 
 object DocStatsBuffer {
+  /** O(1) offset→bin lookup for small-integer edge grids: lut(o) = first j
+    * with o <= edges(j), for o in [0, lastEdge]. Returns null (binary-search
+    * fallback) when the grid is empty, non-integral, negative, or wider
+    * than 64 Ki values (the table is shared per aggregate instance; span
+    * offsets are small int document positions, so real grids are a few
+    * hundred entries). */
+  def binLutOf(edges: Array[Double]): Array[Int] = {
+    if (edges.isEmpty) return null
+    val last = edges(edges.length - 1)
+    if (last < 0 || last >= (1 << 16)) return null
+    var i = 0
+    while (i < edges.length) {
+      val e = edges(i)
+      if (e < 0 || e != math.rint(e)) return null
+      i += 1
+    }
+    val lut = new Array[Int](last.toInt + 1)
+    var j = 0
+    var o = 0
+    while (o < lut.length) {
+      while (edges(j) < o) j += 1 // o <= last, so j stays in range
+      lut(o) = j
+      o += 1
+    }
+    lut
+  }
+
   /** The deterministic sample ordering — (hash asc, then elementwise feature
     * compare). Shared with the distributed MMD path so BOTH sample
     * selections pick identical rows. */

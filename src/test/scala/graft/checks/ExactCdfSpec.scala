@@ -21,6 +21,38 @@ class ExactCdfSpec extends AnyFunSuite {
   private def rawOffsets(df: org.apache.spark.sql.DataFrame): Array[Int] =
     df.select(explode(col("spans.offset")).as("o")).as[Int].collect().sorted
 
+  test("binLutOf: O(1) bin lookup agrees with binary search over the whole domain; " +
+    "degenerate grids fall back to null") {
+    import graft.sketch.DocStatsBuffer
+    // a realistic uneven integer grid
+    val edges = Array(0.0, 3.0, 4.0, 10.0, 11.0, 12.0, 250.0)
+    val lut = DocStatsBuffer.binLutOf(edges)
+    assert(lut != null && lut.length == 251)
+    (0 to 250).foreach { o =>
+      val idx = java.util.Arrays.binarySearch(edges, o.toDouble)
+      val want = if (idx >= 0) idx else -idx - 1
+      assert(lut(o) == want, s"offset $o")
+    }
+    // non-integral, negative, and oversized grids refuse the table
+    assert(DocStatsBuffer.binLutOf(Array(1.5, 2.0)) == null)
+    assert(DocStatsBuffer.binLutOf(Array(-1.0, 2.0)) == null)
+    assert(DocStatsBuffer.binLutOf(Array(1.0, 70000.0)) == null)
+    assert(DocStatsBuffer.binLutOf(Array.empty[Double]) == null)
+    // the fused scan's histogram equals one computed through the fallback
+    // (no-LUT) path: compare against a direct SQL bin count on real docs
+    val (sm, _) = PartStats.computeFused(refWindow, 10,
+      edges = ref.offsetEdges.toSeq)
+    val hist = sm(0).offsetEdgeCounts
+    val offs = rawOffsets(refWindow)
+    val want = Array.tabulate(ref.offsetEdges.length + 1) { j =>
+      if (j < ref.offsetEdges.length)
+        offs.count(o => o <= ref.offsetEdges(j) &&
+          (j == 0 || o > ref.offsetEdges(j - 1))).toLong
+      else offs.count(_ > ref.offsetEdges.last).toLong
+    }
+    assert(hist.toSeq == want.toSeq)
+  }
+
   test("exactOffsetEdges matches brute-force CDF quantiles") {
     val (edges, cum) = Fit.exactOffsetEdges(refWindow, gridSize = 201)
     assert(edges.nonEmpty && edges.length == cum.length)

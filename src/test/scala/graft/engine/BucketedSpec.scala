@@ -45,6 +45,32 @@ class BucketedSpec extends AnyFunSuite {
         BucketedTables.commit(spark, bad, df, "doc_id", 2))
   }
 
+  test("external re-registration (CREATE TABLE ... CLUSTERED BY ... LOCATION) " +
+    "keeps the zero-exchange plan — the bench's cross-session path") {
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(table))
+    // copy the bucket-named files to a fresh location and register them as
+    // an EXTERNAL bucketed table — exactly what each bench level session
+    // does after the committing session (and its in-memory catalog) died
+    val src = java.nio.file.Paths.get(new java.net.URI(meta.location.toString))
+    val dst = java.nio.file.Files.createTempDirectory("bucketed-reattach")
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(src).iterator().asScala.filter(p =>
+        java.nio.file.Files.isRegularFile(p)).foreach { p =>
+      java.nio.file.Files.copy(p, dst.resolve(p.getFileName.toString))
+    }
+    spark.sql("DROP TABLE IF EXISTS bucketed_reattach_spec")
+    spark.sql(s"CREATE TABLE bucketed_reattach_spec (${meta.schema.toDDL}) " +
+      s"USING PARQUET CLUSTERED BY (doc_id) SORTED BY (doc_id) INTO 8 BUCKETS " +
+      s"LOCATION '$dst'")
+    val docs = spark.table("bucketed_reattach_spec")
+    val dups = BucketedTables.dupGroupsZeroShuffle(docs)
+    assert(BucketedTables.hasNoShuffle(dups),
+      dups.queryExecution.executedPlan.toString.take(2000))
+    assert(dups.count() == 500)
+    spark.sql("DROP TABLE bucketed_reattach_spec")
+  }
+
   test("unbucketed twin of the same aggregation DOES shuffle (control)") {
     val plain = (0 until 2000).map(i => (f"doc-${i % 1500}%06d", i))
       .toDF("doc_id", "payload")
