@@ -46,7 +46,7 @@ object Bpe {
   /** Adjacent symbol pairs of a double-space symbol string, each as
     * "a b" (single-space, the merge-table form). Empty array for
     * single-symbol words. */
-  private[ops] def pairsOf(sym: Column): Column = {
+  private[graft] def pairsOf(sym: Column): Column = {
     val t = split(sym, "  ")
     when(size(t) >= 2,
       transform(sequence(lit(0), size(t) - 2),
@@ -83,14 +83,41 @@ object Bpe {
     * round-trip per merge at 32k-merge vocabularies (see
     * graft.tools.BpeProbe for the measured round-cost curve). */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-            minFreq: Long = 1, batchK: Int = 1): DataFrame = {
+            minFreq: Long = 1, batchK: Int = 1,
+            truncateEvery: Int = 8): DataFrame = {
     require(numMerges >= 1, s"bpe: numMerges must be >= 1, got $numMerges")
     require(batchK >= 1, s"bpe: batchK must be >= 1, got $batchK")
+    require(truncateEvery >= 1, s"bpe: truncateEvery must be >= 1, got $truncateEvery")
     val spark = df.sparkSession
     var words = wordFreqs(df, textCol)
       .filter(col("freq") >= minFreq)
       .select(symbolize(col("word")).as("sym"), col("freq"))
     words.persist() // vocabulary-sized (Zipf-capped); hot across rounds
+    // Lineage truncation (every `truncateEvery` rounds): each round's word
+    // table is a Project over the previous round's DataFrame, so the RAW
+    // logical plan grows one level per merge — and once an intermediate
+    // cache entry drops out (unpersist of the previous round triggers
+    // Spark's non-cascading dependent-cache re-compile), the optimizer
+    // walks the whole chain, where CollapseProject + the multi-reference
+    // pair expression duplicate subtrees EXPONENTIALLY (measured:
+    // ~0.2 s/round through round 8, 46 s by round 18, heap OOM by ~30 —
+    // graft.tools.BpeLineageProbe). A parquet round-trip of the
+    // vocabulary-sized table resets the plan to a scan; durable, so no
+    // localCheckpoint executor-loss caveat. Scratch dirs alternate a/b
+    // under a pid-scoped path and are deleted on completion.
+    val scratch = graft.util.PidPaths.path("graft_bpe_scratch")
+    graft.util.PidPaths.cleanStaleSiblings("graft_bpe_scratch")
+    var flip = false
+    var sinceTrunc = 0
+    def truncate(): Unit = {
+      val dir = s"$scratch/${if (flip) "a" else "b"}"
+      flip = !flip
+      words.write.mode("overwrite").parquet(dir)
+      val prev = words
+      words = spark.read.parquet(dir).persist()
+      prev.unpersist(blocking = false)
+      sinceTrunc = 0
+    }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var rank = 1
     var exhausted = false
@@ -128,9 +155,12 @@ object Bpe {
           .persist()
         words.count() // materialize before releasing the previous round
         prev.unpersist(blocking = false)
+        sinceTrunc += 1
+        if (sinceTrunc >= truncateEvery) truncate()
       }
     }
     words.unpersist(blocking = false)
+    graft.util.PidPaths.deleteRecursively(scratch)
     import spark.implicits._
     merges.toSeq.toDF("merge_rank", "pair", "freq")
   }
@@ -140,7 +170,7 @@ object Bpe {
     * exactly the outermost two chars unless consumed-and-restored by an
     * edge match, so a plain trim of spaces is correct — symbols never
     * start or end with a space). */
-  private[ops] def mergeOnce(sym: Column, pair: String): Column = {
+  private[graft] def mergeOnce(sym: Column, pair: String): Column = {
     val Array(a, b) = pair.split(" ", 2)
     trim(replace(concat(lit("  "), sym, lit("  ")),
       lit(s" $a  $b "), lit(s" ${a + b} ")))

@@ -17,7 +17,7 @@ import graft.ops.Bpe
   * Run: sbt "runMain graft.tools.BpeProbe [replicate] [merges]" */
 object BpeProbe {
   def main(args: Array[String]): Unit = {
-    val replicate = if (args.length > 0) args(0).toInt else 56
+    val replicate = if (args.length > 0) args(0).toInt else 2000
     val merges = if (args.length > 1) args(1).toInt else 100
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
