@@ -186,16 +186,21 @@ object Audio {
   /** Deterministic synthetic WAV corpus — REAL encoded PCM16 payloads, no
     * external data: per-id tone mixes (two sines at id-derived frequencies)
     * with SplitMix64 dither, varying duration, all synthesized inside
-    * mapPartitions like [[Multimodal.syntheticImages]]. */
+    * mapPartitions like [[Multimodal.syntheticImages]]. `gain` scales every
+    * clip's amplitude (the drift-cohort knob: a production capture chain
+    * whose level shifted); `idOffset` shifts the id space so two cohorts
+    * are disjoint clips drawn from the SAME distribution. */
   def syntheticWavs(spark: SparkSession, count: Long,
-                    sampleRate: Int = 8000): Dataset[AudioClip] = {
+                    sampleRate: Int = 8000, gain: Double = 1.0,
+                    idOffset: Long = 0L): Dataset[AudioClip] = {
     import spark.implicits._
     spark.range(count).as[Long].mapPartitions { ids =>
-      ids.map { id =>
+      ids.map { raw =>
+        val id = raw + idOffset
         val n = 2000 + (id % 2000).toInt
         val f1 = 150.0 + (id % 37) * 20.0
         val f2 = 400.0 + (id % 23) * 35.0
-        val amp = 0.35 + (id % 5) * 0.1
+        val amp = (0.35 + (id % 5) * 0.1) * gain
         val rng = new graft.stats.StatMath.SplitMix64(id * 0x9E3779B97F4A7C15L + 11L)
         val samples = new Array[Short](n)
         var i = 0

@@ -51,35 +51,50 @@ object LatentDrift {
     require(threshold > 0, s"latentDrift: threshold must be > 0, got $threshold")
     require(edges.nonEmpty && edges == edges.sorted && edges.distinct == edges,
       s"latentDrift: edges must be non-empty, ascending, distinct: $edges")
-    val nb = edges.length + 1
     def binned(df: DataFrame, side: Int): DataFrame =
       df.select(posexplode(col(latentCol)).as(Seq("dim", "v")))
         .select(col("dim"), bucketCol(col("v"), edges).as("bucket"),
           lit(side).as("side"))
-    // one (dim, bucket, side) count pass — map-side combined; result grain
-    // is outDim × buckets × 2 rows no matter the corpus size
-    val counts = binned(ref, 0).unionByName(binned(cur, 1))
-      .groupBy(col("dim"), col("bucket"))
+    psiFromBinnedKeys(binned(ref, 0).unionByName(binned(cur, 1)),
+        edges.length + 1, Seq("dim"), threshold)
+      .orderBy(col("dim"))
+  }
+
+  /** PSI verdicts from an already-binned `(keys…, bucket, side)` frame —
+    * the generic tail [[psiPerDimLatent]] and the audio/band drift queries
+    * share: side 0 = reference, side 1 = current, `bucket` ∈ [0, nb). One
+    * (keys, bucket) count pass, map-side combined; result grain is
+    * |keys| × nb rows no matter the corpus size. Missing buckets are
+    * reconstructed by enumerating a literal range (Laplace +1 keeps them
+    * finite), so the formula matches [[psiFromCounts]] and the DuckDB
+    * replay bit-for-bit. */
+  def psiFromBinnedKeys(binned: DataFrame, nb: Int, keyCols: Seq[String],
+                        threshold: Double = 0.2): DataFrame = {
+    require(nb > 1, s"latentDrift: nb must be > 1, got $nb")
+    require(keyCols.nonEmpty, "latentDrift: keyCols must be non-empty")
+    require(threshold > 0, s"latentDrift: threshold must be > 0, got $threshold")
+    val keys = keyCols.map(col)
+    val counts = binned
+      .groupBy(keys :+ col("bucket"): _*)
       .agg(sum(when(col("side") === 0, 1L).otherwise(0L)).as("rc"),
         sum(when(col("side") === 1, 1L).otherwise(0L)).as("cc"))
-    val totals = counts.groupBy(col("dim"))
+    val totals = counts.groupBy(keys: _*)
       .agg(sum(col("rc")).as("rt"), sum(col("cc")).as("ct"))
     // Laplace: (cnt + 1) / (total + nb) on both sides, then the PSI sum.
-    // Missing (dim, bucket) rows contribute (1/(rt+nb) - 1/(ct+nb)) *
-    // ln(ratio) — reconstruct them by summing the observed complement:
-    // simpler and exact, enumerate all buckets per dim via a literal range.
-    val allBuckets = totals.select(col("dim"), col("rt"), col("ct"),
-      explode(lit((0 until nb).toArray)).as("bucket"))
-    val full = allBuckets.join(counts, Seq("dim", "bucket"), "left")
-      .select(col("dim"), col("rt"), col("ct"),
+    // Missing (keys, bucket) rows contribute (1/(rt+nb) - 1/(ct+nb)) *
+    // ln(ratio) — reconstruct them by enumerating all buckets per key via
+    // a literal range.
+    val allBuckets = totals.select(keys ++ Seq(col("rt"), col("ct"),
+      explode(lit((0 until nb).toArray)).as("bucket")): _*)
+    val full = allBuckets.join(counts, keyCols :+ "bucket", "left")
+      .select(keys ++ Seq(col("rt"), col("ct"),
         coalesce(col("rc"), lit(0L)).as("rc"),
-        coalesce(col("cc"), lit(0L)).as("cc"))
+        coalesce(col("cc"), lit(0L)).as("cc")): _*)
     val p = (col("rc") + 1).cast("double") / (col("rt") + nb)
     val q = (col("cc") + 1).cast("double") / (col("ct") + nb)
-    full.groupBy(col("dim"))
+    full.groupBy(keys: _*)
       .agg(round(sum((p - q) * log(p / q)), 4).as("psi"))
-      .select(col("dim"), col("psi"), (col("psi") > threshold).as("is_drift"))
-      .orderBy(col("dim"))
+      .select(keys :+ col("psi") :+ (col("psi") > threshold).as("is_drift"): _*)
   }
 
   /** Per-dim (dim × bucket) integer counts of a projected frame — the

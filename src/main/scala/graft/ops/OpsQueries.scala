@@ -995,6 +995,103 @@ object OpsQueries {
         Audio.withPerturbedCopies(Audio.syntheticWavs(s, 100), dupEvery = 5))
       .orderBy(col("id_a"), col("id_b"))
 
+  private def audioDriftPath: String = graft.util.PidPaths.path("graft_audio_drift")
+
+  /** STREAMING twin of [[audioDrift]]: the same three WAV cohorts, but the
+    * 'same' and 'shift' cohorts arrive as two event-time windows of
+    * quantized band-energy vectors through the generic latent-drift state
+    * operator (bounded per-window (dim × bucket) counts, watermark-closed
+    * finals). Band vectors ARE 8-dim latents, so the machinery is shared
+    * verbatim — only the bucket edges change (integer micro-units instead
+    * of JL-latent scale). Shares `audio_drift`'s DuckDB oracle: the stream
+    * relabels window→scenario and must reproduce the batch PSI verdicts
+    * bit-for-bit (psiFromCounts rounds HALF_UP at the same 1e-4 grain). */
+  def streamAudioDrift(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val edgesD = audioBandEdges.map(_.toDouble)
+    def bandVecs(clips: org.apache.spark.sql.Dataset[graft.ops.Audio.AudioClip]): DataFrame =
+      Audio.audioFeatures(clips).toDF()
+        .select(transform(col("band_rms"),
+          x => floor(x * 1e6 + 0.5).cast("double")).as("latent"))
+    val refCounts = LatentDrift.binCounts(
+      bandVecs(Audio.syntheticWavs(s, 200)), "latent", outDim = 8, edges = edgesD)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val staged = Files.createTempDirectory("graft-audio-q")
+    Seq(
+      bandVecs(Audio.syntheticWavs(s, 200, idOffset = 1000))
+        .select(lit(base).as("ts"), col("latent")),
+      bandVecs(Audio.syntheticWavs(s, 200, gain = 1.25, idOffset = 1000))
+        .select(lit(new java.sql.Timestamp(base.getTime + 3600000L)).as("ts"),
+          col("latent"))
+    ).zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory("graft-audio-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
+      Files.copy(part, staged.resolve(f"w$i%02d.parquet"))
+      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+      catch { case _: Throwable => }
+    }
+    val out = StreamingOps.runLatentDriftStream(s, staged.toString, refCounts,
+        edges = edgesD, queryName = s"stream_audio_${System.nanoTime()}")
+      .select(
+        when(col("window_start") === lit(base), lit("same")).otherwise(lit("shift"))
+          .as("scenario"),
+        col("dim").cast("int").as("band"), col("psi"), col("is_drift"))
+      .orderBy(col("scenario"), col("band"))
+    try { import scala.sys.process._; Seq("rm", "-rf", staged.toString).! }
+    catch { case _: Throwable => }
+    out
+  }
+
+  /** Integer bucket edges over the 1e-6-quantized band-RMS longs: tone-mix
+    * band RMS clusters at amp·0.5385 for amp ∈ {0.35 … 0.75}, i.e. ~188k –
+    * 404k micro-units at gain 1 and ~236k – 505k at gain 1.25, so these
+    * edges keep every cluster ≥ 40k micro-units from a boundary — the
+    * binning is dither-proof and engine-exact (pure integer compares). */
+  private val audioBandEdges: Seq[Long] =
+    Seq(150000L, 200000L, 250000L, 300000L, 350000L, 400000L, 450000L)
+
+  /** HASH-ORACLED audio drift — the full multimodal drift composition with
+    * a DuckDB replay: three REAL WAV cohorts are synthesized and decoded
+    * (reference; a disjoint same-distribution cohort; a gain-shifted cohort
+    * — the capture-chain level change a production audio feed actually
+    * suffers), per-clip per-band RMS energies are quantized to exact
+    * micro-unit longs and written to parquet, and per-band PSI verdicts are
+    * computed over integer-edge buckets. The WAV codec itself is not
+    * SQL-replayable (that is `media_audio_features`' rows-only territory),
+    * but everything AFTER decode — binning, Laplace smoothing, the PSI sum,
+    * the verdict — is hash-checked end to end against the oracle reading
+    * the same quantized longs. Expected shape: scenario 'same' reads ~0 PSI
+    * on every band, 'shift' drifts on every band. */
+  def audioDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.util.PidPaths.cleanStaleSiblings("graft_audio_drift_")
+    def bands(clips: org.apache.spark.sql.Dataset[graft.ops.Audio.AudioClip],
+              cohort: String): DataFrame =
+      Audio.audioFeatures(clips).toDF()
+        .select(lit(cohort).as("cohort"), posexplode(col("band_rms")).as(Seq("band", "v")))
+        .select(col("cohort"), col("band"),
+          floor(col("v") * 1e6 + 0.5).cast("long").as("bq"))
+    bands(Audio.syntheticWavs(s, 200), "ref")
+      .unionByName(bands(Audio.syntheticWavs(s, 200, idOffset = 1000), "same"))
+      .unionByName(bands(Audio.syntheticWavs(s, 200, gain = 1.25, idOffset = 1000), "shift"))
+      .write.mode("overwrite").parquet(audioDriftPath)
+    val f = s.read.parquet(audioDriftPath)
+    def pts(cohort: String): DataFrame =
+      f.filter(col("cohort").isin("ref", cohort))
+        .select(lit(cohort).as("scenario"), col("band"),
+          audioBandEdges.zipWithIndex.foldRight(lit(audioBandEdges.length): org.apache.spark.sql.Column) {
+            case ((e, i), acc) => when(col("bq") < lit(e), lit(i)).otherwise(acc)
+          }.as("bucket"),
+          when(col("cohort") === "ref", 0).otherwise(1).as("side"))
+    LatentDrift.psiFromBinnedKeys(pts("same").unionByName(pts("shift")),
+        nb = audioBandEdges.length + 1, keyCols = Seq("scenario", "band"))
+      .select(col("scenario"), col("band").cast("int").as("band"),
+        col("psi"), col("is_drift"))
+      .orderBy(col("scenario"), col("band"))
+  }
+
   /** Exact duplicate-substring spans (P33) over the injected corpus: each
     * appended near-copy shares every original 8-gram with its source, so
     * both docs' shared prefixes mark as one maximal span; the DuckDB
@@ -1483,6 +1580,8 @@ object OpsQueries {
     "media_audio_features" -> (mediaAudioFeatures _),
     "media_audio_windows" -> (mediaAudioWindows _),
     "audio_near_dup" -> (audioNearDup _),
+    "audio_drift" -> (audioDrift _),
+    "stream_audio_drift" -> (streamAudioDrift _),
     "image_near_dup" -> (imageNearDup _),
     "outlier_events" -> (outlierEvents _),
     "volume_anomaly" -> (volumeAnomaly _),
@@ -1812,6 +1911,47 @@ object OpsQueries {
        ASOF JOIN (SELECT * FROM events WHERE event_type = 'view') v
          ON p.user_id = v.user_id AND p.ts >= v.ts
        ORDER BY purchase_id"""
+
+  /** Replays `audio_drift`'s post-decode math over the parquet of quantized
+    * band-energy longs the query wrote: integer-edge bucketing, the
+    * all-bucket Laplace reconstruction, the PSI sum at round-4 grain, the
+    * threshold verdict — the [[latentDriftOracle]] chain with keys
+    * (scenario, band) and exact integer inputs. */
+  private def audioDriftOracle: String =
+    s"""WITH f AS (SELECT cohort, band, bq
+           FROM read_parquet('$audioDriftPath/*.parquet')),
+         pts AS (
+           SELECT 'same' AS scenario, band, bq, (cohort = 'ref') AS is_ref
+           FROM f WHERE cohort IN ('ref', 'same')
+           UNION ALL
+           SELECT 'shift', band, bq, (cohort = 'ref')
+           FROM f WHERE cohort IN ('ref', 'shift')),
+         b AS (SELECT scenario, band,
+                 CASE WHEN bq < 150000 THEN 0 WHEN bq < 200000 THEN 1
+                      WHEN bq < 250000 THEN 2 WHEN bq < 300000 THEN 3
+                      WHEN bq < 350000 THEN 4 WHEN bq < 400000 THEN 5
+                      WHEN bq < 450000 THEN 6 ELSE 7 END AS bucket, is_ref
+               FROM pts),
+         cnt AS (SELECT scenario, band, bucket,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rc,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+                 FROM b GROUP BY 1, 2, 3),
+         tot AS (SELECT scenario, band, sum(rc) AS rt, sum(cc) AS ct
+                 FROM cnt GROUP BY 1, 2),
+         allb AS (SELECT t.scenario, t.band, t.rt, t.ct, gs.bucket
+                  FROM tot t, (SELECT unnest(range(8)) AS bucket) gs),
+         fb AS (SELECT a.scenario, a.band, a.rt, a.ct, a.bucket,
+                  coalesce(c.rc, 0) AS rc, coalesce(c.cc, 0) AS cc
+                FROM allb a LEFT JOIN cnt c
+                  ON a.scenario = c.scenario AND a.band = c.band
+                 AND a.bucket = c.bucket),
+         psi AS (SELECT scenario, band,
+                   round(sum(((rc + 1.0) / (rt + 8) - (cc + 1.0) / (ct + 8)) *
+                     ln(((rc + 1.0) / (rt + 8)) / ((cc + 1.0) / (ct + 8)))), 4)
+                     AS psi
+                 FROM fb GROUP BY 1, 2)
+         SELECT scenario, CAST(band AS INT) AS band, psi, psi > 0.2 AS is_drift
+         FROM psi ORDER BY scenario, band"""
 
   private val latentDriftOracle: String =
       """WITH cells AS (
@@ -2842,6 +2982,13 @@ object OpsQueries {
     // the streaming twin stages the SAME two scenarios as two event-time
     // windows and relabels window→scenario: shared oracle, bit-for-bit
     "stream_latent_drift" -> latentDriftOracle,
+    // replay over the quantized band-energy longs the query wrote — the
+    // WAV decode is codec territory; everything after it is hash-checked
+    "audio_drift" -> audioDriftOracle,
+    // the streaming twin stages the SAME cohorts as two event-time windows
+    // and relabels window→scenario: shared oracle, bit-for-bit (the oracle
+    // input parquet is written by the batch query in the same Verify run)
+    "stream_audio_drift" -> audioDriftOracle,
     // streaming twin: complete-mode replay over the full file equals the
     // batch hourly aggregate, so the batch SQL oracles the stream operator
     "events_stream_hourly" ->

@@ -127,4 +127,38 @@ class AudioSpec extends AnyFunSuite {
     assert(row.getLong(3) == math.floor(Audio.rms(win1) * 1e6 + 0.5).toLong)
     assert(row.getLong(4) == math.floor(Audio.zcr(win1) * 1e6 + 0.5).toLong)
   }
+
+  test("cohort knobs: gain scales amplitude, idOffset draws disjoint clips") {
+    val base = Audio.syntheticWavs(spark, 5).collect().sortBy(_.media_ref)
+    val louder = Audio.syntheticWavs(spark, 5, gain = 1.25).collect().sortBy(_.media_ref)
+    val offset = Audio.syntheticWavs(spark, 5, idOffset = 1000).collect()
+    // same refs, ~1.25× RMS (dither is additive noise, so approximate)
+    assert(base.map(_.media_ref).toSeq == louder.map(_.media_ref).toSeq)
+    base.zip(louder).foreach { case (a, b) =>
+      val ra = Audio.rms(Audio.decodeWavPcm16(a.payload)._2)
+      val rb = Audio.rms(Audio.decodeWavPcm16(b.payload)._2)
+      assert(math.abs(rb / ra - 1.25) < 0.01, s"${a.media_ref}: $rb / $ra")
+    }
+    // offset cohort: disjoint refs, default gain unchanged for id ≡ id' mod cycle
+    assert(offset.map(_.media_ref).toSet.intersect(base.map(_.media_ref).toSet).isEmpty)
+    assert(offset.forall(_.media_ref >= "wav-00001000"))
+    // defaults reproduce the original generator exactly (no spec drift)
+    val again = Audio.syntheticWavs(spark, 5).collect().sortBy(_.media_ref)
+    base.zip(again).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a.payload, b.payload)) }
+  }
+
+  test("audio_drift verdicts: gain-shift drifts on every band, same-dist cohort on none") {
+    val rows = OpsQueries.audioDrift(spark, "unused").collect()
+    assert(rows.length == 16) // 2 scenarios × 8 bands
+    val (shift, same) = rows.partition(_.getString(0) == "shift")
+    assert(shift.length == 8 && same.length == 8)
+    assert(shift.forall(_.getBoolean(3)),
+      s"shift PSIs: ${shift.map(_.getDouble(2)).mkString(",")}")
+    assert(same.forall(!_.getBoolean(3)),
+      s"same PSIs: ${same.map(_.getDouble(2)).mkString(",")}")
+    // the 'same' cohort is a DIFFERENT draw (disjoint ids), so PSI is small
+    // but need not be exactly 0; the shift must be decisively larger
+    assert(shift.map(_.getDouble(2)).min > 4 * same.map(_.getDouble(2)).max)
+  }
 }

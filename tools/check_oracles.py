@@ -11,6 +11,13 @@ import json, os, subprocess, sys, tempfile, glob
 import duckdb
 import pandas as pd
 
+# The driver's DuckDB version is unknown to this repo; this emulator was
+# validated against the version below. The r04→r05 hardening made every
+# oracle integer-typed / explicitly-cast in its final projection, so the
+# compare should hold across versions — but if the driver gate and this
+# emulator ever disagree again, the version skew is the first suspect.
+print(f"[emulator] duckdb {duckdb.__version__}, pandas {pd.__version__}")
+
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
