@@ -269,8 +269,14 @@ object TpchQueries {
       .select($"o_custkey", year($"o_orderdate").as("y"))
     // ONE grouped scan builds both sketches (partial->shuffle->final per
     // year group), not one job per year — the scale shape this file models
+    // nominal 2^16: the per-year distincts are ~1.2k at sf0.01 and ~11.7k
+    // at sf0.1, so the sketches stay in EXACT mode at every oracle scale
+    // (the default 4096 tipped into estimation at sf0.1 — an ~1.7 % error
+    // the exact-count oracle rightly rejects); estimation behavior itself
+    // is spec-owned (ThetaSpec), the oracle owns the exact regime
+    val nominal = 1 << 16
     val byYear = o.filter($"y".isin(1995, 1996))
-      .groupBy($"y").agg(ThetaSketchAgg.thetaSketch($"o_custkey").as("sk"))
+      .groupBy($"y").agg(ThetaSketchAgg.thetaSketch($"o_custkey", nominal).as("sk"))
       .collect().map(r => r.getAs[Int]("y") -> r.getAs[Array[Byte]]("sk")).toMap
     // a year with no orders yields no group — count it as the empty set,
     // not a bare map-lookup crash
@@ -280,7 +286,7 @@ object TpchQueries {
       lit(ThetaOps.estimateLong(a)).as("n_1995"),
       lit(ThetaOps.estimateLong(b)).as("n_1996"),
       lit(ThetaOps.estimateLong(ThetaOps.intersect(a, b))).as("n_both"),
-      lit(ThetaOps.estimateLong(ThetaOps.union(a, b))).as("n_either"),
+      lit(ThetaOps.estimateLong(ThetaOps.union(a, b, nominal))).as("n_either"),
       lit(ThetaOps.estimateLong(ThetaOps.aNotB(a, b))).as("n_only_1995"))
   }
 

@@ -996,6 +996,95 @@ object OpsQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   private def audioDriftPath: String = graft.util.PidPaths.path("graft_audio_drift")
+  private def videoDriftPath: String = graft.util.PidPaths.path("graft_video_drift")
+  private def videoFramesPath: String = graft.util.PidPaths.path("graft_video_frames")
+
+  /** Real video decode (no stub): deterministic synthetic GVID raw-video
+    * payloads → header parse + frame slicing → per-clip luminance / motion
+    * / scene-cut / hash features. Rows-only driver check like
+    * `media_decode` (a raw-video container walk is not replayable in
+    * DuckDB SQL); container round-trip and feature math are
+    * hand-value-pinned in VideoSpec. */
+  def mediaVideoFeatures(s: SparkSession, dir: String): DataFrame =
+    Video.videoFeatures(Video.syntheticVideos(s, 200)).toDF()
+      .select(Seq(col("media_ref"), col("width"), col("height"), col("fps"),
+        col("n_frames"), col("dur_ms"), col("luma_q"), col("motion_q"),
+        col("cut_count"), col("lhash")) ++
+        (0 until 8).map(i => round(element_at(col("band_luma"), i + 1), 6).as(s"b$i")): _*)
+      .orderBy(col("media_ref"))
+
+  /** HASH-ORACLED scene-cut detection: per-frame features (mean luma and
+    * transition motion energy, both quantized to exact milli-unit longs)
+    * are materialized to parquet, and the shot-boundary verdict — count of
+    * transitions whose quantized motion exceeds the threshold — is computed
+    * from the written longs, so DuckDB replays the detector bit-for-bit.
+    * The codec stays Spark-side (as in `audio_drift`); the detection math
+    * is hash-checked end to end. 3 of every 4 clips carry exactly one
+    * planted hard cut, the rest none. */
+  def videoSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    graft.util.PidPaths.cleanStaleSiblings("graft_video_frames_")
+    Video.videoFrameFeatures(Video.syntheticVideos(s, 200))
+      .write.mode("overwrite").parquet(videoFramesPath)
+    s.read.parquet(videoFramesPath)
+      .groupBy(col("media_ref"))
+      .agg(max(col("n_frames")).as("n_frames"),
+        sum(when(col("motion_q") > lit(Video.CutThresholdQ), 1L).otherwise(0L))
+          .as("cut_count"))
+      .orderBy(col("media_ref"))
+  }
+
+  /** Perceptual video near-dup pairs: 200 synthetic GVIDs + a ±1-value
+    * dithered twin for every 5th ref — pairs are exactly the planted twins
+    * at small luma-profile-hash Hamming (different wobble sequences sit far
+    * apart). Rows-only by design like `audio_near_dup`; planted-truth
+    * exactness is spec-pinned (VideoSpec). */
+  def videoNearDup(s: SparkSession, dir: String): DataFrame =
+    Video.videoNearDupPairs(
+        Video.withPerturbedCopies(Video.syntheticVideos(s, 200), dupEvery = 5))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Integer bucket edges over the milli-unit band-luma longs: the cohort
+    * design places every (b0, cut) cluster ± wobble spread ≥ ~2.5 luma
+    * units from a boundary; measured by graft.tools.VideoProbe — the
+    * 'same' scenario reads PSI 0.0 on every band at these edges, the
+    * gain-1.2 shift 0.49–1.44. Generation is deterministic, so the
+    * margins hold forever. */
+  private val videoLumaEdges: Seq[Long] =
+    Seq(82000L, 107000L, 127000L, 151000L, 176000L, 196000L, 220000L)
+
+  /** HASH-ORACLED video drift — the video analog of [[audioDrift]]: three
+    * real GVID cohorts (reference; disjoint same-distribution; gain-shifted
+    * — the exposure/brightness change a re-encoded or re-captured feed
+    * suffers) are decoded, per-clip 8 time-band mean luminances are
+    * quantized to exact milli-unit longs and written to parquet, and
+    * per-band PSI verdicts are computed over integer-edge buckets. DuckDB
+    * replays everything after the codec from the same longs. */
+  def videoDrift(s: SparkSession, dir: String): DataFrame = {
+    graft.util.PidPaths.cleanStaleSiblings("graft_video_drift_")
+    def bands(clips: org.apache.spark.sql.Dataset[graft.ops.Video.VideoClip],
+              cohort: String): DataFrame =
+      Video.videoFeatures(clips).toDF()
+        .select(lit(cohort).as("cohort"), posexplode(col("band_luma")).as(Seq("band", "v")))
+        .select(col("cohort"), col("band"),
+          floor(col("v") * 1000 + 0.5).cast("long").as("lq"))
+    bands(Video.syntheticVideos(s, 200), "ref")
+      .unionByName(bands(Video.syntheticVideos(s, 200, idOffset = 1000), "same"))
+      .unionByName(bands(Video.syntheticVideos(s, 200, gain = 1.2, idOffset = 1000), "shift"))
+      .write.mode("overwrite").parquet(videoDriftPath)
+    val f = s.read.parquet(videoDriftPath)
+    def pts(cohort: String): DataFrame =
+      f.filter(col("cohort").isin("ref", cohort))
+        .select(lit(cohort).as("scenario"), col("band"),
+          videoLumaEdges.zipWithIndex.foldRight(lit(videoLumaEdges.length): org.apache.spark.sql.Column) {
+            case ((e, i), acc) => when(col("lq") < lit(e), lit(i)).otherwise(acc)
+          }.as("bucket"),
+          when(col("cohort") === "ref", 0).otherwise(1).as("side"))
+    LatentDrift.psiFromBinnedKeys(pts("same").unionByName(pts("shift")),
+        nb = videoLumaEdges.length + 1, keyCols = Seq("scenario", "band"))
+      .select(col("scenario"), col("band").cast("int").as("band"),
+        col("psi"), col("is_drift"))
+      .orderBy(col("scenario"), col("band"))
+  }
 
   /** STREAMING twin of [[audioDrift]]: the same three WAV cohorts, but the
     * 'same' and 'shift' cohorts arrive as two event-time windows of
@@ -1035,6 +1124,49 @@ object OpsQueries {
     }
     val out = StreamingOps.runLatentDriftStream(s, staged.toString, refCounts,
         edges = edgesD, queryName = s"stream_audio_${System.nanoTime()}")
+      .select(
+        when(col("window_start") === lit(base), lit("same")).otherwise(lit("shift"))
+          .as("scenario"),
+        col("dim").cast("int").as("band"), col("psi"), col("is_drift"))
+      .orderBy(col("scenario"), col("band"))
+    try { import scala.sys.process._; Seq("rm", "-rf", staged.toString).! }
+    catch { case _: Throwable => }
+    out
+  }
+
+  /** STREAMING twin of [[videoDrift]] — same shape as [[streamAudioDrift]]:
+    * the 'same' and 'shift' GVID cohorts arrive as two event-time windows
+    * of quantized band-luma vectors through the shared latent-drift state
+    * operator; shares `video_drift`'s DuckDB oracle bit-for-bit. */
+  def streamVideoDrift(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    val edgesD = videoLumaEdges.map(_.toDouble)
+    def bandVecs(clips: org.apache.spark.sql.Dataset[graft.ops.Video.VideoClip]): DataFrame =
+      Video.videoFeatures(clips).toDF()
+        .select(transform(col("band_luma"),
+          x => floor(x * 1000 + 0.5).cast("double")).as("latent"))
+    val refCounts = LatentDrift.binCounts(
+      bandVecs(Video.syntheticVideos(s, 200)), "latent", outDim = 8, edges = edgesD)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val staged = Files.createTempDirectory("graft-video-q")
+    Seq(
+      bandVecs(Video.syntheticVideos(s, 200, idOffset = 1000))
+        .select(lit(base).as("ts"), col("latent")),
+      bandVecs(Video.syntheticVideos(s, 200, gain = 1.2, idOffset = 1000))
+        .select(lit(new java.sql.Timestamp(base.getTime + 3600000L)).as("ts"),
+          col("latent"))
+    ).zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory("graft-video-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
+      Files.copy(part, staged.resolve(f"w$i%02d.parquet"))
+      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+      catch { case _: Throwable => }
+    }
+    val out = StreamingOps.runLatentDriftStream(s, staged.toString, refCounts,
+        edges = edgesD, queryName = s"stream_video_${System.nanoTime()}")
       .select(
         when(col("window_start") === lit(base), lit("same")).otherwise(lit("shift"))
           .as("scenario"),
@@ -1582,6 +1714,11 @@ object OpsQueries {
     "audio_near_dup" -> (audioNearDup _),
     "audio_drift" -> (audioDrift _),
     "stream_audio_drift" -> (streamAudioDrift _),
+    "media_video_features" -> (mediaVideoFeatures _),
+    "video_scene_cuts" -> (videoSceneCuts _),
+    "video_near_dup" -> (videoNearDup _),
+    "video_drift" -> (videoDrift _),
+    "stream_video_drift" -> (streamVideoDrift _),
     "image_near_dup" -> (imageNearDup _),
     "outlier_events" -> (outlierEvents _),
     "volume_anomaly" -> (volumeAnomaly _),
@@ -1931,6 +2068,54 @@ object OpsQueries {
                       WHEN bq < 250000 THEN 2 WHEN bq < 300000 THEN 3
                       WHEN bq < 350000 THEN 4 WHEN bq < 400000 THEN 5
                       WHEN bq < 450000 THEN 6 ELSE 7 END AS bucket, is_ref
+               FROM pts),
+         cnt AS (SELECT scenario, band, bucket,
+                   sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rc,
+                   sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS cc
+                 FROM b GROUP BY 1, 2, 3),
+         tot AS (SELECT scenario, band, sum(rc) AS rt, sum(cc) AS ct
+                 FROM cnt GROUP BY 1, 2),
+         allb AS (SELECT t.scenario, t.band, t.rt, t.ct, gs.bucket
+                  FROM tot t, (SELECT unnest(range(8)) AS bucket) gs),
+         fb AS (SELECT a.scenario, a.band, a.rt, a.ct, a.bucket,
+                  coalesce(c.rc, 0) AS rc, coalesce(c.cc, 0) AS cc
+                FROM allb a LEFT JOIN cnt c
+                  ON a.scenario = c.scenario AND a.band = c.band
+                 AND a.bucket = c.bucket),
+         psi AS (SELECT scenario, band,
+                   round(sum(((rc + 1.0) / (rt + 8) - (cc + 1.0) / (ct + 8)) *
+                     ln(((rc + 1.0) / (rt + 8)) / ((cc + 1.0) / (ct + 8)))), 4)
+                     AS psi
+                 FROM fb GROUP BY 1, 2)
+         SELECT scenario, CAST(band AS INT) AS band, psi, psi > 0.2 AS is_drift
+         FROM psi ORDER BY scenario, band"""
+
+  /** Replays `video_scene_cuts`' verdict over the parquet of quantized
+    * per-frame features the query wrote: pure integer compare + count. */
+  private def videoSceneCutsOracle: String =
+    s"""SELECT media_ref, max(n_frames) AS n_frames,
+          CAST(sum(CASE WHEN motion_q > ${graft.ops.Video.CutThresholdQ}
+            THEN 1 ELSE 0 END) AS BIGINT) AS cut_count
+        FROM read_parquet('$videoFramesPath/*.parquet')
+        GROUP BY media_ref ORDER BY media_ref"""
+
+  /** Replays `video_drift`'s post-decode math over the parquet of quantized
+    * band-luma longs the query wrote — the [[audioDriftOracle]] chain with
+    * the video edges. */
+  private def videoDriftOracle: String =
+    s"""WITH f AS (SELECT cohort, band, lq
+           FROM read_parquet('$videoDriftPath/*.parquet')),
+         pts AS (
+           SELECT 'same' AS scenario, band, lq, (cohort = 'ref') AS is_ref
+           FROM f WHERE cohort IN ('ref', 'same')
+           UNION ALL
+           SELECT 'shift', band, lq, (cohort = 'ref')
+           FROM f WHERE cohort IN ('ref', 'shift')),
+         b AS (SELECT scenario, band,
+                 CASE WHEN lq < 82000 THEN 0 WHEN lq < 107000 THEN 1
+                      WHEN lq < 127000 THEN 2 WHEN lq < 151000 THEN 3
+                      WHEN lq < 176000 THEN 4 WHEN lq < 196000 THEN 5
+                      WHEN lq < 220000 THEN 6 ELSE 7 END AS bucket, is_ref
                FROM pts),
          cnt AS (SELECT scenario, band, bucket,
                    sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS rc,
@@ -2989,6 +3174,11 @@ object OpsQueries {
     // and relabels window→scenario: shared oracle, bit-for-bit (the oracle
     // input parquet is written by the batch query in the same Verify run)
     "stream_audio_drift" -> audioDriftOracle,
+    // scene-cut verdict replayed from the quantized per-frame motion longs
+    "video_scene_cuts" -> videoSceneCutsOracle,
+    // video analog of the audio pair: batch + streaming twin, one oracle
+    "video_drift" -> videoDriftOracle,
+    "stream_video_drift" -> videoDriftOracle,
     // streaming twin: complete-mode replay over the full file equals the
     // batch hourly aggregate, so the batch SQL oracles the stream operator
     "events_stream_hourly" ->
@@ -3057,7 +3247,13 @@ object OpsQueries {
     // documents only — the engine additionally deduped an injected exact
     // copy of every doc, so any survivor leak (doc_id ≥ 1e6) breaks
     // rows/hash.
-    "curation_pipeline" -> ("WITH " + gateCtes("documents") + gateSelect),
+    // the exact-dedup stage must be REPLAYED (min doc_id per text), not
+    // assumed away: the sf0.1 corpus has natural duplicate texts (8 of
+    // 5000), and an oracle that skips the survivor rule keeps both copies
+    // while the engine keeps one — caught as a 3-row mismatch at sf0.1
+    "curation_pipeline" -> ("""WITH surv AS (
+           SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+         """ + gateCtes("surv") + gateSelect),
     // fold order: first profile attaining the max wins (strict-greater
     // replacement in the engine keeps the earliest max)
     // tokenization, md5 feature-hashing, mean and sigmoid replayed against
