@@ -1043,6 +1043,26 @@ object OpsQueries {
         Video.withPerturbedCopies(Video.syntheticVideos(s, 200), dupEvery = 5))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** Media-integrity constraint (payload decode-verify) over a planted
+    * corpus: 600 REAL payloads (PNG / WAV / GVID by kind), every 97th
+    * truncated below its container header. The engine must find EXACTLY
+    * the planted violations with the `truncated` classification — the
+    * oracle replays the planted rule, so a probe that misses a corruption,
+    * flags a healthy payload, or misclassifies a reason breaks rows/hash.
+    * The byte-level parsers themselves are spec-owned
+    * (MediaIntegritySpec: bad-magic and undecodable ladders). */
+  def mediaIntegrity(s: SparkSession, dir: String): DataFrame =
+    graft.checks.MediaIntegrity.violations(
+        graft.checks.MediaIntegrity.syntheticPayloadMedia(s, 600, corruptEvery = 97))
+      .orderBy(col("media_ref"))
+
+  /** The per-kind verdict counts of the same planted corpus — one probe
+    * scan, O(kinds) rows, also fully replayed by the id rule. */
+  def mediaIntegrityReport(s: SparkSession, dir: String): DataFrame =
+    graft.checks.MediaIntegrity.report(
+        graft.checks.MediaIntegrity.syntheticPayloadMedia(s, 600, corruptEvery = 97))
+      .orderBy(col("media_kind"))
+
   /** Integer bucket edges over the milli-unit band-luma longs: the cohort
     * design places every (b0, cut) cluster ± wobble spread ≥ ~2.5 luma
     * units from a boundary; measured by graft.tools.VideoProbe — the
@@ -1715,6 +1735,8 @@ object OpsQueries {
     "audio_drift" -> (audioDrift _),
     "stream_audio_drift" -> (streamAudioDrift _),
     "media_video_features" -> (mediaVideoFeatures _),
+    "media_integrity" -> (mediaIntegrity _),
+    "media_integrity_report" -> (mediaIntegrityReport _),
     "video_scene_cuts" -> (videoSceneCuts _),
     "video_near_dup" -> (videoNearDup _),
     "video_drift" -> (videoDrift _),
@@ -3176,6 +3198,21 @@ object OpsQueries {
     "stream_audio_drift" -> audioDriftOracle,
     // scene-cut verdict replayed from the quantized per-frame motion longs
     "video_scene_cuts" -> videoSceneCutsOracle,
+    // planted-corruption truth: every 97th payload truncated below its
+    // header → the probe must emit exactly these (ref, kind, 'truncated')
+    "media_integrity" ->
+      """SELECT printf('m-%08d', x) AS media_ref,
+           CASE CAST(x % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+             ELSE 'video' END AS media_kind,
+           'truncated' AS reason
+         FROM range(600) t(x) WHERE x % 97 = 0 ORDER BY media_ref""",
+    "media_integrity_report" ->
+      """SELECT media_kind, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CASE WHEN x % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+         FROM (SELECT x, CASE CAST(x % 3 AS INT) WHEN 0 THEN 'image'
+                 WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind
+               FROM range(600) t(x))
+         GROUP BY media_kind ORDER BY media_kind""",
     // video analog of the audio pair: batch + streaming twin, one oracle
     "video_drift" -> videoDriftOracle,
     "stream_video_drift" -> videoDriftOracle,
