@@ -1079,6 +1079,72 @@ object OpsQueries {
     * quantized to exact milli-unit longs and written to parquet, and
     * per-band PSI verdicts are computed over integer-edge buckets. DuckDB
     * replays everything after the codec from the same longs. */
+  /** Shared tail of the batch band-drift pair (`audio_drift`,
+    * `video_drift`): materialize the (cohort, band, <qCol>) quantized-long
+    * frame to `path` (what the DuckDB oracle re-reads), bucket on the
+    * integer `edges`, and emit per-(scenario, band) PSI verdicts — 'same'
+    * compares the reference against the disjoint same-distribution cohort,
+    * 'shift' against the gain-shifted one. */
+  private def bandDriftVerdicts(s: SparkSession, path: String,
+                                frame: DataFrame, qCol: String,
+                                edges: Seq[Long]): DataFrame = {
+    frame.write.mode("overwrite").parquet(path)
+    val f = s.read.parquet(path)
+    def pts(cohort: String): DataFrame =
+      f.filter(col("cohort").isin("ref", cohort))
+        .select(lit(cohort).as("scenario"), col("band"),
+          edges.zipWithIndex.foldRight(lit(edges.length): org.apache.spark.sql.Column) {
+            case ((e, i), acc) => when(col(qCol) < lit(e), lit(i)).otherwise(acc)
+          }.as("bucket"),
+          when(col("cohort") === "ref", 0).otherwise(1).as("side"))
+    LatentDrift.psiFromBinnedKeys(pts("same").unionByName(pts("shift")),
+        nb = edges.length + 1, keyCols = Seq("scenario", "band"))
+      .select(col("scenario"), col("band").cast("int").as("band"),
+        col("psi"), col("is_drift"))
+      .orderBy(col("scenario"), col("band"))
+  }
+
+  /** Shared tail of the streaming band-drift pair: stage the 'same' and
+    * 'shift' cohorts' quantized 8-band vectors as two event-time windows,
+    * run the generic latent-drift state operator against the reference
+    * cohort's bin counts, and relabel window→scenario — the result must
+    * match the batch twin (and its oracle) bit-for-bit. */
+  private def streamBandDriftVerdicts(s: SparkSession, prefix: String,
+                                      refVecs: DataFrame, sameVecs: DataFrame,
+                                      shiftVecs: DataFrame,
+                                      edges: Seq[Long]): DataFrame = {
+    import java.nio.file.Files
+    val edgesD = edges.map(_.toDouble)
+    val refCounts = LatentDrift.binCounts(refVecs, "latent", outDim = 8,
+      edges = edgesD)
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val staged = Files.createTempDirectory(s"graft-$prefix-q")
+    Seq(
+      sameVecs.select(lit(base).as("ts"), col("latent")),
+      shiftVecs.select(lit(new java.sql.Timestamp(base.getTime + 3600000L))
+        .as("ts"), col("latent"))
+    ).zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory(s"graft-$prefix-slice")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val ls = Files.list(tmp)
+      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+        finally ls.close()
+      Files.copy(part, staged.resolve(f"w$i%02d.parquet"))
+      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
+      catch { case _: Throwable => }
+    }
+    val out = StreamingOps.runLatentDriftStream(s, staged.toString, refCounts,
+        edges = edgesD, queryName = s"stream_${prefix}_${System.nanoTime()}")
+      .select(
+        when(col("window_start") === lit(base), lit("same")).otherwise(lit("shift"))
+          .as("scenario"),
+        col("dim").cast("int").as("band"), col("psi"), col("is_drift"))
+      .orderBy(col("scenario"), col("band"))
+    try { import scala.sys.process._; Seq("rm", "-rf", staged.toString).! }
+    catch { case _: Throwable => }
+    out
+  }
+
   def videoDrift(s: SparkSession, dir: String): DataFrame = {
     graft.util.PidPaths.cleanStaleSiblings("graft_video_drift_")
     def bands(clips: org.apache.spark.sql.Dataset[graft.ops.Video.VideoClip],
@@ -1087,23 +1153,11 @@ object OpsQueries {
         .select(lit(cohort).as("cohort"), posexplode(col("band_luma")).as(Seq("band", "v")))
         .select(col("cohort"), col("band"),
           floor(col("v") * 1000 + 0.5).cast("long").as("lq"))
-    bands(Video.syntheticVideos(s, 200), "ref")
-      .unionByName(bands(Video.syntheticVideos(s, 200, idOffset = 1000), "same"))
-      .unionByName(bands(Video.syntheticVideos(s, 200, gain = 1.2, idOffset = 1000), "shift"))
-      .write.mode("overwrite").parquet(videoDriftPath)
-    val f = s.read.parquet(videoDriftPath)
-    def pts(cohort: String): DataFrame =
-      f.filter(col("cohort").isin("ref", cohort))
-        .select(lit(cohort).as("scenario"), col("band"),
-          videoLumaEdges.zipWithIndex.foldRight(lit(videoLumaEdges.length): org.apache.spark.sql.Column) {
-            case ((e, i), acc) => when(col("lq") < lit(e), lit(i)).otherwise(acc)
-          }.as("bucket"),
-          when(col("cohort") === "ref", 0).otherwise(1).as("side"))
-    LatentDrift.psiFromBinnedKeys(pts("same").unionByName(pts("shift")),
-        nb = videoLumaEdges.length + 1, keyCols = Seq("scenario", "band"))
-      .select(col("scenario"), col("band").cast("int").as("band"),
-        col("psi"), col("is_drift"))
-      .orderBy(col("scenario"), col("band"))
+    bandDriftVerdicts(s, videoDriftPath,
+      bands(Video.syntheticVideos(s, 200), "ref")
+        .unionByName(bands(Video.syntheticVideos(s, 200, idOffset = 1000), "same"))
+        .unionByName(bands(Video.syntheticVideos(s, 200, gain = 1.2, idOffset = 1000), "shift")),
+      "lq", videoLumaEdges)
   }
 
   /** STREAMING twin of [[audioDrift]]: the same three WAV cohorts, but the
@@ -1116,42 +1170,15 @@ object OpsQueries {
     * relabels window→scenario and must reproduce the batch PSI verdicts
     * bit-for-bit (psiFromCounts rounds HALF_UP at the same 1e-4 grain). */
   def streamAudioDrift(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Files
-    val edgesD = audioBandEdges.map(_.toDouble)
     def bandVecs(clips: org.apache.spark.sql.Dataset[graft.ops.Audio.AudioClip]): DataFrame =
       Audio.audioFeatures(clips).toDF()
         .select(transform(col("band_rms"),
           x => floor(x * 1e6 + 0.5).cast("double")).as("latent"))
-    val refCounts = LatentDrift.binCounts(
-      bandVecs(Audio.syntheticWavs(s, 200)), "latent", outDim = 8, edges = edgesD)
-    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val staged = Files.createTempDirectory("graft-audio-q")
-    Seq(
-      bandVecs(Audio.syntheticWavs(s, 200, idOffset = 1000))
-        .select(lit(base).as("ts"), col("latent")),
-      bandVecs(Audio.syntheticWavs(s, 200, gain = 1.25, idOffset = 1000))
-        .select(lit(new java.sql.Timestamp(base.getTime + 3600000L)).as("ts"),
-          col("latent"))
-    ).zipWithIndex.foreach { case (df, i) =>
-      val tmp = Files.createTempDirectory("graft-audio-slice")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val ls = Files.list(tmp)
-      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
-        finally ls.close()
-      Files.copy(part, staged.resolve(f"w$i%02d.parquet"))
-      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
-      catch { case _: Throwable => }
-    }
-    val out = StreamingOps.runLatentDriftStream(s, staged.toString, refCounts,
-        edges = edgesD, queryName = s"stream_audio_${System.nanoTime()}")
-      .select(
-        when(col("window_start") === lit(base), lit("same")).otherwise(lit("shift"))
-          .as("scenario"),
-        col("dim").cast("int").as("band"), col("psi"), col("is_drift"))
-      .orderBy(col("scenario"), col("band"))
-    try { import scala.sys.process._; Seq("rm", "-rf", staged.toString).! }
-    catch { case _: Throwable => }
-    out
+    streamBandDriftVerdicts(s, "audio",
+      bandVecs(Audio.syntheticWavs(s, 200)),
+      bandVecs(Audio.syntheticWavs(s, 200, idOffset = 1000)),
+      bandVecs(Audio.syntheticWavs(s, 200, gain = 1.25, idOffset = 1000)),
+      audioBandEdges)
   }
 
   /** STREAMING twin of [[videoDrift]] — same shape as [[streamAudioDrift]]:
@@ -1159,42 +1186,15 @@ object OpsQueries {
     * of quantized band-luma vectors through the shared latent-drift state
     * operator; shares `video_drift`'s DuckDB oracle bit-for-bit. */
   def streamVideoDrift(s: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.Files
-    val edgesD = videoLumaEdges.map(_.toDouble)
     def bandVecs(clips: org.apache.spark.sql.Dataset[graft.ops.Video.VideoClip]): DataFrame =
       Video.videoFeatures(clips).toDF()
         .select(transform(col("band_luma"),
           x => floor(x * 1000 + 0.5).cast("double")).as("latent"))
-    val refCounts = LatentDrift.binCounts(
-      bandVecs(Video.syntheticVideos(s, 200)), "latent", outDim = 8, edges = edgesD)
-    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val staged = Files.createTempDirectory("graft-video-q")
-    Seq(
-      bandVecs(Video.syntheticVideos(s, 200, idOffset = 1000))
-        .select(lit(base).as("ts"), col("latent")),
-      bandVecs(Video.syntheticVideos(s, 200, gain = 1.2, idOffset = 1000))
-        .select(lit(new java.sql.Timestamp(base.getTime + 3600000L)).as("ts"),
-          col("latent"))
-    ).zipWithIndex.foreach { case (df, i) =>
-      val tmp = Files.createTempDirectory("graft-video-slice")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val ls = Files.list(tmp)
-      val part = try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
-        finally ls.close()
-      Files.copy(part, staged.resolve(f"w$i%02d.parquet"))
-      try { import scala.sys.process._; Seq("rm", "-rf", tmp.toString).! }
-      catch { case _: Throwable => }
-    }
-    val out = StreamingOps.runLatentDriftStream(s, staged.toString, refCounts,
-        edges = edgesD, queryName = s"stream_video_${System.nanoTime()}")
-      .select(
-        when(col("window_start") === lit(base), lit("same")).otherwise(lit("shift"))
-          .as("scenario"),
-        col("dim").cast("int").as("band"), col("psi"), col("is_drift"))
-      .orderBy(col("scenario"), col("band"))
-    try { import scala.sys.process._; Seq("rm", "-rf", staged.toString).! }
-    catch { case _: Throwable => }
-    out
+    streamBandDriftVerdicts(s, "video",
+      bandVecs(Video.syntheticVideos(s, 200)),
+      bandVecs(Video.syntheticVideos(s, 200, idOffset = 1000)),
+      bandVecs(Video.syntheticVideos(s, 200, gain = 1.2, idOffset = 1000)),
+      videoLumaEdges)
   }
 
   /** Integer bucket edges over the 1e-6-quantized band-RMS longs: tone-mix
@@ -1225,23 +1225,11 @@ object OpsQueries {
         .select(lit(cohort).as("cohort"), posexplode(col("band_rms")).as(Seq("band", "v")))
         .select(col("cohort"), col("band"),
           floor(col("v") * 1e6 + 0.5).cast("long").as("bq"))
-    bands(Audio.syntheticWavs(s, 200), "ref")
-      .unionByName(bands(Audio.syntheticWavs(s, 200, idOffset = 1000), "same"))
-      .unionByName(bands(Audio.syntheticWavs(s, 200, gain = 1.25, idOffset = 1000), "shift"))
-      .write.mode("overwrite").parquet(audioDriftPath)
-    val f = s.read.parquet(audioDriftPath)
-    def pts(cohort: String): DataFrame =
-      f.filter(col("cohort").isin("ref", cohort))
-        .select(lit(cohort).as("scenario"), col("band"),
-          audioBandEdges.zipWithIndex.foldRight(lit(audioBandEdges.length): org.apache.spark.sql.Column) {
-            case ((e, i), acc) => when(col("bq") < lit(e), lit(i)).otherwise(acc)
-          }.as("bucket"),
-          when(col("cohort") === "ref", 0).otherwise(1).as("side"))
-    LatentDrift.psiFromBinnedKeys(pts("same").unionByName(pts("shift")),
-        nb = audioBandEdges.length + 1, keyCols = Seq("scenario", "band"))
-      .select(col("scenario"), col("band").cast("int").as("band"),
-        col("psi"), col("is_drift"))
-      .orderBy(col("scenario"), col("band"))
+    bandDriftVerdicts(s, audioDriftPath,
+      bands(Audio.syntheticWavs(s, 200), "ref")
+        .unionByName(bands(Audio.syntheticWavs(s, 200, idOffset = 1000), "same"))
+        .unionByName(bands(Audio.syntheticWavs(s, 200, gain = 1.25, idOffset = 1000), "shift")),
+      "bq", audioBandEdges)
   }
 
   /** Exact duplicate-substring spans (P33) over the injected corpus: each
