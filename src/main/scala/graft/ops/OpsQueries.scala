@@ -1063,6 +1063,42 @@ object OpsQueries {
         graft.checks.MediaIntegrity.syntheticPayloadMedia(s, 600, corruptEvery = 97))
       .orderBy(col("media_kind"))
 
+  private def refIntegrityDocsPath: String =
+    graft.util.PidPaths.path("graft_refint_docs")
+
+  /** BLAST-RADIUS composition: payload integrity (E42) joined back onto
+    * the interleaved documents — which parts' spans reference media whose
+    * payload does not decode. The referential check (E6) answers "does the
+    * catalog row exist"; this answers "is the row's payload usable", the
+    * question that decides whether a downstream training job crashes. The
+    * engine probes a full [[graft.model.DocsGen.MediaCount]]-row payload
+    * catalog (every 97th truncated), then LEFT-SEMI joins the exploded
+    * span refs against the BROADCAST violation set (~1k refs) — span rows
+    * never shuffle, the tiny bad set travels: the 10^12-doc shape. The
+    * oracle replays the planted id rule against the same materialized docs,
+    * so both the probe's violation set and the per-part attribution are
+    * hash-checked. */
+  def refMediaIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.DocsGen
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    graft.util.PidPaths.cleanStaleSiblings("graft_refint_docs_")
+    DocsGen.docs(s, nDocs, DocsGen.goldenScenario)
+      .write.mode("overwrite").parquet(refIntegrityDocsPath)
+    val badRefs = graft.checks.MediaIntegrity.violations(
+        graft.checks.MediaIntegrity.syntheticPayloadMedia(
+          s, DocsGen.MediaCount, corruptEvery = 97))
+      .select(col("media_ref"))
+    s.read.parquet(refIntegrityDocsPath)
+      .select(col("part"), explode(col("spans")).as("sp"))
+      .select(col("part"), col("sp.media_ref").as("media_ref"))
+      .filter(col("media_ref").isNotNull)
+      .join(broadcast(badRefs), Seq("media_ref"), "left_semi")
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("bad_span_refs"))
+      .orderBy(col("part"))
+  }
+
   /** Integer bucket edges over the milli-unit band-luma longs: the cohort
     * design places every (b0, cut) cluster ± wobble spread ≥ ~2.5 luma
     * units from a boundary; measured by graft.tools.VideoProbe — the
@@ -1725,6 +1761,7 @@ object OpsQueries {
     "media_video_features" -> (mediaVideoFeatures _),
     "media_integrity" -> (mediaIntegrity _),
     "media_integrity_report" -> (mediaIntegrityReport _),
+    "ref_media_integrity" -> (refMediaIntegrity _),
     "video_scene_cuts" -> (videoSceneCuts _),
     "video_near_dup" -> (videoNearDup _),
     "video_drift" -> (videoDrift _),
@@ -2099,6 +2136,24 @@ object OpsQueries {
                  FROM fb GROUP BY 1, 2)
          SELECT scenario, CAST(band AS INT) AS band, psi, psi > 0.2 AS is_drift
          FROM psi ORDER BY scenario, band"""
+
+  /** Replays `ref_media_integrity` from the materialized docs plus the
+    * planted corruption rule (every 97th catalog id truncated): per-part
+    * counts of non-null span refs landing in the bad set. Dangling refs
+    * (ids ≥ MediaCount) never match — the bad set only holds catalog ids,
+    * in both the engine's probe and this replay. */
+  private def refMediaIntegrityOracle: String =
+    s"""WITH flat AS (
+           SELECT part, u.media_ref AS media_ref
+           FROM (SELECT part, unnest(spans) AS u
+                 FROM read_parquet('$refIntegrityDocsPath/*.parquet'))
+           WHERE u.media_ref IS NOT NULL),
+         bad AS (SELECT printf('m-%08d', x) AS media_ref
+                 FROM range(${graft.model.DocsGen.MediaCount}) t(x)
+                 WHERE x % 97 = 0)
+         SELECT part, CAST(count(*) AS BIGINT) AS bad_span_refs
+         FROM flat JOIN bad USING (media_ref)
+         GROUP BY part ORDER BY part"""
 
   /** Replays `video_scene_cuts`' verdict over the parquet of quantized
     * per-frame features the query wrote: pure integer compare + count. */
@@ -3201,6 +3256,9 @@ object OpsQueries {
                  WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind
                FROM range(600) t(x))
          GROUP BY media_kind ORDER BY media_kind""",
+    // blast radius: the planted id rule gives the bad-ref set; the docs
+    // parquet the query materialized gives the span refs; per-part counts
+    "ref_media_integrity" -> refMediaIntegrityOracle,
     // video analog of the audio pair: batch + streaming twin, one oracle
     "video_drift" -> videoDriftOracle,
     "stream_video_drift" -> videoDriftOracle,

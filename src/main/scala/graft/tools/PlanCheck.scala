@@ -175,6 +175,21 @@ object PlanCheck {
     println(interesting(graft.ops.StreamingOps.novelTypesPerWindow(
       events, Seq("click", "purchase", "signup", "view"))
       .queryExecution.executedPlan))
+
+    println("\n=== media-integrity blast radius (decode-probe violations " +
+      "BROADCAST into a left-semi against the exploded span refs; the only " +
+      "Exchange carries per-part counts) ===")
+    val badRefs = graft.checks.MediaIntegrity.violations(
+        graft.checks.MediaIntegrity.syntheticPayloadMedia(spark, 2000,
+          corruptEvery = 97))
+      .select(col("media_ref"))
+    println(interesting(docs
+      .select($"part", explode($"spans").as("sp"))
+      .select($"part", $"sp.media_ref".as("media_ref"))
+      .filter($"media_ref".isNotNull)
+      .join(broadcast(badRefs), Seq("media_ref"), "left_semi")
+      .groupBy($"part").agg(count(lit(1)).as("bad_span_refs"))
+      .queryExecution.executedPlan))
     spark.stop()
   }
 }
