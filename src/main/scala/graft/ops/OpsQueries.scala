@@ -1063,6 +1063,49 @@ object OpsQueries {
         graft.checks.MediaIntegrity.syntheticPayloadMedia(s, 600, corruptEvery = 97))
       .orderBy(col("media_kind"))
 
+  /** STREAMING twin of [[mediaIntegrity]]: the same 600-payload planted
+    * corpus arrives as a parquet FILE STREAM in three micro-batches, and
+    * the decode-probe runs as a STATELESS streaming transform (the narrow
+    * mapPartitions needs no state store — integrity is a per-row fact), so
+    * the append-mode finals must equal the batch violation set exactly:
+    * shares `media_integrity`'s planted-rule oracle verbatim. This is the
+    * ingest-time shape: decode-verify each arriving micro-batch and emit
+    * violations before the rows ever reach the catalog. */
+  def streamMediaIntegrity(s: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.Files
+    import org.apache.spark.sql.types._
+    val staged = Files.createTempDirectory("graft-media-int-q")
+    graft.checks.MediaIntegrity.syntheticPayloadMedia(s, 600, corruptEvery = 97)
+      .repartition(3)
+      .write.mode("overwrite").parquet(staged.toString + "/all")
+    val srcDir = Files.createTempDirectory("graft-media-int-src")
+    val ls = Files.list(java.nio.file.Paths.get(staged.toString + "/all"))
+    try ls.filter(_.toString.endsWith(".parquet"))
+      .forEach(f => Files.copy(f, srcDir.resolve(f.getFileName)))
+    finally ls.close()
+    val schema = StructType(Seq(StructField("media_ref", StringType),
+      StructField("media_kind", StringType), StructField("payload", BinaryType)))
+    val src = s.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+      .parquet(srcDir.toString)
+    import s.implicits._
+    val name = s"stream_media_int_${System.nanoTime()}"
+    val q = graft.checks.MediaIntegrity.violations(
+        src.as[graft.checks.MediaIntegrity.MediaPayloadRow])
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
+    val res = s.table(name)
+    val rows = res.collect()
+    val outSchema = res.schema
+    s.catalog.dropTempView(name)
+    Seq(staged.toString, srcDir.toString).foreach { d =>
+      try { import scala.sys.process._; Seq("rm", "-rf", d).! }
+      catch { case _: Throwable => }
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), outSchema)
+      .orderBy(col("media_ref"))
+  }
+
   private def refIntegrityDocsPath: String =
     graft.util.PidPaths.path("graft_refint_docs")
 
@@ -1762,6 +1805,7 @@ object OpsQueries {
     "media_integrity" -> (mediaIntegrity _),
     "media_integrity_report" -> (mediaIntegrityReport _),
     "ref_media_integrity" -> (refMediaIntegrity _),
+    "stream_media_integrity" -> (streamMediaIntegrity _),
     "video_scene_cuts" -> (videoSceneCuts _),
     "video_near_dup" -> (videoNearDup _),
     "video_drift" -> (videoDrift _),
@@ -2136,6 +2180,17 @@ object OpsQueries {
                  FROM fb GROUP BY 1, 2)
          SELECT scenario, CAST(band AS INT) AS band, psi, psi > 0.2 AS is_drift
          FROM psi ORDER BY scenario, band"""
+
+  /** Planted-corruption truth for `media_integrity` and its streaming
+    * twin: every 97th payload of the 600-row corpus is truncated below its
+    * container header, so the probe must emit exactly these
+    * (ref, kind, 'truncated') rows. */
+  private val mediaIntegrityOracle: String =
+    """SELECT printf('m-%08d', x) AS media_ref,
+         CASE CAST(x % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+           ELSE 'video' END AS media_kind,
+         'truncated' AS reason
+       FROM range(600) t(x) WHERE x % 97 = 0 ORDER BY media_ref"""
 
   /** Replays `ref_media_integrity` from the materialized docs plus the
     * planted corruption rule (every 97th catalog id truncated): per-part
@@ -3243,12 +3298,10 @@ object OpsQueries {
     "video_scene_cuts" -> videoSceneCutsOracle,
     // planted-corruption truth: every 97th payload truncated below its
     // header → the probe must emit exactly these (ref, kind, 'truncated')
-    "media_integrity" ->
-      """SELECT printf('m-%08d', x) AS media_ref,
-           CASE CAST(x % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-             ELSE 'video' END AS media_kind,
-           'truncated' AS reason
-         FROM range(600) t(x) WHERE x % 97 = 0 ORDER BY media_ref""",
+    "media_integrity" -> mediaIntegrityOracle,
+    // the stateless streaming twin probes the same corpus as a 3-batch
+    // file stream; append-mode finals must equal the batch set verbatim
+    "stream_media_integrity" -> mediaIntegrityOracle,
     "media_integrity_report" ->
       """SELECT media_kind, CAST(count(*) AS BIGINT) AS n,
            CAST(sum(CASE WHEN x % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad

@@ -56,7 +56,11 @@ object Video {
     val fb = width * height * 3
     frames.zipWithIndex.foreach { case (f, i) =>
       require(f.length == fb, s"gvid: frame $i has ${f.length} bytes, want $fb") }
-    val buf = java.nio.ByteBuffer.allocate(HeaderBytes + frames.length * fb)
+    val total = HeaderBytes.toLong + frames.length.toLong * fb
+    require(total <= Int.MaxValue,
+      s"gvid: payload would exceed a 2 GiB byte array ($total bytes) — " +
+        "split the clip before encoding")
+    val buf = java.nio.ByteBuffer.allocate(total.toInt)
     buf.put(Magic.getBytes("US-ASCII"))
     buf.putInt(width).putInt(height).putInt(fps).putInt(frames.length)
     frames.foreach(buf.put)
