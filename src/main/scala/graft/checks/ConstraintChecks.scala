@@ -289,6 +289,34 @@ object ConstraintChecks {
     * the COUNTS ride the DocStatsAgg scan for free and only dirty partitions
     * are rescanned for rows ([[spanIntegrityRows]]). */
 
+  /** Cross-field CONSISTENCY companion to [[referential]]: existence (E6)
+    * proves a span's `media_ref` points at a catalog row; this proves the
+    * span's declared `kind` AGREES with that row's `media_kind` — the
+    * mislabeled-modality defect (an "image" span pointing at an audio
+    * asset) that passes every existence join and then feeds the wrong
+    * decoder downstream. Dangling refs are EXCLUDED here (the inner join
+    * drops them — E6 owns that verdict), and null-kind spans carry no
+    * media_ref by the span contract, so the checks partition the failure
+    * space cleanly.
+    *
+    * Shape: the span side explodes only the zipped (kind, media_ref)
+    * FIELD arrays (nested pruning — `spans.text` never leaves parquet),
+    * the slim 2-column catalog broadcasts, and the only Exchange carries
+    * O(parts) count rows. Returns per-part `(n_refs, n_kind_mismatch)`. */
+  def kindConsistency(docs: DataFrame, media: DataFrame,
+                      broadcastMedia: Boolean = true): DataFrame = {
+    import docs.sparkSession.implicits._
+    val refs = docs.select($"part",
+        explode(arrays_zip(col("spans.kind"), col("spans.media_ref"))).as("z"))
+      .select($"part", $"z.kind".as("kind"), $"z.media_ref".as("media_ref"))
+      .filter($"media_ref".isNotNull)
+    val cat = media.select($"media_ref", $"media_kind")
+    refs.join(if (broadcastMedia) broadcast(cat) else cat, Seq("media_ref"))
+      .groupBy($"part")
+      .agg(count(lit(1)).as("n_refs"),
+        sum(when($"kind" =!= $"media_kind", 1L).otherwise(0L)).as("n_kind_mismatch"))
+  }
+
   /** PROBE-SIDE referential check (E6 at huge-catalog scale): when the
     * media catalog exceeds every broadcast bound but the DOCS' distinct
     * referenced set is small (the common incremental-validation case — one

@@ -1108,6 +1108,29 @@ object OpsQueries {
 
   private def refIntegrityDocsPath: String =
     graft.util.PidPaths.path("graft_refint_docs")
+  private def kindConsDocsPath: String =
+    graft.util.PidPaths.path("graft_kindcons_docs")
+  private def kindConsMediaPath: String =
+    graft.util.PidPaths.path("graft_kindcons_media")
+
+  /** Cross-field consistency constraint
+    * ([[graft.checks.ConstraintChecks.kindConsistency]]): per-part counts
+    * of spans whose declared kind disagrees with the catalog's media_kind.
+    * Both the docs and the catalog are materialized, so the oracle replays
+    * the exact join and counts — existence (dangling) verdicts stay with
+    * `ref_orders_customer`/`docs_constraints`, this query owns agreement. */
+  def refKindConsistency(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.DocsGen
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    graft.util.PidPaths.cleanStaleSiblings("graft_kindcons_")
+    DocsGen.docs(s, nDocs, DocsGen.goldenScenario)
+      .write.mode("overwrite").parquet(kindConsDocsPath)
+    DocsGen.media(s).write.mode("overwrite").parquet(kindConsMediaPath)
+    graft.checks.ConstraintChecks.kindConsistency(
+        s.read.parquet(kindConsDocsPath), s.read.parquet(kindConsMediaPath))
+      .orderBy(col("part"))
+  }
 
   /** BLAST-RADIUS composition: payload integrity (E42) joined back onto
     * the interleaved documents — which parts' spans reference media whose
@@ -1806,6 +1829,7 @@ object OpsQueries {
     "media_integrity_report" -> (mediaIntegrityReport _),
     "ref_media_integrity" -> (refMediaIntegrity _),
     "stream_media_integrity" -> (streamMediaIntegrity _),
+    "ref_kind_consistency" -> (refKindConsistency _),
     "video_scene_cuts" -> (videoSceneCuts _),
     "video_near_dup" -> (videoNearDup _),
     "video_drift" -> (videoDrift _),
@@ -2180,6 +2204,24 @@ object OpsQueries {
                  FROM fb GROUP BY 1, 2)
          SELECT scenario, CAST(band AS INT) AS band, psi, psi > 0.2 AS is_drift
          FROM psi ORDER BY scenario, band"""
+
+  /** Replays `ref_kind_consistency` from the two materialized parquets:
+    * explode spans, keep non-null refs, INNER join the catalog (dangling
+    * refs are the existence check's verdict, not this one's), count
+    * disagreements per part. */
+  private def refKindConsistencyOracle: String =
+    s"""WITH flat AS (
+           SELECT part, u.kind AS kind, u.media_ref AS media_ref
+           FROM (SELECT part, unnest(spans) AS u
+                 FROM read_parquet('$kindConsDocsPath/*.parquet'))
+           WHERE u.media_ref IS NOT NULL),
+         media AS (SELECT media_ref, media_kind
+                   FROM read_parquet('$kindConsMediaPath/*.parquet'))
+         SELECT part, CAST(count(*) AS BIGINT) AS n_refs,
+           CAST(sum(CASE WHEN kind <> media_kind THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kind_mismatch
+         FROM flat JOIN media USING (media_ref)
+         GROUP BY part ORDER BY part"""
 
   /** Planted-corruption truth for `media_integrity` and its streaming
     * twin: every 97th payload of the 600-row corpus is truncated below its
@@ -3312,6 +3354,9 @@ object OpsQueries {
     // blast radius: the planted id rule gives the bad-ref set; the docs
     // parquet the query materialized gives the span refs; per-part counts
     "ref_media_integrity" -> refMediaIntegrityOracle,
+    // kind agreement replayed from the two materialized parquets: inner
+    // join (dangling refs are E6's verdict), count kind <> media_kind
+    "ref_kind_consistency" -> refKindConsistencyOracle,
     // video analog of the audio pair: batch + streaming twin, one oracle
     "video_drift" -> videoDriftOracle,
     "stream_video_drift" -> videoDriftOracle,

@@ -163,4 +163,27 @@ class ConstraintSpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
     docs.unpersist()
   }
+
+  test("kind consistency: agreement counted, dangling excluded, nulls skipped") {
+    import spark.implicits._
+    def span(k: String, ref: String) =
+      (k, null.asInstanceOf[String], ref, 0)
+    val docs = Seq(
+      // part 0: one agreeing image ref, one image span pointing at audio
+      (0, "d0", Seq(span("image", "m-1"), span("image", "m-2"))),
+      // part 1: dangling ref (not in catalog) + text span with null ref
+      (1, "d1", Seq(span("audio", "m-9"), span("text", null))),
+      // part 2: all three agree
+      (2, "d2", Seq(span("audio", "m-2"), span("table", "m-3"), span("image", "m-1"))))
+      .toDF("part", "doc_id", "spans")
+      .select($"part", $"doc_id", $"spans".cast(
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>").as("spans"))
+    val media = Seq(("m-1", "image"), ("m-2", "audio"), ("m-3", "table"))
+      .toDF("media_ref", "media_kind")
+    val got = ConstraintChecks.kindConsistency(docs, media).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0) == (2L, 1L)) // m-2 is audio, span says image
+    assert(!got.contains(1))   // only a dangling ref + a null ref: no joined rows
+    assert(got(2) == (3L, 0L))
+  }
 }
