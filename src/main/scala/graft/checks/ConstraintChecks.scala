@@ -317,6 +317,26 @@ object ConstraintChecks {
         sum(when($"kind" =!= $"media_kind", 1L).otherwise(0L)).as("n_kind_mismatch"))
   }
 
+  /** Row-level evidence for [[kindConsistency]] — one [[Violation]] per
+    * disagreeing span occurrence (check_id `kind_mismatch`). Same join
+    * shape; only mismatching rows ever leave the scan. */
+  def kindConsistencyRows(docs: DataFrame, media: DataFrame, runId: String,
+                          broadcastMedia: Boolean = true): Dataset[Violation] = {
+    import docs.sparkSession.implicits._
+    val refs = docs.select($"part", $"doc_id",
+        explode(arrays_zip(col("spans.kind"), col("spans.media_ref"))).as("z"))
+      .select($"part", $"doc_id", $"z.kind".as("kind"), $"z.media_ref".as("media_ref"))
+      .filter($"media_ref".isNotNull)
+    val cat = media.select($"media_ref", $"media_kind")
+    refs.join(if (broadcastMedia) broadcast(cat) else cat, Seq("media_ref"))
+      .filter($"kind" =!= $"media_kind")
+      .select(lit(runId).as("run_id"), $"part",
+        lit("kind_mismatch").as("check_id"), $"doc_id",
+        concat(lit("span kind "), $"kind", lit(" != media_kind "),
+          $"media_kind", lit(" for "), $"media_ref").as("detail"))
+      .as[Violation]
+  }
+
   /** PROBE-SIDE referential check (E6 at huge-catalog scale): when the
     * media catalog exceeds every broadcast bound but the DOCS' distinct
     * referenced set is small (the common incremental-validation case — one

@@ -70,6 +70,14 @@ case class RunConfig(
     // partition counts. Driver arithmetic on counts the stats scan already
     // produced — no extra jobs at any table size.
     volumeK: Double = 3.5,
+    // opt-in cross-field kind-consistency check (E43): one extra broadcast
+    // join per run emitting `kind_mismatch` verdicts per part (agreement
+    // between span.kind and the catalog's media_kind — the mislabeled-
+    // modality defect the existence join passes). Off by default: the
+    // flagship scenario's media catalog carries independent kinds, so the
+    // check fires heavily there; enable for tables whose catalog kinds are
+    // authoritative.
+    kindConsistency: Boolean = false,
     // when set, the pass validates the snapshot's OBSERVED schema against
     // this declared leaf-path contract before anything scans: one
     // `schema_contract` verdict (part = -1, table grain) plus one violation
@@ -242,6 +250,16 @@ object ValidationRun {
     }))
     val mediaSet = if (fuseRef) Some(PartStats.broadcastMediaSet(media)) else None
 
+    // opt-in E43: one broadcast join, O(parts) counts back, row evidence to
+    // the sink like every other constraint check
+    val fKind = if (!cfg.kindConsistency) None else Some(maybeFuture(
+      timed("kind_consistency") {
+        val counts = ConstraintChecks.kindConsistency(docs, media)
+          .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+        sinkWrite("kind", ConstraintChecks.kindConsistencyRows(docs, media, cfg.runId))
+        counts
+      }))
+
     // violation-row builders for the stats-derived checks (lazy datasets;
     // pruned to dirty partitions — no-ops on a clean table)
     def refViolOf(summaries: Map[Int, PartSummary]): (Dataset[Violation], Map[Int, Long]) = {
@@ -377,6 +395,8 @@ object ValidationRun {
         constraintVerdicts("ref_media", refCounts) ++
         constraintVerdicts("span_order", ordCounts) ++
         constraintVerdicts("null_kind", nkCounts) ++
+        fKind.map(f => constraintVerdicts("kind_mismatch",
+          Await.result(f, Duration.Inf))).getOrElse(Seq.empty) ++
         // volume (E27): run-scoped robust fence over the per-part counts the
         // stats scan already produced — zero extra jobs, exact-integer
         // deterministic. Run-window semantics documented at
@@ -406,6 +426,9 @@ object ValidationRun {
       else schemaGate.map(g => spark.createDataset(g._2))
         .getOrElse(spark.emptyDataset[Violation])
         .union(uniqViol).union(refViol).union(intViol)
+        .union(if (cfg.kindConsistency)
+          ConstraintChecks.kindConsistencyRows(docs, media, cfg.runId)
+        else spark.emptyDataset[Violation])
     Results(spark.createDataset(verdicts), violations, summaries)
   }
 

@@ -158,4 +158,30 @@ class GoldenScenarioSpec extends AnyFunSuite {
     assert(exact(0) < 0.05, s"control exact MMD ${exact(0)}")
     assert(exact(5) > exact(0) && exact(10) > exact(0))
   }
+
+  test("opt-in kind-consistency (E43): per-part kind_mismatch verdicts appear, " +
+    "defaults emit none, counts match the standalone check") {
+    // the default run above carries no kind_mismatch verdicts
+    assert(!verdicts.keys.exists(_._2 == "kind_mismatch"))
+    val withKind = ValidationRun.run(docs, media, ref,
+      RunConfig(runId = "golden-kind", alpha = 0.01, maxSample = 600,
+        numPermutations = 50, kindConsistency = true))
+    val kv = withKind.verdicts.collect().filter(_.check_id == "kind_mismatch")
+    val parts = docs.select($"part").distinct().as[Int].collect().toSet
+    assert(kv.map(_.part).toSet == parts)
+    // DocsGen catalog kinds are hash-independent of span kinds, so the
+    // check fires heavily (~2/3 of joined refs disagree) — and its counts
+    // must equal the standalone DataFrame check exactly
+    val standalone = ConstraintChecks.kindConsistency(docs, media)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    kv.foreach { v =>
+      assert(v.distance == standalone.getOrElse(v.part, 0L).toDouble, s"part ${v.part}")
+      assert(v.passed == (v.distance == 0.0))
+    }
+    assert(kv.map(_.distance).sum > 0.0)
+    // row evidence matches the counts
+    val rows = ConstraintChecks.kindConsistencyRows(docs, media, "golden-kind")
+      .groupBy($"part").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rows == standalone.filter(_._2 > 0))
+  }
 }
