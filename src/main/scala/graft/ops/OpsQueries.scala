@@ -1106,6 +1106,36 @@ object OpsQueries {
       .orderBy(col("media_ref"))
   }
 
+  private def renderDocsPath: String =
+    graft.util.PidPaths.path("graft_render_docs")
+
+  /** Interleaved-document RENDERING (training-sample prep): flatten each
+    * spans document to one training string — text spans verbatim, media
+    * spans as `<kind:media_ref>` placeholder tokens — md5-gated so the
+    * whole render (order, placeholders, null conventions) is hash-checked
+    * against a DuckDB replay over the materialized docs. */
+  def renderDocs(s: SparkSession, dir: String): DataFrame = {
+    import graft.model.DocsGen
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    graft.util.PidPaths.cleanStaleSiblings("graft_render_docs_")
+    DocsGen.docs(s, nDocs, DocsGen.goldenScenario)
+      .write.mode("overwrite").parquet(renderDocsPath)
+    Interleave.renderText(s.read.parquet(renderDocsPath))
+      .select(col("doc_id"), col("n_spans"), md5(col("rendered")).as("render_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sliding-window token chunking (context-window splitter) over the
+    * documents table: size 32, overlap 8 → chunks start every 24 tokens;
+    * md5 per chunk so boundaries, overlap, and the short final chunk are
+    * all hash-checked. */
+  def chunkTokens(s: SparkSession, dir: String): DataFrame =
+    Interleave.chunkByTokens(docs(s, dir), "text", maxTok = 32, overlap = 8)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   private def refIntegrityDocsPath: String =
     graft.util.PidPaths.path("graft_refint_docs")
   private def kindConsDocsPath: String =
@@ -1830,6 +1860,8 @@ object OpsQueries {
     "ref_media_integrity" -> (refMediaIntegrity _),
     "stream_media_integrity" -> (streamMediaIntegrity _),
     "ref_kind_consistency" -> (refKindConsistency _),
+    "render_docs" -> (renderDocs _),
+    "chunk_tokens" -> (chunkTokens _),
     "video_scene_cuts" -> (videoSceneCuts _),
     "video_near_dup" -> (videoNearDup _),
     "video_drift" -> (videoDrift _),
@@ -2204,6 +2236,19 @@ object OpsQueries {
                  FROM fb GROUP BY 1, 2)
          SELECT scenario, CAST(band AS INT) AS band, psi, psi > 0.2 AS is_drift
          FROM psi ORDER BY scenario, band"""
+
+  /** Replays `render_docs` from the materialized docs: the span ARRAY
+    * order is the render order, text spans verbatim, everything else a
+    * `<kind:ref>` placeholder with the null conventions spelled out. */
+  private def renderDocsOracle: String =
+    s"""SELECT doc_id, CAST(len(spans) AS INT) AS n_spans,
+          md5(array_to_string(list_transform(spans, s ->
+            CASE WHEN s.kind = 'text' AND s.text IS NOT NULL THEN s.text
+                 ELSE '<' || coalesce(s.kind, 'null') || ':' ||
+                      coalesce(s.media_ref, 'none') || '>' END), ' '))
+            AS render_md5
+        FROM read_parquet('$renderDocsPath/*.parquet')
+        ORDER BY doc_id"""
 
   /** Replays `ref_kind_consistency` from the two materialized parquets:
     * explode spans, keep non-null refs, INNER join the catalog (dangling
@@ -3357,6 +3402,21 @@ object OpsQueries {
     // kind agreement replayed from the two materialized parquets: inner
     // join (dangling refs are E6's verdict), count kind <> media_kind
     "ref_kind_consistency" -> refKindConsistencyOracle,
+    // full render replay: order, placeholder format, null conventions
+    "render_docs" -> renderDocsOracle,
+    // chunk boundaries + overlap + short final chunk replayed per chunk
+    "chunk_tokens" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+           FROM documents),
+         s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st
+               FROM t WHERE len(toks) > 0),
+         c AS (SELECT doc_id, CAST(st // 24 AS INT) AS chunk_idx,
+                 list_slice(toks, st + 1, st + 32) AS chunk
+               FROM s)
+         SELECT doc_id, chunk_idx, CAST(len(chunk) AS INT) AS n_tok,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+         FROM c ORDER BY doc_id, chunk_idx""",
     // video analog of the audio pair: batch + streaming twin, one oracle
     "video_drift" -> videoDriftOracle,
     "stream_video_drift" -> videoDriftOracle,
