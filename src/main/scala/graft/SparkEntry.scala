@@ -668,6 +668,65 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private val MorBasePath = s"/tmp/graft_mor_base_$pathToken"
+  private val MorDelPath = s"/tmp/graft_mor_del_$pathToken"
+  private val MorTablePath = s"/tmp/graft_mor_table_$pathToken"
+
+  /** DuckDB-oracled MERGE-ON-READ deletes (Iceberg v2 equality-delete
+    * semantics): the base docs and a delete-key set (~1 in 25) are
+    * materialized; the engine commits the docs as a snapshot table, cuts a
+    * delete-set snapshot with NO data rewrite, and reads it back through
+    * the MOR anti-join path. The query then ALSO runs
+    * [[graft.engine.SnapshotCatalog.materializeDeletes]] and REQUIRES the
+    * physical rewrite to agree with the logical read row-for-row (and the
+    * delete list to come back empty) — so one driver query gates the
+    * logical path, the COW fold, and their equivalence; the oracle replays
+    * base-minus-deletes over the same parquet. */
+  def entry_docs_mor_deletes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.DocsGen
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    cleanStaleSiblings("graft_mor_")
+    val base = DocsGen.docs(spark, nDocs, DocsGen.goldenScenario)
+      .filter($"part" < 15) // violation-fixture parts excluded: unique doc_id
+    base.write.mode("overwrite").parquet(MorBasePath)
+    val baseP = spark.read.parquet(MorBasePath)
+    baseP.filter(pmod(xxhash64($"doc_id", lit("morD")), lit(25L)) === 0)
+      .select("doc_id").write.mode("overwrite").parquet(MorDelPath)
+    graft.util.PidPaths.deleteRecursively(MorTablePath)
+    graft.engine.SnapshotCatalog.commit(MorTablePath, baseP)
+    val s = graft.engine.SnapshotCatalog.commitDeletes(MorTablePath,
+      spark.read.parquet(MorDelPath), "doc_id")
+    val mor = graft.engine.SnapshotCatalog.read(spark, MorTablePath, s.snapshotId)
+    val mat = graft.engine.SnapshotCatalog.materializeDeletes(spark, MorTablePath)
+    require(mat.deleteFiles.isEmpty,
+      "mor_deletes: materializeDeletes left delete files pending")
+    val matRead = graft.engine.SnapshotCatalog.read(spark, MorTablePath,
+      mat.snapshotId)
+    val disagree = mor.select("doc_id").except(matRead.select("doc_id")).count() +
+      matRead.select("doc_id").except(mor.select("doc_id")).count()
+    require(disagree == 0L,
+      s"mor_deletes: logical MOR read and materialized read disagree on " +
+        s"$disagree doc_ids")
+    mor.select($"doc_id",
+        size($"spans").cast("long").as("n_spans"),
+        aggregate($"spans", lit(0L), (acc, sp) =>
+          acc + sp.getField("offset").cast("long")).as("off_sum"))
+      .orderBy($"doc_id")
+  }
+
+  private val morDeletesOracleSql: String =
+    s"""WITH base AS (SELECT * FROM read_parquet('$MorBasePath/*.parquet')),
+        del AS (SELECT doc_id FROM read_parquet('$MorDelPath/*.parquet'))
+        SELECT doc_id,
+          CAST(len(spans) AS BIGINT) AS n_spans,
+          CAST(coalesce(list_sum(list_transform(spans, s -> s."offset")), 0)
+            AS BIGINT) AS off_sum
+        FROM base WHERE doc_id NOT IN (SELECT doc_id FROM del)
+        ORDER BY doc_id"""
+
   private val mergeOracleSql: String =
     s"""WITH base AS (SELECT * FROM read_parquet('$MergeBasePath/*.parquet')),
         src AS (SELECT * FROM read_parquet('$MergeSrcPath/*.parquet')),
@@ -696,6 +755,7 @@ object SparkEntry {
         "docs_span_seq" -> (entry_docs_span_seq _),
         "uniq_cross_snapshot" -> (entry_uniq_cross_snapshot _),
         "docs_merge" -> (entry_docs_merge _),
+        "docs_mor_deletes" -> (entry_docs_mor_deletes _),
         "docs_drift_attrib" -> (entry_docs_drift_attrib _),
         "novel_kinds" -> (entry_novel_kinds _))
 
@@ -710,6 +770,7 @@ object SparkEntry {
         "docs_span_seq" -> spanSeqOracleSql,
         "uniq_cross_snapshot" -> uniqCrossOracleSql,
         "docs_merge" -> mergeOracleSql,
+        "docs_mor_deletes" -> morDeletesOracleSql,
         "docs_drift_attrib" -> attribOracleSql,
         "novel_kinds" -> novelKindsOracleSql)
 }

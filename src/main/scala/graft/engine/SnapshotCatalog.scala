@@ -42,7 +42,13 @@ object SnapshotCatalog {
                       /** the snapshot's table schema as Spark schema JSON
                         * (E32) — None on manifests from before schema
                         * tracking (reads fall back to footer inference) */
-                      schemaJson: Option[String] = None)
+                      schemaJson: Option[String] = None,
+                      /** MERGE-ON-READ delete sets in effect (Iceberg v2
+                        * equality-delete semantics): names of
+                        * `_deletes/<name>` parquet dirs whose single key
+                        * column anti-joins every read of this snapshot.
+                        * Empty on pre-MOR manifests. */
+                      deleteFiles: Seq[String] = Seq.empty)
 
   private def snapDir(table: String): Path = Paths.get(table, "_snapshots")
 
@@ -197,9 +203,12 @@ object SnapshotCatalog {
     val stats = cur.map(_.partStats).getOrElse(Map.empty) ++
       freshStats.view.filterKeys(fresh).toMap
     val id = currentSnapshotId(table).getOrElse(0L) + 1L
+    // appending data leaves pending MOR delete sets in force — carry them
+    val dels = cur.map(_.deleteFiles).getOrElse(Seq.empty)
     val snap = Snapshot(id, parts, System.currentTimeMillis(), stats,
-      Some(newSchemaJson))
-    writeManifest(table, id, parts, snap.createdAtMs, stats, snap.schemaJson)
+      Some(newSchemaJson), dels)
+    writeManifest(table, id, parts, snap.createdAtMs, stats, snap.schemaJson,
+      dels)
     snap
   }
 
@@ -213,7 +222,8 @@ object SnapshotCatalog {
     * ids never referenced by any manifest (reusing an id would mix rows
     * into retired data dirs). */
   def commitReplacing(table: String, replaced: Set[Int], appended: Seq[Int],
-                      appendedStats: Map[Int, PartKeyStats] = Map.empty): Snapshot = {
+                      appendedStats: Map[Int, PartKeyStats] = Map.empty,
+                      clearDeleteFiles: Boolean = false): Snapshot = {
     val cur = currentSnapshotId(table).getOrElse(
       throw new IllegalArgumentException(s"commitReplacing: no snapshots at $table"))
     val curSnap = readManifest(table, cur)
@@ -235,9 +245,14 @@ object SnapshotCatalog {
     val stats = (curSnap.partStats -- replaced) ++
       appendedStats.view.filterKeys(appended.toSet).toMap
     val id = cur + 1L
+    // COW rewrites of SOME parts leave pending MOR deletes in force for the
+    // rest; only a caller that physically applied them everywhere
+    // (materializeDeletes) clears the list
+    val dels = if (clearDeleteFiles) Seq.empty else curSnap.deleteFiles
     val snap = Snapshot(id, parts, System.currentTimeMillis(), stats,
-      curSnap.schemaJson)
-    writeManifest(table, id, parts, snap.createdAtMs, stats, curSnap.schemaJson)
+      curSnap.schemaJson, dels)
+    writeManifest(table, id, parts, snap.createdAtMs, stats, curSnap.schemaJson,
+      dels)
     snap
   }
 
@@ -272,9 +287,11 @@ object SnapshotCatalog {
       case None => spark.read
     }
     import org.apache.spark.sql.functions.col
-    reader.parquet(s"$table/data")
-      .filter(col("part").isin(parts: _*))
-      .filter(col(keyCol) >= lo && col(keyCol) <= hi)
+    applyDeletes(spark, table,
+      reader.parquet(s"$table/data")
+        .filter(col("part").isin(parts: _*))
+        .filter(col(keyCol) >= lo && col(keyCol) <= hi),
+      snap.deleteFiles)
   }
 
   /** Highest part id visible anywhere — every manifest ever written PLUS the
@@ -291,18 +308,27 @@ object SnapshotCatalog {
   private def writeManifest(table: String, id: Long, parts: Seq[Int],
                             createdAtMs: Long,
                             stats: Map[Int, PartKeyStats] = Map.empty,
-                            schemaJson: Option[String] = None): Unit = {
+                            schemaJson: Option[String] = None,
+                            deleteFiles: Seq[String] = Seq.empty): Unit = {
     Files.createDirectories(snapDir(table))
     val statsJson =
       if (stats.isEmpty) ""
       else stats.toSeq.sortBy(_._1).map { case (p, s) =>
         s""""$p":["${s.min}","${s.max}",${s.rows}]"""
       }.mkString(""","part_stats":{""", ",", "}")
+    // delete-file names are engine-generated (`del-<id>`) — enforce the
+    // safe-charset so the regex parse can never be corrupted
+    deleteFiles.foreach(n => require(SafeKey.pattern.matcher(n).matches(),
+      s"writeManifest: unsafe delete-file name '$n'"))
+    val delJson =
+      if (deleteFiles.isEmpty) ""
+      else deleteFiles.map(n => s""""$n"""")
+        .mkString(""","delete_files":[""", ",", "]")
     // the schema rides LAST as a raw nested JSON object (StructType.json is
     // valid JSON), so the prefix fields keep their simple regex extraction
     val schemaPart = schemaJson.map(js => s""","schema":$js""").getOrElse("")
     val json =
-      s"""{"snapshot_id":$id,"created_at_ms":$createdAtMs,"parts":[${parts.mkString(",")}]$statsJson$schemaPart}"""
+      s"""{"snapshot_id":$id,"created_at_ms":$createdAtMs,"parts":[${parts.mkString(",")}]$statsJson$delJson$schemaPart}"""
     val tmp = snapDir(table).resolve(s".v$id.json.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, snapDir(table).resolve(s"v$id.json"),
@@ -321,9 +347,9 @@ object SnapshotCatalog {
     val target = readManifest(table, toSnapshotId)
     val id = ids.max + 1
     val snap = Snapshot(id, target.parts, System.currentTimeMillis(),
-      target.partStats, target.schemaJson)
+      target.partStats, target.schemaJson, target.deleteFiles)
     writeManifest(table, id, target.parts, snap.createdAtMs, target.partStats,
-      target.schemaJson)
+      target.schemaJson, target.deleteFiles)
     snap
   }
 
@@ -470,6 +496,16 @@ object SnapshotCatalog {
         Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
     }
     expire.foreach(i => Files.deleteIfExists(snapDir(table).resolve(s"v$i.json")))
+    // MOR delete-set GC: a `_deletes/<name>` dir referenced by NO retained
+    // manifest can never be read again (same rule as orphan part dirs) —
+    // covers both expired-away sets and crash orphans whose manifest was
+    // never committed
+    val retainedDels = retain.flatMap(readManifest(table, _).deleteFiles).toSet
+    listNames(deletesDir(table)).filterNot(retainedDels).foreach { n =>
+      val dir = deletesDir(table).resolve(n)
+      if (Files.exists(dir))
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    }
     (expire, gcParts)
   }
 
@@ -504,7 +540,17 @@ object SnapshotCatalog {
       case -1 => None
       case i => Some(raw.substring(i + "\"schema\":".length, raw.length - 1))
     }
-    Snapshot(snapshotId, parts, created, stats, schema)
+    // delete_files precedes the schema tail — bound the match region so a
+    // schema field named like it can never be misread
+    val preSchema = raw.indexOf("\"schema\":") match {
+      case -1 => raw
+      case i => raw.substring(0, i)
+    }
+    val deletes = "\"delete_files\":\\[([^\\]]*)\\]".r.findFirstMatchIn(preSchema)
+      .map(_.group(1)).filter(_.nonEmpty)
+      .map(_.split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).toSeq)
+      .getOrElse(Seq.empty)
+    Snapshot(snapshotId, parts, created, stats, schema, deletes)
   }
 
   /** Snapshot-pinned read: only partitions listed in the manifest are
@@ -521,7 +567,140 @@ object SnapshotCatalog {
           .asInstanceOf[org.apache.spark.sql.types.StructType])
       case None => spark.read
     }
-    reader.parquet(s"$table/data")
+    val base = reader.parquet(s"$table/data")
       .filter(org.apache.spark.sql.functions.col("part").isin(snap.parts: _*))
+    applyDeletes(spark, table, base, snap.deleteFiles)
+  }
+
+  private def deletesDir(table: String): Path = Paths.get(table, "_deletes")
+
+  /** MERGE-ON-READ application: anti-join each pending delete set on its
+    * own (single) key column. Delete sets are bounded per [[commitDeletes]]
+    * call (a correction batch, not a table scan), so at 10^12 rows the
+    * anti-join's build side stays small and AQE broadcasts it; the data
+    * side never re-shuffles. Readers pay this only while deletes are
+    * pending — [[materializeDeletes]] folds them into a COW rewrite and
+    * clears the list. */
+  private def applyDeletes(spark: SparkSession, table: String, df: DataFrame,
+                           deleteFiles: Seq[String]): DataFrame =
+    deleteFiles.foldLeft(df) { (acc, name) =>
+      val del = spark.read.parquet(deletesDir(table).resolve(name).toString)
+      require(del.columns.length == 1,
+        s"applyDeletes: delete set $name must carry exactly one key column, " +
+          s"has ${del.columns.mkString(",")}")
+      acc.join(del, Seq(del.columns.head), "left_anti")
+    }
+
+  /** Commit a MERGE-ON-READ delete set (Iceberg v2 equality deletes): the
+    * distinct non-null `keyCol` values of `keys` are written to
+    * `_deletes/del-<newSnapshotId>` and a new snapshot is cut whose part
+    * set, stats, and schema are UNCHANGED — no data rewrite happens, every
+    * read of the new snapshot (and later appends) anti-joins the set, and
+    * time travel to earlier snapshots still sees the rows. This is the
+    * O(delete batch) delete path a 10^12-row table needs when corrections
+    * arrive faster than COW rewrites amortize; [[Merge.merge]] remains the
+    * COW path, [[materializeDeletes]] converts pending sets into one. */
+  def commitDeletes(table: String, keys: DataFrame, keyCol: String): Snapshot = {
+    val cur = currentSnapshotId(table).getOrElse(
+      throw new IllegalArgumentException(s"commitDeletes: no snapshots at $table"))
+    val curSnap = readManifest(table, cur)
+    require(keys.columns.contains(keyCol),
+      s"commitDeletes: keys must carry $keyCol, has ${keys.columns.mkString(",")}")
+    curSnap.schemaJson.foreach { js =>
+      val cols = org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+      require(cols.contains(keyCol),
+        s"commitDeletes: $keyCol is not a column of the table schema " +
+          s"(${cols.mkString(",")})")
+    }
+    val id = cur + 1L
+    val name = s"del-$id"
+    keys.select(org.apache.spark.sql.functions.col(keyCol))
+      .filter(org.apache.spark.sql.functions.col(keyCol).isNotNull)
+      .distinct()
+      .write.mode("overwrite").parquet(deletesDir(table).resolve(name).toString)
+    val dels = curSnap.deleteFiles :+ name
+    val snap = Snapshot(id, curSnap.parts, System.currentTimeMillis(),
+      curSnap.partStats, curSnap.schemaJson, dels)
+    writeManifest(table, id, curSnap.parts, snap.createdAtMs, curSnap.partStats,
+      curSnap.schemaJson, dels)
+    snap
+  }
+
+  /** Fold every pending MOR delete set into a physical COW rewrite and cut
+    * a snapshot with NO delete files: affected parts (manifest key-stats
+    * pruned, then one slim detection scan — the [[Merge.merge]] shape) are
+    * rewritten under fresh ids with the deleted keys dropped; untouched
+    * parts are shared structurally. Older snapshots keep reading the
+    * replaced dirs AND their own delete lists, so time travel across the
+    * materialization is exact. No-op (current snapshot returned) when no
+    * deletes are pending. All pending sets must share one key column. */
+  def materializeDeletes(spark: SparkSession, table: String,
+                         codec: String = "zstd"): Snapshot = {
+    import org.apache.spark.sql.functions.{broadcast, col, max => smax, min => smin}
+    val cur = currentSnapshotId(table).getOrElse(
+      throw new IllegalArgumentException(s"materializeDeletes: no snapshots at $table"))
+    val curSnap = readManifest(table, cur)
+    if (curSnap.deleteFiles.isEmpty) return curSnap
+    val sets = curSnap.deleteFiles.map(n =>
+      spark.read.parquet(deletesDir(table).resolve(n).toString))
+    val keyCols = sets.map(_.columns.toSeq).distinct
+    require(keyCols.size == 1 && keyCols.head.size == 1,
+      s"materializeDeletes: pending delete sets disagree on key columns " +
+        s"($keyCols) — materialize requires one shared key")
+    val keyCol = keyCols.head.head
+    val allKeys = sets.reduce(_.union(_)).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // manifest key-stats pruning, then one slim (key, part) detection scan
+      val reader = curSnap.schemaJson match {
+        case Some(js) => spark.read.schema(
+          org.apache.spark.sql.types.DataType.fromJson(js)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+        case None => spark.read
+      }
+      val target = reader.parquet(s"$table/data")
+        .filter(col("part").isin(curSnap.parts: _*))
+      val candidates: Seq[Int] =
+        if (curSnap.partStats.isEmpty ||
+            target.schema(keyCol).dataType != org.apache.spark.sql.types.StringType)
+          curSnap.parts
+        else {
+          val r = allKeys.agg(smin(col(keyCol)).as("lo"), smax(col(keyCol)).as("hi"))
+            .collect()(0)
+          if (r.isNullAt(0)) Seq.empty
+          else partsForKeyRange(curSnap, r.getString(0), r.getString(1))
+        }
+      val affected =
+        if (candidates.isEmpty) Seq.empty[Int]
+        else target.filter(col("part").isin(candidates: _*))
+          .select(col(keyCol), col("part"))
+          .join(broadcast(allKeys), Seq(keyCol), "left_semi")
+          .select("part").distinct().collect().map(_.getInt(0)).toSeq.sorted
+      if (affected.isEmpty)
+        // nothing matched: the sets were already no-ops — just clear them
+        return commitReplacing(table, Set.empty, Seq.empty,
+          clearDeleteFiles = true)
+      val base = maxKnownPart(table) + 1
+      val rewriteMap = affected.zipWithIndex
+        .map { case (p, i) => p -> (base + i) }.toMap
+      val remap = org.apache.spark.sql.functions.typedlit(rewriteMap)
+      target.filter(col("part").isin(affected: _*))
+        .join(broadcast(allKeys), Seq(keyCol), "left_anti")
+        .withColumn("part",
+          org.apache.spark.sql.functions.element_at(remap, col("part")))
+        .write.mode("append").option("compression", codec)
+        .partitionBy("part").parquet(s"$table/data")
+      val freshIds = rewriteMap.values.toSeq.sorted
+      val freshStats =
+        if (target.schema(keyCol).dataType != org.apache.spark.sql.types.StringType)
+          Map.empty[Int, PartKeyStats]
+        else keyStatsOf(
+          spark.read.parquet(s"$table/data")
+            .filter(col("part").isin(freshIds: _*))
+            .select(col(keyCol), col("part")), keyCol)
+      commitReplacing(table, affected.toSet, freshIds, freshStats,
+        clearDeleteFiles = true)
+    } finally allKeys.unpersist(blocking = false)
   }
 }
