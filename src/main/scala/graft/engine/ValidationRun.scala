@@ -482,6 +482,20 @@ object ValidationRun {
         s"${fromParts.filterNot(toParts.toSet).mkString(",")} present in " +
         s"$fromSnapshot - incremental carry-forward only holds for " +
         "append-only snapshot chains")
+    // MOR guard (E44): a delete set committed between the two snapshots
+    // changes ROWS inside carried parts without changing the part set —
+    // the carried verdicts (stats, uniqueness, drift) would silently
+    // describe rows the new snapshot no longer has. Carry-forward is only
+    // sound when both snapshots see the same delete lists; otherwise run a
+    // full pass (or materializeDeletes first, which makes the rewrite an
+    // ordinary part-set change this method already refuses to carry).
+    val fromDels = SnapshotCatalog.readManifest(table, fromSnapshot).deleteFiles
+    val toDels = SnapshotCatalog.readManifest(table, toSnapshot).deleteFiles
+    require(fromDels == toDels,
+      s"runIncremental: MOR delete sets changed between $fromSnapshot " +
+        s"(${fromDels.mkString(",")}) and $toSnapshot (${toDels.mkString(",")}) " +
+        "- carried verdicts would describe deleted rows; run a full pass " +
+        "over the affected snapshot (or materializeDeletes first)")
     require(ref.snapshotId == toSnapshot,
       s"runIncremental: ref.snapshotId=${ref.snapshotId} != toSnapshot=" +
         s"$toSnapshot - the new partitions' verdicts would key under the " +

@@ -83,6 +83,24 @@ class MorDeleteSpec extends AnyFunSuite {
     assert(SnapshotCatalog.read(spark, t, s.snapshotId).count() == 19)
   }
 
+  test("runIncremental refuses to carry verdicts across a MOR delete") {
+    val t = freshTable("mor5")
+    val docs0 = graft.model.DocsGen.docs(spark, 600, graft.model.DocsGen.goldenScenario)
+      .filter(org.apache.spark.sql.functions.col("part") === 0)
+    val s1 = SnapshotCatalog.commit(t, docs0)
+    val someKey = docs0.select("doc_id").as[String].head()
+    val s2 = SnapshotCatalog.commitDeletes(t, Seq(someKey).toDF("doc_id"), "doc_id")
+    val media = graft.model.DocsGen.media(spark)
+    val ref = graft.checks.Fit.fit(docs0, snapshotId = s2.snapshotId, maxSample = 50)
+    val out = java.nio.file.Files.createTempDirectory("mor5-res").toString
+    val e = intercept[IllegalArgumentException](
+      ValidationRun.runIncremental(spark, t, media, ref,
+        RunConfig(runId = "mor-inc", maxSample = 50, numPermutations = 10),
+        s"$out/results", s"$out/violations",
+        fromSnapshot = s1.snapshotId, toSnapshot = s2.snapshotId))
+    assert(e.getMessage.contains("MOR delete sets changed"))
+  }
+
   test("guards: no table, missing key column, foreign key column, multi-column set") {
     val t = freshTable("mor4")
     intercept[IllegalArgumentException](
