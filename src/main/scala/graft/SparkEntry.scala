@@ -717,6 +717,67 @@ object SparkEntry {
       .orderBy($"doc_id")
   }
 
+  private val WapGoodPath = s"/tmp/graft_wap_good_$pathToken"
+  private val WapBadPath = s"/tmp/graft_wap_bad_$pathToken"
+  private val WapTablePath = s"/tmp/graft_wap_table_$pathToken"
+
+  /** DuckDB-oracled WRITE-AUDIT-PUBLISH gate: a clean batch (constraint-
+    * clean golden parts 0-4) and a dirty batch (parts 5-6 plus a
+    * deterministic re-emission of ~1/20 of part 5's docs — planted
+    * duplicate keys) are materialized; the engine runs two
+    * [[graft.engine.Wap.validateAndPublish]] rounds on a fresh snapshot
+    * table and REQUIRES publish-then-reject; the query emits the CURRENT
+    * table content, and the oracle is the GOOD batch alone — any leaked
+    * dirty row (a gate that failed to fire, a rollback that failed to
+    * land) breaks rows/hash. */
+  def entry_docs_wap(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.model.DocsGen
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir).map(_.group(1).toDouble).getOrElse(0.001)
+    val nDocs = math.max(1800L, (1800000 * sf).toLong)
+    cleanStaleSiblings("graft_wap_")
+    val golden = DocsGen.docs(spark, nDocs, DocsGen.goldenScenario)
+    golden.filter($"part" <= 4).write.mode("overwrite").parquet(WapGoodPath)
+    val goodP = spark.read.parquet(WapGoodPath)
+    golden.filter($"part" === 5 || $"part" === 6)
+      .unionByName(golden.filter($"part" === 5 &&
+        pmod(xxhash64($"doc_id", lit("wapdup")), lit(20L)) === 0))
+      .write.mode("overwrite").parquet(WapBadPath)
+    graft.util.PidPaths.deleteRecursively(WapTablePath)
+    val media = DocsGen.media(spark)
+    val ref = graft.checks.Fit.fit(goodP.filter($"part" === 0),
+      snapshotId = 0L, maxSample = 100)
+    val cfg = graft.engine.RunConfig(runId = "wap", maxSample = 100,
+      numPermutations = 10)
+    val r1 = graft.engine.Wap.validateAndPublish(spark, WapTablePath, goodP,
+      media, ref, cfg)
+    require(r1.published, s"docs_wap: the clean batch was rejected: " +
+      r1.failing.map(v => s"${v.part}/${v.check_id}").mkString(","))
+    val r2 = graft.engine.Wap.validateAndPublish(spark, WapTablePath,
+      spark.read.parquet(WapBadPath), media, ref, cfg)
+    require(!r2.published,
+      "docs_wap: the dirty batch (planted duplicate keys) was published")
+    require(r2.failing.exists(_.check_id == "unique_doc_id"),
+      s"docs_wap: expected a unique_doc_id gate failure, got " +
+        r2.failing.map(_.check_id).distinct.mkString(","))
+    val cur = graft.engine.SnapshotCatalog.currentSnapshotId(WapTablePath).get
+    graft.engine.SnapshotCatalog.read(spark, WapTablePath, cur)
+      .select($"doc_id",
+        size($"spans").cast("long").as("n_spans"),
+        aggregate($"spans", lit(0L), (acc, sp) =>
+          acc + sp.getField("offset").cast("long")).as("off_sum"))
+      .orderBy($"doc_id")
+  }
+
+  private val wapOracleSql: String =
+    s"""SELECT doc_id,
+          CAST(len(spans) AS BIGINT) AS n_spans,
+          CAST(coalesce(list_sum(list_transform(spans, s -> s."offset")), 0)
+            AS BIGINT) AS off_sum
+        FROM read_parquet('$WapGoodPath/*.parquet')
+        ORDER BY doc_id"""
+
   private val morDeletesOracleSql: String =
     s"""WITH base AS (SELECT * FROM read_parquet('$MorBasePath/*.parquet')),
         del AS (SELECT doc_id FROM read_parquet('$MorDelPath/*.parquet'))
@@ -756,6 +817,7 @@ object SparkEntry {
         "uniq_cross_snapshot" -> (entry_uniq_cross_snapshot _),
         "docs_merge" -> (entry_docs_merge _),
         "docs_mor_deletes" -> (entry_docs_mor_deletes _),
+        "docs_wap" -> (entry_docs_wap _),
         "docs_drift_attrib" -> (entry_docs_drift_attrib _),
         "novel_kinds" -> (entry_novel_kinds _))
 
@@ -771,6 +833,7 @@ object SparkEntry {
         "uniq_cross_snapshot" -> uniqCrossOracleSql,
         "docs_merge" -> mergeOracleSql,
         "docs_mor_deletes" -> morDeletesOracleSql,
+        "docs_wap" -> wapOracleSql,
         "docs_drift_attrib" -> attribOracleSql,
         "novel_kinds" -> novelKindsOracleSql)
 }
