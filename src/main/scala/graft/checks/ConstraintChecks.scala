@@ -41,12 +41,28 @@ object ConstraintChecks {
     * Returns (violations, per-part {dupKeys, distinctKeys, totalDocs}). */
   def uniqueness(docs: DataFrame, runId: String, salts: Int = 0,
                  keyCols: Seq[String] = Seq("doc_id")): (Dataset[Violation], Map[Int, UniquenessStats]) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
     require(keyCols.nonEmpty, "uniqueness: at least one key column required")
     require(keyCols.forall(docs.columns.contains),
       s"uniqueness: key columns ${keyCols.mkString(",")} must exist in " +
         docs.columns.mkString(","))
+    // salts = 0 (default) selects the SINGLE-exchange one-map-pass
+    // aggregation ([[uniquenessSinglePass]]); salts > 0 keeps the salted
+    // two-stage stacked-groupBy formulation selectable (the E13 skew
+    // operator; right for aggregates that don't combine map-side).
+    // GRAFT_UNIQ_LEGACY=1 forces the stacked formulation for A/B probes.
+    if (salts <= 0 && !sys.env.get("GRAFT_UNIQ_LEGACY").contains("1"))
+      uniquenessSinglePass(docs, runId, keyCols)
+    else uniquenessStacked(docs, runId, salts, keyCols)
+  }
+
+  /** The pre-round-6 stacked-groupBy formulation (partial+final hash
+    * aggregation at key grain, then a part-grain rollup exchange); still the
+    * engine's shape for `salts > 0` (E13) and retained as the A/B twin —
+    * outputs are identical to [[uniquenessSinglePass]] (spec-asserted). */
+  private[graft] def uniquenessStacked(docs: DataFrame, runId: String, salts: Int = 0,
+                 keyCols: Seq[String] = Seq("doc_id")): (Dataset[Violation], Map[Int, UniquenessStats]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val checkId =
       if (keyCols == Seq("doc_id")) "unique_doc_id"
       else s"unique_${keyCols.mkString("_")}"
@@ -126,6 +142,128 @@ object ConstraintChecks {
           .as[Violation]
       }
     (violations, perPart)
+  }
+
+  /** SINGLE-EXCHANGE one-map-pass uniqueness (round-6 default): the stacked
+    * formulation's three aggregations (map-side partial over mostly-unique
+    * keys — which combines almost nothing — final key-grain hash agg, then a
+    * part-grain rollup with its own exchange) collapse into ONE
+    * [[graft.sketch.UniqStatsAgg]] pass over rows explicitly
+    * hash-partitioned by the 128-bit key pair:
+    *
+    *   scan → project(part,h1,h2) → Exchange(h1,h2) → open-addressing map
+    *   pass → O(tasks × parts) reduced rows → driver
+    *
+    * The one full-volume exchange now carries the RAW 3-column rows (32 B
+    * UnsafeRow vs the stacked partial-agg rows' 48 B), and the per-key work
+    * is a single primitive-map probe instead of two UnsafeRow hash-map
+    * probes plus the rollup. Duplicate keys come back as a bounded
+    * side-channel, so dup recovery is one pruned scan + a broadcast join —
+    * the stacked path's re-aggregation of the dirty part range disappears
+    * from the pass's critical-path tail. Outputs are identical to
+    * [[uniquenessStacked]] (UniqSinglePassSpec asserts equality on dup,
+    * cross-part, hot-key, composite and clean fixtures).
+    *
+    * Skew note: a pathologically hot key concentrates its copies on one
+    * reducer by construction (they must meet to be counted — same as the
+    * stacked final agg); the per-task cost is one map probe per copy, the
+    * cheapest possible handling short of salting (selectable via salts > 0).
+    */
+  private[graft] def uniquenessSinglePass(docs: DataFrame, runId: String,
+                 keyCols: Seq[String] = Seq("doc_id")): (Dataset[Violation], Map[Int, UniquenessStats]) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val checkId =
+      if (keyCols == Seq("doc_id")) "unique_doc_id"
+      else s"unique_${keyCols.mkString("_")}"
+    def normKeys: Seq[Column] =
+      keyCols.map(c => coalesce(col(c).cast("string"), lit("\u0000NULL")))
+    def keyDisplay: Column =
+      if (keyCols.size == 1) col(keyCols.head).cast("string")
+      else concat_ws("\u0001", normKeys: _*)
+    val keyed = docs.select($"part",
+      xxhash64(normKeys :+ lit("u1"): _*).as("h1"),
+      xxhash64(normKeys :+ lit("u2"): _*).as("h2"))
+    val dec = graft.sketch.UniqStatsAgg.decode(
+      keyed.repartition(uniqShufflePartitions(keyed), $"h1", $"h2")
+        .agg(graft.sketch.UniqStatsAgg.uniqStats($"h1", $"h2", $"part").as("u"))
+        .head().getAs[Array[Byte]](0))
+    val perPart = dec.parts.map { case (p, u) =>
+      p -> UniquenessStats(u.dupKeys, u.distinctKeys, u.totalRows)
+    }
+    val violations: Dataset[Violation] =
+      if (!perPart.values.exists(_.dupKeys > 0)) spark.emptyDataset[Violation]
+      else {
+        // same part-range pruning as the stacked path: all copies of every
+        // dup key lie within [min attributed part, max dup-part]. The
+        // bounded side-channel IS the dup key set — recovery is one pruned
+        // scan + broadcast join; on overflow it re-aggregates in range.
+        val loP = dec.parts.collect { case (p, u) if u.dupKeys > 0 => p }.min
+        val hiP = dec.parts.values.map(_.maxDupPart).max
+        recoverDupRows(docs, runId, checkId, keyCols, normKeys, keyDisplay,
+          loP, hiP, if (dec.dupOverflow) None else Some(dec.dupKeys))
+      }
+    (violations, perPart)
+  }
+
+  /** Dup-recovery rows shared by the side-channel path: scan the pruned
+    * part range once and attach counts via a broadcast of the collected dup
+    * keys; when the side-channel overflowed (`None`), re-aggregate in-range
+    * like the stacked path always did. Row set identical either way. */
+  private def recoverDupRows(docs: DataFrame, runId: String, checkId: String,
+                             keyCols: Seq[String],
+                             normKeys: Seq[Column], keyDisplay: Column,
+                             loP: Int, hiP: Int,
+                             dupKeys: Option[Array[(Long, Long, Long)]]): Dataset[Violation] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def toRows(keyed: DataFrame): Dataset[Violation] = keyed
+      .select(lit(runId).as("run_id"), $"part",
+        lit(checkId).as("check_id"), $"__key".as("doc_id"),
+        concat(lit(s"duplicate ${keyCols.mkString(",")} x"), $"n").as("detail"))
+      .as[Violation]
+    dupKeys match {
+      case Some(keys) =>
+        // the side-channel IS the dup key set: broadcast it as a primitive
+        // map and probe inside the (codegen'd) pruned scan — one
+        // Scan→Project→Filter stage, no dup-key LocalRelation in the plan,
+        // no join build, no driver row encoding (plans/r06/uniq_violations)
+        val bc = spark.sparkContext.broadcast(graft.sketch.Long128Map.build(keys))
+        toRows(docs.filter($"part".between(loP, hiP))
+          .select($"part", keyDisplay.as("__key"),
+            graft.functions.DupCount.dup_count(
+              xxhash64(normKeys :+ lit("u1"): _*),
+              xxhash64(normKeys :+ lit("u2"): _*), bc).as("n"))
+          .filter($"n".isNotNull))
+      case None =>
+        // side-channel overflowed: re-aggregate the pruned range (the
+        // stacked path's recovery shape)
+        val ranged = docs.filter($"part".between(loP, hiP))
+          .select($"part", keyDisplay.as("__key"),
+            xxhash64(normKeys :+ lit("u1"): _*).as("h1"),
+            xxhash64(normKeys :+ lit("u2"): _*).as("h2"))
+        val dupDf = ranged.groupBy($"h1", $"h2")
+          .agg(count(lit(1)).as("n")).filter($"n" > 1)
+        toRows(ranged.join(dupDf, Seq("h1", "h2")))
+    }
+  }
+
+  /** Scale-adaptive partition count for the uniqueness key exchange. Two
+    * independent lower bounds, capped at 128Ki partitions:
+    *  - the projected input's plan-estimated size over ~16 MB per partition
+    *    (~0.5M estimated 28 B key rows ≈ 16 MB of open-addressing map per
+    *    task — small enough to stay cache-resident, the dominant cost of a
+    *    random-probe count; and a hard bound on per-task memory at any
+    *    input size — never a constant tuned to one box);
+    *  - the session shuffle width (the floor the rest of the pass uses).
+    * GRAFT_UNIQ_PARTS overrides for A/B probes. */
+  private[graft] def uniqShufflePartitions(keyed: DataFrame): Int = {
+    sys.env.get("GRAFT_UNIQ_PARTS").map(_.toInt).getOrElse {
+      val conf = keyed.sparkSession.sessionState.conf.numShufflePartitions
+      val est = keyed.queryExecution.optimizedPlan.stats.sizeInBytes
+      val byBytes = (est / (16L << 20)).toLong + 1
+      math.max(conf, math.min(byBytes, 1L << 17).toInt)
+    }
   }
 
   /** ZERO-EXCHANGE uniqueness for doc_id-bucketed snapshots (P20 wired into

@@ -40,25 +40,57 @@ object PartStats {
     * MMD feature samples, via the custom [[graft.sketch.DocStatsAgg]]: no
     * explode, no second sampling scan, single groupBy(part) shuffle of
     * O(tasks × parts × bufferBytes). The workhorse of the validation pass. */
+  /** The fused aggregation frame shared by [[computeFused]] and
+    * [[computeFusedTree]] (and dumped by graft.tools.PlanDump).
+    *
+    * The field-array extractions (`spans.kind` / `spans.offset` /
+    * `spans.media_ref`) and the sampling hash are PRE-PROJECTED below the
+    * aggregate: a TypedImperativeAggregate evaluates its child expressions
+    * INTERPRETED inside update() for every row, so leaving
+    * GetArrayStructFields + xxhash64 as agg children paid an interpreted
+    * walk per doc — as projected attributes they compile into the
+    * whole-stage-codegen'd scan stage and the agg children become plain
+    * ordinal reads (DocStatsAgg's BoundReference fast path). Nested-column
+    * pruning is unaffected: the projection consumes exactly the same FIELD
+    * arrays, so `spans.text` still never leaves parquet (plan-asserted in
+    * plans/r06/stats_fused_after.txt). */
+  private[graft] def fusedFrame(docs: DataFrame, maxSample: Int,
+                   mode: Int,
+                   mediaSet: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]],
+                   edges: Seq[Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    if (sys.props.get("graft.stats.preproject")
+        .orElse(sys.env.get("GRAFT_STATS_PREPROJECT")).contains("0")) {
+      // pre-round-6 shape (extractions as agg children, interpreted per row)
+      // — retained only as the A/B twin for BenchExtra
+      docs.groupBy($"part")
+        .agg(graft.sketch.DocStatsAgg.docStats(
+          col("spans.kind"), col("spans.offset"),
+          pmod(xxhash64($"doc_id", lit("mmd-sample")), lit(1000000L)),
+          maxSample, mode,
+          mediaRefs = mediaSet.map(_ => col("spans.media_ref")),
+          mediaSet = mediaSet, edges = edges).as("st"))
+    } else {
+      val base = docs.select(Seq($"part",
+        col("spans.kind").as("__k"), col("spans.offset").as("__o"),
+        pmod(xxhash64($"doc_id", lit("mmd-sample")), lit(1000000L)).as("__h")) ++
+        mediaSet.map(_ => col("spans.media_ref").as("__m")).toSeq: _*)
+      base.groupBy($"part")
+        .agg(graft.sketch.DocStatsAgg.docStats(
+          $"__k", $"__o", $"__h",
+          maxSample, mode,
+          mediaRefs = mediaSet.map(_ => $"__m"),
+          mediaSet = mediaSet, edges = edges).as("st"))
+    }
+  }
+
   def computeFused(docs: DataFrame, maxSample: Int = 1000,
                    mode: Int = graft.sketch.DocStatsAgg.ModeBoth,
                    mediaSet: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]] = None,
                    edges: Seq[Double] = Nil)
       : (Map[Int, PartSummary], Map[Int, Array[Array[Double]]]) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    // consume spans.kind / spans.offset (and spans.media_ref when the
-    // referential check is fused in) as FIELD arrays so parquet nested
-    // pruning skips the text bytes entirely (see ReadSchema in
-    // graft.tools.PlanCheck)
-    val rows = docs
-      .groupBy($"part")
-      .agg(graft.sketch.DocStatsAgg.docStats(
-        col("spans.kind"), col("spans.offset"),
-        pmod(xxhash64($"doc_id", lit("mmd-sample")), lit(1000000L)),
-        maxSample, mode,
-        mediaRefs = mediaSet.map(_ => col("spans.media_ref")),
-        mediaSet = mediaSet, edges = edges).as("st"))
+    val rows = fusedFrame(docs, maxSample, mode, mediaSet, edges)
       .collect()
     val decoded = rows.map { r =>
       r.getInt(0) -> graft.sketch.DocStatsBuffer.decodeResult(r.getAs[Array[Byte]]("st"))
@@ -111,14 +143,7 @@ object PartStats {
     val fetchWidth =
       if (fetchPartitions > 0) fetchPartitions
       else math.max(spark.sessionState.conf.numShufflePartitions, 1)
-    val stage1 = docs
-      .groupBy($"part")
-      .agg(graft.sketch.DocStatsAgg.docStats(
-        col("spans.kind"), col("spans.offset"),
-        pmod(xxhash64($"doc_id", lit("mmd-sample")), lit(1000000L)),
-        maxSample, mode,
-        mediaRefs = mediaSet.map(_ => col("spans.media_ref")),
-        mediaSet = mediaSet, edges = edges).as("st"))
+    val stage1 = fusedFrame(docs, maxSample, mode, mediaSet, edges)
     // toLocalIterator fetches one whole shuffle PARTITION per job, not one
     // row — so the driver-residency bound is set by the stage-2 partition
     // width, not by fanIn alone (at the default shuffle width a 10⁵-part

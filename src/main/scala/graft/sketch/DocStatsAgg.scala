@@ -70,14 +70,31 @@ case class DocStatsAgg(
   private val doSample = mode != DocStatsAgg.ModeStats
   @transient private lazy val validRefs = mediaSet.map(_.value).orNull
 
+  // PartStats.fusedFrame pre-projects the field arrays and the sampling
+  // hash, so at execution the children are BoundReferences — read them by
+  // ordinal (null-guarded) instead of Expression.eval, which for any
+  // non-reference child would run GetArrayStructFields/xxhash64 INTERPRETED
+  // once per row inside this update loop. -1 = fall back to eval.
+  @transient private lazy val ordK = DocStatsAgg.ordinalOf(kindsChild)
+  @transient private lazy val ordO = DocStatsAgg.ordinalOf(offsetsChild)
+  @transient private lazy val ordH = DocStatsAgg.ordinalOf(hashChild)
+  @transient private lazy val ordM = DocStatsAgg.ordinalOf(mediaRefsChild)
+
+  @inline private def arrayAt(input: InternalRow, ord: Int, child: Expression)
+      : org.apache.spark.sql.catalyst.util.ArrayData =
+    if (ord >= 0) { if (input.isNullAt(ord)) null else input.getArray(ord) }
+    else child.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+
   override def update(buf: DocStatsBuffer, input: InternalRow): DocStatsBuffer = {
-    val kinds = kindsChild.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val offsets = offsetsChild.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val kinds = arrayAt(input, ordK, kindsChild)
+    val offsets = arrayAt(input, ordO, offsetsChild)
     if (kinds == null || offsets == null) return buf
-    val h = hashChild.eval(input).asInstanceOf[Long]
+    val h =
+      if (ordH >= 0) input.getLong(ordH)
+      else hashChild.eval(input).asInstanceOf[Long]
     val refs =
       if (validRefs == null) null
-      else mediaRefsChild.eval(input).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      else arrayAt(input, ordM, mediaRefsChild)
     buf.updateDoc(kinds, offsets, h, doStats, doSample, refs, validRefs)
     buf
   }
@@ -108,6 +125,11 @@ object DocStatsAgg {
   val ModeBoth = 0
   val ModeStats = 1
   val ModeSample = 2
+
+  private[sketch] def ordinalOf(e: Expression): Int = e match {
+    case b: org.apache.spark.sql.catalyst.expressions.BoundReference => b.ordinal
+    case _ => -1
+  }
 
   /** Public twin of `DocStatsBuffer.features` over plain collections, for
     * full-batch (unsampled) paths —

@@ -89,10 +89,13 @@ class TimeTravelSpec extends AnyFunSuite {
     // range cut parts 0 and 2 before any file planning
     val plan = pruned.queryExecution.executedPlan.toString
     val pf = "PartitionFilters: \\[[^\\]]*\\]".r.findFirstIn(plan).getOrElse("")
-    assert(pf.contains("(1)") || pf.contains("= 1"),
-      s"part 1 must be the only partition candidate: $pf")
-    assert(!pf.contains("0,") && !pf.contains("2)"),
-      s"parts 0/2 must be pruned by the manifest range: $pf")
+    // parse the literal(s) part is compared to — substring checks on the raw
+    // filter text were flaky: auto-incremented expression IDs like
+    // `part#125252)` can end in the very digits being asserted absent
+    val cmpVals = "part#\\d+ (?:=|IN) \\(?(\\d+(?:,\\d+)*)".r
+      .findAllMatchIn(pf).flatMap(_.group(1).split(',')).toSet
+    assert(cmpVals == Set("1"),
+      s"part 1 must be the only partition candidate (parts 0/2 manifest-pruned): $pf")
     assert(pruned.count() == 100)
     // the key predicate reaches the parquet scan (row-group pruning inside
     // the surviving part)
