@@ -30,14 +30,18 @@ object TpchQueries {
       round(sum($"l_quantity"), 4).as("sum_qty"))
   }
 
-  /** E5: uniqueness via explicit two-stage salted aggregation (the engine's
-    * skew-safe pattern), reduced to SQL-checkable totals. */
+  /** E5: uniqueness totals via the single-shuffle per-key count — the
+    * engine's measured default since round 2 (map-side partial aggregation
+    * already bounds any hot key's reducer input for combinable aggregates;
+    * the explicit salt stage this query carried through round 5 bought a
+    * second full exchange and nothing else — r06 A/B at 150K keys: 3
+    * stacked aggregations → 2, identical totals). The salted two-stage
+    * pattern itself remains first-class in ConstraintChecks.uniqueness
+    * (salts > 0, E13) and is exercised by `skew_join_hot`. */
   def uniqueOrders(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val stage1 = t(s, dir, "orders")
-      .select($"o_orderkey", pmod(xxhash64($"o_orderkey", lit("salt")), lit(16L)).as("salt"))
-      .groupBy($"o_orderkey", $"salt").agg(count(lit(1)).as("c"))
-    val perKey = stage1.groupBy($"o_orderkey").agg(sum($"c").as("n"))
+    val perKey = t(s, dir, "orders")
+      .groupBy($"o_orderkey").agg(count(lit(1)).as("n"))
     perKey.agg(
       count(lit(1)).as("distinct_keys"),
       sum($"n").as("total"),
@@ -129,21 +133,34 @@ object TpchQueries {
     * bucket counts). Single-row result, rounded for cross-engine FP parity. */
   def psiQuantityYears(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // totals ride an unbounded window over the 10 bucket rows instead of a
+    // separate aggregate branch cross-joined back (one lineitem scan, see
+    // ksQuantityYears) — identical long sums, identical doubles
     val li = t(s, dir, "lineitem")
       .select(least(floor($"l_quantity" / 5.0), lit(9.0)).cast("int").as("bucket"),
         (year($"l_shipdate") >= 1996).as("is_prod"))
     val counts = li.groupBy($"bucket")
       .agg(sum(when(!$"is_prod", 1L).otherwise(0L)).as("c_ref"),
         sum(when($"is_prod", 1L).otherwise(0L)).as("c_prod"))
-    val tot = counts.agg(sum($"c_ref").as("t_ref"), sum($"c_prod").as("t_prod"))
-    counts.crossJoin(tot)
+    val wAll = Window.orderBy($"bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    counts
+      .withColumn("t_ref", sum($"c_ref").over(wAll))
+      .withColumn("t_prod", sum($"c_prod").over(wAll))
       .select((greatest($"c_ref" / $"t_ref", lit(1e-6))).as("p"),
         (greatest($"c_prod" / $"t_prod", lit(1e-6))).as("q"))
       .agg(round(sum(($"q" - $"p") * log($"q" / $"p")), 6).as("psi"))
   }
 
   /** E7: two-sample KS D-statistic of l_quantity between two shipdate-year
-    * windows, from exact empirical CDFs via window cumulative sums. */
+    * windows, from exact empirical CDFs via window cumulative sums.
+    *
+    * r06: the grand totals ride the SAME window frame (unbounded sum over
+    * the distinct-value rows) instead of a separate aggregate branch
+    * cross-joined back — the r05 shape planned TWO full lineitem scans
+    * (plans/r06/ks_quantity_years_before.txt, Scan ops 1 and 10); this is
+    * one scan, one exchange, one Window node. Totals are exact long sums
+    * either way, so every double divides identically. */
   def ksQuantityYears(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val li = t(s, dir, "lineitem")
@@ -152,11 +169,13 @@ object TpchQueries {
       .agg(sum(when(!$"is_prod", 1L).otherwise(0L)).as("c_ref"),
         sum(when($"is_prod", 1L).otherwise(0L)).as("c_prod"))
     val w = Window.orderBy($"q").rowsBetween(Window.unboundedPreceding, 0)
-    val tot = counts.agg(sum($"c_ref").as("t_ref"), sum($"c_prod").as("t_prod"))
+    val wAll = Window.orderBy($"q")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     counts
       .withColumn("cum_ref", sum($"c_ref").over(w))
       .withColumn("cum_prod", sum($"c_prod").over(w))
-      .crossJoin(tot)
+      .withColumn("t_ref", sum($"c_ref").over(wAll))
+      .withColumn("t_prod", sum($"c_prod").over(wAll))
       .select(abs($"cum_ref" / $"t_ref" - $"cum_prod" / $"t_prod").as("d"))
       .agg(round(max($"d"), 6).as("ks_d"))
   }
@@ -186,13 +205,17 @@ object TpchQueries {
         sum(when($"is_prod", 1L).otherwise(0L)).as("c_prod"))
     val w = Window.orderBy($"q").rowsBetween(Window.unboundedPreceding, 0)
     val wl = Window.orderBy($"q")
-    val tot = counts.agg(sum($"c_ref").as("t_ref"), sum($"c_prod").as("t_prod"))
+    // totals via the unbounded frame of the same Window spec (one lineitem
+    // scan instead of the cross-joined aggregate branch; see ksQuantityYears)
+    val wAll = Window.orderBy($"q")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     counts
       .withColumn("cum_ref", sum($"c_ref").over(w))
       .withColumn("cum_prod", sum($"c_prod").over(w))
       .withColumn("q_next", lead($"q", 1).over(wl))
+      .withColumn("t_ref", sum($"c_ref").over(wAll))
+      .withColumn("t_prod", sum($"c_prod").over(wAll))
       .filter($"q_next".isNotNull)
-      .crossJoin(tot)
       .select((abs($"cum_ref" / $"t_ref" - $"cum_prod" / $"t_prod")
         * ($"q_next" - $"q")).as("area"))
       .agg(round(sum($"area"), 6).as("emd"))

@@ -22,6 +22,16 @@ case class DupCount(left: Expression, right: Expression,
   override def dataType: DataType = LongType
   override def nullable: Boolean = true
 
+  // Planner hint, not a semantic fact (the probe is pure): left
+  // deterministic, CollapseProject + filter pushdown inline the aliased
+  // probe into BOTH the filter and the detail projection, so every
+  // recovery row paid two probes and four xxhash64 calls (observed in
+  // plans/r06/uniq_violations_after.txt before this flag). Marking it
+  // non-deterministic keeps the single aliased evaluation (guide §4.4's
+  // duplicated-expensive-expression remedy); the part-range filter sits
+  // below the projection already, so no useful pushdown is lost.
+  override lazy val deterministic: Boolean = false
+
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (LongType, LongType) =>
