@@ -153,6 +153,10 @@ object BenchExtra {
     if (phases("viol_ref")) timePhase("viol_ref rows(part16)") {
       noop(ConstraintChecks.referentialRows(rangedDocs(16, 16), media, "bx").toDF())
     }
+    if (phases("viol_ref_probe")) timePhase("viol_ref probe(part16)") {
+      noop(ConstraintChecks.referentialRows(rangedDocs(16, 16), media, "bx",
+        Some(mediaSet)).toDF())
+    }
     if (phases("viol_integrity")) timePhase("viol_integrity rows") {
       noop(ConstraintChecks.spanIntegrityRows(
         docs.filter($"part".isin(11, 12, 13, 14, 17)), "bx").toDF())

@@ -526,12 +526,25 @@ object ConstraintChecks {
     * returned Datasets are evaluated together in the caller's single
     * violations write, so all dirty-partition rescans run concurrently as
     * stages of one job. */
-  def referentialRows(docs: DataFrame, media: DataFrame, runId: String): Dataset[Violation] = {
+  /** When the caller already holds the run's broadcast media hash-set (the
+    * fused-scan path), `mediaSet` selects a probe FILTER over the exploded
+    * refs — the same predicate that produced the counts, one codegen'd
+    * stage, no per-job broadcast-relation build. Without it, the exact
+    * string anti-join (also the big-catalog audit shape). */
+  def referentialRows(docs: DataFrame, media: DataFrame, runId: String,
+                      mediaSet: Option[org.apache.spark.broadcast.Broadcast[graft.sketch.LongHashSet]] = None): Dataset[Violation] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select($"part", $"doc_id", explode(col("spans.media_ref")).as("media_ref"))
+    val refs = docs
+      .select($"part", $"doc_id", explode(col("spans.media_ref")).as("media_ref"))
       .filter($"media_ref".isNotNull)
-      .join(broadcast(media.select($"media_ref")), Seq("media_ref"), "left_anti")
+    val dangling = mediaSet match {
+      case Some(set) =>
+        refs.filter(!graft.functions.RefKnown.ref_known($"media_ref", set))
+      case None =>
+        refs.join(broadcast(media.select($"media_ref")), Seq("media_ref"), "left_anti")
+    }
+    dangling
       .select(lit(runId).as("run_id"), $"part",
         lit("ref_media").as("check_id"), $"doc_id",
         concat(lit("dangling media_ref "), $"media_ref").as("detail"))

@@ -269,7 +269,11 @@ object ValidationRun {
       val viol: Dataset[Violation] =
         if (counts.isEmpty) spark.emptyDataset[Violation]
         else ConstraintChecks.referentialRows(
-          docs.filter($"part".isin(counts.keys.toSeq: _*)), media, cfg.runId)
+          docs.filter($"part".isin(counts.keys.toSeq: _*)), media, cfg.runId,
+          // refViolOf only runs on the fused path, where the broadcast set
+          // exists — rows then share the COUNTING scan's membership
+          // predicate (one codegen'd probe stage, no per-job join build)
+          mediaSet)
       (viol, counts)
     }
     def intViolOf(summaries: Map[Int, PartSummary]): Dataset[Violation] = {

@@ -161,6 +161,18 @@ class ConstraintSpec extends AnyFunSuite {
     val plan = ConstraintChecks.probeSideDangling(docs, media)
       .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1, plan)
+    // r06: the hash-set PROBE variant of the row rescan (the fused path's
+    // shape — rows share the counting scan's membership predicate) emits
+    // the identical row set, and its plan carries no Join and no Exchange
+    val set = PartStats.broadcastMediaSet(media)
+    val vProbe = ConstraintChecks.referentialRows(docs, media, "t", Some(set))
+    val vJoin = ConstraintChecks.referentialRows(docs, media, "t")
+    assert(rows(vProbe).sameElements(rows(vJoin)))
+    // assert on the rescan's own operators (above the cached input — the
+    // InMemoryRelation echoes its build plan below)
+    val probePlan = vProbe.queryExecution.executedPlan.toString
+      .split("InMemoryTableScan")(0)
+    assert(!probePlan.contains("Join") && !probePlan.contains("Exchange"), probePlan)
     docs.unpersist()
   }
 
